@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N] (single JVM); the conf below is written
+for the 1000-executor / 100 TB posture and degrades gracefully to
+local mode:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB static shuffle-partition counts are
+  always wrong, AQE re-plans from map-output sizes.
+- shuffle partitions default to the local core count; on a real
+  cluster this is overridden to ~2-3x total cores and AQE coalesces.
+- Arrow-optimized Python<->JVM transfer for the pandas/Arrow UDF paths
+  (the format layer and the vector ops ride on this).
+- broadcast threshold left at default 10MB; dimension tables in the
+  TPC-H-ish schema (region/nation/supplier/customer/part) are all
+  broadcastable at any realistic SF — queries also hint explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
