@@ -1,3 +1,96 @@
-"""Round-trip queries through the strawboat columnar format —
-filled in once sources/ lands.
+"""Round-trip queries through the strawboat columnar format: prove at
+the correctness gate that format("strawboat") write→read is loss-free
+(oracle runs on the original parquet — any format corruption breaks
+the hash match).
 """
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from strawboat_spark.queries import query
+from strawboat_spark.tables import load_table
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_rt_')}/{table}"
+    load_table(spark, sf_dir, table).write.format("strawboat").mode("overwrite").save(path)
+    return spark.read.format("strawboat").load(path)
+
+
+@query(
+    "strawboat_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="lineitem → strawboat file → read back → aggregate (loss-free format proof)",
+)
+def strawboat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _roundtrip(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "strawboat_roundtrip_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_totalprice > 300000 ORDER BY o_orderkey
+    """,
+    description="orders → strawboat → filtered read (exercises pushdown + page skipping)",
+)
+def strawboat_roundtrip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _roundtrip(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "strawboat_roundtrip_nested",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(SUM(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')), 2) AS sum_all
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    description="embeddings (list<float>) → strawboat → nested-type aggregation",
+)
+def strawboat_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _roundtrip(spark, sf_dir, "embeddings")
+    vec_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(vec_sum), 2).alias("sum_all"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,608 @@
+"""The strawboat file: magic | per-leaf page streams | footer.
+
+Layout parity with the reference (SURVEY.md §1.3, strawboat
+`src/write/writer.rs:96-166`): a single logical row group per file;
+every leaf column is its own contiguous byte range of pages, readable
+independently (column pruning = seek to that leaf's offset and read
+only its bytes); the footer carries the Arrow IPC schema + per-leaf
+page metadata + fixed-size trailer, so schema inference reads only the
+file tail (reference `src/read/reader.rs:227-241`).
+
+Extensions over the reference (SURVEY.md §4.1): per-page
+min/max/null_count are PERSISTED in the footer meta, enabling
+filter-pushdown page skipping (the reference computes these stats for
+codec choice but throws them away — its `skip_page` mechanism has no
+metadata to drive it).
+
+Page alignment invariant: top-level rows are sliced into fixed
+`page_size` chunks FIRST, then each chunk is decomposed into leaves —
+so page i of every leaf covers the same top-level rows, and skipping
+page i skips it across all leaves consistently (including nested
+children, whose per-page value counts vary).
+
+Nested types: List/LargeList/Struct/Map decompose into leaf streams
+depth-first (offsets leaf carries the nest's validity; struct gets a
+validity-only leaf). The reference delegates this to parquet2 rep/def
+levels; we store Arrow-native offsets+validity instead — simpler and
+loss-free for the supported tree (no unions/dictionaries, matching
+the reference's declared support at README.md:84-97).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from strawboat_spark.sources.codecs import (
+    Codec,
+    collect_stats,
+    compress_binary,
+    compress_boolean,
+    compress_double,
+    compress_integer,
+    decompress_binary,
+    decompress_boolean,
+    decompress_double,
+    decompress_integer,
+)
+
+MAGIC = b"STRWBOT1"
+EOS = b"STRWBEND"
+DEFAULT_PAGE_SIZE = 8192
+
+
+# --------------------------------------------------------------------------
+# Leaf model
+# --------------------------------------------------------------------------
+
+_INT_KINDS = ("int", "uint", "date", "timestamp", "time", "duration")
+
+
+def _leaf_kind(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t) or pa.types.is_date(t) or pa.types.is_timestamp(t) or pa.types.is_time(t) or pa.types.is_duration(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_null(t):
+        return "null"
+    raise NotImplementedError(f"unsupported leaf type: {t}")
+
+
+def _numpy_dtype(t: pa.DataType) -> np.dtype:
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return np.dtype(np.int32)
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        return np.dtype(np.int64)
+    return np.dtype(t.to_pandas_dtype())
+
+
+def _flatten_type(name: str, t: pa.DataType, leaves: list[dict]) -> dict:
+    """Build the field tree and append leaf descriptors depth-first."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        node = {"kind": "list", "leaf": len(leaves), "large": pa.types.is_large_list(t)}
+        leaves.append({"name": f"{name}.offsets", "kind": "offsets"})
+        node["child"] = _flatten_type(f"{name}.item", t.value_type, leaves)
+        return node
+    if pa.types.is_map(t):
+        node = {"kind": "map", "leaf": len(leaves)}
+        leaves.append({"name": f"{name}.offsets", "kind": "offsets"})
+        node["key"] = _flatten_type(f"{name}.key", t.key_type, leaves)
+        node["item"] = _flatten_type(f"{name}.value", t.item_type, leaves)
+        return node
+    if pa.types.is_struct(t):
+        node = {"kind": "struct", "leaf": len(leaves), "children": []}
+        leaves.append({"name": f"{name}.validity", "kind": "validity"})
+        for i in range(t.num_fields):
+            f = t.field(i)
+            node["children"].append(_flatten_type(f"{name}.{f.name}", f.type, leaves))
+        return node
+    kind = _leaf_kind(t)
+    node = {"kind": kind, "leaf": len(leaves)}
+    leaves.append({"name": name, "kind": kind})
+    return node
+
+
+# --------------------------------------------------------------------------
+# Array (de)composition helpers
+# --------------------------------------------------------------------------
+
+
+def _validity_np(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return np.asarray(arr.is_valid())
+
+
+def _pack_validity(valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return struct.pack("<I", 0)
+    packed = np.packbits(valid.astype(np.uint8), bitorder="little").tobytes()
+    return struct.pack("<I", len(packed)) + packed
+
+
+def _read_validity(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray | None, int]:
+    (ln,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    if ln == 0:
+        return None, pos
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, count=ln, offset=pos),
+        count=n,
+        bitorder="little",
+    ).astype(bool)
+    return bits, pos + ln
+
+
+def _validity_buffer(valid: np.ndarray | None) -> pa.Buffer | None:
+    if valid is None:
+        return None
+    return pa.py_buffer(np.packbits(valid.astype(np.uint8), bitorder="little").tobytes())
+
+
+# --------------------------------------------------------------------------
+# Meta structures
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class PageMeta:
+    length: int  # compressed bytes incl. validity section
+    num_values: int
+    null_count: int = 0
+    min: object = None
+    max: object = None
+
+
+@dataclass
+class LeafMeta:
+    name: str
+    offset: int = 0
+    pages: list[PageMeta] = field(default_factory=list)
+
+
+@dataclass
+class FileMeta:
+    num_rows: int
+    page_size: int
+    fields: list[dict]  # type tree per top-level field
+    leaves: list[LeafMeta]
+
+    def to_json(self) -> bytes:
+        return json.dumps(
+            {
+                "version": 1,
+                "num_rows": self.num_rows,
+                "page_size": self.page_size,
+                "fields": self.fields,
+                "leaves": [
+                    {
+                        "name": lf.name,
+                        "offset": lf.offset,
+                        "pages": [
+                            [p.length, p.num_values, p.null_count, p.min, p.max]
+                            for p in lf.pages
+                        ],
+                    }
+                    for lf in self.leaves
+                ],
+            }
+        ).encode()
+
+    @staticmethod
+    def from_json(raw: bytes) -> "FileMeta":
+        d = json.loads(raw.decode())
+        return FileMeta(
+            num_rows=d["num_rows"],
+            page_size=d["page_size"],
+            fields=d["fields"],
+            leaves=[
+                LeafMeta(
+                    name=lf["name"],
+                    offset=lf["offset"],
+                    pages=[PageMeta(*p) for p in lf["pages"]],
+                )
+                for lf in d["leaves"]
+            ],
+        )
+
+
+def _json_safe(v):
+    if v is None:
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if (f != f) else f  # NaN -> no stat
+    if isinstance(v, bytes):
+        try:
+            s = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        return s if len(s) <= 64 else None  # truncated stats unsafe for pruning
+    if isinstance(v, str):
+        return v if len(v) <= 64 else None
+    return int(v) if isinstance(v, (int,)) else v
+
+
+# --------------------------------------------------------------------------
+# Writer
+# --------------------------------------------------------------------------
+
+
+class StrawboatWriter:
+    """Single-row-group columnar writer (reference NativeWriter,
+    `src/write/writer.rs` — state machine start→write→finish)."""
+
+    def __init__(
+        self,
+        sink,  # file-like with write(); caller owns lifecycle
+        schema: pa.Schema,
+        page_size: int = DEFAULT_PAGE_SIZE,
+        default_codec: Codec = Codec.ZSTD,
+    ):
+        self.sink = sink
+        self.schema = schema
+        self.page_size = page_size
+        self.default_codec = default_codec
+        self._table: pa.Table | None = None
+        self._finished = False
+
+    def write_table(self, table: pa.Table) -> None:
+        if self._table is not None:
+            # Reference enforces one row group per file (writer.rs:108-112);
+            # we accumulate instead so Spark partitions can feed batches.
+            self._table = pa.concat_tables([self._table, table])
+        else:
+            self._table = table
+
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        self.write_table(pa.Table.from_batches([batch], schema=self.schema))
+
+    def finish(self) -> FileMeta:
+        if self._finished:
+            raise RuntimeError("writer already finished")
+        self._finished = True
+        table = self._table if self._table is not None else self.schema.empty_table()
+        table = table.combine_chunks()
+        n_rows = table.num_rows
+
+        # Build the leaf plan from the schema.
+        leaf_descr: list[dict] = []
+        fields_tree = [
+            _flatten_type(f.name, f.type, leaf_descr) for f in self.schema
+        ]
+        leaves = [LeafMeta(name=d["name"]) for d in leaf_descr]
+
+        # Encode page-by-page into per-leaf byte streams (columns stay
+        # contiguous on disk — the independent-extent property §1.1).
+        streams: list[bytearray] = [bytearray() for _ in leaves]
+        page_starts = list(range(0, n_rows, self.page_size)) or []
+        for start in page_starts:
+            length = min(self.page_size, n_rows - start)
+            for col_i, f in enumerate(self.schema):
+                arr = table.column(col_i).chunk(0).slice(start, length) if table.num_rows else table.column(col_i).combine_chunks()
+                self._encode_array(arr, fields_tree[col_i], streams, leaves)
+
+        self.sink.write(MAGIC)
+        offset = len(MAGIC)
+        for leaf, stream in zip(leaves, streams):
+            leaf.offset = offset
+            self.sink.write(bytes(stream))
+            offset += len(stream)
+
+        meta = FileMeta(
+            num_rows=n_rows,
+            page_size=self.page_size,
+            fields=[
+                {"tree": t, "name": f.name}
+                for t, f in zip(fields_tree, self.schema)
+            ],
+            leaves=leaves,
+        )
+        schema_bytes = self.schema.serialize().to_pybytes()
+        meta_bytes = meta.to_json()
+        self.sink.write(schema_bytes)
+        self.sink.write(meta_bytes)
+        self.sink.write(struct.pack("<II", len(schema_bytes), len(meta_bytes)))
+        self.sink.write(EOS)
+        return meta
+
+    # -- encoding ---------------------------------------------------------
+
+    def _encode_array(
+        self, arr: pa.Array, node: dict, streams: list[bytearray], leaves: list[LeafMeta]
+    ) -> None:
+        kind = node["kind"]
+        leaf_i = node["leaf"]
+        if kind == "list":
+            offsets, child, valid = _list_parts(arr)
+            page = bytearray(_pack_validity(valid))
+            page += compress_integer(offsets, self.default_codec)
+            streams[leaf_i] += page
+            leaves[leaf_i].pages.append(
+                PageMeta(len(page), len(arr), arr.null_count)
+            )
+            self._encode_array(child, node["child"], streams, leaves)
+        elif kind == "map":
+            offsets, keys, items, valid = _map_parts(arr)
+            page = bytearray(_pack_validity(valid))
+            page += compress_integer(offsets, self.default_codec)
+            streams[leaf_i] += page
+            leaves[leaf_i].pages.append(
+                PageMeta(len(page), len(arr), arr.null_count)
+            )
+            self._encode_array(keys, node["key"], streams, leaves)
+            self._encode_array(items, node["item"], streams, leaves)
+        elif kind == "struct":
+            valid = _validity_np(arr)
+            page = bytearray(_pack_validity(valid))
+            streams[leaf_i] += page
+            leaves[leaf_i].pages.append(
+                PageMeta(len(page), len(arr), arr.null_count)
+            )
+            for i, child_node in enumerate(node["children"]):
+                child = arr.field(i)
+                self._encode_array(child, child_node, streams, leaves)
+        elif kind == "null":
+            leaves[leaf_i].pages.append(PageMeta(0, len(arr), len(arr)))
+        else:
+            page, pm = self._encode_flat(arr, kind)
+            streams[leaf_i] += page
+            leaves[leaf_i].pages.append(pm)
+
+    def _encode_flat(self, arr: pa.Array, kind: str) -> tuple[bytes, PageMeta]:
+        n = len(arr)
+        valid = _validity_np(arr)
+        out = bytearray(_pack_validity(valid))
+        mn = mx = None
+        if kind == "bool":
+            vals = np.asarray(arr.fill_null(False))
+            out += compress_boolean(vals, self.default_codec)
+        elif kind == "int":
+            dtype = _numpy_dtype(arr.type)
+            vals = _int_values(arr, dtype)
+            if n - arr.null_count > 0:
+                nn = vals if valid is None else vals[valid]
+                mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
+            out += compress_integer(vals, self.default_codec)
+        elif kind == "float":
+            dtype = _numpy_dtype(arr.type)
+            vals = np.asarray(arr.fill_null(0.0)).astype(dtype, copy=False)
+            if n - arr.null_count > 0:
+                nn = vals if valid is None else vals[valid]
+                with np.errstate(invalid="ignore"):
+                    mn, mx = _json_safe(np.nanmin(nn)), _json_safe(np.nanmax(nn))
+            out += compress_double(vals, self.default_codec)
+        elif kind == "binary":
+            offsets, data = _binary_parts(arr)
+            if n - arr.null_count > 0:
+                mm = pa.compute.min_max(arr)
+                mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
+            out += compress_binary(offsets, data, self.default_codec)
+        else:
+            raise NotImplementedError(kind)
+        return bytes(out), PageMeta(len(out), n, arr.null_count, mn, mx)
+
+
+def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:
+    """Raw fixed-width values with nulls zeroed (deterministic bytes)."""
+    if arr.null_count:
+        zero = pa.scalar(0, type=pa.int64()).cast(arr.type)
+        arr = pa.compute.fill_null(arr, zero)
+    view = arr.buffers()[1]
+    off = arr.offset
+    return np.frombuffer(view, dtype=dtype, count=len(arr), offset=off * dtype.itemsize).copy()
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    arr = arr.fill_null(b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else "")
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odt = np.int64 if large else np.int32
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * np.dtype(odt).itemsize)
+    data_buf = arr.buffers()[2]
+    # memoryview slice: avoid copying the whole table's value buffer per page
+    data = bytes(memoryview(data_buf)[int(raw_off[0]) : int(raw_off[-1])]) if data_buf is not None else b""
+    offsets = (raw_off.astype(np.int64) - int(raw_off[0]))
+    return offsets, data
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray | None]:
+    large = pa.types.is_large_list(arr.type)
+    odt = np.int64 if large else np.int32
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * np.dtype(odt).itemsize)
+    child = arr.values.slice(int(raw_off[0]), int(raw_off[-1] - raw_off[0]))
+    offsets = raw_off.astype(np.int64) - int(raw_off[0])
+    return offsets, child, _validity_np(arr)
+
+
+def _map_parts(arr: pa.Array):
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4)
+    lo, hi = int(raw_off[0]), int(raw_off[-1])
+    keys = arr.keys.slice(lo, hi - lo)
+    items = arr.items.slice(lo, hi - lo)
+    offsets = raw_off.astype(np.int64) - lo
+    return offsets, keys, items, _validity_np(arr)
+
+
+# --------------------------------------------------------------------------
+# Reader
+# --------------------------------------------------------------------------
+
+
+def read_footer(fobj) -> tuple[pa.Schema, FileMeta]:
+    """Footer-only read (reference infer_schema/read_meta: seek End(-16))."""
+    fobj.seek(0, 2)
+    total = fobj.tell()
+    fobj.seek(total - 16)
+    tail = fobj.read(16)
+    schema_size, meta_size = struct.unpack("<II", tail[:8])
+    if tail[8:] != EOS:
+        raise ValueError("not a strawboat file (bad EOS)")
+    fobj.seek(total - 16 - schema_size - meta_size)
+    schema = pa.ipc.read_schema(pa.py_buffer(fobj.read(schema_size)))
+    meta = FileMeta.from_json(fobj.read(meta_size))
+    return schema, meta
+
+
+class StrawboatReader:
+    """Streaming page-at-a-time reader with column pruning and
+    min/max page skipping (reference read path §3.2 + our §4.1 ext)."""
+
+    def __init__(self, fobj, schema: pa.Schema | None = None, meta: FileMeta | None = None):
+        self.fobj = fobj
+        if schema is None or meta is None:
+            schema, meta = read_footer(fobj)
+        self.schema = schema
+        self.meta = meta
+        self._leaf_descr: list[dict] = []
+        self._trees = [
+            _flatten_type(f.name, f.type, self._leaf_descr) for f in schema
+        ]
+
+    def _page_selection(self, predicate) -> list[bool]:
+        """predicate: callable(leaf_name -> list[PageMeta]) decides pages.
+        Returns keep-mask over page indexes (top-level row pages)."""
+        n_pages = len(self.meta.leaves[0].pages) if self.meta.leaves else 0
+        if predicate is None:
+            return [True] * n_pages
+        return predicate({lf.name: lf.pages for lf in self.meta.leaves}, n_pages)
+
+    def iter_batches(
+        self,
+        columns: list[str] | None = None,
+        page_filter=None,
+    ):
+        """Yield one RecordBatch per kept page. ``columns`` prunes to the
+        named top-level fields (only their byte ranges are read)."""
+        names = [f.name for f in self.schema]
+        col_idx = [names.index(c) for c in (columns or names)]
+        keep = self._page_selection(page_filter)
+
+        # Per selected column: positions of each page inside its leaves.
+        for page_i, keep_page in enumerate(keep):
+            if not keep_page:
+                continue
+            arrays, out_fields = [], []
+            for ci in col_idx:
+                tree = self._trees[ci]
+                arr = self._read_node_page(tree, page_i, self.schema.field(ci).type)
+                arrays.append(arr)
+                out_fields.append(self.schema.field(ci))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(out_fields))
+
+    # -- per-leaf page IO ---------------------------------------------------
+
+    def _page_bytes(self, leaf_i: int, page_i: int) -> memoryview:
+        lf = self.meta.leaves[leaf_i]
+        pos = lf.offset + sum(p.length for p in lf.pages[:page_i])
+        self.fobj.seek(pos)
+        return memoryview(self.fobj.read(lf.pages[page_i].length))
+
+    def _read_node_page(self, node: dict, page_i: int, f_type: pa.DataType) -> pa.Array:
+        kind = node["kind"]
+        leaf_i = node["leaf"]
+        n = self.meta.leaves[leaf_i].pages[page_i].num_values
+        if kind in ("list", "map"):
+            buf = self._page_bytes(leaf_i, page_i)
+            valid, pos = _read_validity(buf, 0, n)
+            offsets, _ = decompress_integer(buf, pos, n + 1, np.dtype(np.int64))
+            if kind == "list":
+                child = self._read_node_page(node["child"], page_i, f_type.value_type)
+                return _build_list(f_type, offsets, child, valid)
+            keys = self._read_node_page(node["key"], page_i, f_type.key_type)
+            items = self._read_node_page(node["item"], page_i, f_type.item_type)
+            return _build_map(f_type, offsets, keys, items, valid)
+        if kind == "struct":
+            buf = self._page_bytes(leaf_i, page_i)
+            valid, _ = _read_validity(buf, 0, n)
+            children = [
+                self._read_node_page(c, page_i, f_type.field(i).type)
+                for i, c in enumerate(node["children"])
+            ]
+            return pa.StructArray.from_buffers(
+                f_type, n, [_validity_buffer(valid)], children=children
+            )
+        if kind == "null":
+            return pa.nulls(n, type=pa.null())
+        return self._read_flat_page(node, page_i, f_type, n)
+
+    def _read_flat_page(self, node: dict, page_i: int, f_type: pa.DataType, n: int) -> pa.Array:
+        buf = self._page_bytes(node["leaf"], page_i)
+        valid, pos = _read_validity(buf, 0, n)
+        kind = node["kind"]
+        if kind == "bool":
+            vals, _ = decompress_boolean(buf, pos, n)
+            data = pa.py_buffer(np.packbits(vals.astype(np.uint8), bitorder="little").tobytes())
+            return pa.Array.from_buffers(pa.bool_(), n, [_validity_buffer(valid), data])
+        if kind == "int":
+            dtype = _numpy_dtype(f_type)
+            vals, _ = decompress_integer(buf, pos, n, dtype)
+            return pa.Array.from_buffers(
+                f_type, n, [_validity_buffer(valid), pa.py_buffer(np.ascontiguousarray(vals).tobytes())]
+            )
+        if kind == "float":
+            dtype = _numpy_dtype(f_type)
+            vals, _ = decompress_double(buf, pos, n, dtype)
+            return pa.Array.from_buffers(
+                f_type, n, [_validity_buffer(valid), pa.py_buffer(np.ascontiguousarray(vals).tobytes())]
+            )
+        if kind == "binary":
+            offsets, data, _ = decompress_binary(buf, pos, n)
+            large = pa.types.is_large_string(f_type) or pa.types.is_large_binary(f_type)
+            odt = np.int64 if large else np.int32
+            obuf = pa.py_buffer(offsets.astype(odt).tobytes())
+            return pa.Array.from_buffers(
+                f_type, n, [_validity_buffer(valid), obuf, pa.py_buffer(data)]
+            )
+        raise NotImplementedError(kind)
+
+    def read_table(self, columns: list[str] | None = None, page_filter=None) -> pa.Table:
+        batches = list(self.iter_batches(columns, page_filter))
+        if not batches:
+            names = [f.name for f in self.schema]
+            sel = columns or names
+            return pa.schema([self.schema.field(c) for c in sel]).empty_table()
+        return pa.Table.from_batches(batches)
+
+
+def _build_list(f_type, offsets: np.ndarray, child: pa.Array, valid) -> pa.Array:
+    large = pa.types.is_large_list(f_type)
+    odt = np.int64 if large else np.int32
+    obuf = pa.py_buffer(offsets.astype(odt).tobytes())
+    return pa.Array.from_buffers(
+        f_type, len(offsets) - 1, [_validity_buffer(valid), obuf], children=[child]
+    )
+
+
+def _build_map(f_type, offsets: np.ndarray, keys, items, valid) -> pa.Array:
+    obuf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    entries = pa.StructArray.from_arrays([keys, items], names=["key", "value"])
+    return pa.Array.from_buffers(
+        f_type, len(offsets) - 1, [_validity_buffer(valid), obuf], children=[entries]
+    )
+
+
+# --------------------------------------------------------------------------
+# Convenience API
+# --------------------------------------------------------------------------
+
+
+def write_file(path: str, table: pa.Table, page_size: int = DEFAULT_PAGE_SIZE, default_codec: Codec = Codec.ZSTD) -> FileMeta:
+    with open(path, "wb") as f:
+        w = StrawboatWriter(f, table.schema, page_size, default_codec)
+        w.write_table(table)
+        return w.finish()
+
+
+def read_file(path: str, columns: list[str] | None = None, page_filter=None) -> pa.Table:
+    with open(path, "rb") as f:
+        return StrawboatReader(f).read_table(columns, page_filter)

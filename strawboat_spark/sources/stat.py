@@ -1,0 +1,74 @@
+"""Page introspection — reference `stat_simple`/`stat_body`
+(src/stat.rs:63-152): per-leaf codec usage, page sizes, null counts,
+and the persisted min/max. Useful for verifying the adaptive chooser
+picked what you expect on real data.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from strawboat_spark.sources.codecs import HEADER_SIZE, Codec
+from strawboat_spark.sources.pagefile import FileMeta, read_footer
+
+
+@dataclass
+class LeafStat:
+    name: str
+    n_pages: int
+    total_compressed: int
+    total_values: int
+    null_count: int
+    codecs: dict = field(default_factory=dict)  # codec name -> page count
+    min: object = None
+    max: object = None
+
+
+def stat_file(path: str) -> list[LeafStat]:
+    with open(path, "rb") as f:
+        schema, meta = read_footer(f)
+        out: list[LeafStat] = []
+        for lf in meta.leaves:
+            st = LeafStat(
+                name=lf.name,
+                n_pages=len(lf.pages),
+                total_compressed=sum(p.length for p in lf.pages),
+                total_values=sum(p.num_values for p in lf.pages),
+                null_count=sum(p.null_count for p in lf.pages),
+            )
+            mins = [p.min for p in lf.pages if p.min is not None]
+            maxs = [p.max for p in lf.pages if p.max is not None]
+            st.min = min(mins) if mins else None
+            st.max = max(maxs) if maxs else None
+            pos = lf.offset
+            for p in lf.pages:
+                if p.length == 0:
+                    pos += p.length
+                    continue
+                f.seek(pos)
+                head = f.read(4 + 1)
+                (vlen,) = struct.unpack_from("<I", head, 0)
+                f.seek(pos + 4 + vlen)
+                block = f.read(HEADER_SIZE)
+                if len(block) >= 1:
+                    codec = Codec(block[0]).name
+                    st.codecs[codec] = st.codecs.get(codec, 0) + 1
+                pos += p.length
+            out.append(st)
+        return out
+
+
+def print_stat(path: str) -> None:
+    for st in stat_file(path):
+        print(
+            f"{st.name}: pages={st.n_pages} bytes={st.total_compressed} "
+            f"values={st.total_values} nulls={st.null_count} codecs={st.codecs} "
+            f"min={st.min!r} max={st.max!r}"
+        )
+
+
+if __name__ == "__main__":
+    import sys
+
+    print_stat(sys.argv[1])

@@ -1,0 +1,292 @@
+"""Format round-trip tests, modeled on the reference's strategy
+(SURVEY.md §5: seeded random shapes, all-types chunk, codec-targeted
+datasets, codec forcing via env) — reference tests/it/io.rs.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from strawboat_spark.sources.codecs import Codec
+from strawboat_spark.sources.pagefile import (
+    StrawboatReader,
+    StrawboatWriter,
+    read_footer,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def roundtrip(table: pa.Table, page_size: int = 2048, codec: Codec = Codec.ZSTD) -> pa.Table:
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, table.schema, page_size=page_size, default_codec=codec)
+    w.write_table(table)
+    w.finish()
+    buf.seek(0)
+    return StrawboatReader(buf).read_table()
+
+
+def assert_rt(table: pa.Table, **kw):
+    got = roundtrip(table, **kw)
+    assert got.schema == table.schema, f"schema: {got.schema} != {table.schema}"
+    assert got.num_rows == table.num_rows
+    for name in table.column_names:
+        assert got.column(name).combine_chunks() == table.column(name).combine_chunks(), name
+
+
+def _with_nulls(arr, density=0.1):
+    mask = RNG.random(len(arr)) < density
+    return pa.array(
+        [None if m else v for v, m in zip(arr, mask)],
+        type=pa.array(arr).type if not isinstance(arr, pa.Array) else arr.type,
+    )
+
+
+N = 5000
+
+
+def all_types_table() -> pa.Table:
+    n = N
+    cols = {
+        "c_bool": pa.array(RNG.integers(0, 2, n).astype(bool)),
+        "c_i8": pa.array(RNG.integers(-128, 127, n).astype(np.int8)),
+        "c_i16": pa.array(RNG.integers(-30000, 30000, n).astype(np.int16)),
+        "c_i32": pa.array(RNG.integers(-(2**31) + 1, 2**31 - 1, n).astype(np.int32)),
+        "c_i64": pa.array(RNG.integers(-(2**62), 2**62, n).astype(np.int64)),
+        "c_u8": pa.array(RNG.integers(0, 255, n).astype(np.uint8)),
+        "c_u16": pa.array(RNG.integers(0, 60000, n).astype(np.uint16)),
+        "c_u32": pa.array(RNG.integers(0, 2**31, n).astype(np.uint32)),
+        "c_f32": pa.array(RNG.normal(size=n).astype(np.float32)),
+        "c_f64": pa.array(RNG.normal(size=n) * 1e6),
+        "c_str": pa.array([f"val-{i % 97}-{RNG.integers(0, 10)}" for i in range(n)]),
+        "c_bin": pa.array([bytes(RNG.integers(0, 255, RNG.integers(0, 20)).astype(np.uint8)) for _ in range(n)], type=pa.binary()),
+        "c_date": pa.array(RNG.integers(0, 20000, n).astype(np.int32), type=pa.date32()),
+        "c_ts": pa.array(RNG.integers(0, 2**48, n), type=pa.timestamp("us")),
+    }
+    return pa.table(cols)
+
+
+def test_all_types_roundtrip():
+    assert_rt(all_types_table())
+
+
+@pytest.mark.parametrize("codec", [Codec.NONE, Codec.LZ4, Codec.ZSTD, Codec.SNAPPY])
+def test_basic_codecs(codec):
+    assert_rt(all_types_table().select(["c_i64", "c_f64", "c_str", "c_bool"]), codec=codec)
+
+
+def test_nullable_roundtrip():
+    n = N
+    t = pa.table(
+        {
+            "i": _with_nulls(RNG.integers(0, 1000, n).tolist()),
+            "f": _with_nulls((RNG.normal(size=n)).tolist()),
+            "s": _with_nulls([f"s{i % 13}" for i in range(n)]),
+            "b": _with_nulls(RNG.integers(0, 2, n).astype(bool).tolist()),
+        }
+    )
+    assert_rt(t)
+
+
+def test_all_null_column():
+    t = pa.table({"x": pa.array([None] * 100, type=pa.int64())})
+    assert_rt(t)
+
+
+def test_empty_table():
+    t = pa.table({"x": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.string())})
+    assert_rt(t)
+
+
+# codec-targeted datasets (reference tests/it/io.rs:104-179)
+
+
+def test_one_value_pages():
+    t = pa.table({"x": pa.array([7] * 10000), "s": pa.array(["same"] * 10000)})
+    assert_rt(t)
+
+
+def test_dict_friendly():
+    t = pa.table(
+        {
+            "x": pa.array(RNG.integers(0, 8, 10000)),
+            "s": pa.array([f"cat{v}" for v in RNG.integers(0, 8, 10000)]),
+        }
+    )
+    assert_rt(t)
+
+
+def test_freq_skewed():
+    vals = np.full(10000, 42)
+    idx = RNG.choice(10000, 500, replace=False)
+    vals[idx] = RNG.integers(0, 1000, 500)
+    assert_rt(pa.table({"x": pa.array(vals)}))
+
+
+def test_sorted_delta_bp():
+    assert_rt(pa.table({"x": pa.array(np.sort(RNG.integers(0, 10**9, 20000)))}))
+
+
+def test_small_range_bitpack():
+    assert_rt(pa.table({"x": pa.array(RNG.integers(0, 100, 20000))}))
+
+
+@pytest.mark.parametrize(
+    "env",
+    [
+        "STRAWBOAT_RLE_COMPRESSION",
+        "STRAWBOAT_DICT_COMPRESSION",
+        "STRAWBOAT_FREQ_COMPRESSION",
+        "STRAWBOAT_BITPACK_COMPRESSION",
+        "STRAWBOAT_DELTABP_COMPRESSION",
+    ],
+)
+def test_codec_forcing(env, monkeypatch):
+    """Reference CI re-runs the suite under each forced codec
+    (.github/workflows/rust.yml:21-24)."""
+    monkeypatch.setenv(env, "1")
+    vals = np.sort(RNG.integers(0, 50, 10000))  # eligible for everything
+    assert_rt(pa.table({"x": pa.array(vals)}))
+
+
+# nested coverage (reference tests/it/io.rs:168-278)
+
+
+def test_list_roundtrip():
+    n = 3000
+    t = pa.table(
+        {
+            "l": pa.array(
+                [None if i % 17 == 0 else RNG.integers(0, 100, i % 7).tolist() for i in range(n)],
+                type=pa.list_(pa.int64()),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+def test_list_of_floats_embeddings_shape():
+    n = 500
+    t = pa.table(
+        {"embedding": pa.array([RNG.normal(size=64).astype(np.float32).tolist() for _ in range(n)], type=pa.list_(pa.float32()))}
+    )
+    assert_rt(t)
+
+
+def test_struct_roundtrip():
+    n = 2000
+    t = pa.table(
+        {
+            "st": pa.array(
+                [
+                    None if i % 19 == 0 else {"a": int(i), "b": f"s{i % 5}", "c": float(i) / 3}
+                    for i in range(n)
+                ],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+def test_map_roundtrip():
+    n = 1000
+    t = pa.table(
+        {
+            "m": pa.array(
+                [None if i % 11 == 0 else [(f"k{j}", j * i) for j in range(i % 4)] for i in range(n)],
+                type=pa.map_(pa.string(), pa.int64()),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+def test_list_of_struct():
+    n = 800
+    t = pa.table(
+        {
+            "ls": pa.array(
+                [[{"x": i, "y": f"v{i % 3}"}] * (i % 3) for i in range(n)],
+                type=pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+def test_list_of_list():
+    n = 600
+    t = pa.table(
+        {
+            "ll": pa.array(
+                [[[j for j in range(i % 3)]] * (i % 4) for i in range(n)],
+                type=pa.list_(pa.list_(pa.int64())),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+# footer / meta / pruning
+
+
+def test_footer_only_schema():
+    buf = io.BytesIO()
+    t = all_types_table()
+    w = StrawboatWriter(buf, t.schema)
+    w.write_table(t)
+    w.finish()
+    buf.seek(0)
+    schema, meta = read_footer(buf)
+    assert schema == t.schema
+    assert meta.num_rows == t.num_rows
+    # per-page min/max persisted for int columns (our §4.1 extension)
+    i64_leaf = next(lf for lf in meta.leaves if lf.name == "c_i64")
+    assert all(p.min is not None and p.max is not None for p in i64_leaf.pages)
+
+
+def test_column_pruning_reads_subset():
+    buf = io.BytesIO()
+    t = all_types_table()
+    w = StrawboatWriter(buf, t.schema)
+    w.write_table(t)
+    w.finish()
+    buf.seek(0)
+    got = StrawboatReader(buf).read_table(columns=["c_i64", "c_str"])
+    assert got.column_names == ["c_i64", "c_str"]
+    assert got.column("c_i64").combine_chunks() == t.column("c_i64").combine_chunks()
+
+
+def test_page_skipping():
+    buf = io.BytesIO()
+    vals = np.arange(100000)  # sorted → page min/max are tight ranges
+    t = pa.table({"x": pa.array(vals)})
+    w = StrawboatWriter(buf, t.schema, page_size=8192)
+    w.write_table(t)
+    w.finish()
+    buf.seek(0)
+
+    def page_filter(leaf_pages, n_pages):
+        pages = leaf_pages["x"]
+        return [not (p.max < 50000 or p.min > 60000) for p in pages]
+
+    got = StrawboatReader(buf).read_table(page_filter=page_filter)
+    xs = got.column("x").to_numpy()
+    # kept pages cover [50000, 60000] and nothing like the full file
+    assert xs.min() <= 50000 and xs.max() >= 60000
+    assert len(xs) < len(vals) / 2
+
+
+def test_parquet_tables_roundtrip():
+    """Round-trip the driver's actual tables (flat + list<float>)."""
+    import pyarrow.parquet as pq
+
+    for name in ["lineitem", "orders", "customer", "embeddings", "documents"]:
+        t = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        assert_rt(t, page_size=4096)
