@@ -1,0 +1,211 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2C ⊕ dedup). Every operator is DataFrame -> DataFrame and
+scales by construction: no driver-side materialization, no all-pairs
+comparison — candidate generation always goes through a groupBy/join
+on a bounded key (fingerprint, LSH band, shared shingle).
+
+Shuffle inventory at 100 TB (the thing to audit before running wide):
+  exact_dedup          1 shuffle on fingerprint
+  minhash_signatures   1 shuffle (explode shingles -> groupBy doc)
+  lsh_candidate_pairs  +1 shuffle on (band, band_hash); bucket join is
+                       self-join within buckets, bounded by bucket size
+  simhash              1 shuffle (explode tokens -> groupBy doc)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from strawboat_spark.functions.text import (
+    fingerprint,
+    shingles_from_tokens,
+    tokens,
+)
+
+# Mersenne prime 2^61-1: universal-hash modulus for minhash derivation.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint. Survivor = min id.
+    Output: one row per distinct content with survivor id + copy count."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("survivor_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over word shingles.
+
+    The i-th hash function is xxhash64(shingle, seed+i) — JVM-native
+    long arithmetic (no Python, no wide decimals), one independent
+    64-bit hash family member per i. The whole signature costs ONE
+    explode + ONE groupBy with n_hashes min-aggregates regardless of
+    n_hashes (partial aggregation keeps the shuffle narrow: one row
+    per (doc, 32 longs)).
+    Output: (id_col, sig array<bigint> of length n_hashes).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    exploded = toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Docs whose signature agrees on all rows of one band hash to the
+    same (band, band_hash) bucket; the pair join happens per-bucket,
+    never all-pairs. Output: (id_a, id_b) distinct, id_a < id_b.
+    """
+    n_hashes = None  # derived from array size at runtime
+    sig = signatures.select(F.col(id_col), F.col("sig"))
+    rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dedup: signatures -> LSH candidates.
+    Output: candidate duplicate pairs with estimated jaccard (signature
+    agreement fraction)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (bounded by posting-list sizes), count intersections, and
+    compute |A∩B| / (|A|+|B|-|A∩B|). SQL-expressible — this operator
+    carries an exact DuckDB oracle, validating the minhash estimate."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Explode tokens -> per-token xxhash64 -> per-bit +1/-1 votes summed
+    per doc -> sign bits reassembled into one BIGINT fingerprint.
+    Near-dups then cluster by Hamming distance on the fingerprint.
+    One shuffle; the 64 bit-vote aggregations are a single groupBy pass.
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toked.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), fp.alias("simhash"))

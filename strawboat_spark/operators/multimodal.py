@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (SURVEY.md §2C ⊕ multimodal).
+
+Design: media rides in opaque BinaryType payload columns with a typed
+metadata struct alongside — the strawboat format stores BinaryType
+natively (§1.2), so payloads round-trip through format("strawboat")
+unchanged. Decode / feature-extract run as Arrow-batched mapInPandas
+stages: the Spark-side contract (schemas, batch iteration,
+partitioning) is real and tested; only the innermost byte→pixels
+decode is stubbed because no image/audio libraries exist in this
+container (clearly marked; swap `_decode_image_bytes` for a PIL/ffmpeg
+call to go live).
+
+Scale notes: payload columns dominate bytes, so every stage keeps
+them in Arrow batches (no per-row Python), prunes the payload as early
+as possible (`drop("payload")` right after feature extraction), and
+never groups by payload — only by compact ids/fingerprints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def pack_media(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
+    """Attach the typed metadata struct to a binary payload column."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ),
+    )
+
+
+def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
+    """STUB: image decode. No imaging library ships in this container.
+
+    With deterministic_fake=True returns a stable pseudo-decode
+    (dimensions + mean derived from the bytes themselves) so the
+    distributed plumbing is testable end-to-end; otherwise raises.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/opencv) not "
+            "present in this environment; pass deterministic_fake=True "
+            "to exercise the pipeline with stable fake features"
+        )
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mean = (sum(payload[:256]) / max(min(n, 256), 1)) if n else 0.0
+    return width, height, round(mean, 4)
+
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, payload_col: str, deterministic_fake: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each worker receives column batches; payload bytes
+    never pass through the driver and are dropped from the output."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, mean = _decode_image_bytes(b, deterministic_fake)
+                rows.append((doc_id, w, h, mean, len(b)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_intensity", "n_bytes"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=IMAGE_FEATURES)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (doc_id, frame_idx) pairs a
+    decoder stage would fill; the fan-out is expressed relationally so
+    Spark parallelizes frames, not whole videos."""
+    n_frames = (F.length(payload_col) / 1024 + 1).cast("int")  # stub: 1 frame/KiB
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (SURVEY.md §2C ⊕).
+
+Embeddings are ArrayType(FloatType) columns; all math happens in
+JVM-side higher-order functions (zip_with/aggregate) — no Python UDF
+in the scoring loop.
+
+Two paths:
+  cosine_topk            exact brute force: broadcast the (small) query
+                         set against the corpus — each corpus row is
+                         scored against Q queries map-side, then a
+                         per-query top-k window. Linear scan, no
+                         shuffle except the final top-k. The baseline.
+  lsh_cosine_topk        scale path: random-hyperplane LSH — corpus and
+                         queries bucketed by sign-bit key; candidates
+                         only within matching buckets (multi-probe via
+                         several independent tables), then exact rerank.
+                         At 100 TB this turns a full scan per query
+                         into |bucket| work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    """Pre-normalize to unit length so cosine == dot (one pass, map-only)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    corpus/queries: (id_col, vec_col). Queries are broadcast (the
+    realistic shape: few queries against a huge corpus). Output:
+    (query_id, neighbor_id, score, rank). Self-matches excluded.
+    """
+    c = with_unit_vector(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
+    )
+    q = with_unit_vector(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_dot("cv", "qv"), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_key(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from random hyperplanes (plan literals —
+    deterministic, broadcast-free)."""
+    key = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        proj = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, F.array(*[F.lit(x) for x in p]))
+        key = key + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates from any of n_tables independent
+    sign-bit buckets, exact cosine rerank within candidates.
+
+    Recall grows with n_tables; cost is |matching buckets| instead of
+    |corpus| per query. Output schema matches cosine_topk.
+    """
+    c = with_unit_vector(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
+    )
+    q = with_unit_vector(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        ck = c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), lsh_bucket_key("cv", planes).alias("bucket"))
+        qk = q.select("query_id", "qv", F.lit(t).alias("tbl"), lsh_bucket_key("qv", planes).alias("bucket"))
+        tables.append((ck, qk))
+    cands = None
+    for ck, qk in tables:
+        j = ck.join(broadcast(qk), ["tbl", "bucket"]).select("query_id", "neighbor_id", "cv", "qv")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cands.withColumn("score", F.round(_dot("cv", "qv"), 6)).select(
+        "query_id", "neighbor_id", "score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, blocked
+    by a coarse key (label/LSH bucket) so the pair join is never
+    all-pairs. Output: (id_a, id_b, score)."""
+    u = with_unit_vector(df, vec_col).select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col("unit_vec")
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("score", F.round(_dot("a.unit_vec", "b.unit_vec"), 6))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "score",
+        )
+    )

@@ -20,7 +20,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     register(spark)
     path = f"{tempfile.mkdtemp(prefix='strawboat_rt_')}/{table}"
-    load_table(spark, sf_dir, table).write.format("strawboat").mode("overwrite").save(path)
+    src = load_table(spark, sf_dir, table)
+    # The source is often a single parquet split; repartition so page
+    # encoding parallelizes across cores (at real scale the input is
+    # already many partitions and this is a no-op knob).
+    n = min(spark.sparkContext.defaultParallelism, 16)
+    src.repartition(n).write.format("strawboat").mode("overwrite").save(path)
     return spark.read.format("strawboat").load(path)
 
 

@@ -1,3 +1,348 @@
 """LLM training-data pipeline queries (dedup / similarity / text /
-multimodal) — filled in alongside operators. See SURVEY.md §2C ⊕ rows.
+multimodal) over the documents + embeddings tables — SURVEY.md §2C ⊕.
+
+Oracle policy: operators whose semantics are SQL-expressible carry an
+exact DuckDB oracle (exact dedup, n-gram jaccard, brute-force cosine,
+text analytics). Hash-dependent ops (minhash/simhash/LSH — xxhash64
+has no DuckDB twin) are declared without oracles → the driver records
+the weaker rows-only check, and their *estimates* are cross-validated
+by the exact oracle-backed queries (jaccard vs minhash).
 """
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from strawboat_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    quality_score,
+    token_count,
+)
+from strawboat_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from strawboat_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from strawboat_spark.queries import query
+from strawboat_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY fp ORDER BY fp
+    """,
+    description="exact dedup by normalized-text fingerprint (1 shuffle on fp)",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").orderBy("fp")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+    description="exact word-3-gram Jaccard pairs via inverted-index join (no all-pairs)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures have no DuckDB twin
+    description="MinHash (32 hashes) + LSH banding (8 bands) near-dup candidates",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, "text", "doc_id", n_hashes=32, n_bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based
+    description="64-bit SimHash fingerprints per document",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT * FROM u WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(c.v, q.v), 6) AS score
+      FROM u c, q WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+    description="exact top-10 cosine neighbors (broadcast queries, JVM zip_with dot)",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+@query(
+    "similarity_lsh_ann",
+    oracle=None,  # approximate by design
+    description="LSH-bucketed ANN (4 tables x 8 hyperplanes) + exact rerank",
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+    )
+
+
+@query(
+    "embedding_neardup_cosine",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    description="embedding near-dup pairs >= 0.5 cosine, label-blocked (never all-pairs)",
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, "vec_id", "embedding", "label", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def _duck_count(pattern: str, col: str = "text") -> str:
+    return f"len(regexp_extract_all(lower({col}), '{pattern}'))"
+
+
+_S_EN = _duck_count(r"\b(the|and|of|to|a)\b")
+_S_DE = _duck_count(r"\b(der|die|das|und|ist)\b")
+_S_ES = _duck_count(r"\b(el|la|los|que|y)\b")
+_S_FR = _duck_count(r"\b(le|la|les|et|est)\b")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS label_lang,
+             {_S_EN} AS s_en,
+             {_S_DE} AS s_de,
+             {_S_ES} AS s_es,
+             {_S_FR} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, label_lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted,
+           CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+           CAST(s_es AS INT) AS s_es, CAST(s_fr AS INT) AS s_fr
+    FROM scored ORDER BY doc_id
+    """,
+    description="marker-word language-ID heuristic (deterministic argmax CASE chain)",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["en", "de", "es", "fr"]
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        lang_id(F.col("text"), langs).alias("predicted"),
+        *[scores[lg].cast("int").alias(f"s_{lg}") for lg in langs],
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_c,
+             len(regexp_extract_all(text, '\\S+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(CAST(
+             (CASE WHEN n_chars_c >= 50 AND n_chars_c <= 10000 THEN 0.4 ELSE 0.0 END) +
+             (CASE WHEN n_chars_c / greatest(n_words, 1) >= 2
+                    AND n_chars_c / greatest(n_words, 1) <= 12 THEN 0.3 ELSE 0.0 END) +
+             (CASE WHEN n_punct / greatest(n_words, 1) <= 0.3 THEN 0.2 ELSE 0.0 END) +
+             (CASE WHEN n_stop > 0 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 1) AS quality
+    FROM m ORDER BY doc_id
+    """,
+    description="Gopher-style cheap quality heuristics, pure JVM expressions",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    description="token counting + corpus stats per language",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_unique_fp,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    description="document fingerprinting (md5 of normalized text) per source",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; decode stubbed — no media libs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    description="binary payload columns: byte stats per source (payload stays opaque)",
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return (
+        d.select("source", F.length(payload).cast("long").alias("nb"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.max("nb").cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "multimodal_image_features",
+    oracle=None,  # decode is stubbed (no imaging libs in container)
+    description="mapInPandas image feature extraction over binary payloads (fake decode)",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_image_features(d, "doc_id", "payload", deterministic_fake=True).orderBy(
+        "doc_id"
+    )

@@ -9,6 +9,7 @@ aggregates explicitly.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 from collections import Counter
 
@@ -16,6 +17,8 @@ from collections import Counter
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
