@@ -193,7 +193,15 @@ def _candidate_ratios_int(values: np.ndarray, s: PageStats) -> dict[Codec, float
     raw = values.nbytes or 1
     itemsize = values.dtype.itemsize
     est: dict[Codec, float] = {}
-    if s.unique_count <= 1:
+    # OneValue/Freq payloads serialize scalars as signed i64; DeltaBP/
+    # Bitpacking work in i64 space — gate them for values outside it
+    # (uint64 pages above 2^63 still get RLE/Dict/basic, whose payloads
+    # keep the raw dtype bytes).
+    fits_i64 = (
+        s.count == 0
+        or (int(s.min_val) >= -(1 << 63) and int(s.max_val) < (1 << 63))
+    )
+    if s.unique_count <= 1 and fits_i64:
         est[Codec.ONE_VALUE] = raw / float(itemsize + 8)
     if s.count:
         est[Codec.RLE] = raw / float(4 + s.run_count * (4 + itemsize))
@@ -202,13 +210,13 @@ def _candidate_ratios_int(values: np.ndarray, s: PageStats) -> dict[Codec, float
             est[Codec.DICT] = raw / float(
                 8 + s.unique_count * itemsize + s.count * idx_bits / 8 + 16
             )
-        if s.top_count * 10 >= s.count * 9:  # top value ≥90% (reference Freq rule)
+        if s.top_count * 10 >= s.count * 9 and fits_i64:  # top ≥90% (Freq rule)
             n_exc = s.count - s.top_count
             est[Codec.FREQ] = raw / float(itemsize + 8 + n_exc * (4 + itemsize) + 16)
         if int(s.min_val) >= 0 and int(s.max_val) <= (1 << 62):
             width = _bits_needed(int(s.max_val))
             est[Codec.BITPACKING] = raw / float(2 + s.count * width / 8)
-        if s.is_sorted and s.count > 1 and int(s.min_val) >= 0:
+        if s.is_sorted and s.count > 1 and int(s.min_val) >= 0 and fits_i64:
             deltas_max = int(np.diff(values).max()) if s.count > 1 else 0
             width = _bits_needed(max(deltas_max, 1))
             est[Codec.DELTA_BITPACKING] = raw / float(10 + s.count * width / 8)
@@ -481,6 +489,25 @@ def decompress_boolean(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, i
     return np.unpackbits(
         np.frombuffer(raw, dtype=np.uint8), count=n, bitorder="little"
     ).astype(bool), nxt
+
+
+# --------------------------------------------------------------------------
+# Fixed-width opaque family (decimal128 etc.): one basic-codec block
+# over the raw value bytes (reference treats Int128 as an integer
+# physical type — src/compression/integer/traits.rs:30-39; numpy has
+# no int128, so these pages skip the specialized codecs).
+# --------------------------------------------------------------------------
+
+
+def compress_fixed(raw: bytes, default_codec: Codec = Codec.ZSTD) -> bytes:
+    out = bytearray()
+    write_block(out, default_codec, _basic_compress(default_codec, raw), len(raw))
+    return bytes(out)
+
+
+def decompress_fixed(buf: memoryview, pos: int) -> tuple[bytes, int]:
+    codec, payload, usize, nxt = read_block(buf, pos)
+    return _basic_decompress(codec, bytes(payload), usize), nxt
 
 
 # --------------------------------------------------------------------------

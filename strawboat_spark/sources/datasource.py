@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -100,6 +101,9 @@ class StrawboatDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "StrawboatWriterImpl":
         return StrawboatWriterImpl(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return StrawboatStreamWriterImpl(self.options, schema, overwrite)
 
 
 # --------------------------------------------------------------------------
@@ -250,6 +254,61 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         return None
 
     def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                for f in m.files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+
+
+class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
+    """Microbatch Arrow sink: each task writes one strawboat file per
+    microbatch; abort deletes that batch's files (file-level
+    exactly-once under the streaming checkpoint)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("strawboat: 'path' option is required")
+        self.schema = schema
+        self.page_size = int(options.get("page_size", 8192))
+        self.codec_name = options.get("compression", "zstd")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from strawboat_spark.sources.codecs import Codec
+        from strawboat_spark.sources.pagefile import StrawboatWriter
+
+        codec = {"none": Codec.NONE, "lz4": Codec.LZ4, "zstd": Codec.ZSTD, "snappy": Codec.SNAPPY}[
+            self.codec_name.lower()
+        ]
+        arrow_schema = to_arrow_schema(self.schema)
+        out = os.path.join(self.path, f"stream-{uuid.uuid4().hex}{FILE_EXT}")
+        tmp = out + ".tmp"
+        wrote = False
+        with open(tmp, "wb") as f:
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec)
+            for batch in iterator:
+                if batch.schema != arrow_schema:
+                    batch = batch.cast(arrow_schema, safe=False)
+                w.write_batch(batch)
+                wrote = True
+            w.finish()
+        if wrote:
+            os.rename(tmp, out)
+            return _Commit(files=[out])
+        os.remove(tmp)
+        return _Commit(files=[])
+
+    def commit(self, messages, batchId=None):  # noqa: N803
+        return None
+
+    def abort(self, messages, batchId=None):  # noqa: N803
         for m in messages:
             if m is not None:
                 for f in m.files:

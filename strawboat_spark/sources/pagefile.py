@@ -43,10 +43,12 @@ from strawboat_spark.sources.codecs import (
     compress_binary,
     compress_boolean,
     compress_double,
+    compress_fixed,
     compress_integer,
     decompress_binary,
     decompress_boolean,
     decompress_double,
+    decompress_fixed,
     decompress_integer,
 )
 
@@ -71,8 +73,12 @@ def _leaf_kind(t: pa.DataType) -> str:
         return "float"
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "binary"
+    if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t):
+        return "fixed"
     if pa.types.is_null(t):
         return "null"
+    # Dictionary/union unsupported — same boundary as the reference
+    # (unreachable! at src/write/serialize.rs:122-127).
     raise NotImplementedError(f"unsupported leaf type: {t}")
 
 
@@ -388,6 +394,11 @@ class StrawboatWriter:
                 mm = pa.compute.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
             out += compress_binary(offsets, data, self.default_codec)
+        elif kind == "fixed":
+            width = arr.type.byte_width
+            buf = arr.buffers()[1]
+            raw = bytes(memoryview(buf)[arr.offset * width : (arr.offset + n) * width])
+            out += compress_fixed(raw, self.default_codec)
         else:
             raise NotImplementedError(kind)
         return bytes(out), PageMeta(len(out), n, arr.null_count, mn, mx)
@@ -562,6 +573,11 @@ class StrawboatReader:
             obuf = pa.py_buffer(offsets.astype(odt).tobytes())
             return pa.Array.from_buffers(
                 f_type, n, [_validity_buffer(valid), obuf, pa.py_buffer(data)]
+            )
+        if kind == "fixed":
+            raw, _ = decompress_fixed(buf, pos)
+            return pa.Array.from_buffers(
+                f_type, n, [_validity_buffer(valid), pa.py_buffer(raw)]
             )
         raise NotImplementedError(kind)
 

@@ -1,0 +1,124 @@
+"""Streaming pipelines: watermarked windowed aggregation, session
+windows, and custom stateful processing over an events stream.
+
+Batch/stream parity is the design invariant: every aggregation here
+uses the exact operators the batch queries use (F.window,
+F.session_window), so a pipeline validated against the DuckDB oracle
+in batch mode computes the same thing incrementally under a trigger.
+At scale the stream is Kafka/file-source partitions; state lives in
+the state store keyed by (group, window) — no driver involvement.
+
+The stubbed-out bits are none: everything below runs in this container
+(file source → availableNow trigger → memory/strawboat sink).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# Events schema as DDL; value is double, props a json-ish string.
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """File-source stream over a directory of parquet event files
+    (stand-in for Kafka; same downstream operators)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling-window aggregation. Late rows beyond the
+    watermark are dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 days") -> DataFrame:
+    """Watermarked session windows (gap-based), the streaming twin of
+    the batch stream_session_window gate query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "user_id long, n_events long, total_value double"
+RUNNING_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value total across microbatches.
+
+    This is the escape hatch for semantics window functions can't
+    express incrementally (the reference format has no streaming at
+    all — SURVEY.md §2C; this is the Spark-native capability row).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        # key arrives as a tuple of grouping values
+        (user_id,) = key
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_strawboat_stream(df: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = True):
+    """Stream sink into the strawboat format via the DataSource's
+    streamWriter (exactly-once per microbatch: files carry the batch id;
+    commit/abort reconcile)."""
+    w = (
+        df.writeStream.format("strawboat")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -290,3 +290,33 @@ def test_parquet_tables_roundtrip():
     for name in ["lineitem", "orders", "customer", "embeddings", "documents"]:
         t = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
         assert_rt(t, page_size=4096)
+
+
+def test_decimal128_roundtrip():
+    """Reference stores Int128 via its integer codecs
+    (src/compression/integer/traits.rs:30-39); we store decimal128 as a
+    fixed-width opaque page."""
+    import decimal
+
+    t = pa.table(
+        {
+            "d": pa.array(
+                [None if i % 7 == 0 else decimal.Decimal(i * 100 + i) / 100 for i in range(3000)],
+                type=pa.decimal128(20, 2),
+            )
+        }
+    )
+    assert_rt(t)
+
+
+def test_uint64_extremes():
+    """uint64 above 2^63 must avoid the i64-space codecs."""
+    vals = np.array([2**64 - 1, 2**63 + 5, 7, 0] * 1000, dtype=np.uint64)
+    assert_rt(pa.table({"u": pa.array(vals)}))
+    # constant page of huge values: OneValue is gated, RLE handles it
+    assert_rt(pa.table({"u": pa.array(np.full(5000, 2**64 - 2, dtype=np.uint64))}))
+
+
+def test_fixed_size_binary_roundtrip():
+    t = pa.table({"f": pa.array([bytes([i % 250] * 8) for i in range(2000)], type=pa.binary(8))})
+    assert_rt(t)

@@ -1,0 +1,98 @@
+"""Plan-shape assertions: the properties that decide 100 TB behavior
+must hold in the optimized plan — broadcast for dims, pushdown to the
+scan, pruned read schemas, top-k without a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from strawboat_spark.plans.audit import audit
+from strawboat_spark.queries import all_queries
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_queries()
+
+
+def test_q3_broadcasts_dims(spark, registry):
+    r = audit(registry["q3_shipping_priority"].fn(spark, SF_CORRECT))
+    assert r.n_broadcast_joins >= 2, r.text[:2000]
+    assert r.n_sortmerge_joins == 0
+
+
+def test_q5_all_dims_broadcast(spark, registry):
+    r = audit(registry["q5_local_supplier_volume"].fn(spark, SF_CORRECT))
+    assert r.n_broadcast_joins >= 4
+    assert r.n_sortmerge_joins == 0
+
+
+def test_q6_filters_pushed_to_scan(spark, registry):
+    r = audit(registry["q6_forecast_revenue"].fn(spark, SF_CORRECT))
+    assert r.pushed_filters, "no PushedFilters at the parquet scan"
+    joined = " ".join(r.pushed_filters)
+    assert "l_discount" in joined and "l_quantity" in joined
+
+
+def test_q6_prunes_columns(spark, registry):
+    r = audit(registry["q6_forecast_revenue"].fn(spark, SF_CORRECT))
+    # q6 needs 4 columns; the scan must not read the full 11-col table
+    assert r.read_schemas and all("l_orderkey" not in s for s in r.read_schemas), r.read_schemas
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    r = audit(registry["topk_orders"].fn(spark, SF_CORRECT))
+    assert r.has_take_ordered, "top-k compiled to a global sort instead of TakeOrderedAndProject"
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, registry):
+    r = audit(registry["join_asof_clicks"].fn(spark, SF_CORRECT))
+    # union+window formulation: no join node at all
+    assert r.n_sortmerge_joins == 0 and r.n_broadcast_joins == 0 and r.n_nested_loop_joins == 0
+
+
+def test_range_band_is_broadcast_nested_loop(spark, registry):
+    r = audit(registry["join_range_band"].fn(spark, SF_CORRECT))
+    assert r.n_nested_loop_joins >= 1
+
+
+def test_similarity_broadcasts_queries(spark, registry):
+    r = audit(registry["similarity_topk_bruteforce"].fn(spark, SF_CORRECT))
+    assert r.n_nested_loop_joins >= 1 or r.n_broadcast_joins >= 1  # broadcast of query side
+
+
+def test_q1_single_agg_no_extra_shuffle(spark, registry):
+    df = registry["q1_pricing_summary"].fn(spark, SF_CORRECT)
+    r = audit(df)
+    # one shuffle for the groupBy, one for the orderBy — nothing else
+    assert r.n_exchanges <= 2, r.text[:1500]
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert r.n_hash_aggregates == 2, r.text[:1500]
+
+
+def test_q1_codegen_spans_executed_plan(spark, registry):
+    from strawboat_spark.plans.audit import executed_plan_text
+
+    df = registry["q1_pricing_summary"].fn(spark, SF_CORRECT)
+    df.collect()
+    txt = executed_plan_text(df)
+    # codegen spans appear as *(N) markers in the executed plan
+    assert "*(" in txt and "isFinalPlan=true" in txt, txt[:500]
+
+
+def test_strawboat_scan_stays_columnar(spark):
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    import tempfile
+
+    d = tempfile.mkdtemp() + "/t"
+    spark.read.parquet(f"{SF_CORRECT}/orders.parquet").write.format("strawboat").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("strawboat").load(d).filter(F.col("o_orderkey") < 100)
+    r = audit(df)
+    assert "BatchScan strawboat" in r.text

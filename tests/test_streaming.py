@@ -1,0 +1,122 @@
+"""Structured Streaming tests: batch/stream parity of windowed aggs,
+custom stateful op, and the strawboat stream sink. Streams run with
+trigger(availableNow) over a parquet copy of the events table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from strawboat_spark.streaming.pipelines import (
+    read_events_stream,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+    write_strawboat_stream,
+)
+from strawboat_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events with micros ts (the nanos source can't stream-read),
+    split into several files so availableNow does multiple batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(spark, df, name, output_mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    got = _run_to_memory(spark, tumbling_counts(stream), "t_tumble").collect()
+
+    batch_events = spark.read.parquet(events_dir)
+    want = (
+        batch_events.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files=2)
+    got = _run_to_memory(spark, session_counts(stream), "t_sess").collect()
+    batch_events = spark.read.parquet(events_dir)
+    want = (
+        batch_events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files=2)
+    got = _run_to_memory(spark, running_user_totals(stream), "t_state", output_mode="update")
+    # update mode emits one row per user per batch; the LAST emission per
+    # user must equal the batch totals.
+    latest = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, latest)) == sorted(map(tuple, batch))
+
+
+def test_strawboat_stream_sink(spark, events_dir, tmp_path):
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, events_dir, max_files=2)
+    q = write_strawboat_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    back = spark.read.format("strawboat").load(out)
+    src = spark.read.parquet(events_dir)
+    assert back.count() == src.count()
+    a = back.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
+    b = src.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
+    assert a == b
