@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
         llm,
         relational,
         streaming_q,
+        udf_q,
     )
 
 

@@ -1,0 +1,268 @@
+"""UDF / UDAF / UDTF / higher-order-function coverage (SURVEY.md §2C).
+
+Policy: UDFs are the slow path — every UDF here is Arrow-vectorized
+(pandas_udf / applyInPandas / arrow-optimized UDTF), never row-at-a-
+time Python. Each computes something deterministic so the DuckDB
+oracle can replicate it in SQL: the gate then proves the UDF plumbing
+(Arrow batches, grouped semantics) is value-correct, not just runnable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from strawboat_spark.queries import query
+from strawboat_spark.tables import load_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+    FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber
+    """,
+    description="scalar pandas_udf (Arrow-vectorized net-price kernel)",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    # No rounding: per-row IEEE math in identical op order is
+    # bit-identical across engines, while ROUND implementations disagree
+    # exactly on the .XXXX5 boundaries this 6-decimal product hits.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(AVG(o_totalprice), 4) AS mean_price,
+           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_range
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="grouped-agg pandas_udf (UDAF over Arrow groups)",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def mean_price(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @pandas_udf("double")
+    def price_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    o = load_table(spark, sf_dir, "orders")
+    # F.round outside the UDFs (python round() is banker's rounding)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(mean_price("o_totalprice"), 4).alias("mean_price"),
+            F.round(price_range("o_totalprice"), 4).alias("price_range"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - cust_avg, 4) AS delta_from_avg
+    FROM ranked WHERE rn = 1 ORDER BY o_custkey
+    """,
+    description="applyInPandas: per-group dataframe kernel (top order vs group mean)",
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def top_vs_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["o_totalprice"].mean()
+        top = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).iloc[0]
+        return pd.DataFrame(
+            {
+                "o_custkey": [top["o_custkey"]],
+                "o_orderkey": [top["o_orderkey"]],
+                "delta_raw": [float(top["o_totalprice"] - mean)],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(top_vs_mean, schema="o_custkey long, o_orderkey long, delta_raw double")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("delta_raw", 4).alias("delta_from_avg"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "udtf_explode_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority, t.klass, COUNT(*) AS n
+    FROM orders
+    CROSS JOIN (SELECT unnest(['URGENT-CLASS', 'STANDARD-CLASS']) AS klass) t
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description="UDTF (table function): one input row -> multiple typed output rows",
+)
+def udtf_explode_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="klass string")
+    class ClassEmitter:
+        def eval(self, priority: str):
+            # deterministic fan-out per row, like the oracle's unnest
+            yield ("URGENT-CLASS",)
+            yield ("STANDARD-CLASS",)
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    o.createOrReplaceTempView("udtf_orders")
+    spark.udtf.register("class_emitter", ClassEmitter)
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, t.klass, COUNT(*) AS n
+        FROM udtf_orders, LATERAL class_emitter(o_orderpriority) t
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+
+
+@query(
+    "scalar_higher_order_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           ROUND(list_aggregate([x * x for x in CAST(embedding AS DOUBLE[])], 'sum'), 4) AS vec_sq_sum,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_positive,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS vec_max
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+    description="higher-order array functions: transform/filter/aggregate/array_max",
+)
+def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 4).alias("vec_sq_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.round(F.array_max(v), 4).alias("vec_max"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM m GROUP BY event_type ORDER BY event_type
+    """,
+    description="map construction + map_keys/map_values over parsed props",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    # build a map column then consume it via map functions (coverage for
+    # MapType expressions; the aggregation itself matches the oracle)
+    mapped = e.select("event_type", F.create_map(F.lit("k"), k).alias("m"))
+    kv = mapped.select(
+        "event_type", F.explode(F.map_entries("m")).alias("ent")
+    ).select("event_type", F.col("ent.value").alias("k"))
+    return (
+        kv.groupBy("event_type")
+        .agg(
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT day, total,
+           ROUND(SUM(total) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2) AS sum_4d
+    FROM daily ORDER BY day
+    """,
+    description="RANGE frame window (interval-based, value-not-row bounded)",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    ).createOrReplaceTempView("daily_totals")
+    return spark.sql(
+        """
+        SELECT day, total,
+               ROUND(SUM(total) OVER (ORDER BY day
+                     RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2) AS sum_4d
+        FROM daily_totals ORDER BY day
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+    description="correlated EXISTS subquery (decorrelated to semi join by Catalyst)",
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c_acctbal > 0
+        ORDER BY c_custkey
+        """
+    )
