@@ -135,6 +135,101 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int, seed: int, sample_size: int = 2048, iters: int = 5
+) -> list[list[float]]:
+    """Coarse quantizer training: Lloyd iterations on a bounded driver
+    sample (the standard IVF recipe — training is sample-based by
+    design, so this stays O(sample) no matter the corpus size)."""
+    rows = df.select(vec_col).limit(sample_size).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.round(6).tolist()
+
+
+def _centroid_sims(vec_col, centroids: list[list[float]]):
+    return F.array(
+        *[_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+               F.array(*[F.lit(x) for x in c]))
+          for c in centroids]
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus partitioned into centroid cells;
+    each query probes its nprobe nearest cells and reranks exactly.
+
+    Scale shape: assignment is a map-side JVM expression (centroids are
+    plan literals), the candidate join is an equi-join on cell id —
+    per-query work is |probed cells|, not |corpus|. Recall is tunable
+    via nprobe. Output schema matches cosine_topk.
+    """
+    cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
+    c = with_unit_vector(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
+    )
+    c = (
+        c.withColumn("__sims", _centroid_sims("cv", cents))
+        .withColumn("cell", (F.array_position("__sims", F.array_max("__sims")) - 1).cast("int"))
+        .drop("__sims")
+    )
+
+    q = with_unit_vector(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    # nprobe nearest cells per query: sort (sim, idx) structs descending
+    q = q.withColumn("__sims", _centroid_sims("qv", cents)).withColumn(
+        "probe_cells",
+        F.slice(
+            F.transform(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            "__sims",
+                            lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
+                        )
+                    )
+                ),
+                lambda st: st["idx"],
+            ),
+            1,
+            nprobe,
+        ),
+    ).drop("__sims")
+    qe = q.select("query_id", "qv", F.explode("probe_cells").alias("cell"))
+    scored = (
+        c.join(broadcast(qe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_dot("cv", "qv"), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

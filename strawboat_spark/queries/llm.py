@@ -92,6 +92,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    ), walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    description="duplicate clusters: connected components (min-label propagation) over jaccard>=0.5 edges",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).orderBy("doc_id")
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based signatures have no DuckDB twin
     description="MinHash (32 hashes) + LSH banding (8 bands) near-dup candidates",
@@ -150,6 +194,20 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
         e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+    )
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=None,  # approximate by design (recall depends on nprobe)
+    description="IVF ANN: sample-trained coarse quantizer, nprobe cells, exact rerank",
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.similarity import ivf_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
     )
 
 

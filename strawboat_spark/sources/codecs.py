@@ -48,6 +48,7 @@ class Codec(IntEnum):
     FREQ = 13
     BITPACKING = 14
     DELTA_BITPACKING = 15
+    PATAS = 16
 
 
 _ARROW_CODEC_NAMES = {Codec.LZ4: "lz4", Codec.ZSTD: "zstd", Codec.SNAPPY: "snappy"}
@@ -65,6 +66,7 @@ _FORCE_ENV = {
     Codec.FREQ: "STRAWBOAT_FREQ_COMPRESSION",
     Codec.BITPACKING: "STRAWBOAT_BITPACK_COMPRESSION",
     Codec.DELTA_BITPACKING: "STRAWBOAT_DELTABP_COMPRESSION",
+    Codec.PATAS: "STRAWBOAT_PATAS_COMPRESSION",
 }
 
 
@@ -402,12 +404,38 @@ def compress_double(
             est[Codec.DICT] = (len(raw) or 1) / float(
                 8 + s.unique_count * itemsize + s.count * idx_bits / 8 + 16
             )
+    # PATAS (simplified): XOR each value with its predecessor, then
+    # general-compress the xor stream. Slowly-varying floats share
+    # sign/exponent/leading mantissa bits, so the xor stream is mostly
+    # zeros and compresses far better than the raw stream (the same
+    # insight as DuckDB's Patas / Gorilla, vectorized instead of
+    # bit-serial; reference: src/compression/double/patas.rs).
+    if s.count > 8 and s.unique_count * 3 >= s.count:
+        xored = np.empty_like(bits)
+        xored[0] = bits[0]
+        np.bitwise_xor(bits[1:], bits[:-1], out=xored[1:])
+        sample = xored.tobytes()[:SAMPLE_BYTES]
+        try:
+            patas_ratio = (
+                min(len(raw), SAMPLE_BYTES) / max(1, len(_basic_compress(Codec.ZSTD, sample)))
+            )
+        except Exception:
+            patas_ratio = 1.0
+        if patas_ratio >= DEFAULT_COMPRESS_RATIO:
+            est[Codec.PATAS] = patas_ratio
     choice = _choose(est, forbidden, raw, default_codec)
 
     if choice == Codec.ONE_VALUE:
         payload = values[:1].tobytes() if len(values) else bytes(itemsize)
         payload += bytes(8 - len(payload)) if len(payload) < 8 else b""
         write_block(out, Codec.ONE_VALUE, payload, len(raw))
+    elif choice == Codec.PATAS:
+        xored = np.empty_like(bits)
+        if len(bits):
+            xored[0] = bits[0]
+            np.bitwise_xor(bits[1:], bits[:-1], out=xored[1:])
+        # inner stream always zstd so the decoder needs no out-of-band info
+        write_block(out, Codec.PATAS, _basic_compress(Codec.ZSTD, xored.tobytes()), len(raw))
     elif choice == Codec.RLE:
         write_block(out, Codec.RLE, _rle_encode_via_bits(values), len(raw))
     elif choice == Codec.DICT:
@@ -436,6 +464,14 @@ def decompress_double(buf: memoryview, pos: int, n: int, dtype: np.dtype) -> tup
     if codec == Codec.ONE_VALUE:
         v = np.frombuffer(payload[: dtype.itemsize], dtype=dtype)[0] if n else 0
         return np.full(n, v, dtype=dtype), nxt
+    if codec == Codec.PATAS:
+        # payload is zstd(xor stream); codec byte says PATAS, the inner
+        # basic codec is the writer's default — recover via zstd first,
+        # falling back to lz4/snappy probing is unnecessary because the
+        # uncompressed size disambiguates a raw stream.
+        raw = _basic_decompress(Codec.ZSTD, bytes(payload), usize)
+        xored = np.frombuffer(raw, dtype=bits_dtype, count=n).copy()
+        return np.bitwise_xor.accumulate(xored).view(dtype), nxt
     if codec == Codec.RLE:
         return _rle_decode(bytes(payload), bits_dtype, n).view(dtype), nxt
     if codec == Codec.DICT:
@@ -528,12 +564,17 @@ def compress_binary(
     # Block 2: value bytes. Dict-style dedup happens naturally via zstd;
     # an explicit Dict codec for binary pays off on low-cardinality pages.
     n = len(offsets) - 1
-    lengths = np.diff(offsets)
     est: dict[Codec, float] = {}
     uniq_ratio_checked = False
     if n > 0 and len(data) > 0:
-        # cheap uniqueness probe via lengths first (cheap negative filter)
-        if len(np.unique(lengths)) * 3 < max(n, 3):
+        # Two-stage uniqueness probe: a 512-value sample set first (a
+        # python set over byte slices — microseconds), and only when the
+        # sample looks low-cardinality pay for the full object-array
+        # np.unique that the Dict encoding needs anyway. High-entropy
+        # pages (the common case) never touch the expensive path.
+        sample_n = min(n, 512)
+        sample = {bytes(data[offsets[i] : offsets[i + 1]]) for i in range(sample_n)}
+        if len(sample) * 3 < max(sample_n, 3):
             vals = _slices(offsets, data)
             uniques, codes = np.unique(vals, return_inverse=True)
             uniq_ratio_checked = True

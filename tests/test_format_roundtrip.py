@@ -320,3 +320,25 @@ def test_uint64_extremes():
 def test_fixed_size_binary_roundtrip():
     t = pa.table({"f": pa.array([bytes([i % 250] * 8) for i in range(2000)], type=pa.binary(8))})
     assert_rt(t)
+
+
+def test_patas_float_roundtrip(monkeypatch):
+    """Patas-style XOR-preconditioned float pages (slowly-varying
+    series compress well; forcing pins the codec path)."""
+    monkeypatch.setenv("STRAWBOAT_PATAS_COMPRESSION", "1")
+    walk = np.cumsum(RNG.normal(scale=0.01, size=20000)) + 100.0
+    assert_rt(pa.table({"x": pa.array(walk)}))
+    assert_rt(pa.table({"y": pa.array(walk.astype(np.float32))}))
+
+
+def test_patas_chosen_adaptively():
+    """A smooth series should pick PATAS over plain zstd on merit."""
+    from strawboat_spark.sources.pagefile import write_file
+    from strawboat_spark.sources.stat import stat_file
+
+    # timestamp-like doubles: shared exponent/top-mantissa, unique values
+    # (dict-ineligible) — xor stream compresses ~2x better than raw
+    ts = 1.7e9 + np.arange(30000) * 0.001 + RNG.normal(scale=1e-6, size=30000)
+    write_file("/tmp/patas_adaptive.strb", pa.table({"x": pa.array(ts)}))
+    st = next(s for s in stat_file("/tmp/patas_adaptive.strb") if s.name == "x")
+    assert "PATAS" in st.codecs, st.codecs
