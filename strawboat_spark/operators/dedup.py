@@ -132,7 +132,15 @@ def minhash_lsh_dedup(
     """End-to-end near-dedup: signatures -> LSH candidates.
     Output: candidate duplicate pairs with estimated jaccard (signature
     agreement fraction)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    # Signatures are referenced three times below (banding + both sides
+    # of the pair join); persist so the shingle explode + 32-way min
+    # aggregation runs once. Signatures are tiny relative to the corpus
+    # (id + n_hashes longs per doc), so this holds at any scale.
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

@@ -21,11 +21,13 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     register(spark)
     path = f"{tempfile.mkdtemp(prefix='strawboat_rt_')}/{table}"
     src = load_table(spark, sf_dir, table)
-    # The source is often a single parquet split; repartition so page
-    # encoding parallelizes across cores (at real scale the input is
-    # already many partitions and this is a no-op knob).
-    n = min(spark.sparkContext.defaultParallelism, 16)
-    src.repartition(n).write.format("strawboat").mode("overwrite").save(path)
+    # The test parquet is a single row group, so the scan yields one
+    # partition; spread it across cores before encoding. Guarded so a
+    # real multi-partition input skips the shuffle entirely.
+    n = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+    src.write.format("strawboat").mode("overwrite").save(path)
     return spark.read.format("strawboat").load(path)
 
 
@@ -98,4 +100,42 @@ def strawboat_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(vec_sum), 2).alias("sum_all"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "strawboat_partitioned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description=(
+        "orders → hive-partitioned strawboat layout (partition_by=o_orderstatus) → "
+        "filtered scan: the status predicate prunes whole directories at planning time"
+    ),
+)
+def strawboat_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_part_')}/orders"
+    src = load_table(spark, sf_dir, "orders")
+    n = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+    src.write.format("strawboat").option("partition_by", "o_orderstatus").mode(
+        "overwrite"
+    ).save(path)
+    o = spark.read.format("strawboat").load(path)
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )

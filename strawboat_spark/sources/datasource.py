@@ -54,12 +54,61 @@ from pyspark.sql.types import StructType
 
 FILE_EXT = ".strb"
 STRIPE_PAGES = 64  # pages per read partition (64 * 8192 rows ≈ 0.5M rows)
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(_glob.glob(os.path.join(path, f"*{FILE_EXT}")))
+        return sorted(_glob.glob(os.path.join(path, "**", f"*{FILE_EXT}"), recursive=True))
     return [path]
+
+
+def _partition_values(file: str, root: str) -> dict[str, str | None]:
+    """Hive-style `col=value` directory components between root and file."""
+    import urllib.parse
+
+    vals: dict[str, str | None] = {}
+    rel = os.path.relpath(os.path.dirname(os.path.abspath(file)), os.path.abspath(root))
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+    return vals
+
+
+def _infer_partition_fields(root: str, files: list[str]) -> list[tuple[str, str]]:
+    """(name, spark_type) for each hive partition column, inferred like
+    Spark's parquet source: all-long -> bigint, all-numeric -> double,
+    else string. Nulls don't veto a numeric type."""
+    cols: dict[str, list[str | None]] = {}
+    for f in files:
+        for k, v in _partition_values(f, root).items():
+            cols.setdefault(k, []).append(v)
+
+    def _type(vals: list[str | None]) -> str:
+        non_null = [v for v in vals if v is not None]
+        try:
+            [int(v) for v in non_null]
+            return "bigint"
+        except ValueError:
+            pass
+        try:
+            [float(v) for v in non_null]
+            return "double"
+        except ValueError:
+            return "string"
+
+    return [(k, _type(v)) for k, v in cols.items()]
+
+
+def _cast_partition_value(v: str | None, spark_type: str):
+    if v is None:
+        return None
+    if spark_type == "bigint":
+        return int(v)
+    if spark_type == "double":
+        return float(v)
+    return v
 
 
 @dataclass
@@ -67,6 +116,7 @@ class _Stripe(InputPartition):
     file: str
     page_start: int
     page_end: int  # exclusive
+    part_values: tuple = ()  # ((col, value), ...) from hive-style dirs
 
 
 @dataclass
@@ -94,7 +144,16 @@ class StrawboatDataSource(DataSource):
             arrow_schema, _ = read_footer(f)
         # tz-less arrow timestamps -> TimestampNTZ (what Spark's parquet
         # reader infers); tz-aware ones still map to TimestampType.
-        return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+        schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+        # Hive-style partition columns discovered from the layout are
+        # appended after the stored columns (parquet-source convention).
+        from pyspark.sql.types import DoubleType, LongType, StringType
+
+        spark_types = {"bigint": LongType(), "double": DoubleType(), "string": StringType()}
+        for name, tp in _infer_partition_fields(path, files):
+            if name not in schema.fieldNames():
+                schema = schema.add(name, spark_types[tp])
+        return schema
 
     def reader(self, schema: StructType) -> "StrawboatReaderImpl":
         return StrawboatReaderImpl(self.options, schema)
@@ -131,16 +190,28 @@ class StrawboatReaderImpl(DataSourceReader):
     def partitions(self):
         from strawboat_spark.sources.pagefile import read_footer
 
+        files = _list_files(self.path)
+        part_types = dict(_infer_partition_fields(self.path, files))
         parts: list[_Stripe] = []
-        for file in _list_files(self.path):
+        for file in files:
+            pvals = {
+                k: _cast_partition_value(v, part_types[k])
+                for k, v in _partition_values(file, self.path).items()
+            }
+            # Partition pruning: a filter on a partition column that the
+            # constant value fails eliminates the whole file before any
+            # footer read — the directory layout IS the index.
+            if not all(_value_may_match(f, pvals) for f in self._filters):
+                continue
             with open(file, "rb") as f:
                 _, meta = read_footer(f)
             n_pages = len(meta.leaves[0].pages) if meta.leaves else 0
+            pv = tuple(sorted(pvals.items()))
             if n_pages == 0:
-                parts.append(_Stripe(file, 0, 0))
+                parts.append(_Stripe(file, 0, 0, pv))
                 continue
             for s in range(0, n_pages, STRIPE_PAGES):
-                parts.append(_Stripe(file, s, min(s + STRIPE_PAGES, n_pages)))
+                parts.append(_Stripe(file, s, min(s + STRIPE_PAGES, n_pages), pv))
         return parts
 
     def read(self, partition: _Stripe):
@@ -149,17 +220,31 @@ class StrawboatReaderImpl(DataSourceReader):
         from strawboat_spark.sources.pagefile import StrawboatReader
 
         want = to_arrow_schema(self.schema)
+        pvals = dict(partition.part_values)
         with open(partition.file, "rb") as f:
             reader = StrawboatReader(f)
             keep = self._page_mask(reader.meta, partition)
             if not any(keep):
                 return
-            columns = [c for c in want.names]
+            stored = [c for c in want.names if c not in pvals]
 
             def page_filter(leaf_pages, n_pages):
                 return keep
 
-            for batch in reader.iter_batches(columns=columns, page_filter=page_filter):
+            for batch in reader.iter_batches(columns=stored, page_filter=page_filter):
+                if pvals:
+                    # Attach partition columns as constants in schema order.
+                    arrays, byname = [], {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+                    for fld in want:
+                        if fld.name in pvals:
+                            arrays.append(
+                                pa.nulls(batch.num_rows, fld.type)
+                                if pvals[fld.name] is None
+                                else pa.array([pvals[fld.name]] * batch.num_rows, type=fld.type)
+                            )
+                        else:
+                            arrays.append(byname[fld.name])
+                    batch = pa.RecordBatch.from_arrays(arrays, schema=want)
                 # Align arrow types with what Spark expects (e.g. tz).
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
 
@@ -179,6 +264,36 @@ class StrawboatReaderImpl(DataSourceReader):
                 if not _page_may_match(f, p):
                     keep[i] = False
         return keep
+
+
+def _value_may_match(f: Filter, pvals: dict) -> bool:
+    """Evaluate a pushed filter against a file's constant partition
+    values. True unless the constant PROVABLY fails the predicate
+    (filters on non-partition columns never eliminate here)."""
+    col = f.attribute[0]
+    if col not in pvals:
+        return True
+    v = pvals[col]
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return True  # Spark re-applies; null semantics left to the engine
+    try:
+        if isinstance(f, EqualTo):
+            return v == f.value
+        if isinstance(f, GreaterThan):
+            return v > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return v >= f.value
+        if isinstance(f, LessThan):
+            return v < f.value
+        if isinstance(f, LessThanOrEqual):
+            return v <= f.value
+        if isinstance(f, In):
+            return v in f.value
+    except TypeError:
+        return True
+    return True
 
 
 def _page_may_match(f: Filter, p) -> bool:
@@ -220,6 +335,13 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         self.schema = schema
         self.page_size = int(options.get("page_size", 8192))
         self.codec_name = options.get("compression", "zstd")
+        # Hive-style layout: partition columns become directories, not
+        # stored pages (option because the Python DataSource API has no
+        # partitionBy passthrough).
+        self.partition_by = [c.strip() for c in options.get("partition_by", "").split(",") if c.strip()]
+        for c in self.partition_by:
+            if c not in schema.fieldNames():
+                raise ValueError(f"strawboat: partition_by column {c!r} not in schema")
         # Runs on the driver: prepare the output directory.
         os.makedirs(self.path, exist_ok=True)
         if overwrite:
@@ -236,6 +358,8 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             self.codec_name.lower()
         ]
         arrow_schema = to_arrow_schema(self.schema)
+        if self.partition_by:
+            return self._write_partitioned(iterator, arrow_schema, codec)
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}{FILE_EXT}")
         tmp = out + ".tmp"
         n = 0
@@ -249,6 +373,68 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             w.finish()
         os.rename(tmp, out)
         return _Commit(files=[out])
+
+    def _write_partitioned(self, iterator, arrow_schema: pa.Schema, codec):
+        """One open file per partition value seen by this task; the
+        partition columns are encoded in the directory name and dropped
+        from the stored pages (hive convention — readers reattach them
+        as constants, so they cost zero bytes and prune for free).
+
+        Scale note: tasks writing the same value produce separate files
+        (no coordination); pre-`repartition(partition_cols)` upstream to
+        get one file per value when that matters."""
+        import urllib.parse
+
+        import pyarrow.compute as pc
+
+        from strawboat_spark.sources.pagefile import StrawboatWriter
+
+        part_cols = self.partition_by
+        stored = pa.schema([f for f in arrow_schema if f.name not in part_cols])
+        open_files: dict[str, tuple] = {}  # reldir -> (fobj, writer, tmp, final)
+
+        def _writer_for(reldir: str):
+            if reldir not in open_files:
+                d = os.path.join(self.path, reldir)
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, f"part-{uuid.uuid4().hex}{FILE_EXT}")
+                tmp = final + ".tmp"
+                fobj = open(tmp, "wb")
+                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec)
+                open_files[reldir] = (fobj, w, tmp, final)
+            return open_files[reldir][1]
+
+        for batch in iterator:
+            if batch.schema != arrow_schema:
+                batch = batch.cast(arrow_schema, safe=False)
+            tbl = pa.Table.from_batches([batch])
+            # distinct partition tuples in this batch (cheap: group_by on
+            # the already-in-memory arrow batch)
+            combos = tbl.select(part_cols).group_by(part_cols).aggregate([]).to_pylist()
+            for combo in combos:
+                mask = None
+                for c in part_cols:
+                    m = (
+                        pc.is_null(tbl[c])
+                        if combo[c] is None
+                        else pc.equal(tbl[c], pa.scalar(combo[c], type=tbl.schema.field(c).type))
+                    )
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+                sub = tbl.filter(pc.fill_null(mask, False)).select(stored.names)
+                reldir = os.sep.join(
+                    f"{c}={_HIVE_NULL if combo[c] is None else urllib.parse.quote(str(combo[c]), safe='')}"
+                    for c in part_cols
+                )
+                w = _writer_for(reldir)
+                for b in sub.to_batches():
+                    w.write_batch(b)
+        files = []
+        for fobj, w, tmp, final in open_files.values():
+            w.finish()
+            fobj.close()
+            os.rename(tmp, final)
+            files.append(final)
+        return _Commit(files=files)
 
     def commit(self, messages):
         return None

@@ -78,3 +78,96 @@ def test_append_mode(registered, tmp_path):
     src.write.format("strawboat").mode("overwrite").save(path)
     src.write.format("strawboat").mode("append").save(path)
     assert spark.read.format("strawboat").load(path).count() == 2 * src.count()
+
+def test_partitioned_write_layout(registered, tmp_path):
+    """partition_by=col writes hive-style col=value dirs, drops the
+    column from stored pages, and reattaches it on read."""
+    import glob
+    import os
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    src.write.format("strawboat").option("partition_by", "o_orderstatus").mode(
+        "overwrite"
+    ).save(path)
+
+    statuses = [r[0] for r in src.select("o_orderstatus").distinct().collect()]
+    dirs = {os.path.basename(d) for d in glob.glob(f"{path}/o_orderstatus=*")}
+    assert dirs == {f"o_orderstatus={s}" for s in statuses}
+
+    back = spark.read.format("strawboat").load(path)
+    assert set(back.columns) == set(src.columns)
+    got = {
+        (r["o_orderstatus"], r["n"]): None
+        for r in back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["n"]): None
+        for r in src.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # value-level: per-status totals survive the roundtrip
+    a = (
+        back.filter(F.col("o_orderstatus") == statuses[0])
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    b = (
+        src.filter(F.col("o_orderstatus") == statuses[0])
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert a == b
+
+
+def test_partition_pruning_skips_files(registered, tmp_path):
+    """A pushed filter on the partition column must eliminate whole
+    files at planning time (directory layout as index)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_prune")
+    src.repartition(4).write.format("strawboat").option(
+        "partition_by", "o_orderstatus"
+    ).mode("overwrite").save(path)
+
+    schema = spark.read.format("strawboat").load(path).schema
+    r_all = StrawboatReaderImpl({"path": path}, schema)
+    n_all = len(r_all.partitions())
+    r_pruned = StrawboatReaderImpl({"path": path}, schema)
+    r_pruned.pushFilters([EqualTo(("o_orderstatus",), "F")])
+    n_pruned = len(r_pruned.partitions())
+    assert 0 < n_pruned < n_all
+
+    # and the query result is still exactly right
+    back = spark.read.format("strawboat").load(path)
+    got = back.filter(F.col("o_orderstatus") == "F").count()
+    want = src.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want
+
+
+def test_partitioned_numeric_and_multi_col(registered, tmp_path):
+    """Two-level layout with a numeric partition column: type inferred
+    back as bigint, multi-column dirs nest in option order."""
+    spark = registered
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("par"),
+    )
+    path = str(tmp_path / "multi_part")
+    df.write.format("strawboat").option("partition_by", "par,bucket").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("strawboat").load(path)
+    assert dict(back.dtypes)["bucket"] == "bigint"
+    assert back.count() == 200
+    got = sorted(
+        tuple(r) for r in back.groupBy("par", "bucket").count().collect()
+    )
+    want = sorted(tuple(r) for r in df.groupBy("par", "bucket").count().collect())
+    assert got == want
