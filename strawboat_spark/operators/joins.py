@@ -68,3 +68,35 @@ def asof_join(
     for c in right_value_cols:
         out = out.withColumn(c, pick(c, ignorenulls=True).over(w))
     return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's keys into `salt`
+    sub-keys and replicate the small side once per sub-key, so a hot
+    key's rows spread over `salt` reducers instead of one straggler.
+
+    Use when a handful of keys dominate (power-law ids) and the small
+    side is too big to broadcast — otherwise prefer plain `join`
+    (AQE's skew-join splitting handles moderate skew without the
+    `salt`-factor replication cost). Result is identical to
+    `big.join(small, on, how)` for how in (inner, left).
+
+    Execution shape: one shuffle each side on (keys..., salt); the
+    small side grows `salt`×, the big side's hot partitions shrink
+    `salt`×. No driver participation.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = list(on)
+    salt_col = "__salt"
+    b = big.withColumn(salt_col, (F.rand(seed=0) * salt).cast("int"))
+    s = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(s, keys + [salt_col], how).drop(salt_col)

@@ -139,3 +139,45 @@ def strawboat_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "strawboat_stat_report",
+    oracle=None,  # format metadata introspection has no SQL twin
+    description=(
+        "write lineitem as strawboat, report per-column page/codec/size stats "
+        "(reference stat module parity: src/stat.rs:63-152)"
+    ),
+)
+def strawboat_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-style format introspection: which codec the adaptive
+    chooser picked per column, compressed footprint, null counts.
+    Stats are footer/page-header metadata (bytes per column, not rows),
+    so assembling the report on the driver is O(columns), scale-safe."""
+    import glob as _g
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.stat import stat_file
+
+    register(spark)
+    out = f"{tempfile.mkdtemp(prefix='strawboat_stat_')}/lineitem"
+    src = load_table(spark, sf_dir, "lineitem")
+    src.coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    rows = []
+    for f in sorted(_g.glob(f"{out}/*.strb")):
+        for st in stat_file(f):
+            rows.append(
+                (
+                    st.name,
+                    st.n_pages,
+                    st.total_compressed,
+                    st.total_values,
+                    st.null_count,
+                    ",".join(sorted(st.codecs)),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_pages long, compressed_bytes long, n_values long, "
+        "null_count long, codecs string",
+    ).orderBy("column")

@@ -796,3 +796,32 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    description="skew-resistant salted equi-join (big lineitem x supplier), identical result to plain join",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, s, ["l_suppkey"], salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )

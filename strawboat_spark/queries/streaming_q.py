@@ -82,3 +82,45 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value, ts,
+             unnest([date_trunc('day', ts) - INTERVAL 12 HOUR
+                       + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
+                              THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END,
+                     date_trunc('day', ts)
+                       + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
+                              THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END]) AS ws
+      FROM events
+    )
+    SELECT event_type,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM starts
+    WHERE ts >= ws AND ts < ws + INTERVAL 24 HOUR
+    GROUP BY event_type, ws
+    ORDER BY event_type, window_start
+    """,
+    description="sliding window (24h window, 12h slide): each event lands in two overlapping windows",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -122,3 +122,40 @@ def write_strawboat_stream(df: DataFrame, path: str, checkpoint: str, trigger_av
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving
+    within the watermark horizon. State holds one entry per key seen in
+    the horizon and is evicted as the watermark advances — bounded
+    state, unlike a batch distinct over an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def enrich_stream_stream_join(
+    events: DataFrame, clicks: DataFrame, horizon: str = "1 hour", watermark: str = "2 days"
+) -> DataFrame:
+    """Stream-stream inner join: match each event to same-user rows of a
+    second stream within a bounded time band. The band condition is what
+    lets Spark evict join state (both sides watermarked; state per side
+    bounded by horizon), the canonical scale pattern for stream joins.
+    """
+    left = events.withWatermark("ts", watermark).alias("l")
+    right = (
+        clicks.select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_type").alias("c_event_type"),
+        )
+        .withWatermark("c_ts", watermark)
+        .alias("r")
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"user_id = c_user_id AND c_ts BETWEEN ts AND ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    )

@@ -96,3 +96,27 @@ def test_strawboat_scan_stays_columnar(spark):
     df = spark.read.format("strawboat").load(d).filter(F.col("o_orderkey") < 100)
     r = audit(df)
     assert "BatchScan strawboat" in r.text
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.joins import salted_join
+
+    # skewed: 90% of big rows share one key
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(big, small, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    want = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    left_got = salted_join(big, small.filter(F.col("k") < 50), ["k"], how="left")
+    left_want = big.join(small.filter(F.col("k") < 50), "k", "left")
+    assert left_got.count() == left_want.count()

@@ -120,3 +120,49 @@ def test_strawboat_stream_sink(spark, events_dir, tmp_path):
     a = back.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
     b = src.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
     assert a == b
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    """Duplicated input stream → dropDuplicatesWithinWatermark restores
+    exact-once per event_id."""
+    from strawboat_spark.streaming.pipelines import EVENTS_DDL, dedup_within_watermark
+
+    dup_dir = str(tmp_path / "dup_events")
+    src = spark.read.parquet(events_dir)
+    src.unionAll(src).repartition(4).write.mode("overwrite").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL).option("maxFilesPerTrigger", 2).parquet(dup_dir)
+    )
+    got = _run_to_memory(
+        spark, dedup_within_watermark(stream), "t_dedup", output_mode="append"
+    )
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_stream_stream_join(spark, events_dir):
+    """Events joined to a second stream of the same events within a
+    0-second band must match each row to itself (plus any same-user
+    rows in the band) — checked against the equivalent batch join."""
+    from strawboat_spark.streaming.pipelines import EVENTS_DDL, enrich_stream_stream_join
+
+    left = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    right = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    joined = enrich_stream_stream_join(left, right, horizon="10 minutes")
+    got = _run_to_memory(spark, joined, "t_ssjoin", output_mode="append").count()
+
+    b = spark.read.parquet(events_dir)
+    want = (
+        b.alias("l")
+        .join(
+            b.select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_type").alias("c_event_type"),
+            ).alias("r"),
+            F.expr("user_id = c_user_id AND c_ts BETWEEN ts AND ts + INTERVAL 10 minutes"),
+        )
+        .count()
+    )
+    assert got == want
