@@ -120,3 +120,71 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    chunk_bytes: int = 4096,
+) -> DataFrame:
+    """Audio chunking plumbing: fan a payload out into fixed-size byte
+    windows — (id, chunk_idx, byte_start, byte_len, chunk binary).
+
+    The slice itself is F.substring on BinaryType — JVM-side, no
+    Python; a decoder stage (resample/transcribe) would mapInPandas
+    over `chunk`. Expressed relationally so Spark parallelizes chunks,
+    not whole files: a 4-hour recording becomes thousands of
+    independent rows instead of one straggler task.
+    """
+    n = F.length(payload_col).cast("long")
+    n_chunks = F.ceil(n / F.lit(chunk_bytes)).cast("int")
+    e = df.select(
+        F.col(id_col),
+        F.col(payload_col).alias("__payload"),
+        n.alias("__n"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("chunk_idx"),
+    )
+    byte_start = (F.col("chunk_idx").cast("long") * chunk_bytes).alias("byte_start")
+    byte_len = F.least(
+        F.lit(chunk_bytes).cast("long"), F.col("__n") - F.col("chunk_idx") * chunk_bytes
+    ).alias("byte_len")
+    return e.select(
+        id_col,
+        "chunk_idx",
+        byte_start,
+        byte_len,
+        F.substring(
+            F.col("__payload"), F.col("chunk_idx") * chunk_bytes + 1, F.lit(chunk_bytes)
+        ).alias("chunk"),
+    )
+
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def extract_audio_features(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched per-chunk feature stub (true RMS over the raw
+    bytes interpreted as u8 samples — deterministic, library-free;
+    swap the inner two lines for a real DSP call to go live)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, chunk in zip(pdf[id_col], pdf["chunk_idx"], pdf["chunk"]):
+                b = np.frombuffer(bytes(chunk or b""), dtype=np.uint8).astype(np.float64)
+                rms = float(np.sqrt(np.mean(b**2))) if len(b) else 0.0
+                rows.append((doc_id, idx, round(rms, 4), len(b)))
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "rms", "n_bytes"])
+
+    return chunks.select(id_col, "chunk_idx", "chunk").mapInPandas(gen, schema=AUDIO_FEATURES)

@@ -404,3 +404,99 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(d, "doc_id", "payload", deterministic_fake=True).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               0, greatest(CAST(ceil(octet_length(payload) / 4096.0) AS INT) - 1, 0)
+             )) AS INT) AS chunk_idx,
+             octet_length(payload) AS n
+      FROM payloads
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 4096 AS BIGINT) AS byte_start,
+           CAST(least(4096, n - chunk_idx * 4096) AS BIGINT) AS byte_len
+    FROM chunked ORDER BY doc_id, chunk_idx
+    """,
+    description="audio chunk fan-out: payload → fixed 4KiB byte windows (JVM-side binary slicing)",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.multimodal import audio_chunk_plan
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return (
+        audio_chunk_plan(d, "doc_id", "payload", chunk_bytes=4096)
+        .select("doc_id", "chunk_idx", "byte_start", "byte_len")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) / 1024 + 1 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS INT) AS frame_idx
+    FROM vids ORDER BY doc_id, frame_idx
+    """,
+    description="video frame-sampling fan-out: every 10th frame index per payload, parallelized per frame",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.multimodal import frame_sample_plan
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample_plan(d, "doc_id", "payload", every_n=10).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    -- documents.text is pure ASCII (verified: octet_length(encode(text))
+    -- == length(text) for every row), so byte windows == char windows
+    -- and ord(char) == byte value.
+    WITH chunked AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               0, greatest(CAST(ceil(length(text) / 4096.0) AS INT) - 1, 0)
+             )) AS INT) AS chunk_idx,
+             text
+      FROM documents
+    ), sliced AS (
+      SELECT doc_id, chunk_idx,
+             substring(text, chunk_idx * 4096 + 1, 4096) AS chunk
+      FROM chunked
+    ), bytes AS (
+      SELECT doc_id, chunk_idx, length(chunk) AS n_bytes,
+             unnest(range(length(chunk))) AS i, chunk
+      FROM sliced
+    )
+    SELECT doc_id, chunk_idx,
+           ROUND(sqrt(avg(ord(substring(chunk, CAST(i AS INT) + 1, 1)) ** 2)), 4) AS rms,
+           CAST(max(n_bytes) AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY doc_id, chunk_idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    description="per-chunk RMS over raw bytes via Arrow-batched mapInPandas (decode-stage stand-in)",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.multimodal import audio_chunk_plan, extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    chunks = audio_chunk_plan(d, "doc_id", "payload", chunk_bytes=4096)
+    return extract_audio_features(chunks).orderBy("doc_id", "chunk_idx")
