@@ -171,3 +171,50 @@ def test_partitioned_numeric_and_multi_col(registered, tmp_path):
     )
     want = sorted(tuple(r) for r in df.groupBy("par", "bucket").count().collect())
     assert got == want
+
+
+def test_sorted_layout_page_skipping(registered, tmp_path):
+    """Range-partitioned + sorted write gives tight per-page min/max, so
+    a selective range filter prunes most pages at planning time — the
+    data-layout half of the skipping story (the reference's skip_page
+    mechanism + our persisted stats, SURVEY.md §4.1)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl, _list_files
+
+    from tests.conftest import SF_CORRECT
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    path = str(tmp_path / "orders_sorted")
+    (
+        src.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.format("strawboat")
+        .option("page_size", "1024")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = spark.read.format("strawboat").load(path).schema
+    cutoff = src.approxQuantile("o_totalprice", [0.95], 0.01)[0]
+
+    r = StrawboatReaderImpl({"path": path}, schema)
+    r.pushFilters([GreaterThan(("o_totalprice",), cutoff)])
+    stripes = r.partitions()
+    kept = total = 0
+    from strawboat_spark.sources.pagefile import read_footer
+
+    for f in _list_files(path):
+        with open(f, "rb") as fh:
+            _, meta = read_footer(fh)
+        n_pages = len(meta.leaves[0].pages)
+        total += n_pages
+        for s in (st for st in stripes if st.file == f):
+            kept += sum(r._page_mask(meta, s))
+    assert total > 10
+    assert kept / total < 0.25, f"kept {kept}/{total} pages for a 5% selectivity filter"
+
+    # correctness unaffected
+    got = spark.read.format("strawboat").load(path).filter(F.col("o_totalprice") > cutoff).count()
+    want = src.filter(F.col("o_totalprice") > cutoff).count()
+    assert got == want

@@ -166,3 +166,44 @@ def test_stream_stream_join(spark, events_dir):
         .count()
     )
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Rows older than the watermark horizon arriving in a later batch
+    must be dropped from the windowed aggregation (late-data policy)."""
+    import pandas as pd
+
+    from strawboat_spark.streaming.pipelines import EVENTS_DDL, tumbling_counts
+
+    d = str(tmp_path / "late_events")
+    base = pd.Timestamp("2024-01-10 00:00:00")
+    on_time = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": [base + pd.Timedelta(hours=h) for h in range(10)],
+            "user_id": [1] * 10,
+            "event_type": ["click"] * 10,
+            "value": [1.0] * 10,
+            "props": ["{}"] * 10,
+        }
+    )
+    # 10 days older than anything above — far beyond the 2-day watermark
+    late = on_time.assign(
+        event_id=range(100, 110), ts=[base - pd.Timedelta(days=10)] * 10
+    )
+    spark.createDataFrame(on_time, EVENTS_DDL).write.mode("overwrite").parquet(f"{d}/b0")
+    spark.createDataFrame(late, EVENTS_DDL).write.mode("overwrite").parquet(f"{d}/b1")
+
+    # file source lists b0 before b1 (lexicographic), one file per batch
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    got = _run_to_memory(
+        spark, tumbling_counts(stream, window="1 day", watermark="2 days"),
+        "t_late", output_mode="append",
+    )
+    starts = {r["window_start"] for r in got.collect()}
+    # the late day never appears; the on-time day does once it closes
+    assert "2023-12-31 00:00:00" not in starts
