@@ -841,13 +841,16 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q4 analog: orders with any line shipped >60d after order date, counted by priority (EXISTS → left-semi)",
 )
 def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # Single big-big join (orders scanned once), then distinct on the
+    # order grain — same result as EXISTS but half the join work of the
+    # naive "find late keys, then semi-join orders again" shape.
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
-    )
     return (
-        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")

@@ -120,3 +120,16 @@ def test_salted_join_matches_plain_join(spark):
     left_got = salted_join(big, small.filter(F.col("k") < 50), ["k"], how="left")
     left_want = big.join(small.filter(F.col("k") < 50), "k", "left")
     assert left_got.count() == left_want.count()
+
+
+def test_q14_broadcasts_part_and_pushes_dates(spark, registry):
+    r = audit(registry["q14_promo_revenue"].fn(spark, SF_CORRECT))
+    assert r.n_broadcast_joins >= 1
+    assert r.n_sortmerge_joins == 0
+    joined = " ".join(r.pushed_filters)
+    assert "l_shipdate" in joined, "ship-date range not pushed to scan"
+
+
+def test_q18_broadcasts_customer(spark, registry):
+    r = audit(registry["q18_large_orders"].fn(spark, SF_CORRECT))
+    assert r.n_broadcast_joins >= 1
