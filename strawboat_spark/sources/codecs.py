@@ -93,24 +93,50 @@ class PageStats:
 
 
 def collect_stats(values: np.ndarray, null_count: int = 0) -> PageStats:
-    """Whole-page stats in a handful of vectorized passes."""
+    """Whole-page stats, vectorized. min/max/runs/sortedness are exact
+    O(n) passes; uniqueness uses btrblocks-style sampling — the full
+    O(n log n) unique sort only runs when a 1024-value sample already
+    looks dictionary-eligible (sample uniques < 1/3 of sample), so
+    high-entropy pages never pay for it. unique_count<=1 (the OneValue
+    gate, which truncates data if wrong) is only ever produced by the
+    exact path."""
     n = len(values)
     if n == 0:
         return PageStats(0, null_count, 0, 0, True, None, None, 0, None)
-    uniques, counts = np.unique(values, return_counts=True)
-    top_i = int(np.argmax(counts))
+
+    exact = n <= 2048
+    if not exact:
+        sample = values[:: max(1, n // 1024)]
+        su, sc = np.unique(sample, return_counts=True)
+        m = len(sample)
+        exact = len(su) * 3 < m  # low-card by sample → exact pass pays off
+
+    if exact:
+        uniques, counts = np.unique(values, return_counts=True)
+        top_i = int(np.argmax(counts))
+        unique_count = len(uniques)
+        top_count = int(counts[top_i])
+        top_val = uniques[top_i]
+    else:
+        # high-entropy page: scale the sample (Dict/OneValue/Freq all
+        # become ineligible at these ratios, which is the point)
+        ti = int(np.argmax(sc))
+        unique_count = min(n, len(su) * max(1, n // m))
+        top_count = min(n, int(sc[ti]) * max(1, n // m))
+        top_val = su[ti]
+
     changes = int(np.count_nonzero(values[1:] != values[:-1])) + 1 if n > 1 else 1
     is_sorted = bool(np.all(values[1:] >= values[:-1])) if n > 1 else True
     return PageStats(
         count=n,
         null_count=null_count,
-        unique_count=len(uniques),
+        unique_count=unique_count,
         run_count=changes,
         is_sorted=is_sorted,
         min_val=values.min(),
         max_val=values.max(),
-        top_count=int(counts[top_i]),
-        top_val=uniques[top_i],
+        top_count=top_count,
+        top_val=top_val,
     )
 
 
@@ -119,19 +145,28 @@ def collect_stats(values: np.ndarray, null_count: int = 0) -> PageStats:
 # --------------------------------------------------------------------------
 
 
+_CODEC_CACHE: dict[Codec, "pa.Codec"] = {}
+
+
+def _arrow_codec(codec: Codec) -> "pa.Codec":
+    # pa.Codec construction costs ~0.2ms; cache per process (hot path:
+    # multiple calls per page).
+    c = _CODEC_CACHE.get(codec)
+    if c is None:
+        c = _CODEC_CACHE[codec] = pa.Codec(_ARROW_CODEC_NAMES[codec])
+    return c
+
+
 def _basic_compress(codec: Codec, raw: bytes) -> bytes:
     if codec == Codec.NONE:
         return raw
-    buf = pa.Codec(_ARROW_CODEC_NAMES[codec]).compress(raw, asbytes=True)
-    return buf
+    return _arrow_codec(codec).compress(raw, asbytes=True)
 
 
 def _basic_decompress(codec: Codec, payload: bytes, uncompressed_size: int) -> bytes:
     if codec == Codec.NONE:
         return payload
-    return pa.Codec(_ARROW_CODEC_NAMES[codec]).decompress(
-        payload, uncompressed_size, asbytes=True
-    )
+    return _arrow_codec(codec).decompress(payload, uncompressed_size, asbytes=True)
 
 
 def write_block(out: bytearray, codec: Codec, payload: bytes, uncompressed_size: int) -> None:
@@ -371,7 +406,11 @@ def _choose(
                 )
             except Exception:
                 general_ratio = 1.0
-            if est[best] >= general_ratio:
+            # 1.3x bias toward the specialized codec: sampled general
+            # ratios are optimistic (small-sample zstd), and specialized
+            # encodings decode faster and expose structure (dict ids,
+            # run bounds) downstream — same preference btrblocks makes.
+            if est[best] * 1.3 >= general_ratio:
                 return best
     return default_codec
 
@@ -565,55 +604,53 @@ def compress_binary(
     # an explicit Dict codec for binary pays off on low-cardinality pages.
     n = len(offsets) - 1
     est: dict[Codec, float] = {}
-    uniq_ratio_checked = False
+    denc = None  # arrow DictionaryArray when the page looks low-card
     if n > 0 and len(data) > 0:
         # Two-stage uniqueness probe: a 512-value sample set first (a
         # python set over byte slices — microseconds), and only when the
-        # sample looks low-cardinality pay for the full object-array
-        # np.unique that the Dict encoding needs anyway. High-entropy
-        # pages (the common case) never touch the expensive path.
+        # sample looks low-cardinality pay for the full
+        # dictionary_encode, which the Dict encoding needs anyway.
+        # Everything heavy runs in Arrow C++ — no per-row Python.
         sample_n = min(n, 512)
         sample = {bytes(data[offsets[i] : offsets[i + 1]]) for i in range(sample_n)}
         if len(sample) * 3 < max(sample_n, 3):
-            vals = _slices(offsets, data)
-            uniques, codes = np.unique(vals, return_inverse=True)
-            uniq_ratio_checked = True
-            if len(uniques) <= 1:
+            arr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)), pa.py_buffer(data)],
+            )
+            denc = arr.dictionary_encode()
+            n_uniq = len(denc.dictionary)
+            if n_uniq <= 1:
                 est[Codec.ONE_VALUE] = (len(data) or 1) / float(len(data) / max(n, 1) + 8)
-            if len(uniques) * 3 < n:
-                uniq_bytes = sum(len(u) for u in uniques)
-                idx_bits = _bits_needed(max(len(uniques) - 1, 1))
+            if n_uniq * 3 < n:
+                uniq_bytes = denc.dictionary.nbytes - 8 * (n_uniq + 1)
+                idx_bits = _bits_needed(max(n_uniq - 1, 1))
                 est[Codec.DICT] = (len(data) or 1) / float(
-                    uniq_bytes + 8 * len(uniques) + n * idx_bits / 8 + 24
+                    uniq_bytes + 8 * n_uniq + n * idx_bits / 8 + 24
                 )
     choice = _choose(est, forbidden, data, default_codec)
-    if choice == Codec.ONE_VALUE and uniq_ratio_checked:
+    if choice == Codec.ONE_VALUE and denc is not None:
         first = data[offsets[0] : offsets[1]] if n else b""
         payload = struct.pack("<I", len(first)) + first
         write_block(out, Codec.ONE_VALUE, payload, len(data))
-    elif choice == Codec.DICT and uniq_ratio_checked:
+    elif choice == Codec.DICT and denc is not None:
+        uniq = denc.dictionary
+        n_uniq = len(uniq)
+        ub = uniq.buffers()  # [validity, int64 offsets, data]
+        uniq_offsets = np.frombuffer(ub[1], dtype=np.int64, count=n_uniq + 1)
         body = bytearray()
-        uniq_offsets = np.zeros(len(uniques) + 1, dtype=np.int64)
-        np.cumsum([len(u) for u in uniques], out=uniq_offsets[1:])
-        body += struct.pack("<I", len(uniques))
+        body += struct.pack("<I", n_uniq)
         body += uniq_offsets.tobytes()
-        body += b"".join(bytes(u) for u in uniques)
-        _compress_integer_into(
-            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}
-        )
+        body += ub[2].to_pybytes()[: uniq_offsets[-1]]
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        _compress_integer_into(body, codes, default_codec, forbidden | {Codec.DICT})
         write_block(out, Codec.DICT, bytes(body), len(data))
     else:
         if choice in (Codec.ONE_VALUE, Codec.DICT):
             choice = default_codec
         write_block(out, choice, _basic_compress(choice, data), len(data))
     return bytes(out)
-
-
-def _slices(offsets: np.ndarray, data: bytes) -> np.ndarray:
-    return np.array(
-        [data[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)],
-        dtype=object,
-    )
 
 
 def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, bytes, int]:
@@ -625,6 +662,8 @@ def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, by
         one = bytes(payload[4 : 4 + ln])
         return offsets, one * n, nxt
     if codec == Codec.DICT:
+        import pyarrow.compute as pc
+
         (n_uniq,) = struct.unpack_from("<I", payload, 0)
         off = 4
         uniq_offsets = np.frombuffer(payload, dtype=np.int64, count=n_uniq + 1, offset=off)
@@ -633,12 +672,16 @@ def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, by
         blob = bytes(payload[off : off + blob_len])
         off += blob_len
         codes, _ = decompress_integer(payload, off, n, np.dtype(np.int64))
-        parts = [blob[uniq_offsets[c] : uniq_offsets[c + 1]] for c in codes]
-        data = b"".join(parts)
-        # offsets from dict decode must be rebuilt from code lengths
-        lens = (uniq_offsets[1:] - uniq_offsets[:-1])[codes]
-        out_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=out_off[1:])
+        # gather in Arrow C++ (take), then hand back raw offset/data bufs
+        uniq_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n_uniq,
+            [None, pa.py_buffer(np.ascontiguousarray(uniq_offsets)), pa.py_buffer(blob)],
+        )
+        taken = pc.take(uniq_arr, pa.array(codes, type=pa.int64()))
+        tb = taken.buffers()
+        out_off = np.frombuffer(tb[1], dtype=np.int64, count=n + 1).copy()
+        data = tb[2].to_pybytes()[: out_off[-1]] if tb[2] is not None else b""
         return out_off, data, nxt
     raw = _basic_decompress(codec, bytes(payload), usize)
     return offsets, raw, nxt

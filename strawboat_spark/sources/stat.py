@@ -51,8 +51,22 @@ def stat_file(path: str) -> list[LeafStat]:
                 (vlen,) = struct.unpack_from("<I", head, 0)
                 f.seek(pos + 4 + vlen)
                 block = f.read(HEADER_SIZE)
-                if len(block) >= 1:
+                if len(block) >= HEADER_SIZE:
                     codec = Codec(block[0]).name
+                    # Binary pages carry TWO codec blocks (offsets then
+                    # values — reference binary/mod.rs layout); report
+                    # the pair so dict-encoded values aren't hidden
+                    # behind the offsets codec.
+                    (csize,) = struct.unpack_from("<I", block, 1)
+                    next_pos = pos + 4 + vlen + HEADER_SIZE + csize
+                    if next_pos + HEADER_SIZE <= pos + p.length:
+                        f.seek(next_pos)
+                        b2 = f.read(HEADER_SIZE)
+                        if len(b2) >= 1:
+                            try:
+                                codec = f"{codec}+{Codec(b2[0]).name}"
+                            except ValueError:
+                                pass
                     st.codecs[codec] = st.codecs.get(codec, 0) + 1
                 pos += p.length
             out.append(st)

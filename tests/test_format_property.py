@@ -1,0 +1,140 @@
+"""Property-based round-trip tests (hypothesis): arbitrary values,
+lengths, null densities, and page sizes must survive write→read
+bit-exactly. Complements the seeded-random matrix in
+test_format_roundtrip.py the way the reference's randomized generators
+complement its fixed all-types chunk (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from strawboat_spark.sources.codecs import Codec
+from strawboat_spark.sources.pagefile import StrawboatReader, StrawboatWriter
+
+SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _rt(table: pa.Table, page_size: int) -> pa.Table:
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, table.schema, page_size=page_size, default_codec=Codec.ZSTD)
+    w.write_table(table)
+    w.finish()
+    buf.seek(0)
+    return StrawboatReader(buf).read_table()
+
+
+def _check(table: pa.Table, page_size: int) -> None:
+    got = _rt(table, page_size)
+    assert got.schema == table.schema
+    assert got.num_rows == table.num_rows
+    for name in table.column_names:
+        a, b = got.column(name).combine_chunks(), table.column(name).combine_chunks()
+        assert a == b, f"{name}: {a} != {b}"
+
+
+ints = st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1))
+floats = st.one_of(
+    st.none(),
+    st.floats(allow_nan=False, width=64),  # NaN breaks pa equality, tested separately
+)
+texts = st.one_of(st.none(), st.text(max_size=40))
+blobs = st.one_of(st.none(), st.binary(max_size=40))
+bools = st.one_of(st.none(), st.booleans())
+
+
+@given(
+    vals=st.lists(ints, min_size=1, max_size=500),
+    page=st.sampled_from([7, 64, 2048]),
+)
+@settings(**SETTINGS)
+def test_int64_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.int64())}), page)
+
+
+@given(
+    vals=st.lists(floats, min_size=1, max_size=500),
+    page=st.sampled_from([7, 64, 2048]),
+)
+@settings(**SETTINGS)
+def test_float64_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.float64())}), page)
+
+
+@given(
+    vals=st.lists(texts, min_size=1, max_size=300),
+    page=st.sampled_from([7, 64, 2048]),
+)
+@settings(**SETTINGS)
+def test_utf8_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.string())}), page)
+
+
+@given(
+    vals=st.lists(blobs, min_size=1, max_size=300),
+    page=st.sampled_from([7, 64]),
+)
+@settings(**SETTINGS)
+def test_binary_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.binary())}), page)
+
+
+@given(
+    vals=st.lists(bools, min_size=1, max_size=500),
+    page=st.sampled_from([7, 2048]),
+)
+@settings(**SETTINGS)
+def test_bool_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.bool_())}), page)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.lists(ints, max_size=8)), min_size=1, max_size=200
+    ),
+    page=st.sampled_from([16, 256]),
+)
+@settings(**SETTINGS)
+def test_list_int_roundtrip(vals, page):
+    _check(pa.table({"x": pa.array(vals, type=pa.list_(pa.int64()))}), page)
+
+
+@given(
+    a=st.lists(ints, min_size=1, max_size=200),
+    b=st.lists(texts, min_size=1, max_size=200),
+    page=st.sampled_from([32, 512]),
+)
+@settings(**SETTINGS)
+def test_struct_roundtrip(a, b, page):
+    n = min(len(a), len(b))
+    _check(
+        pa.table(
+            {
+                "s": pa.StructArray.from_arrays(
+                    [pa.array(a[:n], type=pa.int64()), pa.array(b[:n], type=pa.string())],
+                    names=["i", "t"],
+                )
+            }
+        ),
+        page,
+    )
+
+
+def test_nan_and_inf_floats():
+    """NaN payload bits round-trip (checked via numpy, since Arrow
+    equality treats NaN != NaN)."""
+    vals = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0, 1e308, 5e-324])
+    got = _rt(pa.table({"x": pa.array(vals)}), 4)
+    out = got.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+    assert np.array_equal(out, vals, equal_nan=True)
+    # -0.0 sign preserved
+    assert np.signbit(out[4])
