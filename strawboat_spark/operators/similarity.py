@@ -21,6 +21,7 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
@@ -80,12 +81,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def lsh_bucket_key(vec_col, planes: list[list[float]]):
     """Sign-bit bucket id from random hyperplanes (plan literals —
-    deterministic, broadcast-free)."""
+    deterministic, broadcast-free). Fine for a single small table;
+    for multi-table keys use _bucket_keys_udf (constant plan size)."""
     key = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
         proj = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, F.array(*[F.lit(x) for x in p]))
         key = key + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return key
+
+
+def _bucket_keys_udf(planes_stack: list, n_planes: int):
+    """All n_tables sign-bit bucket keys in ONE Arrow-batched matmul.
+    Building each key from per-plane literal expressions costs
+    n_tables x n_planes x dim literal nodes in the plan — seconds of
+    codegen at 4x8x64; this stays milliseconds at any table count."""
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.concatenate([np.asarray(p) for p in planes_stack], axis=0).T  # (dim, T*p)
+    n_tables = len(planes_stack)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def keys(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())
+        bits = (x @ pmat) > 0
+        k = (bits.reshape(len(x), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(k.astype(np.int64)))
+
+    return keys
 
 
 def lsh_cosine_topk(
@@ -111,18 +134,16 @@ def lsh_cosine_topk(
     q = with_unit_vector(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
     )
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        ck = c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), lsh_bucket_key("cv", planes).alias("bucket"))
-        qk = q.select("query_id", "qv", F.lit(t).alias("tbl"), lsh_bucket_key("qv", planes).alias("bucket"))
-        tables.append((ck, qk))
-    cands = None
-    for ck, qk in tables:
-        j = ck.join(broadcast(qk), ["tbl", "bucket"]).select("query_id", "neighbor_id", "cv", "qv")
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    keys = _bucket_keys_udf(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)], n_planes
+    )
+    ck = c.select("neighbor_id", "cv", F.posexplode(keys("cv")).alias("tbl", "bucket"))
+    qk = q.select("query_id", "qv", F.posexplode(keys("qv")).alias("tbl", "bucket"))
+    cands = (
+        ck.join(broadcast(qk), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id", "cv", "qv")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn("score", F.round(_dot("cv", "qv"), 6)).select(
         "query_id", "neighbor_id", "score"
@@ -157,12 +178,25 @@ def _kmeans_centroids(
     return cent.round(6).tolist()
 
 
-def _centroid_sims(vec_col, centroids: list[list[float]]):
-    return F.array(
-        *[_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-               F.array(*[F.lit(x) for x in c]))
-          for c in centroids]
-    )
+def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched cell assignment: one numpy matmul per batch against
+    the closure-captured centroid matrix (broadcast with the task).
+    Plan size is constant in n_centroids — centroid-as-plan-literal
+    expressions blow up codegen (16 centroids x 128 dims = 2048 literal
+    nodes) and took 15s to compile at 16x128; this takes milliseconds.
+    Stable argsort keeps probe order deterministic across runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())  # (batch, dim)
+        sims = x @ cmat
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe
 
 
 def ivf_cosine_topk(
@@ -184,38 +218,17 @@ def ivf_cosine_topk(
     via nprobe. Output schema matches cosine_topk.
     """
     cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
+    assign1 = _probe_cells_udf(cents, 1)
     c = with_unit_vector(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
     )
-    c = (
-        c.withColumn("__sims", _centroid_sims("cv", cents))
-        .withColumn("cell", (F.array_position("__sims", F.array_max("__sims")) - 1).cast("int"))
-        .drop("__sims")
-    )
+    c = c.withColumn("cell", assign1("cv")[0])
 
+    probe_n = _probe_cells_udf(cents, nprobe)
     q = with_unit_vector(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
     )
-    # nprobe nearest cells per query: sort (sim, idx) structs descending
-    q = q.withColumn("__sims", _centroid_sims("qv", cents)).withColumn(
-        "probe_cells",
-        F.slice(
-            F.transform(
-                F.reverse(
-                    F.array_sort(
-                        F.transform(
-                            "__sims",
-                            lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
-                        )
-                    )
-                ),
-                lambda st: st["idx"],
-            ),
-            1,
-            nprobe,
-        ),
-    ).drop("__sims")
-    qe = q.select("query_id", "qv", F.explode("probe_cells").alias("cell"))
+    qe = q.select("query_id", "qv", F.explode(probe_n("qv")).alias("cell"))
     scored = (
         c.join(broadcast(qe), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

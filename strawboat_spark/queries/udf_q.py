@@ -91,20 +91,25 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="applyInPandas: per-group dataframe kernel (top order vs group mean)",
 )
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def top_vs_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        mean = pdf["o_totalprice"].mean()
-        top = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).iloc[0]
-        return pd.DataFrame(
-            {
-                "o_custkey": [top["o_custkey"]],
-                "o_orderkey": [top["o_orderkey"]],
-                "delta_raw": [float(top["o_totalprice"] - mean)],
-            }
-        )
+    """Grain note: grouping by raw o_custkey would invoke Python once
+    per customer (~150k tiny calls at sf1 — per-group overhead swamps
+    the work). Group by a hash bucket instead and vectorize the
+    per-customer logic inside the kernel with pandas groupby: same
+    result, ~constant number of Python invocations at any scale."""
 
-    o = load_table(spark, sf_dir, "orders")
+    def top_vs_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        g = s.groupby("o_custkey", sort=False)
+        top = g.head(1)[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
+        means = g["o_totalprice"].mean()
+        top["delta_raw"] = (
+            top["o_totalprice"].to_numpy() - means.loc[top["o_custkey"]].to_numpy()
+        )
+        return top[["o_custkey", "o_orderkey", "delta_raw"]]
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return (
-        o.groupBy("o_custkey")
+        o.groupBy(F.pmod(F.col("o_custkey"), F.lit(512)).alias("bucket"))
         .applyInPandas(top_vs_mean, schema="o_custkey long, o_orderkey long, delta_raw double")
         .select(
             "o_custkey",
