@@ -219,13 +219,17 @@ def connected_components(
     both = both.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Convergence check: labels only ever decrease under min-propagation,
+    # so sum(label) strictly decreases until the fixpoint — one cheap
+    # aggregate per iteration instead of a join-the-old-labels diff.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -235,16 +239,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
