@@ -51,10 +51,16 @@ def audit(df: DataFrame) -> PlanReport:
     txt = plan_text(df)
     simple = plan_text(df, "simple")
     r = PlanReport(text=txt)
-    r.n_broadcast_joins = len(re.findall(r"BroadcastHashJoin", txt))
-    r.n_sortmerge_joins = len(re.findall(r"SortMergeJoin", txt))
-    r.n_shuffled_hash_joins = len(re.findall(r"ShuffledHashJoin", txt))
-    r.n_nested_loop_joins = len(re.findall(r"BroadcastNestedLoopJoin", txt))
+    def _nodes(name: str) -> int:
+        # formatted mode prints each node in the tree AND a detail
+        # section — count unique node ids so one operator counts once.
+        ids = set(re.findall(rf"\((\d+)\) {name}", txt))
+        return len(ids) if ids else len(re.findall(name, simple))
+
+    r.n_broadcast_joins = _nodes("BroadcastHashJoin")
+    r.n_sortmerge_joins = _nodes("SortMergeJoin")
+    r.n_shuffled_hash_joins = _nodes("ShuffledHashJoin")
+    r.n_nested_loop_joins = _nodes("BroadcastNestedLoopJoin")
     # formatted mode prints each node in the tree AND a detail section;
     # count unique node ids so one Exchange counts once.
     r.n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", txt)))

@@ -133,3 +133,55 @@ def test_q14_broadcasts_part_and_pushes_dates(spark, registry):
 def test_q18_broadcasts_customer(spark, registry):
     r = audit(registry["q18_large_orders"].fn(spark, SF_CORRECT))
     assert r.n_broadcast_joins >= 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy(orderkey) tables join without any Exchange — the
+    co-located big-big join pattern (pre-bucket once, join shuffle-free
+    forever after). At 100 TB this converts every lineitem-orders join
+    from a 2-sided shuffle into a local zip per bucket."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.plans.audit import audit
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("li_bkt")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("o_bkt")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("li_bkt")
+            .join(spark.table("o_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        r = audit(j)
+        # the join itself introduces no shuffle; only the final
+        # aggregation exchanges (1) — and the SMJ reads bucketed sides
+        assert r.n_sortmerge_joins == 1, r.text[:1500]
+        assert "Exchange" not in r.text.split("SortMergeJoin")[-1] or r.n_exchanges <= 2
+        plain = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert r.n_exchanges < audit(plain).n_exchanges, "bucketing did not remove shuffles"
+        # correctness identical
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
