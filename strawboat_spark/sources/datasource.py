@@ -124,6 +124,10 @@ class _Commit(WriterCommitMessage):
     files: list
 
 
+def self_partition_cols(options) -> list[str]:
+    return [c.strip() for c in options.get("partition_by", "").split(",") if c.strip()]
+
+
 class StrawboatDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -188,11 +192,13 @@ class StrawboatReaderImpl(DataSourceReader):
         return filters
 
     def partitions(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         from strawboat_spark.sources.pagefile import read_footer
 
         files = _list_files(self.path)
         part_types = dict(_infer_partition_fields(self.path, files))
-        parts: list[_Stripe] = []
+        survivors: list[tuple[str, dict]] = []
         for file in files:
             pvals = {
                 k: _cast_partition_value(v, part_types[k])
@@ -201,11 +207,21 @@ class StrawboatReaderImpl(DataSourceReader):
             # Partition pruning: a filter on a partition column that the
             # constant value fails eliminates the whole file before any
             # footer read — the directory layout IS the index.
-            if not all(_value_may_match(f, pvals) for f in self._filters):
-                continue
+            if all(_value_may_match(f, pvals) for f in self._filters):
+                survivors.append((file, pvals))
+
+        def _pages(file: str) -> int:
             with open(file, "rb") as f:
                 _, meta = read_footer(f)
-            n_pages = len(meta.leaves[0].pages) if meta.leaves else 0
+            return len(meta.leaves[0].pages) if meta.leaves else 0
+
+        # Footer reads are independent ranged reads — overlap them
+        # (matters against object stores where each is a round-trip).
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(survivors)))) as ex:
+            page_counts = list(ex.map(_pages, [f for f, _ in survivors]))
+
+        parts: list[_Stripe] = []
+        for (file, pvals), n_pages in zip(survivors, page_counts):
             pv = tuple(sorted(pvals.items()))
             if n_pages == 0:
                 parts.append(_Stripe(file, 0, 0, pv))
@@ -347,6 +363,29 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         if overwrite:
             for f in _list_files(self.path):
                 os.remove(f)
+        else:
+            # Append: the directory's footer schema is the contract —
+            # a second schema would silently corrupt later reads (the
+            # reader takes the first file's footer as truth).
+            existing = _list_files(self.path)
+            if existing:
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                from strawboat_spark.sources.pagefile import read_footer
+
+                with open(existing[0], "rb") as f:
+                    have, _ = read_footer(f)
+                have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
+                incoming = StructType(
+                    [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]
+                )
+                if [
+                    (f.name, f.dataType) for f in have_spark.fields
+                ] != [(f.name, f.dataType) for f in incoming.fields]:
+                    raise ValueError(
+                        "strawboat: append schema mismatch — existing "
+                        f"{have_spark.simpleString()} vs incoming {incoming.simpleString()}"
+                    )
 
     def write(self, iterator):
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -218,3 +218,33 @@ def test_sorted_layout_page_skipping(registered, tmp_path):
     got = spark.read.format("strawboat").load(path).filter(F.col("o_totalprice") > cutoff).count()
     want = src.filter(F.col("o_totalprice") > cutoff).count()
     assert got == want
+
+
+def test_append_schema_mismatch_rejected(registered, tmp_path):
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "r")
+    src.write.format("strawboat").mode("overwrite").save(path)
+    with pytest.raises(Exception, match="append schema mismatch"):
+        src.select(F.col("r_regionkey").cast("string").alias("r_regionkey"), "r_name").write.format(
+            "strawboat"
+        ).mode("append").save(path)
+
+
+def test_csv_json_interop(registered, tmp_path):
+    """Foreign formats in, strawboat out: csv/json sources round-trip
+    through the format unchanged (source-format coverage)."""
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    csv_d, json_d = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).mode("overwrite").csv(csv_d)
+    src.write.mode("overwrite").json(json_d)
+    for reader in (
+        spark.read.option("header", True).option("inferSchema", True).csv(csv_d),
+        spark.read.json(json_d),
+    ):
+        out = str(tmp_path / "sb_out")
+        reader.write.format("strawboat").mode("overwrite").save(out)
+        back = spark.read.format("strawboat").load(out)
+        assert back.count() == src.count()
+        assert set(back.columns) == set(src.columns)
