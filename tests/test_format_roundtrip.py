@@ -342,3 +342,23 @@ def test_patas_chosen_adaptively():
     write_file("/tmp/patas_adaptive.strb", pa.table({"x": pa.array(ts)}))
     st = next(s for s in stat_file("/tmp/patas_adaptive.strb") if s.name == "x")
     assert "PATAS" in st.codecs, st.codecs
+
+
+def test_null_type_column():
+    """Arrow NullType column round-trips (reference supports Null
+    arrays — README.md:84-97 support matrix)."""
+    t = pa.table({"n": pa.nulls(2000, type=pa.null()), "x": pa.array(range(2000))})
+    assert_rt(t, page_size=256)
+
+
+def test_struct_binary_and_list():
+    """struct{binary, list(int)} — the mixed nested case from the
+    reference's test matrix (tests/it/io.rs:168-278)."""
+    s = pa.StructArray.from_arrays(
+        [
+            pa.array([bytes([i % 250]) * (i % 7) for i in range(3000)], type=pa.binary()),
+            pa.array([[i, i + 1, i + 2][: i % 4] for i in range(3000)], type=pa.list_(pa.int64())),
+        ],
+        names=["b", "l"],
+    )
+    assert_rt(pa.table({"s": s}), page_size=512)
