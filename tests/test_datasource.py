@@ -248,3 +248,53 @@ def test_csv_json_interop(registered, tmp_path):
         back = spark.read.format("strawboat").load(out)
         assert back.count() == src.count()
         assert set(back.columns) == set(src.columns)
+
+
+def test_sql_using_strawboat(registered, tmp_path):
+    """SQL surface: CREATE TEMPORARY VIEW ... USING strawboat — the
+    format is a first-class SQL source, not just a DataFrame one."""
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    path = str(tmp_path / "nation_sb")
+    src.write.format("strawboat").mode("overwrite").save(path)
+    spark.sql("DROP VIEW IF EXISTS nation_sb")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW nation_sb USING strawboat OPTIONS (path '{path}')"
+    )
+    got = spark.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation_sb GROUP BY 1 ORDER BY 1"
+    ).collect()
+    want = (
+        src.groupBy("n_regionkey").count().withColumnRenamed("count", "n")
+        .orderBy("n_regionkey").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    spark.sql("DROP VIEW IF EXISTS nation_sb")
+
+
+def test_compact_small_files(registered, tmp_path):
+    """Streaming sinks leave many small files; compact() merges them
+    per leaf dir, preserving data and hive layout."""
+    from strawboat_spark.sources.maintenance import compact
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "many")
+    src.repartition(8).write.format("strawboat").option(
+        "partition_by", "o_orderstatus"
+    ).mode("overwrite").save(path)
+    total = src.count()
+    stats = compact(spark, path, target_files=1)
+    assert stats["before"] > stats["after"]
+    import glob
+
+    per_dir = {
+        d: len(glob.glob(f"{d}/*.strb"))
+        for d in glob.glob(f"{path}/o_orderstatus=*")
+    }
+    assert all(n == 1 for n in per_dir.values()), per_dir
+    back = spark.read.format("strawboat").load(path)
+    assert back.count() == total
+    a = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    b = src.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    assert a == b
