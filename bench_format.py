@@ -56,7 +56,10 @@ def bench_one(name: str, table: pa.Table, reps: int = 3) -> dict:
         size = len(buf.getvalue())
         buf.seek(0)
         t0 = time.perf_counter()
-        pq.read_table(buf)
+        # use_threads=False: the strawboat reader is single-threaded
+        # (Spark parallelizes across partitions, not inside one); the
+        # threaded default would compare 1 core against 32.
+        pq.read_table(buf, use_threads=False)
         best_r = min(best_r, time.perf_counter() - t0)
     res["pq_write_mbs"] = raw_bytes / 1e6 / best_w
     res["pq_read_mbs"] = raw_bytes / 1e6 / best_r

@@ -200,6 +200,35 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
 
 
 def _unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if width <= 57:
+        # Fast path: 8 consecutive values span exactly `width` bytes, so
+        # lane j of every 8-value block sits at a FIXED byte offset and
+        # bit shift within its block. Eight strided u64 loads + shifts
+        # decode the whole page — no per-value gather, no bit matrix.
+        # Valid while shift(<=7) + width fits in 64 bits, i.e. width<=57.
+        arr = np.frombuffer(data, dtype=np.uint8)
+        mask = np.uint64((1 << width) - 1)
+        out = np.empty(n, dtype=np.uint64)
+        nb = n >> 3
+        if nb:
+            block = np.zeros((nb, width + 8), dtype=np.uint8)
+            block[:, :width] = arr[: nb * width].reshape(nb, width)
+            lanes = out[: nb * 8].reshape(nb, 8)
+            for j in range(8):
+                b0, sh = (j * width) >> 3, np.uint64((j * width) & 7)
+                v = np.ascontiguousarray(block[:, b0 : b0 + 8]).view(np.uint64).ravel()
+                lanes[:, j] = (v >> sh) & mask
+        tail = n - nb * 8
+        if tail:
+            a = np.concatenate([arr[nb * width :], np.zeros(8, dtype=np.uint8)])
+            bitpos = np.arange(tail, dtype=np.int64) * width
+            g = np.ascontiguousarray(a[(bitpos >> 3)[:, None] + np.arange(8)])
+            out[nb * 8 :] = (
+                g.view(np.uint64).ravel() >> (bitpos & 7).astype(np.uint64)
+            ) & mask
+        return out.astype(np.int64)
     bits = np.unpackbits(
         np.frombuffer(data, dtype=np.uint8), count=n * width, bitorder="little"
     )
