@@ -472,6 +472,12 @@ def compress_double(
             est[Codec.DICT] = (len(raw) or 1) / float(
                 8 + s.unique_count * itemsize + s.count * idx_bits / 8 + 16
             )
+        if s.top_count * 10 >= s.count * 9:
+            # Freq: dominant value + exception scatter (double/freq.rs)
+            n_exc = s.count - s.top_count
+            est[Codec.FREQ] = (len(raw) or 1) / float(
+                itemsize + 8 + n_exc * (4 + itemsize) + 16
+            )
     # PATAS (simplified): XOR each value with its predecessor, then
     # general-compress the xor stream. Slowly-varying floats share
     # sign/exponent/leading mantissa bits, so the xor stream is mostly
@@ -506,6 +512,15 @@ def compress_double(
         write_block(out, Codec.PATAS, _basic_compress(Codec.ZSTD, xored.tobytes()), len(raw))
     elif choice == Codec.RLE:
         write_block(out, Codec.RLE, _rle_encode_via_bits(values), len(raw))
+    elif choice == Codec.FREQ:
+        top = s.top_val  # a bit pattern (uint view)
+        exc_pos = np.flatnonzero(bits != top).astype(np.int64)
+        body = bytearray()
+        body += np.array([top], dtype=bits.dtype).tobytes().ljust(8, b"\0")
+        body += struct.pack("<I", len(exc_pos))
+        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ})
+        body += np.ascontiguousarray(values[exc_pos]).tobytes()
+        write_block(out, Codec.FREQ, bytes(body), len(raw))
     elif choice == Codec.DICT:
         uniq_bits, codes = np.unique(bits, return_inverse=True)
         uniques = uniq_bits.view(values.dtype)
@@ -540,6 +555,14 @@ def decompress_double(buf: memoryview, pos: int, n: int, dtype: np.dtype) -> tup
         raw = _basic_decompress(Codec.ZSTD, bytes(payload), usize)
         xored = np.frombuffer(raw, dtype=bits_dtype, count=n).copy()
         return np.bitwise_xor.accumulate(xored).view(dtype), nxt
+    if codec == Codec.FREQ:
+        top = np.frombuffer(payload[: dtype.itemsize], dtype=dtype)[0]
+        (n_exc,) = struct.unpack_from("<I", payload, 8)
+        out_arr = np.full(n, top, dtype=dtype)
+        if n_exc:
+            exc_pos, p2 = decompress_integer(payload, 12, n_exc, np.dtype(np.int64))
+            out_arr[exc_pos] = np.frombuffer(payload, dtype=dtype, count=n_exc, offset=p2)
+        return out_arr, nxt
     if codec == Codec.RLE:
         return _rle_decode(bytes(payload), bits_dtype, n).view(dtype), nxt
     if codec == Codec.DICT:
@@ -650,6 +673,10 @@ def compress_binary(
             )
             denc = arr.dictionary_encode()
             n_uniq = len(denc.dictionary)
+            codes_np = denc.indices.to_numpy(zero_copy_only=False)
+            counts = np.bincount(codes_np, minlength=n_uniq)
+            top_code = int(np.argmax(counts))
+            top_count = int(counts[top_code])
             if n_uniq <= 1:
                 est[Codec.ONE_VALUE] = (len(data) or 1) / float(len(data) / max(n, 1) + 8)
             if n_uniq * 3 < n:
@@ -657,6 +684,16 @@ def compress_binary(
                 idx_bits = _bits_needed(max(n_uniq - 1, 1))
                 est[Codec.DICT] = (len(data) or 1) / float(
                     uniq_bytes + 8 * n_uniq + n * idx_bits / 8 + 24
+                )
+            if top_count * 10 >= n * 9 and n_uniq > 1:
+                # Freq: one dominant value + exception scatter
+                # (reference binary/freq.rs). Wins over Dict when the
+                # exceptions are high-cardinality.
+                top_len = len(denc.dictionary[top_code].as_py())
+                n_exc = n - top_count
+                exc_bytes = len(data) - top_count * top_len
+                est[Codec.FREQ] = (len(data) or 1) / float(
+                    4 + top_len + 4 + n_exc * 13 + exc_bytes + 24
                 )
     choice = _choose(est, forbidden, data, default_codec)
     if choice == Codec.ONE_VALUE and denc is not None:
@@ -675,11 +712,47 @@ def compress_binary(
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         _compress_integer_into(body, codes, default_codec, forbidden | {Codec.DICT})
         write_block(out, Codec.DICT, bytes(body), len(data))
+    elif choice == Codec.FREQ and denc is not None:
+        codes_np = denc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes_np, minlength=len(denc.dictionary))
+        top_code = int(np.argmax(counts))
+        top = denc.dictionary[top_code].as_py()
+        exc_pos = np.flatnonzero(codes_np != top_code).astype(np.int64)
+        exc_lens = (offsets[exc_pos + 1] - offsets[exc_pos]).astype(np.int64)
+        body = bytearray()
+        body += struct.pack("<I", len(top)) + top
+        body += struct.pack("<I", len(exc_pos))
+        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ})
+        _compress_integer_into(body, exc_lens, default_codec, forbidden | {Codec.FREQ})
+        body += b"".join(
+            data[offsets[i] : offsets[i + 1]] for i in exc_pos
+        )
+        write_block(out, Codec.FREQ, bytes(body), len(data))
     else:
         if choice in (Codec.ONE_VALUE, Codec.DICT):
             choice = default_codec
         write_block(out, choice, _basic_compress(choice, data), len(data))
     return bytes(out)
+
+
+def _take_binary(
+    uniq_offsets: np.ndarray, blob: bytes, codes: np.ndarray
+) -> tuple[np.ndarray, bytes]:
+    """Gather codes from a values table in Arrow C++; return (offsets,
+    data) for the reconstructed page."""
+    import pyarrow.compute as pc
+
+    uniq_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(uniq_offsets) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(uniq_offsets)), pa.py_buffer(blob)],
+    )
+    taken = pc.take(uniq_arr, pa.array(codes, type=pa.int64()))
+    tb = taken.buffers()
+    n = len(codes)
+    out_off = np.frombuffer(tb[1], dtype=np.int64, count=n + 1).copy()
+    data = tb[2].to_pybytes()[: out_off[-1]] if tb[2] is not None else b""
+    return out_off, data
 
 
 def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, bytes, int]:
@@ -691,8 +764,6 @@ def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, by
         one = bytes(payload[4 : 4 + ln])
         return offsets, one * n, nxt
     if codec == Codec.DICT:
-        import pyarrow.compute as pc
-
         (n_uniq,) = struct.unpack_from("<I", payload, 0)
         off = 4
         uniq_offsets = np.frombuffer(payload, dtype=np.int64, count=n_uniq + 1, offset=off)
@@ -701,16 +772,26 @@ def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, by
         blob = bytes(payload[off : off + blob_len])
         off += blob_len
         codes, _ = decompress_integer(payload, off, n, np.dtype(np.int64))
-        # gather in Arrow C++ (take), then hand back raw offset/data bufs
-        uniq_arr = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(),
-            n_uniq,
-            [None, pa.py_buffer(np.ascontiguousarray(uniq_offsets)), pa.py_buffer(blob)],
-        )
-        taken = pc.take(uniq_arr, pa.array(codes, type=pa.int64()))
-        tb = taken.buffers()
-        out_off = np.frombuffer(tb[1], dtype=np.int64, count=n + 1).copy()
-        data = tb[2].to_pybytes()[: out_off[-1]] if tb[2] is not None else b""
+        out_off, data = _take_binary(uniq_offsets, blob, codes)
+        return out_off, data, nxt
+    if codec == Codec.FREQ:
+        (top_len,) = struct.unpack_from("<I", payload, 0)
+        top = bytes(payload[4 : 4 + top_len])
+        (n_exc,) = struct.unpack_from("<I", payload, 4 + top_len)
+        p = 8 + top_len
+        if n_exc:
+            exc_pos, p = decompress_integer(payload, p, n_exc, np.dtype(np.int64))
+            exc_lens, p = decompress_integer(payload, p, n_exc, np.dtype(np.int64))
+        else:
+            exc_pos = exc_lens = np.empty(0, dtype=np.int64)
+        exc_data = bytes(payload[p:])
+        # values table: [top, exc0, exc1, ...]; codes 0 except exceptions
+        uniq_offsets = np.concatenate(
+            ([0], np.cumsum(np.concatenate(([top_len], exc_lens))))
+        ).astype(np.int64)
+        codes = np.zeros(n, dtype=np.int64)
+        codes[exc_pos] = 1 + np.arange(n_exc, dtype=np.int64)
+        out_off, data = _take_binary(uniq_offsets, top + exc_data, codes)
         return out_off, data, nxt
     raw = _basic_decompress(codec, bytes(payload), usize)
     return offsets, raw, nxt

@@ -362,3 +362,38 @@ def test_struct_binary_and_list():
         names=["b", "l"],
     )
     assert_rt(pa.table({"s": s}), page_size=512)
+
+
+def test_freq_double_and_binary():
+    """Freq codec on doubles and strings: one dominant value with
+    high-cardinality exceptions (dict-hostile, freq-friendly) —
+    reference double/freq.rs, binary/freq.rs."""
+    n = 20000
+    exc = RNG.random(n) < 0.05
+    d = np.full(n, 3.14)
+    d[exc] = RNG.random(int(exc.sum())) * 1e6
+    vals = [
+        bytes(RNG.integers(0, 256, 64, dtype=np.uint8)) if e else b"common"
+        for e in exc
+    ]
+    t = pa.table({"d": pa.array(d), "s": pa.array(vals, type=pa.binary())})
+    assert_rt(t)
+
+    from strawboat_spark.sources.pagefile import write_file
+    from strawboat_spark.sources.stat import stat_file
+
+    write_file("/tmp/freq_db.strb", t)
+    codecs = {s.name: s.codecs for s in stat_file("/tmp/freq_db.strb")}
+    assert any("FREQ" in c for c in codecs["d"]), codecs
+    assert any("FREQ" in c for c in codecs["s"]), codecs
+
+
+def test_freq_forced_roundtrip(monkeypatch):
+    monkeypatch.setenv("STRAWBOAT_FREQ_COMPRESSION", "1")
+    n = 5000
+    d = np.full(n, 1.5)
+    d[::97] = RNG.random(len(d[::97]))
+    strs = ["x"] * n
+    for i in range(0, n, 83):
+        strs[i] = f"exc{i}"
+    assert_rt(pa.table({"d": pa.array(d), "s": pa.array(strs)}))
