@@ -500,3 +500,100 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = audio_chunk_plan(d, "doc_id", "payload", chunk_bytes=4096)
     return extract_audio_features(chunks).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle="""
+    -- The full training-data pipeline in one pass: quality filter ->
+    -- exact dedup -> near-dup cluster dedup -> corpus stats.
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END) +
+               (CASE WHEN length(text) / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                       BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END) +
+               (CASE WHEN len(regexp_extract_all(text, '[.,;:!?]'))
+                       / greatest(len(regexp_extract_all(text, '\\S+')), 1) <= 0.3
+                     THEN 0.2 ELSE 0.0 END) +
+               (CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) > 0
+                     THEN 0.1 ELSE 0.0 END) AS q
+        FROM documents)
+      WHERE q >= 0.45
+    ), exact_surv AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM kept
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ), surv AS (
+      SELECT k.doc_id, k.lang, k.text FROM kept k JOIN exact_surv e USING (doc_id)
+    ), tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM surv
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    ), walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node AS doc_id, MIN(reach) AS component FROM walk GROUP BY node
+    ), final AS (
+      SELECT s.doc_id, s.lang, s.text FROM surv s
+      JOIN comp c USING (doc_id) WHERE c.doc_id = c.component
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+    description=(
+        "end-to-end training-data pipeline: Gopher-style quality filter -> exact "
+        "dedup (fingerprint min-id survivor) -> near-dup clusters (jaccard>=0.5 "
+        "connected components, keep cluster min) -> per-language corpus stats"
+    ),
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.functions.text import quality_score, token_count
+    from strawboat_spark.operators.dedup import connected_components, exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(quality_score("text") >= 0.45).select("doc_id", "lang", "text")
+
+    exact_surv = exact_dedup(kept, "text", "doc_id").select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    surv = kept.join(exact_surv, "doc_id")
+
+    edges = ngram_jaccard_pairs(surv, "text", "doc_id", shingle_n=3, threshold=0.5)
+    comp = connected_components(
+        surv.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    final = surv.join(
+        comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"), "doc_id"
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
