@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -167,6 +168,9 @@ class StrawboatDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
         return StrawboatStreamWriterImpl(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return StrawboatStreamReaderImpl(self.options, schema)
 
 
 # --------------------------------------------------------------------------
@@ -335,6 +339,54 @@ def _page_may_match(f: Filter, p) -> bool:
     except TypeError:
         return True  # incomparable types (e.g. ts literal vs int stat)
     return True
+
+
+# --------------------------------------------------------------------------
+# Stream read path: the directory as an unbounded table — each new file
+# is a micro-batch increment (file-source semantics for the format).
+# --------------------------------------------------------------------------
+
+
+class StrawboatStreamReaderImpl(DataSourceStreamReader):
+    """Offset = the set of files already processed. Exactly-once at
+    file granularity: files are immutable once renamed into place
+    (writers stage to .tmp), so (end - start) is a deterministic batch.
+
+    Scale note: the offset JSON carries the seen-file list — fine for
+    thousands of files per directory; a production source would roll
+    the list into a compacted manifest log the way Spark's own file
+    source does.
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("strawboat: 'path' option is required")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"seen": sorted(os.path.relpath(f, self.path) for f in _list_files(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in new]
+
+    def read(self, partition: _Stripe):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from strawboat_spark.sources.pagefile import StrawboatReader
+
+        want = to_arrow_schema(self.schema)
+        with open(partition.file, "rb") as f:
+            reader = StrawboatReader(f)
+            for batch in reader.iter_batches(columns=list(want.names)):
+                yield batch.cast(want, safe=False) if batch.schema != want else batch
+
+    def commit(self, end: dict) -> None:
+        return None
 
 
 # --------------------------------------------------------------------------

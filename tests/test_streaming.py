@@ -207,3 +207,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     starts = {r["window_start"] for r in got.collect()}
     # the late day never appears; the on-time day does once it closes
     assert "2023-12-31 00:00:00" not in starts
+
+
+def test_strawboat_stream_source(spark, tmp_path):
+    """The format as a readStream SOURCE: each new file becomes a
+    micro-batch; restarting from the checkpoint picks up only files
+    not yet seen (file-set offsets)."""
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    src_dir = str(tmp_path / "src")
+    out_ckpt = str(tmp_path / "ckpt")
+
+    first = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    first.coalesce(2).write.format("strawboat").mode("overwrite").save(src_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.format("strawboat").load(src_dir)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", out_ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    assert run_once().count() == 100
+
+    # add more data; same checkpoint → only the delta arrives
+    more = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    more.coalesce(1).write.format("strawboat").mode("append").save(src_dir)
+    got2 = run_once()
+    assert got2.count() == 150, got2.count()
+    assert {r["id"] for r in got2.collect()} == set(range(150))
