@@ -449,18 +449,33 @@ def _map_parts(arr: pa.Array):
 # --------------------------------------------------------------------------
 
 
+_FOOTER_PREFETCH = 64 * 1024
+
+
 def read_footer(fobj) -> tuple[pa.Schema, FileMeta]:
-    """Footer-only read (reference infer_schema/read_meta: seek End(-16))."""
+    """Footer-only read (reference infer_schema/read_meta: seek End(-16)).
+
+    Reads one `min(total, 64 KiB)` tail slice and parses from memory,
+    re-reading only if the footer is larger — the reference's
+    read_meta_async optimization (src/read/reader.rs:180-225): one
+    ranged GET for planning against an object store instead of three.
+    """
     fobj.seek(0, 2)
     total = fobj.tell()
-    fobj.seek(total - 16)
-    tail = fobj.read(16)
-    schema_size, meta_size = struct.unpack("<II", tail[:8])
-    if tail[8:] != EOS:
+    pre = min(total, _FOOTER_PREFETCH)
+    fobj.seek(total - pre)
+    tail = fobj.read(pre)
+    schema_size, meta_size = struct.unpack("<II", tail[-16:-8])
+    if tail[-8:] != EOS:
         raise ValueError("not a strawboat file (bad EOS)")
-    fobj.seek(total - 16 - schema_size - meta_size)
-    schema = pa.ipc.read_schema(pa.py_buffer(fobj.read(schema_size)))
-    meta = FileMeta.from_json(fobj.read(meta_size))
+    footer_len = 16 + schema_size + meta_size
+    if footer_len <= pre:
+        footer = tail[-footer_len:]
+    else:
+        fobj.seek(total - footer_len)
+        footer = fobj.read(footer_len)
+    schema = pa.ipc.read_schema(pa.py_buffer(footer[:schema_size]))
+    meta = FileMeta.from_json(footer[schema_size : schema_size + meta_size])
     return schema, meta
 
 

@@ -23,6 +23,8 @@ class LeafStat:
     codecs: dict = field(default_factory=dict)  # codec name -> page count
     min: object = None
     max: object = None
+    dict_unique: int = 0  # sum of dictionary sizes over DICT pages
+    freq_exceptions: int = 0  # sum of exception counts over FREQ pages
 
 
 def stat_file(path: str) -> list[LeafStat]:
@@ -53,6 +55,21 @@ def stat_file(path: str) -> list[LeafStat]:
                 block = f.read(HEADER_SIZE)
                 if len(block) >= HEADER_SIZE:
                     codec = Codec(block[0]).name
+                    # DICT/FREQ payload structure (reference stat_body:
+                    # dict unique counts, freq exception counts)
+                    if block[0] in (Codec.DICT, Codec.FREQ):
+                        body_head = f.read(8)
+                        if block[0] == Codec.DICT and len(body_head) >= 4:
+                            st.dict_unique += struct.unpack_from("<I", body_head, 0)[0]
+                        elif block[0] == Codec.FREQ and len(body_head) >= 8:
+                            # int/double freq: top(8B) then n_exc; binary
+                            # freq: top_len(4B)|top|n_exc — report the
+                            # numeric-family count only (cheap parse)
+                            f.seek(pos + 4 + vlen + HEADER_SIZE + 8)
+                            exc_raw = f.read(4)
+                            if len(exc_raw) == 4:
+                                st.freq_exceptions += struct.unpack("<I", exc_raw)[0]
+                        f.seek(pos + 4 + vlen + HEADER_SIZE)
                     # Binary pages carry TWO codec blocks (offsets then
                     # values — reference binary/mod.rs layout); report
                     # the pair so dict-encoded values aren't hidden
