@@ -129,6 +129,16 @@ def self_partition_cols(options) -> list[str]:
     return [c.strip() for c in options.get("partition_by", "").split(",") if c.strip()]
 
 
+def _parse_forbidden(options) -> frozenset:
+    """forbid_codecs=dict,rle — reference WriteOptions
+    forbidden_compressions; lets deployments disable codecs without a
+    format break (the page codec byte keeps old files readable)."""
+    from strawboat_spark.sources.codecs import Codec
+
+    raw = options.get("forbid_codecs", "")
+    return frozenset(Codec[c.strip().upper()] for c in raw.split(",") if c.strip())
+
+
 class StrawboatDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -403,6 +413,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         self.schema = schema
         self.page_size = int(options.get("page_size", 8192))
         self.codec_name = options.get("compression", "zstd")
+        self.forbidden = _parse_forbidden(options)
         # Hive-style layout: partition columns become directories, not
         # stored pages (option because the Python DataSource API has no
         # partitionBy passthrough).
@@ -455,7 +466,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         tmp = out + ".tmp"
         n = 0
         with open(tmp, "wb") as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec)
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
@@ -491,7 +502,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 final = os.path.join(d, f"part-{uuid.uuid4().hex}{FILE_EXT}")
                 tmp = final + ".tmp"
                 fobj = open(tmp, "wb")
-                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec)
+                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
                 open_files[reldir] = (fobj, w, tmp, final)
             return open_files[reldir][1]
 
@@ -553,6 +564,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         self.schema = schema
         self.page_size = int(options.get("page_size", 8192))
         self.codec_name = options.get("compression", "zstd")
+        self.forbidden = _parse_forbidden(options)
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
@@ -569,7 +581,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         tmp = out + ".tmp"
         wrote = False
         with open(tmp, "wb") as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec)
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)

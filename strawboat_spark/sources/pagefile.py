@@ -254,15 +254,34 @@ class StrawboatWriter:
         schema: pa.Schema,
         page_size: int = DEFAULT_PAGE_SIZE,
         default_codec: Codec = Codec.ZSTD,
+        forbidden: frozenset = frozenset(),
     ):
+        # `forbidden` mirrors the reference WriteOptions
+        # forbidden_compressions (src/write/common.rs:37-45): codecs the
+        # adaptive chooser must not pick (the codec byte keeps files
+        # readable regardless — dropping a codec is a config choice,
+        # not a format break).
         self.sink = sink
-        self.schema = schema
+        # Dictionary-encoded inputs are decoded to their value type at
+        # the boundary (dictionary is an ENCODING here, chosen per-page
+        # by the adaptive chooser — not a logical type; the reference
+        # rejects Dictionary outright, serialize.rs:122-127).
+        self.schema = pa.schema(
+            [
+                f.with_type(f.type.value_type) if pa.types.is_dictionary(f.type) else f
+                for f in schema
+            ],
+            metadata=schema.metadata,
+        )
         self.page_size = page_size
         self.default_codec = default_codec
+        self.forbidden = frozenset(forbidden)
         self._table: pa.Table | None = None
         self._finished = False
 
     def write_table(self, table: pa.Table) -> None:
+        if any(pa.types.is_dictionary(f.type) for f in table.schema):
+            table = table.cast(self.schema)
         if self._table is not None:
             # Reference enforces one row group per file (writer.rs:108-112);
             # we accumulate instead so Spark partitions can feed batches.
@@ -271,7 +290,7 @@ class StrawboatWriter:
             self._table = table
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
-        self.write_table(pa.Table.from_batches([batch], schema=self.schema))
+        self.write_table(pa.Table.from_batches([batch]))
 
     def finish(self) -> FileMeta:
         if self._finished:
@@ -332,7 +351,7 @@ class StrawboatWriter:
         if kind == "list":
             offsets, child, valid = _list_parts(arr)
             page = bytearray(_pack_validity(valid))
-            page += compress_integer(offsets, self.default_codec)
+            page += compress_integer(offsets, self.default_codec, self.forbidden)
             streams[leaf_i] += page
             leaves[leaf_i].pages.append(
                 PageMeta(len(page), len(arr), arr.null_count)
@@ -341,7 +360,7 @@ class StrawboatWriter:
         elif kind == "map":
             offsets, keys, items, valid = _map_parts(arr)
             page = bytearray(_pack_validity(valid))
-            page += compress_integer(offsets, self.default_codec)
+            page += compress_integer(offsets, self.default_codec, self.forbidden)
             streams[leaf_i] += page
             leaves[leaf_i].pages.append(
                 PageMeta(len(page), len(arr), arr.null_count)
@@ -372,14 +391,14 @@ class StrawboatWriter:
         mn = mx = None
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
-            out += compress_boolean(vals, self.default_codec)
+            out += compress_boolean(vals, self.default_codec, self.forbidden)
         elif kind == "int":
             dtype = _numpy_dtype(arr.type)
             vals = _int_values(arr, dtype)
             if n - arr.null_count > 0:
                 nn = vals if valid is None else vals[valid]
                 mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
-            out += compress_integer(vals, self.default_codec)
+            out += compress_integer(vals, self.default_codec, self.forbidden)
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
             vals = np.asarray(arr.fill_null(0.0)).astype(dtype, copy=False)
@@ -387,13 +406,13 @@ class StrawboatWriter:
                 nn = vals if valid is None else vals[valid]
                 with np.errstate(invalid="ignore"):
                     mn, mx = _json_safe(np.nanmin(nn)), _json_safe(np.nanmax(nn))
-            out += compress_double(vals, self.default_codec)
+            out += compress_double(vals, self.default_codec, self.forbidden)
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
             if n - arr.null_count > 0:
                 mm = pa.compute.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
-            out += compress_binary(offsets, data, self.default_codec)
+            out += compress_binary(offsets, data, self.default_codec, self.forbidden)
         elif kind == "fixed":
             width = arr.type.byte_width
             buf = arr.buffers()[1]

@@ -298,3 +298,23 @@ def test_compact_small_files(registered, tmp_path):
     a = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
     b = src.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
     assert a == b
+
+
+def test_forbid_codecs_option(registered, tmp_path):
+    """forbid_codecs disables specific encodings without breaking the
+    format (reference WriteOptions.forbidden_compressions)."""
+    import glob
+
+    from strawboat_spark.sources.stat import stat_file
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    path = str(tmp_path / "li_forbid")
+    src.coalesce(1).write.format("strawboat").option(
+        "forbid_codecs", "dict,delta_bitpacking,bitpacking"
+    ).mode("overwrite").save(path)
+    f = glob.glob(f"{path}/*.strb")[0]
+    all_codecs = {c for s in stat_file(f) for c in s.codecs}
+    assert not any("DICT" in c or "BITPACKING" in c for c in all_codecs), all_codecs
+    back = spark.read.format("strawboat").load(path)
+    assert back.count() == src.count()
