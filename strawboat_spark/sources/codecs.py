@@ -248,10 +248,11 @@ def compress_integer(
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
     stats: PageStats | None = None,
+    ratio: float | None = None,
 ) -> bytes:
     """Encode one page of integers; returns header+payload bytes."""
     out = bytearray()
-    _compress_integer_into(out, values, default_codec, forbidden, stats)
+    _compress_integer_into(out, values, default_codec, forbidden, stats, ratio)
     return bytes(out)
 
 
@@ -295,13 +296,14 @@ def _compress_integer_into(
     default_codec: Codec,
     forbidden: frozenset[Codec],
     stats: PageStats | None = None,
+    ratio: float | None = None,
 ) -> None:
     values = np.ascontiguousarray(values)
     raw = values.tobytes()
     s = stats if stats is not None else collect_stats(values)
 
     choice = _choose(
-        _candidate_ratios_int(values, s), forbidden, raw, default_codec
+        _candidate_ratios_int(values, s), forbidden, raw, default_codec, ratio
     )
 
     if choice == Codec.ONE_VALUE:
@@ -316,7 +318,7 @@ def _compress_integer_into(
         body += struct.pack("<II", len(uniques), values.dtype.itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
         _compress_integer_into(
-            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}
+            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}, ratio=ratio
         )
         write_block(out, Codec.DICT, bytes(body), len(raw))
     elif choice == Codec.FREQ:
@@ -330,6 +332,7 @@ def _compress_integer_into(
             values[exc_pos].astype(np.int64),
             default_codec,
             forbidden | {Codec.FREQ},
+            ratio=ratio,
         )
         write_block(out, Codec.FREQ, bytes(body), len(raw))
     elif choice == Codec.BITPACKING:
@@ -412,8 +415,10 @@ def _choose(
     forbidden: frozenset[Codec],
     raw: bytes,
     default_codec: Codec,
-    threshold: float = DEFAULT_COMPRESS_RATIO,
+    threshold: float | None = None,
 ) -> Codec:
+    if threshold is None:
+        threshold = DEFAULT_COMPRESS_RATIO
     """Pick the best-estimated specialized codec above threshold, else
     the general codec (reference `choose_compressor` semantics)."""
     forced = [c for c in _forced() if c in est and c not in forbidden]
@@ -453,6 +458,7 @@ def compress_double(
     values: np.ndarray,
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
+    ratio: float | None = None,
 ) -> bytes:
     out = bytearray()
     values = np.ascontiguousarray(values)
@@ -497,7 +503,7 @@ def compress_double(
             patas_ratio = 1.0
         if patas_ratio >= DEFAULT_COMPRESS_RATIO:
             est[Codec.PATAS] = patas_ratio
-    choice = _choose(est, forbidden, raw, default_codec)
+    choice = _choose(est, forbidden, raw, default_codec, ratio)
 
     if choice == Codec.ONE_VALUE:
         payload = values[:1].tobytes() if len(values) else bytes(itemsize)
@@ -518,7 +524,7 @@ def compress_double(
         body = bytearray()
         body += np.array([top], dtype=bits.dtype).tobytes().ljust(8, b"\0")
         body += struct.pack("<I", len(exc_pos))
-        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ})
+        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ}, ratio=ratio)
         body += np.ascontiguousarray(values[exc_pos]).tobytes()
         write_block(out, Codec.FREQ, bytes(body), len(raw))
     elif choice == Codec.DICT:
@@ -528,7 +534,7 @@ def compress_double(
         body += struct.pack("<II", len(uniques), itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
         _compress_integer_into(
-            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}
+            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}, ratio=ratio
         )
         write_block(out, Codec.DICT, bytes(body), len(raw))
     else:
@@ -585,6 +591,7 @@ def compress_boolean(
     values: np.ndarray,  # bool array, one element per row
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
+    ratio: float | None = None,
 ) -> bytes:
     out = bytearray()
     values = np.ascontiguousarray(values, dtype=np.uint8)
@@ -595,7 +602,7 @@ def compress_boolean(
         est[Codec.ONE_VALUE] = (len(packed) or 1) / 1.0 * 8
     if s.count:
         est[Codec.RLE] = (len(packed) or 1) / float(4 + s.run_count * 5)
-    choice = _choose(est, forbidden, packed, default_codec)
+    choice = _choose(est, forbidden, packed, default_codec, ratio)
     if choice == Codec.ONE_VALUE:
         payload = struct.pack("<B", int(values[0]) if len(values) else 0)
         write_block(out, Codec.ONE_VALUE, payload, len(packed))
@@ -648,10 +655,11 @@ def compress_binary(
     data: bytes,
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
+    ratio: float | None = None,
 ) -> bytes:
     out = bytearray()
     # Block 1: offsets via the integer machinery (sorted → delta-bitpack).
-    _compress_integer_into(out, offsets.astype(np.int64), default_codec, forbidden)
+    _compress_integer_into(out, offsets.astype(np.int64), default_codec, forbidden, ratio=ratio)
     # Block 2: value bytes. Dict-style dedup happens naturally via zstd;
     # an explicit Dict codec for binary pays off on low-cardinality pages.
     n = len(offsets) - 1
@@ -695,7 +703,7 @@ def compress_binary(
                 est[Codec.FREQ] = (len(data) or 1) / float(
                     4 + top_len + 4 + n_exc * 13 + exc_bytes + 24
                 )
-    choice = _choose(est, forbidden, data, default_codec)
+    choice = _choose(est, forbidden, data, default_codec, ratio)
     if choice == Codec.ONE_VALUE and denc is not None:
         first = data[offsets[0] : offsets[1]] if n else b""
         payload = struct.pack("<I", len(first)) + first
@@ -710,7 +718,7 @@ def compress_binary(
         body += uniq_offsets.tobytes()
         body += ub[2].to_pybytes()[: uniq_offsets[-1]]
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        _compress_integer_into(body, codes, default_codec, forbidden | {Codec.DICT})
+        _compress_integer_into(body, codes, default_codec, forbidden | {Codec.DICT}, ratio=ratio)
         write_block(out, Codec.DICT, bytes(body), len(data))
     elif choice == Codec.FREQ and denc is not None:
         codes_np = denc.indices.to_numpy(zero_copy_only=False)
@@ -722,8 +730,8 @@ def compress_binary(
         body = bytearray()
         body += struct.pack("<I", len(top)) + top
         body += struct.pack("<I", len(exc_pos))
-        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ})
-        _compress_integer_into(body, exc_lens, default_codec, forbidden | {Codec.FREQ})
+        _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ}, ratio=ratio)
+        _compress_integer_into(body, exc_lens, default_codec, forbidden | {Codec.FREQ}, ratio=ratio)
         body += b"".join(
             data[offsets[i] : offsets[i + 1]] for i in exc_pos
         )

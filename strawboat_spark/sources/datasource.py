@@ -414,6 +414,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         self.page_size = int(options.get("page_size", 8192))
         self.codec_name = options.get("compression", "zstd")
         self.forbidden = _parse_forbidden(options)
+        self.compress_ratio = float(options["compress_ratio"]) if "compress_ratio" in options else None
         # Hive-style layout: partition columns become directories, not
         # stored pages (option because the Python DataSource API has no
         # partitionBy passthrough).
@@ -466,7 +467,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         tmp = out + ".tmp"
         n = 0
         with open(tmp, "wb") as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
@@ -502,7 +503,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 final = os.path.join(d, f"part-{uuid.uuid4().hex}{FILE_EXT}")
                 tmp = final + ".tmp"
                 fobj = open(tmp, "wb")
-                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
+                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
                 open_files[reldir] = (fobj, w, tmp, final)
             return open_files[reldir][1]
 
@@ -565,6 +566,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         self.page_size = int(options.get("page_size", 8192))
         self.codec_name = options.get("compression", "zstd")
         self.forbidden = _parse_forbidden(options)
+        self.compress_ratio = float(options["compress_ratio"]) if "compress_ratio" in options else None
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
@@ -581,7 +583,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         tmp = out + ".tmp"
         wrote = False
         with open(tmp, "wb") as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden)
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)

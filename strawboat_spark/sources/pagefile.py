@@ -255,6 +255,7 @@ class StrawboatWriter:
         page_size: int = DEFAULT_PAGE_SIZE,
         default_codec: Codec = Codec.ZSTD,
         forbidden: frozenset = frozenset(),
+        compress_ratio: float | None = None,
     ):
         # `forbidden` mirrors the reference WriteOptions
         # forbidden_compressions (src/write/common.rs:37-45): codecs the
@@ -276,6 +277,9 @@ class StrawboatWriter:
         self.page_size = page_size
         self.default_codec = default_codec
         self.forbidden = frozenset(forbidden)
+        # reference WriteOptions.default_compress_ratio: minimum
+        # estimated ratio a specialized codec needs to be considered.
+        self.compress_ratio = compress_ratio
         self._table: pa.Table | None = None
         self._finished = False
 
@@ -351,7 +355,7 @@ class StrawboatWriter:
         if kind == "list":
             offsets, child, valid = _list_parts(arr)
             page = bytearray(_pack_validity(valid))
-            page += compress_integer(offsets, self.default_codec, self.forbidden)
+            page += compress_integer(offsets, self.default_codec, self.forbidden, ratio=self.compress_ratio)
             streams[leaf_i] += page
             leaves[leaf_i].pages.append(
                 PageMeta(len(page), len(arr), arr.null_count)
@@ -360,7 +364,7 @@ class StrawboatWriter:
         elif kind == "map":
             offsets, keys, items, valid = _map_parts(arr)
             page = bytearray(_pack_validity(valid))
-            page += compress_integer(offsets, self.default_codec, self.forbidden)
+            page += compress_integer(offsets, self.default_codec, self.forbidden, ratio=self.compress_ratio)
             streams[leaf_i] += page
             leaves[leaf_i].pages.append(
                 PageMeta(len(page), len(arr), arr.null_count)
@@ -391,14 +395,14 @@ class StrawboatWriter:
         mn = mx = None
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
-            out += compress_boolean(vals, self.default_codec, self.forbidden)
+            out += compress_boolean(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "int":
             dtype = _numpy_dtype(arr.type)
             vals = _int_values(arr, dtype)
             if n - arr.null_count > 0:
                 nn = vals if valid is None else vals[valid]
                 mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
-            out += compress_integer(vals, self.default_codec, self.forbidden)
+            out += compress_integer(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
             vals = np.asarray(arr.fill_null(0.0)).astype(dtype, copy=False)
@@ -406,13 +410,13 @@ class StrawboatWriter:
                 nn = vals if valid is None else vals[valid]
                 with np.errstate(invalid="ignore"):
                     mn, mx = _json_safe(np.nanmin(nn)), _json_safe(np.nanmax(nn))
-            out += compress_double(vals, self.default_codec, self.forbidden)
+            out += compress_double(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
             if n - arr.null_count > 0:
                 mm = pa.compute.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
-            out += compress_binary(offsets, data, self.default_codec, self.forbidden)
+            out += compress_binary(offsets, data, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "fixed":
             width = arr.type.byte_width
             buf = arr.buffers()[1]

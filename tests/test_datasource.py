@@ -318,3 +318,24 @@ def test_forbid_codecs_option(registered, tmp_path):
     assert not any("DICT" in c or "BITPACKING" in c for c in all_codecs), all_codecs
     back = spark.read.format("strawboat").load(path)
     assert back.count() == src.count()
+
+
+def test_compress_ratio_option(registered, tmp_path):
+    """compress_ratio raises the bar for specialized codecs (reference
+    WriteOptions.default_compress_ratio): an absurd threshold forces
+    everything to the general codec."""
+    import glob
+
+    from strawboat_spark.sources.stat import stat_file
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    path = str(tmp_path / "li_ratio")
+    src.coalesce(1).write.format("strawboat").option("compress_ratio", "1e9").mode(
+        "overwrite"
+    ).save(path)
+    f = glob.glob(f"{path}/*.strb")[0]
+    all_codecs = {c for s in stat_file(f) for c in s.codecs}
+    specialized = {"DICT", "RLE", "FREQ", "BITPACKING", "DELTA_BITPACKING", "PATAS", "ONE_VALUE"}
+    assert not any(any(sp in c for sp in specialized) for c in all_codecs), all_codecs
+    assert spark.read.format("strawboat").load(path).count() == src.count()
