@@ -193,6 +193,29 @@ def _bits_needed(max_val: int) -> int:
 def _pack_bits(values: np.ndarray, width: int) -> bytes:
     """LSB-first bit-pack of non-negative int64 values at fixed width."""
     n = len(values)
+    if n == 0:
+        return b""
+    if width <= 57:
+        # Lane encode (mirror of _unpack_bits): 8 values span exactly
+        # `width` bytes; lane j ORs its shifted u64 little-endian bytes
+        # at a fixed offset — 8 vector ops, no (n, width) bit matrix.
+        # width<=56 so value<<shift(<=7) stays within 64 bits.
+        nb = n >> 3
+        out = bytearray()
+        if nb:
+            vals = values[: nb * 8].astype(np.uint64).reshape(nb, 8)
+            block = np.zeros((nb, width + 8), dtype=np.uint8)
+            for j in range(8):
+                b0, sh = (j * width) >> 3, np.uint64((j * width) & 7)
+                shifted = (vals[:, j] << sh).copy()
+                block[:, b0 : b0 + 8] |= shifted.view(np.uint8).reshape(nb, 8)
+            out += block[:, :width].tobytes()
+        tail = values[nb * 8 :]
+        if len(tail):
+            bit_idx = np.arange(width, dtype=np.uint64)
+            bits = ((tail.astype(np.uint64)[:, None] >> bit_idx) & 1).astype(np.uint8)
+            out += np.packbits(bits.reshape(len(tail) * width), bitorder="little").tobytes()
+        return bytes(out)
     bit_idx = np.arange(width, dtype=np.uint64)
     # (n, width) matrix of bits, flattened LSB-first, then packbits.
     bits = ((values.astype(np.uint64)[:, None] >> bit_idx) & 1).astype(np.uint8)
@@ -410,6 +433,17 @@ def _rle_decode(payload: bytes, dtype: np.dtype, n: int) -> np.ndarray:
     return np.repeat(run_vals, lengths.astype(np.int64))[:n]
 
 
+def _ratio_sample(raw: bytes) -> bytes:
+    """Spread sample for general-codec ratio estimation (reference
+    compress_sample_ratio: SAMPLE_COUNT runs of SAMPLE_SIZE rows —
+    compressing the WHOLE page to estimate its ratio defeats the
+    purpose of estimating)."""
+    if len(raw) <= 8192:
+        return raw
+    step = len(raw) // 8
+    return b"".join(raw[i * step : i * step + 1024] for i in range(8))
+
+
 def _choose(
     est: dict[Codec, float],
     forbidden: frozenset[Codec],
@@ -433,7 +467,7 @@ def _choose(
             # sampled general-codec ratio so zstd keeps winning on noise.
             if est[best] >= 50:
                 return best
-            sample = raw[:SAMPLE_BYTES]
+            sample = _ratio_sample(raw)
             try:
                 general_ratio = len(sample) / max(
                     1, len(_basic_compress(default_codec, sample))
