@@ -1000,3 +1000,29 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_statistics",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 3) AS sd_price,
+           ROUND(VAR_SAMP(o_totalprice) / 1e6, 3) AS var_price_m,
+           ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_pc,
+           ROUND(COVAR_SAMP(o_totalprice, o_custkey) / 1e6, 3) AS covar_m
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="statistical aggregates: stddev / variance / correlation / covariance",
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 3).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice") / 1e6, 3).alias("var_price_m"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pc"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey") / 1e6, 3).alias("covar_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
