@@ -597,3 +597,28 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "similarity_topk_vectorized",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT * FROM u WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(c.v, q.v), 6) AS score
+      FROM u c, q WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+    description="exact top-10 cosine neighbors, BLAS-scored via mapInPandas (Arrow batch matmul)",
+)
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.similarity import cosine_topk_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
