@@ -58,9 +58,77 @@ def _load_all_modules() -> None:
     )
 
 
+# The driver records a CORRECTNESS row for the first 50 entries of
+# queries() only. This explicit order front-loads (a) queries that had
+# no driver row in round 1 and (b) queries whose implementation changed
+# this round, so that across rounds every query gets the hard signal.
+# Names absent from the list keep registration order after it.
+_DRIVER_WINDOW_ORDER = [
+    # round-1 driver-unverified (registered after the 50-entry cutoff)
+    "q4_priority_late_ship",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_bands",
+    "agg_percentiles",
+    "agg_statistics",
+    "window_distribution_funcs",
+    "window_range_frame",
+    "join_salted_skew",
+    "scalar_math_funcs",
+    "scalar_json_extract",
+    "scalar_subquery",
+    "subquery_correlated_exists",
+    "scalar_higher_order_array",
+    "scalar_map_funcs",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_sliding_window",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_apply_in_pandas",
+    "udtf_explode_priorities",
+    # new / implementation-changed this round
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "strawboat_roundtrip_agg",
+    "strawboat_roundtrip_filter",
+    "strawboat_roundtrip_nested",
+    "strawboat_partitioned_scan",
+    "dedup_minhash_lsh",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    # high-value stable coverage
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "join_asof_clicks",
+    "join_range_band",
+    "join_semi",
+    "join_anti",
+    "window_rank_orders",
+    "window_running_total",
+    "agg_distinct",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "llm_corpus_pipeline",
+]
+
+
 def all_queries() -> dict[str, QueryDef]:
     _load_all_modules()
-    return dict(_REGISTRY)
+    rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_ORDER)}
+    tail = len(rank)
+    ordered = sorted(
+        _REGISTRY.items(),
+        key=lambda kv: (rank.get(kv[0], tail), list(_REGISTRY).index(kv[0])),
+    )
+    return dict(ordered)
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 import uuid
 from dataclasses import dataclass
 
@@ -56,6 +57,8 @@ from pyspark.sql.types import StructType
 FILE_EXT = ".strb"
 STRIPE_PAGES = 64  # pages per read partition (64 * 8192 rows ≈ 0.5M rows)
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_INT_LIT = re.compile(r"^-?\d+$")
+_DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
 def _list_files(path: str) -> list[str]:
@@ -87,17 +90,15 @@ def _infer_partition_fields(root: str, files: list[str]) -> list[tuple[str, str]
             cols.setdefault(k, []).append(v)
 
     def _type(vals: list[str | None]) -> str:
+        # Strict literal forms only: Python int()/float() accept values
+        # Spark's cast would not ('1_0' -> 10, 'inf'/'nan'), which would
+        # make the reattached constant diverge from the written string.
         non_null = [v for v in vals if v is not None]
-        try:
-            [int(v) for v in non_null]
+        if non_null and all(_INT_LIT.match(v) for v in non_null):
             return "bigint"
-        except ValueError:
-            pass
-        try:
-            [float(v) for v in non_null]
+        if non_null and all(_DEC_LIT.match(v) for v in non_null):
             return "double"
-        except ValueError:
-            return "string"
+        return "string"
 
     return [(k, _type(v)) for k, v in cols.items()]
 

@@ -55,10 +55,13 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
             .save(tmp)
         )
         new_files = sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}")))
-        for f in files:
-            os.remove(f)
+        # Move replacements in (unique uuid names) BEFORE deleting the
+        # originals: a crash or concurrent reader mid-swap sees a
+        # complete (at worst duplicated) set, never missing rows.
         for f in new_files:
             shutil.move(f, os.path.join(leaf, os.path.basename(f)))
+        for f in files:
+            os.remove(f)
         shutil.rmtree(tmp, ignore_errors=True)
         after += len(new_files)
     return {"before": before, "after": after}

@@ -408,8 +408,12 @@ class StrawboatWriter:
             vals = np.asarray(arr.fill_null(0.0)).astype(dtype, copy=False)
             if n - arr.null_count > 0:
                 nn = vals if valid is None else vals[valid]
-                with np.errstate(invalid="ignore"):
-                    mn, mx = _json_safe(np.nanmin(nn)), _json_safe(np.nanmax(nn))
+                # Spark orders NaN greater than every double, so a page
+                # whose only rows matching `x > c` are NaN must not be
+                # pruned; parquet-writer convention: no stats when the
+                # page contains NaN.
+                if not np.isnan(nn).any():
+                    mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
             out += compress_double(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "binary":
             offsets, data = _binary_parts(arr)

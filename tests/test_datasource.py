@@ -220,6 +220,63 @@ def test_sorted_layout_page_skipping(registered, tmp_path):
     assert got == want
 
 
+def test_nan_page_stats_absent(tmp_path):
+    """A float page containing NaN persists no min/max (parquet-writer
+    convention): Spark orders NaN above every double, so stats that
+    ignore NaN would let pruning drop NaN-only matches."""
+    import pyarrow as pa
+
+    from strawboat_spark.sources.pagefile import write_file
+
+    t = pa.table({"x": pa.array([1.0, 2.0, float("nan"), 3.0])})
+    meta = write_file(str(tmp_path / "f.strb"), t, page_size=4)
+    pg = meta.leaves[0].pages[0]
+    assert pg.min is None and pg.max is None
+
+    t2 = pa.table({"x": pa.array([1.0, 2.0, 3.0])})
+    meta2 = write_file(str(tmp_path / "g.strb"), t2, page_size=4)
+    pg2 = meta2.leaves[0].pages[0]
+    assert pg2.min == 1.0 and pg2.max == 3.0
+
+
+def test_nan_rows_survive_pushed_range_filter(registered, tmp_path):
+    """End-to-end: x > big over pages of small values + NaN must return
+    the NaN rows (Spark: NaN > any numeric) — page skipping must not
+    eliminate them."""
+    spark = registered
+    vals = [(v,) for v in [1.0, 2.0, float("nan"), 3.0] * 32]
+    df = spark.createDataFrame(vals, "x double")
+    path = str(tmp_path / "nanpages")
+    df.coalesce(1).write.format("strawboat").option("page_size", "16").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("strawboat").load(path)
+    got = back.filter(F.col("x") > 1e6).count()
+    want = df.filter(F.col("x") > 1e6).count()
+    assert want == 32
+    assert got == want
+
+
+def test_partition_type_inference_strict(registered, tmp_path):
+    """Partition values Python would parse as numbers but Spark would
+    not ('1_0', 'inf') must stay string-typed."""
+    from strawboat_spark.sources.datasource import _infer_partition_fields
+
+    assert _infer_partition_fields("/r", [])== []
+    cases = {
+        ("1", "42", "-7"): "bigint",
+        ("1.5", "-0.25", "2e3"): "double",
+        ("1_0", "2"): "string",
+        ("inf", "1.0"): "string",
+        ("nan", "3"): "string",
+        ("abc",): "string",
+    }
+    for vals, want in cases.items():
+        files = [f"/r/k={v}/f.strb" for v in vals]
+        got = dict(_infer_partition_fields("/r", files))["k"]
+        assert got == want, (vals, got, want)
+
+
 def test_append_schema_mismatch_rejected(registered, tmp_path):
     spark = registered
     src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")

@@ -18,16 +18,32 @@ def registry():
     return all_queries()
 
 
-def test_q3_broadcasts_dims(spark, registry):
-    r = audit(registry["q3_shipping_priority"].fn(spark, SF_CORRECT))
+def _n_broadcast_hints(df) -> int:
+    """Broadcast hints pinned in the logical plan (ResolvedHint nodes).
+    A hint OVERRIDES AQE's size-based choice, so one on a table that
+    grows with SF is a 100×-scale OOM wired into the query."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_q3_no_forced_fact_broadcast(spark, registry):
+    df = registry["q3_shipping_priority"].fn(spark, SF_CORRECT)
+    # orders/customer scale with SF: strategy must be AQE's, not pinned
+    assert _n_broadcast_hints(df) == 0
+    r = audit(df)
+    assert "l_shipdate" in " ".join(r.pushed_filters)
+
+
+def test_q5_broadcasts_only_bounded_dims(spark, registry):
+    df = registry["q5_local_supplier_volume"].fn(spark, SF_CORRECT)
+    # exactly nation + region are hinted (bounded at 25/5 rows at any SF)
+    assert _n_broadcast_hints(df) == 2
+    r = audit(df)
     assert r.n_broadcast_joins >= 2, r.text[:2000]
-    assert r.n_sortmerge_joins == 0
 
 
-def test_q5_all_dims_broadcast(spark, registry):
-    r = audit(registry["q5_local_supplier_volume"].fn(spark, SF_CORRECT))
-    assert r.n_broadcast_joins >= 4
-    assert r.n_sortmerge_joins == 0
+def test_q10_broadcasts_only_nation(spark, registry):
+    df = registry["q10_returned_items"].fn(spark, SF_CORRECT)
+    assert _n_broadcast_hints(df) == 1
 
 
 def test_q6_filters_pushed_to_scan(spark, registry):
