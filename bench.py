@@ -20,6 +20,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: scan-heavy agg, multi-join, window, as-of, dedup,
 # similarity, text — the operators whose plans matter at 100 TB.
+# The r1 set is kept intact for round-over-round comparability; r2
+# adds q18 (big-big sort-merge join) and the BLAS top-k variant.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +37,8 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_quality_scores",
     "strawboat_roundtrip_agg",
+    "q18_large_orders",
+    "similarity_topk_vectorized",
 ]
 
 

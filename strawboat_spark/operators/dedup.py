@@ -71,21 +71,11 @@ def minhash_signatures(
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    n_bands: int = 8,
-) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band.
-
-    Docs whose signature agrees on all rows of one band hash to the
-    same (band, band_hash) bucket; the pair join happens per-bucket,
-    never all-pairs. Output: (id_a, id_b) distinct, id_a < id_b.
-    """
-    n_hashes = None  # derived from array size at runtime
+def _banded(signatures: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band, bucket) rows: one (band, band_hash) key per band."""
     sig = signatures.select(F.col(id_col), F.col("sig"))
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.transform(
@@ -106,8 +96,64 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Audit companion to lsh_candidate_pairs: per-bucket membership
+    counts with the overflow that the cap will drop. Run (or sink) this
+    alongside a capped dedup so truncation is observed, never silent.
+    Output: (band, bucket, n_members, capped, n_dropped)."""
+    return (
+        _banded(signatures, id_col, n_bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "band",
+            "bucket",
+            "n_members",
+            (F.col("n_members") > max_bucket_size).alias("capped"),
+            F.greatest(F.lit(0), F.col("n_members") - max_bucket_size).alias("n_dropped"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Docs whose signature agrees on all rows of one band hash to the
+    same (band, band_hash) bucket; the pair join happens per-bucket,
+    never all-pairs. Output: (id_a, id_b) distinct, id_a < id_b.
+
+    Degenerate buckets (mass-duplicated boilerplate — a real LLM-corpus
+    phenomenon) would make the within-bucket self-join quadratic, so
+    membership is capped at max_bucket_size per (band, bucket): the cap
+    keeps the smallest ids (deterministic), the within-bucket work is
+    bounded at cap², and lsh_bucket_stats reports exactly what was
+    dropped. Mass-identical documents are unaffected in practice —
+    they are removed by exact_dedup (same fingerprint) before near-dup
+    LSH runs.
+    """
+    from pyspark.sql import Window
+
+    banded = _banded(signatures, id_col, n_bands)
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    capped = (
+        banded.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket_size)
+        .drop("__rk")
+    )
+
+    left = capped.alias("l")
+    right = capped.alias("r")
     return (
         left.join(
             right,

@@ -111,6 +111,24 @@ def _bucket_keys_udf(planes_stack: list, n_planes: int):
     return keys
 
 
+def _multiprobe_keys(keys: list[int] | np.ndarray, n_planes: int, radius: int) -> np.ndarray:
+    """All bucket ids within Hamming distance `radius` of each table's
+    key (standard multi-probe LSH: a near neighbor that disagrees on a
+    plane or two lands one bit away, so probing the Hamming ball
+    recovers it without more tables)."""
+    from itertools import combinations
+
+    flips = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+    k = np.asarray(keys, dtype=np.int64)[:, None]
+    return (k ^ np.asarray(flips, dtype=np.int64)[None, :]).reshape(len(keys), -1)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,12 +139,16 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    multiprobe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: candidates from any of n_tables independent
     sign-bit buckets, exact cosine rerank within candidates.
 
-    Recall grows with n_tables; cost is |matching buckets| instead of
-    |corpus| per query. Output schema matches cosine_topk.
+    Recall grows with n_tables and multiprobe_radius (query-side
+    Hamming-ball probing — the corpus is indexed ONCE per table; only
+    the small broadcast query side fans out to the probe buckets).
+    Cost per query is |probed buckets|, not |corpus|. Output schema
+    matches cosine_topk.
     """
     c = with_unit_vector(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
@@ -138,7 +160,16 @@ def lsh_cosine_topk(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)], n_planes
     )
     ck = c.select("neighbor_id", "cv", F.posexplode(keys("cv")).alias("tbl", "bucket"))
-    qk = q.select("query_id", "qv", F.posexplode(keys("qv")).alias("tbl", "bucket"))
+
+    @F.pandas_udf("array<bigint>")
+    def probe_ball(key: pd.Series) -> pd.Series:
+        ball = _multiprobe_keys(key.to_numpy(), n_planes, multiprobe_radius)
+        return pd.Series(list(ball))
+
+    qk = (
+        q.select("query_id", "qv", F.posexplode(keys("qv")).alias("tbl", "bucket0"))
+        .select("query_id", "qv", "tbl", F.explode(probe_ball("bucket0")).alias("bucket"))
+    )
     cands = (
         ck.join(broadcast(qk), ["tbl", "bucket"])
         .select("query_id", "neighbor_id", "cv", "qv")

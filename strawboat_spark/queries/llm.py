@@ -188,12 +188,18 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_lsh_ann",
     oracle=None,  # approximate by design
-    description="LSH-bucketed ANN (4 tables x 8 hyperplanes) + exact rerank",
+    description="multi-probe LSH ANN (4 tables x 8 planes, Hamming-ball r=3) + exact rerank",
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+        e,
+        e.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+        dim=64,
+        multiprobe_radius=3,
     )
 
 
@@ -206,8 +212,65 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strawboat_spark.operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
+    # nprobe 10/16: the synthetic embeddings are near-random (top-10
+    # neighbor cosine ~0.3), which is the worst case for cell pruning —
+    # real clustered corpora reach the same recall at far lower nprobe.
     return ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=10
+    )
+
+
+def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
+    """recall@10 of an ANN operator vs the exact top-k, computed
+    entirely in-Spark (left-semi join on the two result sets) and
+    gated at >= 0.8 — turning an un-oracle-able approximate operator
+    into a hard driver-checkable pass/fail row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_fn(e, q).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("recall")
+    ).select(
+        F.lit(metric).alias("metric"),
+        (F.col("recall") >= 0.8).alias("recall_ge_080"),
+    )
+
+
+@query(
+    "similarity_lsh_recall",
+    oracle="SELECT 'lsh_recall_at_10' AS metric, true AS recall_ge_080",
+    description="recall@10 gate for multi-probe LSH ANN vs exact top-k (>= 0.8)",
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, q: lsh_cosine_topk(
+            e, q, "vec_id", "embedding", k=10, dim=64, multiprobe_radius=3
+        ),
+        "lsh_recall_at_10",
+    )
+
+
+@query(
+    "similarity_ivf_recall",
+    oracle="SELECT 'ivf_recall_at_10' AS metric, true AS recall_ge_080",
+    description="recall@10 gate for IVF ANN vs exact top-k (>= 0.8)",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.similarity import ivf_cosine_topk
+
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, q: ivf_cosine_topk(
+            e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=10
+        ),
+        "ivf_recall_at_10",
     )
 
 

@@ -207,7 +207,7 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
             block = np.zeros((nb, width + 8), dtype=np.uint8)
             for j in range(8):
                 b0, sh = (j * width) >> 3, np.uint64((j * width) & 7)
-                shifted = (vals[:, j] << sh).copy()
+                shifted = vals[:, j] << sh  # ufunc output is contiguous
                 block[:, b0 : b0 + 8] |= shifted.view(np.uint8).reshape(nb, 8)
             out += block[:, :width].tobytes()
         tail = values[nb * 8 :]
@@ -220,6 +220,61 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
     # (n, width) matrix of bits, flattened LSB-first, then packbits.
     bits = ((values.astype(np.uint64)[:, None] >> bit_idx) & 1).astype(np.uint8)
     return np.packbits(bits.reshape(n * width), bitorder="little").tobytes()
+
+
+def _block_widths(values: np.ndarray) -> np.ndarray:
+    """Per-128-value-block bit widths (reference BitPacker4x semantics,
+    src/compression/integer/bp.rs:36-101): one outlier no longer
+    inflates the whole page."""
+    n = len(values)
+    nb = (n + 127) >> 7
+    padded = (
+        values
+        if n == nb * 128
+        else np.concatenate([values, np.zeros(nb * 128 - n, dtype=values.dtype)])
+    )
+    maxes = padded.reshape(nb, 128).max(axis=1)
+    return np.array(
+        [max(1, int(m).bit_length()) for m in maxes.tolist()], dtype=np.uint8
+    )
+
+
+def _pack_bits_blocked(values: np.ndarray, widths: np.ndarray) -> bytes:
+    """u32 n_blocks | u8 widths[n_blocks] | packed runs. Blocks sharing
+    a width are packed in one vector call (runs, not per-block loops)."""
+    n = len(values)
+    nb = len(widths)
+    out = bytearray(struct.pack("<I", nb))
+    out += widths.tobytes()
+    b = 0
+    while b < nb:
+        e = b + 1
+        while e < nb and widths[e] == widths[b]:
+            e += 1
+        lo, hi = b * 128, min(e * 128, n)
+        out += _pack_bits(values[lo:hi], int(widths[b]))
+        b = e
+    return bytes(out)
+
+
+def _unpack_bits_blocked(payload: memoryview, n: int) -> np.ndarray:
+    (nb,) = struct.unpack_from("<I", payload, 0)
+    widths = np.frombuffer(payload, dtype=np.uint8, count=nb, offset=4)
+    out = np.empty(n, dtype=np.int64)
+    pos = 4 + nb
+    b = 0
+    while b < nb:
+        e = b + 1
+        while e < nb and widths[e] == widths[b]:
+            e += 1
+        lo, hi = b * 128, min(e * 128, n)
+        cnt = hi - lo
+        w = int(widths[b])
+        nbytes = (cnt * w + 7) >> 3
+        out[lo:hi] = _unpack_bits(bytes(payload[pos : pos + nbytes]), cnt, w)
+        pos += nbytes
+        b = e
+    return out
 
 
 def _unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
@@ -305,12 +360,69 @@ def _candidate_ratios_int(values: np.ndarray, s: PageStats) -> dict[Codec, float
             est[Codec.FREQ] = raw / float(itemsize + 8 + n_exc * (4 + itemsize) + 16)
         if int(s.min_val) >= 0 and int(s.max_val) <= (1 << 62):
             width = _bits_needed(int(s.max_val))
-            est[Codec.BITPACKING] = raw / float(2 + s.count * width / 8)
+            size = 2.0 + s.count * width / 8
+            if width > 12 and s.count > 256:
+                # wide page max may be one outlier — per-block widths
+                # (reference BitPacker4x) recover the tight encoding
+                widths = _block_widths(values.astype(np.int64))
+                blocked = 7 + len(widths) + int(widths.astype(np.int64).sum()) * 16
+                size = min(size, float(blocked))
+            est[Codec.BITPACKING] = raw / size
         if s.is_sorted and s.count > 1 and int(s.min_val) >= 0 and fits_i64:
             deltas_max = int(np.diff(values).max()) if s.count > 1 else 0
             width = _bits_needed(max(deltas_max, 1))
             est[Codec.DELTA_BITPACKING] = raw / float(10 + s.count * width / 8)
     return est
+
+
+def _compress_codes_into(
+    out: bytearray, codes: np.ndarray, n_uniq: int, forbidden: frozenset[Codec] = frozenset()
+) -> None:
+    """Fast path for dictionary index streams: bounded non-negative
+    ints whose max is known. Picks RLE vs Bitpacking by EXACT payload
+    size — no stats pass, no sampled trial compression (those cost
+    more than encoding the codes themselves). The page stays readable
+    by the normal integer decoder; only the writer-side search is
+    short-circuited (the reference also restricts recursive codec
+    choice — integer/dict.rs:59-62)."""
+    n = len(codes)
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    width = _bits_needed(max(n_uniq - 1, 1))
+    changes = (int(np.count_nonzero(codes[1:] != codes[:-1])) + 1) if n > 1 else n
+    rle_size = 4 + changes * 12
+    bp_size = 2 + (n * width + 7) // 8
+    if rle_size < bp_size and Codec.RLE not in forbidden:
+        write_block(out, Codec.RLE, _rle_encode(codes), codes.nbytes)
+    elif Codec.BITPACKING not in forbidden:
+        payload = struct.pack("<BB", width, 0) + _pack_bits(codes, width)
+        write_block(out, Codec.BITPACKING, payload, codes.nbytes)
+    else:
+        _compress_integer_into(out, codes, Codec.ZSTD, forbidden | {Codec.DICT})
+
+
+def _compress_offsets_into(
+    out: bytearray,
+    offsets: np.ndarray,
+    default_codec: Codec = Codec.ZSTD,
+    threshold: float | None = None,
+) -> None:
+    """Fast path for binary/list offset streams: monotone non-negative
+    by construction, so delta-bitpack is (near-)optimal — skip the
+    stats pass and trial compression. Readable by the normal integer
+    decoder. The WriteOptions compress_ratio threshold still applies
+    (an absurd threshold must force the general codec)."""
+    v64 = np.ascontiguousarray(offsets, dtype=np.int64)
+    deltas = np.diff(v64)
+    width = _bits_needed(int(deltas.max()) if len(deltas) else 1)
+    est = v64.nbytes / (9.0 + len(deltas) * width / 8)
+    if est < (DEFAULT_COMPRESS_RATIO if threshold is None else threshold):
+        raw = v64.tobytes()
+        write_block(out, default_codec, _basic_compress(default_codec, raw), len(raw))
+        return
+    payload = struct.pack("<qB", int(v64[0]) if len(v64) else 0, width) + _pack_bits(
+        deltas, width
+    )
+    write_block(out, Codec.DELTA_BITPACKING, payload, v64.nbytes)
 
 
 def _compress_integer_into(
@@ -340,9 +452,7 @@ def _compress_integer_into(
         body = bytearray()
         body += struct.pack("<II", len(uniques), values.dtype.itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
-        _compress_integer_into(
-            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}, ratio=ratio
-        )
+        _compress_codes_into(body, codes, len(uniques), forbidden)
         write_block(out, Codec.DICT, bytes(body), len(raw))
     elif choice == Codec.FREQ:
         top = values.dtype.type(s.top_val)
@@ -359,18 +469,35 @@ def _compress_integer_into(
         )
         write_block(out, Codec.FREQ, bytes(body), len(raw))
     elif choice == Codec.BITPACKING:
+        v64 = values.astype(np.int64)
         width = _bits_needed(int(s.max_val)) if len(values) else 1
-        payload = struct.pack("<BB", width, 0) + _pack_bits(
-            values.astype(np.int64), width
-        )
+        single = 2 + (len(v64) * width + 7) // 8
+        payload = None
+        if width > 1 and len(v64) > 256:
+            widths = _block_widths(v64)
+            blocked = 7 + len(widths) + int(widths.astype(np.int64).sum()) * 16
+            if blocked + 64 < single:
+                # width byte 0 marks the per-block-widths layout
+                payload = struct.pack("<BB", 0, 0) + _pack_bits_blocked(v64, widths)
+        if payload is None:
+            payload = struct.pack("<BB", width, 0) + _pack_bits(v64, width)
         write_block(out, Codec.BITPACKING, payload, len(raw))
     elif choice == Codec.DELTA_BITPACKING:
         v64 = values.astype(np.int64)
         deltas = np.diff(v64)
         width = _bits_needed(int(deltas.max()) if len(deltas) else 1)
-        payload = struct.pack("<qB", int(v64[0]) if len(v64) else 0, width) + _pack_bits(
-            deltas, width
-        )
+        first = int(v64[0]) if len(v64) else 0
+        single = 9 + (len(deltas) * width + 7) // 8
+        payload = None
+        if width > 1 and len(deltas) > 256:
+            widths = _block_widths(deltas)
+            blocked = 14 + len(widths) + int(widths.astype(np.int64).sum()) * 16
+            if blocked + 64 < single:
+                payload = struct.pack("<qB", first, 0) + _pack_bits_blocked(
+                    deltas, widths
+                )
+        if payload is None:
+            payload = struct.pack("<qB", first, width) + _pack_bits(deltas, width)
         write_block(out, Codec.DELTA_BITPACKING, payload, len(raw))
     else:
         write_block(out, choice, _basic_compress(choice, raw), len(raw))
@@ -401,10 +528,15 @@ def decompress_integer(buf: memoryview, pos: int, n: int, dtype: np.dtype) -> tu
         return outv, nxt
     if codec == Codec.BITPACKING:
         width, _ = struct.unpack_from("<BB", payload, 0)
+        if width == 0:  # per-block widths layout
+            return _unpack_bits_blocked(payload[2:], n).astype(dtype), nxt
         return _unpack_bits(bytes(payload[2:]), n, width).astype(dtype), nxt
     if codec == Codec.DELTA_BITPACKING:
         first, width = struct.unpack_from("<qB", payload, 0)
-        deltas = _unpack_bits(bytes(payload[9:]), max(n - 1, 0), width)
+        if width == 0:  # per-block widths layout
+            deltas = _unpack_bits_blocked(payload[9:], max(n - 1, 0))
+        else:
+            deltas = _unpack_bits(bytes(payload[9:]), max(n - 1, 0), width)
         outv = np.empty(n, dtype=np.int64)
         if n:
             outv[0] = first
@@ -567,9 +699,7 @@ def compress_double(
         body = bytearray()
         body += struct.pack("<II", len(uniques), itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
-        _compress_integer_into(
-            body, codes.astype(np.int64), default_codec, forbidden | {Codec.DICT}, ratio=ratio
-        )
+        _compress_codes_into(body, codes, len(uniques), forbidden)
         write_block(out, Codec.DICT, bytes(body), len(raw))
     else:
         write_block(out, choice, _basic_compress(choice, raw), len(raw))
@@ -692,20 +822,23 @@ def compress_binary(
     ratio: float | None = None,
 ) -> bytes:
     out = bytearray()
-    # Block 1: offsets via the integer machinery (sorted → delta-bitpack).
-    _compress_integer_into(out, offsets.astype(np.int64), default_codec, forbidden, ratio=ratio)
+    # Block 1: offsets — monotone by construction, direct delta-bitpack.
+    if Codec.DELTA_BITPACKING not in forbidden:
+        _compress_offsets_into(out, offsets, default_codec, ratio)
+    else:
+        _compress_integer_into(out, offsets.astype(np.int64), default_codec, forbidden, ratio=ratio)
     # Block 2: value bytes. Dict-style dedup happens naturally via zstd;
     # an explicit Dict codec for binary pays off on low-cardinality pages.
     n = len(offsets) - 1
     est: dict[Codec, float] = {}
     denc = None  # arrow DictionaryArray when the page looks low-card
     if n > 0 and len(data) > 0:
-        # Two-stage uniqueness probe: a 512-value sample set first (a
+        # Two-stage uniqueness probe: a 256-value sample set first (a
         # python set over byte slices — microseconds), and only when the
         # sample looks low-cardinality pay for the full
         # dictionary_encode, which the Dict encoding needs anyway.
         # Everything heavy runs in Arrow C++ — no per-row Python.
-        sample_n = min(n, 512)
+        sample_n = min(n, 256)
         sample = {bytes(data[offsets[i] : offsets[i + 1]]) for i in range(sample_n)}
         if len(sample) * 3 < max(sample_n, 3):
             arr = pa.LargeBinaryArray.from_buffers(
@@ -752,7 +885,7 @@ def compress_binary(
         body += uniq_offsets.tobytes()
         body += ub[2].to_pybytes()[: uniq_offsets[-1]]
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        _compress_integer_into(body, codes, default_codec, forbidden | {Codec.DICT}, ratio=ratio)
+        _compress_codes_into(body, codes, n_uniq, forbidden)
         write_block(out, Codec.DICT, bytes(body), len(data))
     elif choice == Codec.FREQ and denc is not None:
         codes_np = denc.indices.to_numpy(zero_copy_only=False)

@@ -27,7 +27,6 @@ read (§3.4) of ONE file.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import re
 import uuid
@@ -54,6 +53,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
+
 FILE_EXT = ".strb"
 STRIPE_PAGES = 64  # pages per read partition (64 * 8192 rows ≈ 0.5M rows)
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -62,8 +63,9 @@ _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
 def _list_files(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(_glob.glob(os.path.join(path, "**", f"*{FILE_EXT}"), recursive=True))
+    fs = get_fs(path)
+    if fs.isdir(path):
+        return fs.list_files(path, FILE_EXT)
     return [path]
 
 
@@ -72,7 +74,10 @@ def _partition_values(file: str, root: str) -> dict[str, str | None]:
     import urllib.parse
 
     vals: dict[str, str | None] = {}
-    rel = os.path.relpath(os.path.dirname(os.path.abspath(file)), os.path.abspath(root))
+    f_p, r_p = backend_path(file), backend_path(root)
+    if not split_scheme(file)[0]:
+        f_p, r_p = os.path.abspath(f_p), os.path.abspath(r_p)
+    rel = os.path.relpath(os.path.dirname(f_p), r_p)
     for seg in rel.split(os.sep):
         if "=" in seg:
             k, v = seg.split("=", 1)
@@ -156,7 +161,7 @@ class StrawboatDataSource(DataSource):
         files = _list_files(path)
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
-        with open(files[0], "rb") as f:
+        with get_fs(files[0]).open_read(files[0]) as f:
             arrow_schema, _ = read_footer(f)
         # tz-less arrow timestamps -> TimestampNTZ (what Spark's parquet
         # reader infers); tz-aware ones still map to TimestampType.
@@ -226,7 +231,7 @@ class StrawboatReaderImpl(DataSourceReader):
                 survivors.append((file, pvals))
 
         def _pages(file: str) -> int:
-            with open(file, "rb") as f:
+            with get_fs(file).open_read(file) as f:
                 _, meta = read_footer(f)
             return len(meta.leaves[0].pages) if meta.leaves else 0
 
@@ -252,7 +257,7 @@ class StrawboatReaderImpl(DataSourceReader):
 
         want = to_arrow_schema(self.schema)
         pvals = dict(partition.part_values)
-        with open(partition.file, "rb") as f:
+        with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f)
             keep = self._page_mask(reader.meta, partition)
             if not any(keep):
@@ -379,7 +384,12 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"seen": sorted(os.path.relpath(f, self.path) for f in _list_files(self.path))}
+        root = backend_path(self.path)
+        return {
+            "seen": sorted(
+                os.path.relpath(backend_path(f), root) for f in _list_files(self.path)
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
@@ -391,7 +401,7 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
         from strawboat_spark.sources.pagefile import StrawboatReader
 
         want = to_arrow_schema(self.schema)
-        with open(partition.file, "rb") as f:
+        with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f)
             for batch in reader.iter_batches(columns=list(want.names)):
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
@@ -424,21 +434,23 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if c not in schema.fieldNames():
                 raise ValueError(f"strawboat: partition_by column {c!r} not in schema")
         # Runs on the driver: prepare the output directory.
-        os.makedirs(self.path, exist_ok=True)
+        fs = get_fs(self.path)
+        fs.makedirs(self.path)
         if overwrite:
-            for f in _list_files(self.path):
-                os.remove(f)
+            if fs.isdir(self.path):
+                for f in _list_files(self.path):
+                    fs.remove(f)
         else:
             # Append: the directory's footer schema is the contract —
             # a second schema would silently corrupt later reads (the
             # reader takes the first file's footer as truth).
-            existing = _list_files(self.path)
+            existing = _list_files(self.path) if fs.isdir(self.path) else []
             if existing:
                 from pyspark.sql.pandas.types import from_arrow_schema
 
                 from strawboat_spark.sources.pagefile import read_footer
 
-                with open(existing[0], "rb") as f:
+                with get_fs(existing[0]).open_read(existing[0]) as f:
                     have, _ = read_footer(f)
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
                 incoming = StructType(
@@ -465,17 +477,13 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         if self.partition_by:
             return self._write_partitioned(iterator, arrow_schema, codec)
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}{FILE_EXT}")
-        tmp = out + ".tmp"
-        n = 0
-        with open(tmp, "wb") as f:
+        with get_fs(out).create(out) as f:
             w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
                 w.write_batch(batch)
-                n += batch.num_rows
             w.finish()
-        os.rename(tmp, out)
         return _Commit(files=[out])
 
     def _write_partitioned(self, iterator, arrow_schema: pa.Schema, codec):
@@ -495,17 +503,17 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
 
         part_cols = self.partition_by
         stored = pa.schema([f for f in arrow_schema if f.name not in part_cols])
-        open_files: dict[str, tuple] = {}  # reldir -> (fobj, writer, tmp, final)
+        open_files: dict[str, tuple] = {}  # reldir -> (handle, writer, final)
 
         def _writer_for(reldir: str):
             if reldir not in open_files:
                 d = os.path.join(self.path, reldir)
-                os.makedirs(d, exist_ok=True)
+                fs = get_fs(d)
+                fs.makedirs(d)
                 final = os.path.join(d, f"part-{uuid.uuid4().hex}{FILE_EXT}")
-                tmp = final + ".tmp"
-                fobj = open(tmp, "wb")
-                w = StrawboatWriter(fobj, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
-                open_files[reldir] = (fobj, w, tmp, final)
+                h = fs.create(final)
+                w = StrawboatWriter(h, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
+                open_files[reldir] = (h, w, final)
             return open_files[reldir][1]
 
         for batch in iterator:
@@ -533,10 +541,9 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 for b in sub.to_batches():
                     w.write_batch(b)
         files = []
-        for fobj, w, tmp, final in open_files.values():
+        for h, w, final in open_files.values():
             w.finish()
-            fobj.close()
-            os.rename(tmp, final)
+            h.close()
             files.append(final)
         return _Commit(files=files)
 
@@ -548,8 +555,8 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if m is not None:
                 for f in m.files:
                     try:
-                        os.remove(f)
-                    except OSError:
+                        get_fs(f).remove(f)
+                    except (OSError, KeyError):
                         pass
 
 
@@ -568,7 +575,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         self.codec_name = options.get("compression", "zstd")
         self.forbidden = _parse_forbidden(options)
         self.compress_ratio = float(options["compress_ratio"]) if "compress_ratio" in options else None
-        os.makedirs(self.path, exist_ok=True)
+        get_fs(self.path).makedirs(self.path)
 
     def write(self, iterator):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -581,20 +588,23 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         ]
         arrow_schema = to_arrow_schema(self.schema)
         out = os.path.join(self.path, f"stream-{uuid.uuid4().hex}{FILE_EXT}")
-        tmp = out + ".tmp"
         wrote = False
-        with open(tmp, "wb") as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
+        h = get_fs(out).create(out)
+        w = StrawboatWriter(h, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
+        try:
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
                 w.write_batch(batch)
                 wrote = True
             w.finish()
+        except BaseException:
+            h.abort()
+            raise
         if wrote:
-            os.rename(tmp, out)
+            h.close()
             return _Commit(files=[out])
-        os.remove(tmp)
+        h.abort()
         return _Commit(files=[])
 
     def commit(self, messages, batchId=None):  # noqa: N803
@@ -605,8 +615,8 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
             if m is not None:
                 for f in m.files:
                     try:
-                        os.remove(f)
-                    except OSError:
+                        get_fs(f).remove(f)
+                    except (OSError, KeyError):
                         pass
 
 

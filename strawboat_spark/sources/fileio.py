@@ -1,0 +1,239 @@
+"""Filesystem seam for the format layer.
+
+Every byte of strawboat IO goes through this module, so an object
+store plugs in without touching the page reader/writer — the
+reference's generic `Read + Seek` boundary
+(`/root/reference/src/read/reader.rs:168-225`) re-expressed as a
+scheme registry:
+
+- no scheme / ``file://`` → local filesystem (tmp-file + rename gives
+  atomic visibility);
+- ``memory://``           → in-process store with object-store
+  semantics (whole-object PUT on close, ranged GET via seek/read) —
+  used by tests and as the template for real object-store backends;
+- any other scheme        → delegated to ``fsspec`` when importable
+  (s3://, gs://, abfs://, ...), else a clear error.
+
+Write handles publish atomically on ``close()`` and support
+``abort()``; readers are plain seekable binary files. Paths keep
+their scheme end-to-end (list_files returns full URLs) so the
+datasource never needs to know which backend it is on.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import os
+import re
+import threading
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(.*)$")
+
+
+def split_scheme(path: str) -> tuple[str, str]:
+    m = _SCHEME_RE.match(path)
+    if m:
+        return m.group(1), m.group(2)
+    return "", path
+
+
+def backend_path(path: str) -> str:
+    """Path as the backend sees it, scheme stripped — use for relpath
+    math across roots and files that may or may not carry a scheme."""
+    scheme, rest = split_scheme(path)
+    if scheme == "file" and not rest.startswith("/"):
+        rest = "/" + rest
+    return rest if scheme else path
+
+
+class _AtomicLocalFile:
+    """Write to `.tmp`, rename into place on close — readers never see
+    a partial file (same contract an object store gives via PUT)."""
+
+    def __init__(self, final: str):
+        self.final = final
+        self.tmp = final + ".tmp"
+        self._f = open(self.tmp, "wb")
+
+    def write(self, b) -> int:
+        return self._f.write(b)
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+            os.rename(self.tmp, self.final)
+
+    def abort(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+        try:
+            os.unlink(self.tmp)
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *_):
+        self.abort() if exc_type else self.close()
+
+
+class LocalFileSystem:
+    def _p(self, path: str) -> str:
+        return backend_path(path)
+
+    def open_read(self, path: str):
+        return open(self._p(path), "rb")
+
+    def create(self, path: str) -> _AtomicLocalFile:
+        return _AtomicLocalFile(self._p(path))
+
+    def list_files(self, path: str, suffix: str) -> list[str]:
+        p = self._p(path)
+        return sorted(_glob.glob(os.path.join(p, "**", f"*{suffix}"), recursive=True))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(self._p(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+
+class _MemoryWriteHandle(io.BytesIO):
+    def __init__(self, store: dict, key: str, lock: threading.Lock):
+        super().__init__()
+        self._store, self._key, self._lock = store, key, lock
+        self._published = False
+
+    def close(self) -> None:
+        if not self.closed and not self._published:
+            with self._lock:
+                self._store[self._key] = self.getvalue()
+            self._published = True
+        super().close()
+
+    def abort(self) -> None:
+        self._published = True  # discard without publishing
+        super().close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *_):
+        self.abort() if exc_type else self.close()
+
+
+class MemoryFileSystem:
+    """Flat key→bytes store. No directories: `isdir` means "some key
+    lives under this prefix" — exactly an object-store listing."""
+
+    def __init__(self):
+        self._store: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def _key(self, path: str) -> str:
+        return split_scheme(path)[1].rstrip("/")
+
+    def open_read(self, path: str):
+        with self._lock:
+            data = self._store[self._key(path)]
+        return io.BytesIO(data)
+
+    def create(self, path: str) -> _MemoryWriteHandle:
+        return _MemoryWriteHandle(self._store, self._key(path), self._lock)
+
+    def list_files(self, path: str, suffix: str) -> list[str]:
+        prefix = self._key(path) + "/"
+        with self._lock:
+            keys = [k for k in self._store if k.startswith(prefix) and k.endswith(suffix)]
+        return sorted(f"memory://{k}" for k in keys)
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path) + "/"
+        with self._lock:
+            return any(k.startswith(prefix) for k in self._store)
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        with self._lock:
+            return key in self._store or any(k.startswith(key + "/") for k in self._store)
+
+    def remove(self, path: str) -> None:
+        with self._lock:
+            del self._store[self._key(path)]
+
+    def makedirs(self, path: str) -> None:
+        return None  # object stores have no directories
+
+    def clear(self) -> None:
+        with self._lock:
+            self._store.clear()
+
+
+class _FsspecFileSystem:
+    """Adapter over an fsspec filesystem for any other scheme."""
+
+    def __init__(self, scheme: str):
+        import fsspec
+
+        self._fs = fsspec.filesystem(scheme)
+        self._scheme = scheme
+
+    def open_read(self, path: str):
+        return self._fs.open(path, "rb")
+
+    def create(self, path: str):
+        f = self._fs.open(path, "wb")
+        f.abort = getattr(f, "abort", f.close)  # best-effort
+        return f
+
+    def list_files(self, path: str, suffix: str) -> list[str]:
+        _, rest = split_scheme(path)
+        return sorted(
+            f"{self._scheme}://{p}"
+            for p in self._fs.glob(f"{rest}/**/*{suffix}")
+        )
+
+    def isdir(self, path: str) -> bool:
+        return self._fs.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(path)
+
+    def remove(self, path: str) -> None:
+        self._fs.rm(path)
+
+    def makedirs(self, path: str) -> None:
+        self._fs.makedirs(path, exist_ok=True)
+
+
+_LOCAL = LocalFileSystem()
+_MEMORY = MemoryFileSystem()
+_REGISTRY: dict[str, object] = {"": _LOCAL, "file": _LOCAL, "memory": _MEMORY}
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    _REGISTRY[scheme] = fs
+
+
+def get_fs(path: str):
+    scheme, _ = split_scheme(path)
+    fs = _REGISTRY.get(scheme)
+    if fs is not None:
+        return fs
+    try:
+        fs = _FsspecFileSystem(scheme)
+    except ImportError as e:
+        raise ValueError(
+            f"no filesystem registered for scheme {scheme!r} and fsspec is "
+            f"not installed (register one via register_filesystem)"
+        ) from e
+    _REGISTRY[scheme] = fs
+    return fs

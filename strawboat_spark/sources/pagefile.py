@@ -280,62 +280,67 @@ class StrawboatWriter:
         # reference WriteOptions.default_compress_ratio: minimum
         # estimated ratio a specialized codec needs to be considered.
         self.compress_ratio = compress_ratio
-        self._table: pa.Table | None = None
+        # Streaming state: pages are encoded as soon as a full
+        # page_size of rows is buffered, so peak memory is
+        # O(compressed output + one raw page), never O(raw partition)
+        # (the reference's bounded-memory write loop,
+        # src/write/common.rs:49-119).
+        self._leaf_descr: list[dict] = []
+        self._fields_tree = [
+            _flatten_type(f.name, f.type, self._leaf_descr) for f in self.schema
+        ]
+        self._leaves = [LeafMeta(name=d["name"]) for d in self._leaf_descr]
+        self._streams: list[bytearray] = [bytearray() for _ in self._leaves]
+        self._pending: pa.Table | None = None
+        self._num_rows = 0
         self._finished = False
 
     def write_table(self, table: pa.Table) -> None:
         if any(pa.types.is_dictionary(f.type) for f in table.schema):
             table = table.cast(self.schema)
-        if self._table is not None:
-            # Reference enforces one row group per file (writer.rs:108-112);
-            # we accumulate instead so Spark partitions can feed batches.
-            self._table = pa.concat_tables([self._table, table])
-        else:
-            self._table = table
+        self._pending = (
+            table if self._pending is None else pa.concat_tables([self._pending, table])
+        )
+        while self._pending.num_rows >= self.page_size:
+            page = self._pending.slice(0, self.page_size)
+            self._pending = self._pending.slice(self.page_size)
+            self._encode_page(page.combine_chunks())
+        if self._pending.num_rows == 0:
+            # Drop slice references so flushed input buffers can free.
+            self._pending = None
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
         self.write_table(pa.Table.from_batches([batch]))
+
+    def _encode_page(self, page: pa.Table) -> None:
+        self._num_rows += page.num_rows
+        for col_i in range(page.num_columns):
+            arr = page.column(col_i).chunk(0)
+            self._encode_array(arr, self._fields_tree[col_i], self._streams, self._leaves)
 
     def finish(self) -> FileMeta:
         if self._finished:
             raise RuntimeError("writer already finished")
         self._finished = True
-        table = self._table if self._table is not None else self.schema.empty_table()
-        table = table.combine_chunks()
-        n_rows = table.num_rows
-
-        # Build the leaf plan from the schema.
-        leaf_descr: list[dict] = []
-        fields_tree = [
-            _flatten_type(f.name, f.type, leaf_descr) for f in self.schema
-        ]
-        leaves = [LeafMeta(name=d["name"]) for d in leaf_descr]
-
-        # Encode page-by-page into per-leaf byte streams (columns stay
-        # contiguous on disk — the independent-extent property §1.1).
-        streams: list[bytearray] = [bytearray() for _ in leaves]
-        page_starts = list(range(0, n_rows, self.page_size)) or []
-        for start in page_starts:
-            length = min(self.page_size, n_rows - start)
-            for col_i, f in enumerate(self.schema):
-                arr = table.column(col_i).chunk(0).slice(start, length) if table.num_rows else table.column(col_i).combine_chunks()
-                self._encode_array(arr, fields_tree[col_i], streams, leaves)
+        if self._pending is not None and self._pending.num_rows:
+            self._encode_page(self._pending.combine_chunks())
+        self._pending = None
 
         self.sink.write(MAGIC)
         offset = len(MAGIC)
-        for leaf, stream in zip(leaves, streams):
+        for leaf, stream in zip(self._leaves, self._streams):
             leaf.offset = offset
             self.sink.write(bytes(stream))
             offset += len(stream)
 
         meta = FileMeta(
-            num_rows=n_rows,
+            num_rows=self._num_rows,
             page_size=self.page_size,
             fields=[
                 {"tree": t, "name": f.name}
-                for t, f in zip(fields_tree, self.schema)
+                for t, f in zip(self._fields_tree, self.schema)
             ],
-            leaves=leaves,
+            leaves=self._leaves,
         )
         schema_bytes = self.schema.serialize().to_pybytes()
         meta_bytes = meta.to_json()
@@ -390,6 +395,7 @@ class StrawboatWriter:
 
     def _encode_flat(self, arr: pa.Array, kind: str) -> tuple[bytes, PageMeta]:
         n = len(arr)
+        null_count = arr.null_count
         valid = _validity_np(arr)
         out = bytearray(_pack_validity(valid))
         mn = mx = None
@@ -399,14 +405,16 @@ class StrawboatWriter:
         elif kind == "int":
             dtype = _numpy_dtype(arr.type)
             vals = _int_values(arr, dtype)
-            if n - arr.null_count > 0:
+            if n - null_count > 0:
                 nn = vals if valid is None else vals[valid]
                 mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
             out += compress_integer(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
-            vals = np.asarray(arr.fill_null(0.0)).astype(dtype, copy=False)
-            if n - arr.null_count > 0:
+            if arr.null_count:
+                arr = arr.fill_null(0.0)
+            vals = np.asarray(arr).astype(dtype, copy=False)
+            if n - null_count > 0:
                 nn = vals if valid is None else vals[valid]
                 # Spark orders NaN greater than every double, so a page
                 # whose only rows matching `x > c` are NaN must not be
@@ -417,7 +425,7 @@ class StrawboatWriter:
             out += compress_double(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
-            if n - arr.null_count > 0:
+            if n - null_count > 0:
                 mm = pa.compute.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
             out += compress_binary(offsets, data, self.default_codec, self.forbidden, ratio=self.compress_ratio)
@@ -428,7 +436,7 @@ class StrawboatWriter:
             out += compress_fixed(raw, self.default_codec)
         else:
             raise NotImplementedError(kind)
-        return bytes(out), PageMeta(len(out), n, arr.null_count, mn, mx)
+        return bytes(out), PageMeta(len(out), n, null_count, mn, mx)
 
 
 def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:
@@ -442,7 +450,8 @@ def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:
 
 
 def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
-    arr = arr.fill_null(b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else "")
+    if arr.null_count:
+        arr = arr.fill_null(b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else "")
     large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
     odt = np.int64 if large else np.int32
     raw_off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * np.dtype(odt).itemsize)
@@ -520,6 +529,56 @@ class StrawboatReader:
         self._trees = [
             _flatten_type(f.name, f.type, self._leaf_descr) for f in schema
         ]
+        # Absolute page offsets per leaf, computed once (the naive
+        # per-access prefix sum is O(pages²) per stripe and one
+        # seek+read syscall per page per leaf).
+        self._page_offsets: list[list[int]] = []
+        for lf in self.meta.leaves:
+            offs = [lf.offset]
+            for p in lf.pages:
+                offs.append(offs[-1] + p.length)
+            self._page_offsets.append(offs)
+        # page_i -> bytes, filled by ranged-read prefetch, drained as
+        # pages are consumed so buffers free incrementally.
+        self._page_cache: dict[int, dict[int, memoryview]] = {}
+
+    def _tree_leaf_ids(self, node: dict) -> list[int]:
+        ids = [node["leaf"]]
+        kind = node["kind"]
+        if kind == "list":
+            ids += self._tree_leaf_ids(node["child"])
+        elif kind == "map":
+            ids += self._tree_leaf_ids(node["key"]) + self._tree_leaf_ids(node["item"])
+        elif kind == "struct":
+            for c in node["children"]:
+                ids += self._tree_leaf_ids(c)
+        return ids
+
+    def _prefetch(self, leaf_ids: list[int], keep: list[bool]) -> None:
+        """One ranged read per contiguous run of kept pages per leaf
+        (object-store friendly: a 64-page stripe costs <= n_leaves GETs
+        instead of n_leaves * 64)."""
+        runs: list[tuple[int, int]] = []
+        i, n = 0, len(keep)
+        while i < n:
+            if keep[i]:
+                j = i
+                while j < n and keep[j]:
+                    j += 1
+                runs.append((i, j))
+                i = j
+            else:
+                i += 1
+        for leaf_i in leaf_ids:
+            offs = self._page_offsets[leaf_i]
+            cache = self._page_cache.setdefault(leaf_i, {})
+            for a, b in runs:
+                if offs[b] == offs[a]:
+                    continue  # zero-length pages (null leaves)
+                self.fobj.seek(offs[a])
+                buf = memoryview(self.fobj.read(offs[b] - offs[a]))
+                for i in range(a, b):
+                    cache[i] = buf[offs[i] - offs[a] : offs[i + 1] - offs[a]]
 
     def _page_selection(self, predicate) -> list[bool]:
         """predicate: callable(leaf_name -> list[PageMeta]) decides pages.
@@ -540,7 +599,11 @@ class StrawboatReader:
         col_idx = [names.index(c) for c in (columns or names)]
         keep = self._page_selection(page_filter)
 
-        # Per selected column: positions of each page inside its leaves.
+        needed: list[int] = []
+        for ci in col_idx:
+            needed += self._tree_leaf_ids(self._trees[ci])
+        self._prefetch(needed, keep)
+
         for page_i, keep_page in enumerate(keep):
             if not keep_page:
                 continue
@@ -550,15 +613,21 @@ class StrawboatReader:
                 arr = self._read_node_page(tree, page_i, self.schema.field(ci).type)
                 arrays.append(arr)
                 out_fields.append(self.schema.field(ci))
+            # Drop consumed slices so each run buffer frees once its
+            # last page has been yielded.
+            for c in self._page_cache.values():
+                c.pop(page_i, None)
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(out_fields))
 
     # -- per-leaf page IO ---------------------------------------------------
 
     def _page_bytes(self, leaf_i: int, page_i: int) -> memoryview:
-        lf = self.meta.leaves[leaf_i]
-        pos = lf.offset + sum(p.length for p in lf.pages[:page_i])
-        self.fobj.seek(pos)
-        return memoryview(self.fobj.read(lf.pages[page_i].length))
+        cached = self._page_cache.get(leaf_i)
+        if cached is not None and page_i in cached:
+            return cached[page_i]
+        offs = self._page_offsets[leaf_i]
+        self.fobj.seek(offs[page_i])
+        return memoryview(self.fobj.read(offs[page_i + 1] - offs[page_i]))
 
     def _read_node_page(self, node: dict, page_i: int, f_type: pa.DataType) -> pa.Array:
         kind = node["kind"]
@@ -655,12 +724,16 @@ def _build_map(f_type, offsets: np.ndarray, keys, items, valid) -> pa.Array:
 
 
 def write_file(path: str, table: pa.Table, page_size: int = DEFAULT_PAGE_SIZE, default_codec: Codec = Codec.ZSTD) -> FileMeta:
-    with open(path, "wb") as f:
+    from strawboat_spark.sources.fileio import get_fs
+
+    with get_fs(path).create(path) as f:
         w = StrawboatWriter(f, table.schema, page_size, default_codec)
         w.write_table(table)
         return w.finish()
 
 
 def read_file(path: str, columns: list[str] | None = None, page_filter=None) -> pa.Table:
-    with open(path, "rb") as f:
+    from strawboat_spark.sources.fileio import get_fs
+
+    with get_fs(path).open_read(path) as f:
         return StrawboatReader(f).read_table(columns, page_filter)

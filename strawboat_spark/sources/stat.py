@@ -28,7 +28,9 @@ class LeafStat:
 
 
 def stat_file(path: str) -> list[LeafStat]:
-    with open(path, "rb") as f:
+    from strawboat_spark.sources.fileio import get_fs
+
+    with get_fs(path).open_read(path) as f:
         schema, meta = read_footer(f)
         out: list[LeafStat] = []
         for lf in meta.leaves:

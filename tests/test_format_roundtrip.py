@@ -397,3 +397,103 @@ def test_freq_forced_roundtrip(monkeypatch):
     for i in range(0, n, 83):
         strs[i] = f"exc{i}"
     assert_rt(pa.table({"d": pa.array(d), "s": pa.array(strs)}))
+
+
+def test_writer_memory_bounded():
+    """The writer encodes pages incrementally: peak Arrow allocation
+    during a many-batch write stays O(one page + one batch), never
+    O(raw partition) (reference streams page-by-page, SURVEY §3.2)."""
+    import io
+
+    from strawboat_spark.sources.pagefile import StrawboatReader, StrawboatWriter
+
+    schema = pa.schema([("s", pa.string()), ("v", pa.int64())])
+    sink = io.BytesIO()
+    w = StrawboatWriter(sink, schema, page_size=4096)
+    base = pa.total_allocated_bytes()
+    batch_rows, n_batches = 10_000, 30
+    raw = 0
+    peak = 0
+    for i in range(n_batches):
+        batch = pa.record_batch(
+            [
+                pa.array([f"row-{i}-{j % 7}" * 8 for j in range(batch_rows)]),
+                pa.array(np.arange(batch_rows, dtype=np.int64) + i),
+            ],
+            schema=schema,
+        )
+        raw += batch.nbytes
+        w.write_batch(batch)
+        del batch
+        peak = max(peak, pa.total_allocated_bytes() - base)
+        assert w._pending is None or w._pending.num_rows < 4096
+    w.finish()
+    assert raw > 20_000_000
+    assert peak < raw // 4, f"writer retained {peak} of {raw} raw bytes"
+    sink.seek(0)
+    t = StrawboatReader(sink).read_table()
+    assert t.num_rows == batch_rows * n_batches
+    assert t.column("v").length() == batch_rows * n_batches
+
+
+def test_reader_coalesces_ranged_reads():
+    """A full scan of a many-page file does one ranged read per leaf
+    (plus the footer), not one read per page per leaf."""
+    import io
+
+    from strawboat_spark.sources.pagefile import StrawboatReader, StrawboatWriter
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(128 * 256, dtype=np.int64)),
+            "b": pa.array([f"s{i % 100}" for i in range(128 * 256)]),
+        }
+    )
+    sink = io.BytesIO()
+    w = StrawboatWriter(sink, t.schema, page_size=256)
+    w.write_table(t)
+    meta = w.finish()
+    assert len(meta.leaves[0].pages) == 128
+
+    class CountingIO(io.BytesIO):
+        reads = 0
+
+        def read(self, *a):
+            CountingIO.reads += 1
+            return super().read(*a)
+
+    src = CountingIO(sink.getvalue())
+    r = StrawboatReader(src)
+    after_footer = CountingIO.reads
+    out = r.read_table()
+    assert out.num_rows == t.num_rows
+    data_reads = CountingIO.reads - after_footer
+    assert data_reads <= len(meta.leaves), f"{data_reads} reads for {len(meta.leaves)} leaves"
+
+
+def test_bitpack_per_block_widths():
+    """One outlier value must not inflate the whole page: per-128-block
+    widths (reference BitPacker4x) keep the payload near the tight
+    encoding, and round-trip exactly."""
+    from strawboat_spark.sources import codecs as C
+
+    n = 8192
+    small = RNG.integers(0, 16, n).astype(np.int64)  # width 4
+    outlier = small.copy()
+    outlier[5000] = 1 << 40  # single wide value
+
+    enc_small = C.compress_integer(small, forbidden=frozenset({C.Codec.DICT, C.Codec.RLE, C.Codec.FREQ}))
+    enc_out = C.compress_integer(outlier, forbidden=frozenset({C.Codec.DICT, C.Codec.RLE, C.Codec.FREQ}))
+    dec, _ = C.decompress_integer(memoryview(enc_out), 0, n, np.dtype(np.int64))
+    assert (dec == outlier).all()
+    # the outlier page must cost far less than a whole-page width-41
+    # encoding (~42KB) — within 2x of the clean page
+    assert len(enc_out) < 2 * len(enc_small) + 1024, (len(enc_out), len(enc_small))
+
+    # sorted-with-jump: delta stream gets the same treatment
+    sorted_v = np.cumsum(RNG.integers(0, 4, n)).astype(np.int64)
+    sorted_v[4000:] += 1 << 40
+    enc_sj = C.compress_integer(sorted_v, forbidden=frozenset({C.Codec.DICT, C.Codec.RLE, C.Codec.FREQ, C.Codec.BITPACKING}))
+    dec2, _ = C.decompress_integer(memoryview(enc_sj), 0, n, np.dtype(np.int64))
+    assert (dec2 == sorted_v).all()
+    assert len(enc_sj) < 8192, len(enc_sj)

@@ -1,0 +1,63 @@
+"""Operator-level tests for the LLM-pipeline building blocks (the
+query-level DuckDB comparisons live in test_queries_vs_duckdb.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """1k identical documents land in one LSH bucket per band; the cap
+    must bound the pair explosion (uncapped: ~500k pairs; capped at 64:
+    ~2k) and the stats must report the overflow — no silent cap."""
+    from strawboat_spark.operators.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the corpus again and again").alias(
+            "text"
+        ),
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=4, max_bucket_size=64)
+    n_pairs = pairs.count()
+    # capped: <= n_bands * C(64, 2) distinct pairs; uncapped would be C(1000,2) ≈ 500k
+    assert 0 < n_pairs <= 4 * (64 * 63) // 2, n_pairs
+
+    stats = lsh_bucket_stats(sigs, "doc_id", n_bands=4, max_bucket_size=64)
+    over = stats.filter(F.col("capped")).collect()
+    assert over, "degenerate bucket not reported"
+    assert all(r["n_members"] == 1000 and r["n_dropped"] == 936 for r in over)
+
+
+def test_lsh_cap_preserves_small_bucket_results(spark):
+    """Buckets under the cap are untouched: capped and uncapped runs
+    agree on a normal corpus."""
+    from strawboat_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    from tests.conftest import SF_SMOKE
+    from strawboat_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id").persist()
+    capped = set(map(tuple, lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=256).collect()))
+    uncapped = set(map(tuple, lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1 << 30).collect()))
+    sigs.unpersist()
+    assert capped == uncapped
+
+
+def test_multiprobe_keys_hamming_ball():
+    from strawboat_spark.operators.similarity import _multiprobe_keys
+
+    ball = _multiprobe_keys([0b0000], n_planes=4, radius=1)
+    assert sorted(ball[0].tolist()) == [0b0000, 0b0001, 0b0010, 0b0100, 0b1000]
+    ball2 = _multiprobe_keys([0b1010, 0b0001], n_planes=4, radius=2)
+    assert ball2.shape == (2, 1 + 4 + 6)
+    # every probe is within hamming distance 2 of its key
+    for row, key in zip(ball2, (0b1010, 0b0001)):
+        assert all(bin(int(p) ^ key).count("1") <= 2 for p in row)
