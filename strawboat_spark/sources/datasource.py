@@ -163,6 +163,28 @@ class StrawboatDataSource(DataSource):
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
         with get_fs(files[0]).open_read(files[0]) as f:
             arrow_schema, _ = read_footer(f)
+        if self.options.get("merge_schema", "").lower() == "true":
+            # Schema evolution: union footer schemas across files
+            # (first-file column order, later additions appended).
+            # Read-side fills columns a file lacks with nulls — so every
+            # merged field must be nullable regardless of how any one
+            # file declared it.
+            fields = {f.name: f.with_nullable(True) for f in arrow_schema}
+            order = list(arrow_schema.names)
+            for file in files[1:]:
+                with get_fs(file).open_read(file) as fh:
+                    sch, _ = read_footer(fh)
+                for fld in sch:
+                    have = fields.get(fld.name)
+                    if have is None:
+                        fields[fld.name] = fld.with_nullable(True)
+                        order.append(fld.name)
+                    elif have.type != fld.type:
+                        raise ValueError(
+                            f"strawboat: merge_schema type conflict on "
+                            f"{fld.name!r}: {have.type} vs {fld.type}"
+                        )
+            arrow_schema = pa.schema([fields[n] for n in order])
         # tz-less arrow timestamps -> TimestampNTZ (what Spark's parquet
         # reader infers); tz-aware ones still map to TimestampType.
         schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
@@ -262,24 +284,44 @@ class StrawboatReaderImpl(DataSourceReader):
             keep = self._page_mask(reader.meta, partition)
             if not any(keep):
                 return
-            stored = [c for c in want.names if c not in pvals]
+            avail = set(reader.schema.names)
+            stored = [c for c in want.names if c not in pvals and c in avail]
+            # Schema evolution: columns this file predates are
+            # null-filled (parquet-source convention).
+            missing = [c for c in want.names if c not in pvals and c not in avail]
 
             def page_filter(leaf_pages, n_pages):
                 return keep
 
+            if not stored:
+                # No overlap with the requested schema: emit all-null
+                # batches sized by the kept pages' row counts.
+                pages = reader.meta.leaves[0].pages if reader.meta.leaves else []
+                for i, k in enumerate(keep):
+                    if not k or i >= len(pages):
+                        continue
+                    n = pages[i].num_values
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            _const_array(pvals.get(fld.name), n, fld.type)
+                            if fld.name in pvals
+                            else pa.nulls(n, fld.type)
+                            for fld in want
+                        ],
+                        schema=want,
+                    )
+                return
+
             for batch in reader.iter_batches(columns=stored, page_filter=page_filter):
-                if pvals:
-                    # Attach partition columns as constants in schema order.
+                if pvals or missing:
                     arrays, byname = [], {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
                     for fld in want:
                         if fld.name in pvals:
-                            arrays.append(
-                                pa.nulls(batch.num_rows, fld.type)
-                                if pvals[fld.name] is None
-                                else pa.array([pvals[fld.name]] * batch.num_rows, type=fld.type)
-                            )
-                        else:
+                            arrays.append(_const_array(pvals[fld.name], batch.num_rows, fld.type))
+                        elif fld.name in byname:
                             arrays.append(byname[fld.name])
+                        else:
+                            arrays.append(pa.nulls(batch.num_rows, fld.type))
                     batch = pa.RecordBatch.from_arrays(arrays, schema=want)
                 # Align arrow types with what Spark expects (e.g. tz).
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
@@ -300,6 +342,12 @@ class StrawboatReaderImpl(DataSourceReader):
                 if not _page_may_match(f, p):
                     keep[i] = False
         return keep
+
+
+def _const_array(value, n: int, typ: pa.DataType) -> pa.Array:
+    if value is None:
+        return pa.nulls(n, typ)
+    return pa.array([value] * n, type=typ)
 
 
 def _value_may_match(f: Filter, pvals: dict) -> bool:
@@ -456,7 +504,18 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 incoming = StructType(
                     [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]
                 )
-                if [
+                if options.get("merge_schema", "").lower() == "true":
+                    # Evolution-tolerant guard: columns may be added or
+                    # dropped across appends (read side null-fills),
+                    # but a shared name must keep its type.
+                    have_types = {f.name: f.dataType for f in have_spark.fields}
+                    for fld in incoming.fields:
+                        if fld.name in have_types and have_types[fld.name] != fld.dataType:
+                            raise ValueError(
+                                f"strawboat: append type conflict on {fld.name!r}: "
+                                f"{have_types[fld.name]} vs {fld.dataType}"
+                            )
+                elif [
                     (f.name, f.dataType) for f in have_spark.fields
                 ] != [(f.name, f.dataType) for f in incoming.fields]:
                     raise ValueError(

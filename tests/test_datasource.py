@@ -455,3 +455,55 @@ def test_file_scheme_end_to_end(registered, tmp_path):
     back = spark.read.format("strawboat").load(url)
     assert back.count() == src.count()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_schema_evolution_merge_and_nullfill(registered, tmp_path):
+    """merge_schema=true: heterogeneous directories read as the union
+    schema, files missing a column null-fill it (parquet mergeSchema
+    convention); appends may add columns but not change types."""
+    spark = registered
+    path = str(tmp_path / "evolving")
+    df1 = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("a"))
+    df1.write.format("strawboat").mode("overwrite").save(path)
+    df2 = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
+    )
+    # strict append still rejects drift...
+    with pytest.raises(Exception, match="append schema mismatch"):
+        df2.write.format("strawboat").mode("append").save(path)
+    # ...merge_schema allows additive evolution
+    df2.write.format("strawboat").option("merge_schema", "true").mode("append").save(path)
+
+    # non-merge read picks one file's footer (parquet-source behavior:
+    # an arbitrary file); rows from the other files still null-fill
+    plain = spark.read.format("strawboat").load(path)
+    assert set(plain.columns) in ({"id", "a"}, {"id", "a", "b"})
+    assert plain.count() == 20
+
+    merged = spark.read.format("strawboat").option("merge_schema", "true").load(path)
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("b").isNull()).count() == 10
+    assert merged.filter(F.col("b") == "new").count() == 10
+
+    # type conflict is rejected loudly
+    df3 = spark.range(3).select(F.col("id"), F.col("id").cast("string").alias("a"))
+    with pytest.raises(Exception, match="type conflict"):
+        df3.write.format("strawboat").option("merge_schema", "true").mode("append").save(path)
+
+
+def test_schema_evolution_no_common_columns(registered, tmp_path):
+    """A file sharing no columns with the requested projection still
+    contributes its rows (all-null) — row counts never depend on which
+    columns a file happens to store."""
+    spark = registered
+    path = str(tmp_path / "disjoint")
+    spark.range(5).select(F.col("id").alias("x")).write.format("strawboat").mode(
+        "overwrite"
+    ).save(path)
+    spark.range(7).select(F.lit("y").alias("y")).write.format("strawboat").option(
+        "merge_schema", "true"
+    ).mode("append").save(path)
+    merged = spark.read.format("strawboat").option("merge_schema", "true").load(path)
+    assert merged.count() == 12
+    assert merged.select("y").filter(F.col("y").isNotNull()).count() == 7
