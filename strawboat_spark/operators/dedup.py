@@ -134,34 +134,40 @@ def lsh_candidate_pairs(
     never all-pairs. Output: (id_a, id_b) distinct, id_a < id_b.
 
     Degenerate buckets (mass-duplicated boilerplate — a real LLM-corpus
-    phenomenon) would make the within-bucket self-join quadratic, so
+    phenomenon) would make a within-bucket self-join quadratic, so
     membership is capped at max_bucket_size per (band, bucket): the cap
     keeps the smallest ids (deterministic), the within-bucket work is
     bounded at cap², and lsh_bucket_stats reports exactly what was
     dropped. Mass-identical documents are unaffected in practice —
     they are removed by exact_dedup (same fingerprint) before near-dup
     LSH runs.
+
+    Shuffle shape: ONE shuffle (the groupBy on the bucket key) — pairs
+    are expanded inside each bucket's sorted-and-capped member array
+    with higher-order functions, replacing the window + self-join
+    formulation (2 shuffles) the naive version needs. A bucket's
+    aggregation buffer holds its member ids (8 B each) before the
+    slice, which is why the buffer is fine even for a million-member
+    degenerate bucket (8 MB), while its pair OUTPUT stays capped.
     """
-    from pyspark.sql import Window
-
     banded = _banded(signatures, id_col, n_bands)
-    w = Window.partitionBy("band", "bucket").orderBy(id_col)
-    capped = (
-        banded.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_bucket_size)
-        .drop("__rk")
+    members = banded.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket_size).alias("ids")
     )
-
-    left = capped.alias("l")
-    right = capped.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # all ordered pairs (i<j) inside the capped member array
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    )
+    return (
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

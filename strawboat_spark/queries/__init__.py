@@ -90,6 +90,10 @@ _DRIVER_WINDOW_ORDER = [
     # new / implementation-changed this round
     "similarity_lsh_recall",
     "similarity_ivf_recall",
+    "corpus_decontamination",
+    "corpus_train_test_split",
+    "corpus_pack_sequences",
+    "corpus_pii_redaction",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
@@ -105,13 +109,9 @@ _DRIVER_WINDOW_ORDER = [
     "q6_forecast_revenue",
     "join_asof_clicks",
     "join_range_band",
-    "join_semi",
-    "join_anti",
     "window_rank_orders",
     "window_running_total",
     "agg_distinct",
-    "agg_cube",
-    "agg_rollup",
     "agg_grouping_sets",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",

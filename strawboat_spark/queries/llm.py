@@ -685,3 +685,133 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_vectorized(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+# --------------------------------------------------------------------------
+# Corpus preparation: decontamination, splits, packing, PII
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_decontamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS u(i)
+      WHERE doc_id < 20 AND len(w) >= 5
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS u(i)
+      WHERE doc_id >= 20 AND len(w) >= 5
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
+    FROM corp c JOIN bench b USING (gram)
+    GROUP BY c.doc_id, b.bench_id
+    ORDER BY c.doc_id, b.bench_id
+    """,
+    description="benchmark decontamination: corpus docs sharing any word 5-gram with the eval set (inverted-index join, bench side broadcast)",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import benchmark_ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return benchmark_ngram_overlap(corpus, bench, "doc_id", "text", n=5).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+@query(
+    "corpus_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < 6553
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    description="deterministic hash train/test split (md5 bucket — engine-portable, map-only, no shuffle)",
+)
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import train_test_split_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_test_split_hash(d, "doc_id", test_fraction=0.1).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+             AS stream_offset,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512)
+             AS BIGINT) AS bin
+    FROM t ORDER BY lang, doc_id
+    """,
+    description="sequence packing: concatenated-stream context-window assignment (one cumsum window per lang shard)",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", ctx_len=512, shard_col="lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "corpus_pii_redaction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             concat(text, ' contact me at u', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or +1 (415) 555-0', CAST(doc_id AS VARCHAR)) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(x, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(x, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PHONE]', 'g'),
+             '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g') AS redacted
+    FROM t ORDER BY doc_id
+    """,
+    description="PII redaction (email/phone/IPv4 regex chain, map-only) with per-kind counts; demo injects synthetic contacts",
+)
+def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import redact_pii
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 (415) 555-0"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return redact_pii(d, "text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    ).orderBy("doc_id")

@@ -153,16 +153,13 @@ class StrawboatDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        from strawboat_spark.sources.pagefile import read_footer
-
         path = self.options.get("path")
         if not path:
             raise ValueError("strawboat: 'path' option is required")
         files = _list_files(path)
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
-        with get_fs(files[0]).open_read(files[0]) as f:
-            arrow_schema, _ = read_footer(f)
+        arrow_schema, _ = _cached_footer(files[0])
         if self.options.get("merge_schema", "").lower() == "true":
             # Schema evolution: union footer schemas across files
             # (first-file column order, later additions appended).
@@ -172,8 +169,7 @@ class StrawboatDataSource(DataSource):
             fields = {f.name: f.with_nullable(True) for f in arrow_schema}
             order = list(arrow_schema.names)
             for file in files[1:]:
-                with get_fs(file).open_read(file) as fh:
-                    sch, _ = read_footer(fh)
+                sch, _ = _cached_footer(file)
                 for fld in sch:
                     have = fields.get(fld.name)
                     if have is None:
@@ -236,8 +232,6 @@ class StrawboatReaderImpl(DataSourceReader):
     def partitions(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        from strawboat_spark.sources.pagefile import read_footer
-
         files = _list_files(self.path)
         part_types = dict(_infer_partition_fields(self.path, files))
         survivors: list[tuple[str, dict]] = []
@@ -253,8 +247,7 @@ class StrawboatReaderImpl(DataSourceReader):
                 survivors.append((file, pvals))
 
         def _pages(file: str) -> int:
-            with get_fs(file).open_read(file) as f:
-                _, meta = read_footer(f)
+            _, meta = _cached_footer(file)
             return len(meta.leaves[0].pages) if meta.leaves else 0
 
         # Footer reads are independent ranged reads — overlap them
@@ -279,8 +272,9 @@ class StrawboatReaderImpl(DataSourceReader):
 
         want = to_arrow_schema(self.schema)
         pvals = dict(partition.part_values)
+        fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
-            reader = StrawboatReader(f)
+            reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             keep = self._page_mask(reader.meta, partition)
             if not any(keep):
                 return
@@ -342,6 +336,40 @@ class StrawboatReaderImpl(DataSourceReader):
                 if not _page_may_match(f, p):
                     keep[i] = False
         return keep
+
+
+# Footer cache: strawboat files are immutable once renamed/PUT into
+# place, so (size, mtime/version) identifies content. Planning touches
+# every file's footer per query; caching makes repeat queries (and the
+# schema()/partitions()/read() triple within one query) pay the read
+# once per process — on an object store that is one saved round-trip
+# per file per query.
+_FOOTER_CACHE: dict[str, tuple] = {}
+_FOOTER_CACHE_MAX = 8192
+
+
+def _cached_footer(file: str):
+    from strawboat_spark.sources.pagefile import read_footer
+
+    fs = get_fs(file)
+    sig = None
+    stat_sig = getattr(fs, "stat_sig", None)
+    if stat_sig is not None:
+        try:
+            sig = stat_sig(file)
+        except (OSError, KeyError):
+            sig = None
+    if sig is not None:
+        hit = _FOOTER_CACHE.get(file)
+        if hit is not None and hit[0] == sig:
+            return hit[1], hit[2]
+    with fs.open_read(file) as f:
+        schema, meta = read_footer(f)
+    if sig is not None:
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+        _FOOTER_CACHE[file] = (sig, schema, meta)
+    return schema, meta
 
 
 def _const_array(value, n: int, typ: pa.DataType) -> pa.Array:
@@ -449,8 +477,9 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
         from strawboat_spark.sources.pagefile import StrawboatReader
 
         want = to_arrow_schema(self.schema)
+        fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
-            reader = StrawboatReader(f)
+            reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             for batch in reader.iter_batches(columns=list(want.names)):
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
 
@@ -496,10 +525,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if existing:
                 from pyspark.sql.pandas.types import from_arrow_schema
 
-                from strawboat_spark.sources.pagefile import read_footer
-
-                with get_fs(existing[0]).open_read(existing[0]) as f:
-                    have, _ = read_footer(f)
+                have, _ = _cached_footer(existing[0])
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
                 incoming = StructType(
                     [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]

@@ -105,17 +105,23 @@ class LocalFileSystem:
     def makedirs(self, path: str) -> None:
         os.makedirs(self._p(path), exist_ok=True)
 
+    def stat_sig(self, path: str) -> tuple:
+        st = os.stat(self._p(path))
+        return (st.st_size, st.st_mtime_ns)
+
 
 class _MemoryWriteHandle(io.BytesIO):
-    def __init__(self, store: dict, key: str, lock: threading.Lock):
+    def __init__(self, store: dict, key: str, lock: threading.Lock, versions: dict):
         super().__init__()
         self._store, self._key, self._lock = store, key, lock
+        self._versions = versions
         self._published = False
 
     def close(self) -> None:
         if not self.closed and not self._published:
             with self._lock:
                 self._store[self._key] = self.getvalue()
+                self._versions[self._key] = self._versions.get(self._key, 0) + 1
             self._published = True
         super().close()
 
@@ -136,6 +142,7 @@ class MemoryFileSystem:
 
     def __init__(self):
         self._store: dict[str, bytes] = {}
+        self._versions: dict[str, int] = {}
         self._lock = threading.Lock()
 
     def _key(self, path: str) -> str:
@@ -147,7 +154,7 @@ class MemoryFileSystem:
         return io.BytesIO(data)
 
     def create(self, path: str) -> _MemoryWriteHandle:
-        return _MemoryWriteHandle(self._store, self._key(path), self._lock)
+        return _MemoryWriteHandle(self._store, self._key(path), self._lock, self._versions)
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         prefix = self._key(path) + "/"
@@ -172,9 +179,15 @@ class MemoryFileSystem:
     def makedirs(self, path: str) -> None:
         return None  # object stores have no directories
 
+    def stat_sig(self, path: str) -> tuple:
+        key = self._key(path)
+        with self._lock:
+            return (len(self._store[key]), self._versions.get(key, 0))
+
     def clear(self) -> None:
         with self._lock:
             self._store.clear()
+            self._versions.clear()
 
 
 class _FsspecFileSystem:
