@@ -15,7 +15,9 @@ from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None = None
+) -> DataFrame:
     from strawboat_spark.sources.datasource import register
 
     register(spark)
@@ -28,7 +30,13 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if src.rdd.getNumPartitions() < n:
         src = src.repartition(n)
     src.write.format("strawboat").mode("overwrite").save(path)
-    return spark.read.format("strawboat").load(path)
+    rd = spark.read.format("strawboat")
+    if columns:
+        # Explicit projection pushdown: decode only the leaves the query
+        # touches (the Python DataSource API can't learn this from the
+        # plan — see datasource.py schema()).
+        rd = rd.option("columns", ",".join(columns))
+    return rd.load(path)
 
 
 @query(
@@ -44,7 +52,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     description="lineitem → strawboat file → read back → aggregate (loss-free format proof)",
 )
 def strawboat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _roundtrip(spark, sf_dir, "lineitem")
+    li = _roundtrip(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -68,7 +81,7 @@ def strawboat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="orders → strawboat → filtered read (exercises pushdown + page skipping)",
 )
 def strawboat_roundtrip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _roundtrip(spark, sf_dir, "orders")
+    o = _roundtrip(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
     return (
         o.filter(F.col("o_totalprice") > 300000)
         .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice"))

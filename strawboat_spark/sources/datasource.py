@@ -192,6 +192,23 @@ class StrawboatDataSource(DataSource):
         for name, tp in _infer_partition_fields(path, files):
             if name not in schema.fieldNames():
                 schema = schema.add(name, spark_types[tp])
+        # Projection pushdown at the API level: the Python DataSource API
+        # (4.1) has no column-pruning hook Catalyst could call, so the
+        # projection is an explicit read option — `columns=a,b` narrows
+        # the scan schema, and the reader then decodes ONLY those leaves
+        # (reference parity: the read API's projection argument,
+        # src/read/reader.rs read path takes a leaf subset). Without it
+        # a 2-column query over a 16-column file decodes all 16.
+        cols = [c.strip() for c in self.options.get("columns", "").split(",") if c.strip()]
+        if cols:
+            have = set(schema.fieldNames())
+            unknown = [c for c in cols if c not in have]
+            if unknown:
+                raise ValueError(
+                    f"strawboat: columns option names unknown columns {unknown}; "
+                    f"available: {sorted(have)}"
+                )
+            schema = StructType([schema[c] for c in cols])
         return schema
 
     def reader(self, schema: StructType) -> "StrawboatReaderImpl":

@@ -71,6 +71,43 @@ def test_filter_and_projection(registered, tmp_path):
     assert got == want
 
 
+def test_columns_option_prunes_scan(registered, tmp_path):
+    """Explicit projection pushdown: `columns=a,b` narrows the scan
+    schema so only those leaves are decoded (the Python DataSource API
+    has no Catalyst pruning hook — this option is the projection API)."""
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders.strawboat")
+    src.write.format("strawboat").mode("overwrite").save(path)
+
+    pruned = (
+        spark.read.format("strawboat")
+        .option("columns", "o_orderstatus,o_totalprice")
+        .load(path)
+    )
+    assert pruned.columns == ["o_orderstatus", "o_totalprice"]
+    got = pruned.groupBy("o_orderstatus").agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+    want = src.groupBy("o_orderstatus").agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+    # Unknown column names fail fast at planning, not silently at read.
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("strawboat").option("columns", "nope").load(path).schema
+
+    # Projection composes with partition columns (constants reattached).
+    ppath = str(tmp_path / "orders_part.strawboat")
+    src.write.format("strawboat").option("partition_by", "o_orderstatus").mode(
+        "overwrite"
+    ).save(ppath)
+    pp = (
+        spark.read.format("strawboat")
+        .option("columns", "o_orderkey,o_orderstatus")
+        .load(ppath)
+    )
+    assert pp.columns == ["o_orderkey", "o_orderstatus"]
+    assert pp.count() == src.count()
+
+
 def test_append_mode(registered, tmp_path):
     spark = registered
     src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
