@@ -457,14 +457,24 @@ def _page_may_match(f: Filter, p) -> bool:
 
 
 class StrawboatStreamReaderImpl(DataSourceStreamReader):
-    """Offset = the set of files already processed. Exactly-once at
-    file granularity: files are immutable once renamed into place
-    (writers stage to .tmp), so (end - start) is a deterministic batch.
+    """Offset = (mtime watermark, files inside a lookback window).
 
-    Scale note: the offset JSON carries the seen-file list — fine for
-    thousands of files per directory; a production source would roll
-    the list into a compacted manifest log the way Spark's own file
-    source does.
+    Compaction: a long-running stream must not carry every file it has
+    ever seen in each offset, so the offset holds only files whose
+    mtime is within `max_file_age` (default 15 min) of the watermark —
+    anything older is assumed already processed, the same aging
+    assumption Spark's own FileStreamSource makes (`maxFileAge`). A
+    batch is the set difference of two offsets' `recent` lists, so a
+    committed batch replays deterministically WITHOUT re-listing the
+    directory. Files are immutable once renamed/PUT into place, so
+    file granularity gives exactly-once.
+
+    A file that lands with an mtime older than (watermark − lookback)
+    — e.g. restored from a backup with timestamps preserved — is
+    missed, exactly as with Spark's file source; widen max_file_age
+    for such layouts. Offsets from the previous list-of-all-files
+    format (`{"seen": [...]}`) are still understood, so existing
+    checkpoints keep working.
     """
 
     def __init__(self, options, schema: StructType):
@@ -472,21 +482,53 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
         if not self.path:
             raise ValueError("strawboat: 'path' option is required")
         self.schema = schema
+        self.lookback_ns = int(float(options.get("max_file_age_sec", "900")) * 1_000_000_000)
+
+    def _listing(self) -> list[tuple[str, int]]:
+        """(relpath, mtime_ns) for every data file under the root.
+
+        One stat per file here; against a real object store the mtime
+        arrives with the LIST response (S3 LastModified), so a
+        production backend folds this into list_files.
+        """
+        root = backend_path(self.path)
+        fs = get_fs(self.path)
+        out = []
+        for f in _list_files(self.path):
+            rel = os.path.relpath(backend_path(f), root)
+            try:
+                out.append((rel, fs.mtime_ns(f)))
+            except (OSError, KeyError):
+                continue  # vanished between list and stat
+        return out
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"seen": []}
+        return {"w": 0, "recent": []}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        root = backend_path(self.path)
+        listing = self._listing()
+        w = max((m for _, m in listing), default=0)
         return {
-            "seen": sorted(
-                os.path.relpath(backend_path(f), root) for f in _list_files(self.path)
-            )
+            "w": w,
+            "recent": sorted(rel for rel, m in listing if m >= w - self.lookback_ns),
         }
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in new]
+        if "seen" in start or "seen" in end:  # legacy offset format
+            new = sorted(set(end.get("seen", end.get("recent", []))) - set(start.get("seen", start.get("recent", []))))
+            return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in new]
+        new = set(end.get("recent", [])) - set(start.get("recent", []))
+        if start.get("w", 0) == 0 and not start.get("recent"):
+            # First batch: also pick up pre-existing files older than the
+            # lookback window (they are in no offset's `recent`). This
+            # re-lists, so a replayed FIRST batch could in principle see
+            # a late old-mtime file a prior attempt missed — the same
+            # startup-only caveat as Spark's file source.
+            w = end.get("w", 0)
+            for rel, m in self._listing():
+                if m < w - self.lookback_ns:
+                    new.add(rel)
+        return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in sorted(new)]
 
     def read(self, partition: _Stripe):
         from pyspark.sql.pandas.types import to_arrow_schema

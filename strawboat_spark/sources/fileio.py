@@ -109,12 +109,16 @@ class LocalFileSystem:
         st = os.stat(self._p(path))
         return (st.st_size, st.st_mtime_ns)
 
+    def mtime_ns(self, path: str) -> int:
+        return os.stat(self._p(path)).st_mtime_ns
+
 
 class _MemoryWriteHandle(io.BytesIO):
-    def __init__(self, store: dict, key: str, lock: threading.Lock, versions: dict):
+    def __init__(self, store: dict, key: str, lock: threading.Lock, versions: dict, fs):
         super().__init__()
         self._store, self._key, self._lock = store, key, lock
         self._versions = versions
+        self._fs = fs
         self._published = False
 
     def close(self) -> None:
@@ -122,6 +126,8 @@ class _MemoryWriteHandle(io.BytesIO):
             with self._lock:
                 self._store[self._key] = self.getvalue()
                 self._versions[self._key] = self._versions.get(self._key, 0) + 1
+                self._fs._clock += 1
+                self._fs._mtimes[self._key] = self._fs._clock
             self._published = True
         super().close()
 
@@ -143,6 +149,8 @@ class MemoryFileSystem:
     def __init__(self):
         self._store: dict[str, bytes] = {}
         self._versions: dict[str, int] = {}
+        self._mtimes: dict[str, int] = {}
+        self._clock = 0  # monotonic publish tick — the store's "mtime"
         self._lock = threading.Lock()
 
     def _key(self, path: str) -> str:
@@ -154,7 +162,7 @@ class MemoryFileSystem:
         return io.BytesIO(data)
 
     def create(self, path: str) -> _MemoryWriteHandle:
-        return _MemoryWriteHandle(self._store, self._key(path), self._lock, self._versions)
+        return _MemoryWriteHandle(self._store, self._key(path), self._lock, self._versions, self)
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         prefix = self._key(path) + "/"
@@ -184,10 +192,17 @@ class MemoryFileSystem:
         with self._lock:
             return (len(self._store[key]), self._versions.get(key, 0))
 
+    def mtime_ns(self, path: str) -> int:
+        # Publish-tick clock, not wall time: monotonic and totally
+        # ordered, which is all the stream-offset watermark needs.
+        with self._lock:
+            return self._mtimes.get(self._key(path), 0)
+
     def clear(self) -> None:
         with self._lock:
             self._store.clear()
             self._versions.clear()
+            self._mtimes.clear()
 
 
 class _FsspecFileSystem:
@@ -225,6 +240,11 @@ class _FsspecFileSystem:
 
     def makedirs(self, path: str) -> None:
         self._fs.makedirs(path, exist_ok=True)
+
+    def mtime_ns(self, path: str) -> int:
+        # fsspec's `modified` maps to the store's LastModified; a real
+        # object-store listing returns this with the LIST response.
+        return int(self._fs.modified(path).timestamp() * 1_000_000_000)
 
 
 _LOCAL = LocalFileSystem()

@@ -245,3 +245,44 @@ def test_strawboat_stream_source(spark, tmp_path):
     got2 = run_once()
     assert got2.count() == 150, got2.count()
     assert {r["id"] for r in got2.collect()} == set(range(150))
+
+
+def test_stream_offsets_compact(spark, tmp_path):
+    """Offsets carry only files inside the lookback window (watermark
+    aging), not every file ever seen — a long-running stream's offset
+    stays bounded. Old files outside the window still load in the
+    FIRST batch, and legacy `{"seen": [...]}` offsets keep working."""
+    import os as _os
+
+    from strawboat_spark.sources.datasource import StrawboatStreamReaderImpl, register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(10).coalesce(1).write.format("strawboat").mode("overwrite").save(src)
+    old = [f for f in _os.listdir(src) if f.endswith(".strb")]
+    # Age the first file far past the lookback window.
+    past = 1_000_000_000  # 2001-09-09, seconds
+    _os.utime(f"{src}/{old[0]}", (past, past))
+    spark.range(10, 20).coalesce(1).write.format("strawboat").mode("append").save(src)
+
+    rdr = StrawboatStreamReaderImpl({"path": src, "max_file_age_sec": "900"}, None)
+    end = rdr.latestOffset()
+    # Compaction: only the fresh file is inside the window.
+    assert len(end["recent"]) == 1
+    assert old[0] not in end["recent"]
+    # First batch still includes the pre-existing old file.
+    first_batch = {p.file for p in rdr.partitions(rdr.initialOffset(), end)}
+    assert {_os.path.basename(f) for f in first_batch} == {
+        f for f in _os.listdir(src) if f.endswith(".strb")
+    }
+    # Steady state: batch = diff of recent lists, no re-list needed.
+    spark.range(20, 30).coalesce(1).write.format("strawboat").mode("append").save(src)
+    end2 = rdr.latestOffset()
+    delta = rdr.partitions(end, end2)
+    assert len(delta) == 1 and _os.path.basename(delta[0].file) not in (
+        {_os.path.basename(f) for f in first_batch}
+    )
+    # Legacy full-list offsets from an old checkpoint still diff correctly.
+    legacy_start = {"seen": sorted(_os.path.basename(f) for f in first_batch)}
+    legacy_delta = rdr.partitions(legacy_start, {"seen": legacy_start["seen"] + [_os.path.basename(delta[0].file)]})
+    assert [_os.path.basename(p.file) for p in legacy_delta] == [_os.path.basename(delta[0].file)]
