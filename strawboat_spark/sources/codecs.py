@@ -195,6 +195,9 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0:
         return b""
+    if width in (8, 16, 32):
+        # Byte-aligned narrow widths: packing is a narrowing cast.
+        return values.astype(f"<u{width >> 3}").tobytes()
     if width <= 57:
         # Lane encode (mirror of _unpack_bits): 8 values span exactly
         # `width` bytes; lane j ORs its shifted u64 little-endian bytes
@@ -271,7 +274,7 @@ def _unpack_bits_blocked(payload: memoryview, n: int) -> np.ndarray:
         cnt = hi - lo
         w = int(widths[b])
         nbytes = (cnt * w + 7) >> 3
-        out[lo:hi] = _unpack_bits(bytes(payload[pos : pos + nbytes]), cnt, w)
+        out[lo:hi] = _unpack_bits(payload[pos : pos + nbytes], cnt, w)
         pos += nbytes
         b = e
     return out
@@ -283,20 +286,31 @@ def _unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
     if width <= 57:
         # Fast path: 8 consecutive values span exactly `width` bytes, so
         # lane j of every 8-value block sits at a FIXED byte offset and
-        # bit shift within its block. Eight strided u64 loads + shifts
-        # decode the whole page — no per-value gather, no bit matrix.
+        # bit shift within its block. Eight strided unaligned u64 loads
+        # (np.ndarray with byte strides — zero copies) + shifts decode
+        # the whole page — no per-value gather, no bit matrix.
         # Valid while shift(<=7) + width fits in 64 bits, i.e. width<=57.
         arr = np.frombuffer(data, dtype=np.uint8)
         mask = np.uint64((1 << width) - 1)
+        if width & 7 == 0:
+            # Byte-aligned width: every value starts on a byte boundary,
+            # so decode is a view (1/2/4-byte) or ONE strided load.
+            wb = width >> 3
+            if wb in (1, 2, 4):
+                return arr[: n * wb].view(f"<u{wb}").astype(np.int64)
+            pad = np.empty(n * wb + 8, np.uint8)
+            pad[: n * wb] = arr[: n * wb]
+            v = np.ndarray((n,), dtype="<u8", buffer=pad.data, strides=(wb,))
+            return (v & mask).astype(np.int64)
         out = np.empty(n, dtype=np.uint64)
         nb = n >> 3
         if nb:
-            block = np.zeros((nb, width + 8), dtype=np.uint8)
-            block[:, :width] = arr[: nb * width].reshape(nb, width)
+            pad = np.empty(nb * width + 8, dtype=np.uint8)
+            pad[: nb * width] = arr[: nb * width]
             lanes = out[: nb * 8].reshape(nb, 8)
             for j in range(8):
                 b0, sh = (j * width) >> 3, np.uint64((j * width) & 7)
-                v = np.ascontiguousarray(block[:, b0 : b0 + 8]).view(np.uint64).ravel()
+                v = np.ndarray((nb,), dtype="<u8", buffer=pad.data, offset=b0, strides=(width,))
                 lanes[:, j] = (v >> sh) & mask
         tail = n - nb * 8
         if tail:
