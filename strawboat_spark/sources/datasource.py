@@ -160,6 +160,12 @@ class StrawboatDataSource(DataSource):
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
         arrow_schema, _ = _cached_footer(files[0])
+        # Force nullable like Spark's parquet source does for file-based
+        # schemas: other files in the directory may predate a column
+        # (read-side null-fills it), and a footer that recorded a
+        # non-nullable field (e.g. written from F.lit()) would otherwise
+        # make codegen NPE on those nulls.
+        arrow_schema = pa.schema([f.with_nullable(True) for f in arrow_schema])
         if self.options.get("merge_schema", "").lower() == "true":
             # Schema evolution: union footer schemas across files
             # (first-file column order, later additions appended).

@@ -201,3 +201,24 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_bucketed_join_has_no_join_exchange(spark, registry):
+    """Co-located bucketed join: with broadcast disabled (forcing the
+    100 TB fact-fact path), the SortMergeJoin consumes the bucketed
+    scans DIRECTLY — zero Exchange below the join; the only shuffles
+    left belong to the post-join agg/sort."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry["join_bucketed_colocated"].fn(spark, SF_CORRECT)
+        r = audit(df)
+        assert r.n_sortmerge_joins == 1, r.text
+        # join inputs are pre-partitioned: <=2 exchanges total (agg +
+        # final orderBy), so NONE feed the join — an unbucketed plan
+        # would need 4 (two join-input shuffles on the key).
+        assert r.n_exchanges <= 2, r.text
+        # both scans really use the bucket layout
+        assert r.text.count("Bucketed: true") == 2, r.text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
