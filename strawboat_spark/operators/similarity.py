@@ -36,10 +36,41 @@ def _norm(a):
 
 
 def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
-    """Pre-normalize to unit length so cosine == dot (one pass, map-only)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    """Pre-normalize to unit length so cosine == dot (one pass, map-only).
+
+    NOTE: prefer `_as_double` + per-pair `_cosine` in JVM scoring paths.
+    Referencing the norm aggregate inside a `transform` lambda makes
+    Catalyst re-evaluate the whole O(dim) fold per ELEMENT — O(dim²)
+    per row. Kept for callers that ship vectors to numpy (which
+    re-normalizes in one vectorized pass anyway).
+    """
+    v = _as_double(vec_col)
     n = _norm(v)
     return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def _as_double(vec_col) -> F.Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _cosine(a, b, na, nb) -> F.Column:
+    """Per-pair cosine from raw vectors + precomputed norm columns:
+    dot/(|a||b|) costs 3·dim per pair instead of the dim² per row that
+    normalize-inside-transform costs (see with_unit_vector note)."""
+    return _dot(a, b) / (F.col(na) if isinstance(na, str) else na) / (
+        F.col(nb) if isinstance(nb, str) else nb
+    )
+
+
+def _with_vec_norm(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str, norm_alias: str
+) -> DataFrame:
+    """(id, raw double vector, precomputed L2 norm) — O(dim) per row."""
+    v = _as_double(vec_col)
+    return df.select(
+        F.col(id_col).alias(id_alias), v.alias(vec_alias), _norm(v).alias(norm_alias)
+    )
 
 
 def cosine_topk(
@@ -55,15 +86,11 @@ def cosine_topk(
     realistic shape: few queries against a huge corpus). Output:
     (query_id, neighbor_id, score, rank). Self-matches excluded.
     """
-    c = with_unit_vector(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
-    )
-    q = with_unit_vector(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
-    )
+    c = _with_vec_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     scored = (
         c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(_dot("cv", "qv"), 6))
+        .withColumn("score", F.round(_cosine("cv", "qv", "cn", "qn"), 6))
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -150,16 +177,14 @@ def lsh_cosine_topk(
     Cost per query is |probed buckets|, not |corpus|. Output schema
     matches cosine_topk.
     """
-    c = with_unit_vector(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
-    )
-    q = with_unit_vector(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
-    )
+    c = _with_vec_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     keys = _bucket_keys_udf(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)], n_planes
     )
-    ck = c.select("neighbor_id", "cv", F.posexplode(keys("cv")).alias("tbl", "bucket"))
+    # sign-bit keys are invariant under positive scaling, so raw vectors
+    # hash to the same buckets as unit vectors
+    ck = c.select("neighbor_id", "cv", "cn", F.posexplode(keys("cv")).alias("tbl", "bucket"))
 
     @F.pandas_udf("array<bigint>")
     def probe_ball(key: pd.Series) -> pd.Series:
@@ -167,16 +192,16 @@ def lsh_cosine_topk(
         return pd.Series(list(ball))
 
     qk = (
-        q.select("query_id", "qv", F.posexplode(keys("qv")).alias("tbl", "bucket0"))
-        .select("query_id", "qv", "tbl", F.explode(probe_ball("bucket0")).alias("bucket"))
+        q.select("query_id", "qv", "qn", F.posexplode(keys("qv")).alias("tbl", "bucket0"))
+        .select("query_id", "qv", "qn", "tbl", F.explode(probe_ball("bucket0")).alias("bucket"))
     )
     cands = (
         ck.join(broadcast(qk), ["tbl", "bucket"])
-        .select("query_id", "neighbor_id", "cv", "qv")
+        .select("query_id", "neighbor_id", "cv", "qv", "cn", "qn")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("score", F.round(_dot("cv", "qv"), 6)).select(
+    scored = cands.withColumn("score", F.round(_cosine("cv", "qv", "cn", "qn"), 6)).select(
         "query_id", "neighbor_id", "score"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -250,20 +275,18 @@ def ivf_cosine_topk(
     """
     cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
     assign1 = _probe_cells_udf(cents, 1)
-    c = with_unit_vector(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
-    )
+    # centroid argmax over x@C is invariant under positive scaling of x,
+    # so raw vectors pick the same cells as unit vectors
+    c = _with_vec_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
     c = c.withColumn("cell", assign1("cv")[0])
 
     probe_n = _probe_cells_udf(cents, nprobe)
-    q = with_unit_vector(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
-    )
-    qe = q.select("query_id", "qv", F.explode(probe_n("qv")).alias("cell"))
+    q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    qe = q.select("query_id", "qv", "qn", F.explode(probe_n("qv")).alias("cell"))
     scored = (
         c.join(broadcast(qe), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(_dot("cv", "qv"), 6))
+        .withColumn("score", F.round(_cosine("cv", "qv", "cn", "qn"), 6))
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -284,13 +307,14 @@ def cosine_neardup_pairs(
     """Embedding near-duplicate pairs above a cosine threshold, blocked
     by a coarse key (label/LSH bucket) so the pair join is never
     all-pairs. Output: (id_a, id_b, score)."""
-    u = with_unit_vector(df, vec_col).select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.col("unit_vec")
+    v = _as_double(vec_col)
+    u = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), v.alias("vec"), _norm(v).alias("nrm")
     )
     a, b = u.alias("a"), u.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("score", F.round(_dot("a.unit_vec", "b.unit_vec"), 6))
+        .withColumn("score", F.round(_cosine("a.vec", "b.vec", "a.nrm", "b.nrm"), 6))
         .filter(F.col("score") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -319,18 +343,16 @@ def cosine_topk_vectorized(
     fold at wide dimensions. Scale shape: map-side O(|corpus| x q)
     flops, then the same per-query top-k window.
     """
-    q_rows = (
-        with_unit_vector(queries, vec_col)
-        .select(F.col(id_col), "unit_vec")
-        .limit(max_queries)
-        .collect()
-    )
+    q_rows = queries.select(F.col(id_col), F.col(vec_col).alias("v")).limit(max_queries).collect()
     q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64).T  # (dim, q)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (q, dim)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_mat = q_mat.T  # (dim, q)
 
     def score(batches):
         for pdf in batches:
-            x = np.vstack(pdf["unit_vec"].to_numpy())  # (b, dim)
+            x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (b, dim)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             sims = x @ q_mat  # (b, q)
             b, nq = sims.shape
             yield pd.DataFrame(
@@ -341,7 +363,7 @@ def cosine_topk_vectorized(
                 }
             )
 
-    c = with_unit_vector(corpus, vec_col).select(F.col(id_col), "unit_vec")
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
     scored = c.mapInPandas(
         score, schema="query_id long, neighbor_id long, score double"
     ).filter(F.col("neighbor_id") != F.col("query_id"))

@@ -23,12 +23,12 @@ def _roundtrip(
     register(spark)
     path = f"{tempfile.mkdtemp(prefix='strawboat_rt_')}/{table}"
     src = load_table(spark, sf_dir, table)
-    # The test parquet is a single row group, so the scan yields one
-    # partition; spread it across cores before encoding. Guarded so a
-    # real multi-partition input skips the shuffle entirely.
-    n = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < n:
-        src = src.repartition(n)
+    # No pre-write repartition: writers take the upstream partitioning
+    # as-is (at 100 TB a forced repartition is a full extra shuffle of
+    # the dataset). Output files are therefore input-split-sized, and
+    # the READER fans large files back out via page-range stripes
+    # (datasource.STRIPE_PAGES), so read parallelism never depends on
+    # how many tasks happened to write.
     src.write.format("strawboat").mode("overwrite").save(path)
     rd = spark.read.format("strawboat")
     if columns:

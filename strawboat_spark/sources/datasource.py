@@ -56,7 +56,10 @@ from pyspark.sql.types import StructType
 from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
 
 FILE_EXT = ".strb"
-STRIPE_PAGES = 64  # pages per read partition (64 * 8192 rows ≈ 0.5M rows)
+STRIPE_PAGES = 16  # pages per read partition (16 * 8192 rows ≈ 131k rows — the
+# analog of spark.sql.files.maxPartitionBytes: fine enough that a handful of
+# large files still fans out across executors, coarse enough that per-task
+# overhead (Python worker round-trip, footer ranged read) stays amortized
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
