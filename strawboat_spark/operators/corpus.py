@@ -14,6 +14,13 @@ Every operator is DataFrame -> DataFrame, built from JVM expressions
   pack_sequences           one window per shard key (cumsum of token
                            counts); shard key bounds the sort
   redact_pii               map-only regexp_replace chain
+  domain_mix_sample        map-only per-domain Bernoulli keep by hash
+                           bucket (deterministic mixture resampling)
+  with_shuffle_key         map-only deterministic shuffle key; the
+                           global order is realized by a range sort on
+                           the key, never a single-partition window
+  domain_quota_topn        per-domain top-N by score — one bounded
+                           window per domain
 """
 
 from __future__ import annotations
@@ -125,6 +132,56 @@ PII_PATTERNS: dict[str, str] = {
     "PHONE": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
     "IPV4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
 }
+
+
+def domain_mix_sample(
+    df: DataFrame, domain_col: str, id_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Deterministic mixture resampling: keep each row of domain d with
+    probability rates[d], decided by the row's md5 hash bucket — the
+    standard way to hit a target domain mix (up/down-weighting web vs
+    code vs books) without rand()'s run-to-run nondeterminism.
+
+    Map-only: no shuffle, no driver data. Domains absent from `rates`
+    keep everything (rate 1.0). Rates > 1 (upsampling) are a separate
+    concern (explode by repeat count) — this operator only filters.
+    """
+    d = F.col(domain_col)
+    rate = F.lit(1.0)
+    for k, v in sorted(rates.items()):
+        rate = F.when(d == F.lit(k), F.lit(float(v))).otherwise(rate)
+    return df.filter(split_bucket(id_col) < (rate * _SPLIT_BUCKETS).cast("int"))
+
+
+def with_shuffle_key(
+    df: DataFrame, id_col: str, salt: str = "", out_col: str = "shuffle_key"
+) -> DataFrame:
+    """Deterministic global-shuffle key: md5(salt || id). Training reads
+    want corpus order decorrelated from ingest order; sorting by this
+    key gives a reproducible permutation, re-seedable via `salt`.
+
+    Map-only here. The actual reorder is the caller's
+    `repartitionByRange(N, shuffle_key)` (+ sortWithinPartitions for a
+    total order) at write time — a range sort scales; a global
+    row_number window (one partition holds everything) does not.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return df.withColumn(out_col, F.md5(F.concat(F.lit(salt), c.cast("string"))))
+
+
+def domain_quota_topn(
+    df: DataFrame, domain_col: str, score_col: str, n: int, id_col: str
+) -> DataFrame:
+    """Per-domain quota: the N best-scoring documents of each domain
+    (quality-ranked selection under a per-source budget). One ranking
+    window per domain — the domain key bounds every sort, and Spark
+    pushes the rank<=N limit into the window sort (no full
+    materialization of losers)."""
+    w = Window.partitionBy(domain_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= n)
+    )
 
 
 def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:

@@ -324,6 +324,57 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_blas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """BLAS twin of cosine_neardup_pairs: one chunked numpy matmul per
+    block instead of a JVM fold per pair (~4x at dim 64; grows with
+    dim). Same output and semantics — the threshold is applied to the
+    UNROUNDED cosine (matching the SQL oracle), scores rounded to 6 dp.
+
+    Each block is one applyInPandas group, so block size must fit one
+    worker: the chunked matmul caps the score matrix at ~64 MB, and the
+    O(block) vector rows themselves are the limit — at 100 TB, blocks
+    should come from a bounded blocker (LSH bucket / label), the same
+    contract the JVM variant has.
+    """
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        chunk = max(16, min(1024, (64 << 20) // max(1, 8 * n)))
+        outa, outb, outs = [], [], []
+        for s in range(0, n, chunk):
+            sims = x[s : s + chunk] @ x.T  # (c, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = jj > (ii + s)  # upper triangle: ids sorted => id_a < id_b
+            ii, jj = ii[keep], jj[keep]
+            outa.append(ids[ii + s])
+            outb.append(ids[jj])
+            outs.append(np.round(sims[ii, jj], 6))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outa) if outa else np.array([], dtype=ids.dtype),
+                "id_b": np.concatenate(outb) if outb else np.array([], dtype=ids.dtype),
+                "score": np.concatenate(outs) if outs else np.array([], dtype=np.float64),
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.col(block_col).alias("blk"))
+        .groupBy("blk")
+        .applyInPandas(pairs, schema="id_a long, id_b long, score double")
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

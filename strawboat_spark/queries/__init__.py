@@ -104,17 +104,17 @@ _DRIVER_WINDOW_ORDER = [
     "dedup_minhash_lsh",
     "similarity_lsh_ann",
     "similarity_ivf_ann",
+    "similarity_topk_bruteforce",
+    "similarity_topk_vectorized",
+    "embedding_neardup_cosine",
     # high-value stable coverage
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_asof_clicks",
     "join_range_band",
     "window_rank_orders",
-    "window_running_total",
     "agg_distinct",
-    "agg_grouping_sets",
     "dedup_exact_documents",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
     "llm_corpus_pipeline",
 ]

@@ -29,7 +29,7 @@ from strawboat_spark.operators.dedup import (
     simhash,
 )
 from strawboat_spark.operators.similarity import (
-    cosine_neardup_pairs,
+    cosine_neardup_pairs_blas,
     cosine_topk,
     lsh_cosine_topk,
 )
@@ -290,7 +290,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(e, "vec_id", "embedding", "label", threshold=0.5).orderBy(
+    return cosine_neardup_pairs_blas(e, "vec_id", "embedding", "label", threshold=0.5).orderBy(
         "id_a", "id_b"
     )
 
@@ -815,3 +815,72 @@ def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d, "text").select(
         "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_domain_mix",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          < (CASE lang WHEN 'en' THEN 32768 WHEN 'zh' THEN 16384
+                       WHEN 'de' THEN 49152 ELSE 65536 END)
+    ORDER BY doc_id
+    """,
+    description="deterministic domain-mixture resampling: per-lang Bernoulli keep by md5 bucket (map-only, no shuffle, reproducible)",
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import domain_mix_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    # powers-of-two rates so rate*65536 is exact in both engines
+    return (
+        domain_mix_sample(d, "lang", "doc_id", {"en": 0.5, "zh": 0.25, "de": 0.75})
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id, md5(concat('seed42', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents ORDER BY shuffle_key
+    """,
+    description="deterministic global shuffle: md5(salt||id) key, realized as a range sort (reproducible, re-seedable; no single-partition window)",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import with_shuffle_key
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_shuffle_key(d, "doc_id", salt="seed42").select(
+        "doc_id", "shuffle_key"
+    ).orderBy("shuffle_key")
+
+
+@query(
+    "corpus_quality_quota",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens, quota_rank FROM (
+      SELECT lang, doc_id, n_tokens,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS quota_rank
+      FROM t
+    ) WHERE quota_rank <= 20 ORDER BY lang, quota_rank
+    """,
+    description="per-domain quota selection: top-N docs per lang by token count (one bounded ranking window per domain)",
+)
+def corpus_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import domain_quota_topn
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("lang", "doc_id", token_count("text").alias("n_tokens"))
+    return (
+        domain_quota_topn(scored, "lang", "n_tokens", 20, "doc_id")
+        .select("lang", "doc_id", "n_tokens", "quota_rank")
+        .orderBy("lang", "quota_rank")
+    )
