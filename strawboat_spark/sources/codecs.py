@@ -804,20 +804,50 @@ def decompress_boolean(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, i
 
 
 # --------------------------------------------------------------------------
-# Fixed-width opaque family (decimal128 etc.): one basic-codec block
-# over the raw value bytes (reference treats Int128 as an integer
-# physical type — src/compression/integer/traits.rs:30-39; numpy has
-# no int128, so these pages skip the specialized codecs).
+# Fixed-width family (decimal128 / fixed_size_binary). The reference
+# treats Int128 as an integer physical type and routes it through the
+# full integer-codec family (src/compression/integer/traits.rs:30-39);
+# numpy has no int128, so 16-byte pages are split into lo/hi 64-bit
+# words (arrow decimal128 is two's-complement little-endian: bytes 0-7
+# = low word) and each half goes through the integer family. Typical
+# decimal data (prices, quantities) has a constant hi word (0 or -1,
+# sign extension) -> OneValue, and a dict/delta-friendly lo word — so
+# this reaches the same codec leverage as the reference's Int128 path.
+# A leading layout byte makes pages self-describing:
+#   0x00 opaque (one basic-codec block over raw bytes — non-16B widths)
+#   0x01 lo/hi integer-family split (two integer blocks of n values)
 # --------------------------------------------------------------------------
 
 
-def compress_fixed(raw: bytes, default_codec: Codec = Codec.ZSTD) -> bytes:
+def compress_fixed(
+    raw: bytes,
+    default_codec: Codec = Codec.ZSTD,
+    width: int | None = None,
+    forbidden: frozenset[Codec] = frozenset(),
+    ratio: float | None = None,
+) -> bytes:
     out = bytearray()
-    write_block(out, default_codec, _basic_compress(default_codec, raw), len(raw))
+    if width == 16 and len(raw) % 16 == 0 and len(raw) > 0:
+        out.append(1)
+        words = np.frombuffer(raw, dtype=np.int64)
+        _compress_integer_into(out, words[0::2], default_codec, forbidden, ratio=ratio)
+        _compress_integer_into(out, words[1::2], default_codec, forbidden, ratio=ratio)
+    else:
+        out.append(0)
+        write_block(out, default_codec, _basic_compress(default_codec, raw), len(raw))
     return bytes(out)
 
 
-def decompress_fixed(buf: memoryview, pos: int) -> tuple[bytes, int]:
+def decompress_fixed(buf: memoryview, pos: int, n: int) -> tuple[bytes, int]:
+    layout = buf[pos]
+    pos += 1
+    if layout == 1:
+        lo, pos = decompress_integer(buf, pos, n, np.dtype(np.int64))
+        hi, nxt = decompress_integer(buf, pos, n, np.dtype(np.int64))
+        words = np.empty(2 * n, dtype=np.int64)
+        words[0::2] = lo
+        words[1::2] = hi
+        return words.tobytes(), nxt
     codec, payload, usize, nxt = read_block(buf, pos)
     return _basic_decompress(codec, bytes(payload), usize), nxt
 

@@ -433,7 +433,9 @@ class StrawboatWriter:
             width = arr.type.byte_width
             buf = arr.buffers()[1]
             raw = bytes(memoryview(buf)[arr.offset * width : (arr.offset + n) * width])
-            out += compress_fixed(raw, self.default_codec)
+            out += compress_fixed(
+                raw, self.default_codec, width, self.forbidden, ratio=self.compress_ratio
+            )
         else:
             raise NotImplementedError(kind)
         return bytes(out), PageMeta(len(out), n, null_count, mn, mx)
@@ -686,7 +688,7 @@ class StrawboatReader:
                 f_type, n, [_validity_buffer(valid), obuf, pa.py_buffer(data)]
             )
         if kind == "fixed":
-            raw, _ = decompress_fixed(buf, pos)
+            raw, _ = decompress_fixed(buf, pos, n)
             return pa.Array.from_buffers(
                 f_type, n, [_validity_buffer(valid), pa.py_buffer(raw)]
             )

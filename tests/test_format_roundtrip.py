@@ -294,8 +294,10 @@ def test_parquet_tables_roundtrip():
 
 def test_decimal128_roundtrip():
     """Reference stores Int128 via its integer codecs
-    (src/compression/integer/traits.rs:30-39); we store decimal128 as a
-    fixed-width opaque page."""
+    (src/compression/integer/traits.rs:30-39); decimal128 pages are
+    split into lo/hi 64-bit words, each through the integer family
+    (hi word of typical decimals is constant sign extension ->
+    OneValue; lo word dict/delta-compresses)."""
     import decimal
 
     t = pa.table(
@@ -307,6 +309,22 @@ def test_decimal128_roundtrip():
         }
     )
     assert_rt(t)
+    # negatives: hi word is all-ones sign extension, still OneValue
+    neg = pa.table(
+        {
+            "d": pa.array(
+                [decimal.Decimal(-i) / 4 for i in range(4000)], type=pa.decimal128(20, 2)
+            )
+        }
+    )
+    assert_rt(neg)
+    # the split must actually pay: sorted decimals (delta-friendly lo,
+    # constant hi) should compress far below the 16 B/value raw size
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, neg.schema)
+    w.write_table(neg)
+    w.finish()
+    assert buf.tell() < neg.num_rows * 4, buf.tell()
 
 
 def test_uint64_extremes():
