@@ -217,9 +217,27 @@ def _kmeans_centroids(
 ) -> list[list[float]]:
     """Coarse quantizer training: Lloyd iterations on a bounded driver
     sample (the standard IVF recipe — training is sample-based by
-    design, so this stays O(sample) no matter the corpus size)."""
-    rows = df.select(vec_col).limit(sample_size).collect()
+    design, so this stays O(sample) no matter the corpus size).
+
+    The sample must be UNIFORM: `limit(n)` takes the first partitions,
+    and real corpora are clustered by source/time, so limit-trained
+    centroids describe one corner of the corpus and recall collapses.
+    `sample()` thins every partition instead; the driver then takes a
+    seeded subset of the (bounded) oversample."""
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    if cnt <= sample_size:
+        rows = df.select(vec_col).collect()
+    else:
+        # oversample by 2x so per-partition Bernoulli variance almost
+        # never leaves us short, then thin uniformly on the driver
+        fraction = min(1.0, 2.0 * sample_size / cnt)
+        rows = df.select(vec_col).sample(fraction=fraction, seed=seed).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    if len(x) > sample_size:
+        idx = np.random.default_rng(seed).choice(len(x), size=sample_size, replace=False)
+        x = x[np.sort(idx)]
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -59,76 +59,66 @@ def _load_all_modules() -> None:
 
 
 # The driver records a CORRECTNESS row for the first 50 entries of
-# queries() only. This explicit order front-loads (a) queries that had
-# no driver row in round 1 and (b) queries whose implementation changed
-# this round, so that across rounds every query gets the hard signal.
-# Names absent from the list keep registration order after it.
-_DRIVER_WINDOW_ORDER = [
-    # round-1 driver-unverified (registered after the 50-entry cutoff)
-    "q4_priority_late_ship",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_bands",
-    "agg_percentiles",
-    "agg_statistics",
-    "window_distribution_funcs",
-    "window_range_frame",
-    "join_salted_skew",
-    "scalar_math_funcs",
-    "scalar_json_extract",
-    "scalar_subquery",
-    "subquery_correlated_exists",
-    "scalar_higher_order_array",
-    "scalar_map_funcs",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_sliding_window",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_apply_in_pandas",
-    "udtf_explode_priorities",
-    # new / implementation-changed this round
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    "corpus_decontamination",
-    "corpus_train_test_split",
-    "corpus_pack_sequences",
-    "corpus_pii_redaction",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "strawboat_roundtrip_agg",
-    "strawboat_roundtrip_filter",
-    "strawboat_roundtrip_nested",
-    "strawboat_partitioned_scan",
-    "dedup_minhash_lsh",
-    "similarity_lsh_ann",
-    "similarity_ivf_ann",
-    "similarity_topk_bruteforce",
-    "similarity_topk_vectorized",
-    "embedding_neardup_cosine",
-    # high-value stable coverage
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "join_asof_clicks",
-    "join_range_band",
-    "window_rank_orders",
-    "agg_distinct",
-    "dedup_exact_documents",
-    "dedup_clusters",
-    "llm_corpus_pipeline",
-]
+# queries() only. Instead of a hand-maintained priority list (which in
+# round 2 silently left 11 queries outside every round's window), the
+# order is derived from the repo's own CORRECTNESS_r*.json history:
+#   1. queries with NO driver row in any round (hard signal still owed),
+#   2. queries whose most recent driver row FAILED (need the re-check),
+#   3. everything else, least-recently-verified first (so verification
+#      rotates and provably accumulates across rounds).
+# Ties keep registration order. Adding a query automatically front-loads
+# it next round; nothing to maintain.
+
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (last round with a driver row, that row passed).
+
+    A no_oracle row counts as passed: the driver's rows-only check is
+    the strongest signal that query can ever get, so it rotates like a
+    verified one."""
+    import json
+    import re
+    from pathlib import Path
+
+    history: dict[str, tuple[int, bool]] = {}
+    root = Path(__file__).resolve().parents[2]
+    try:
+        files = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return history
+    for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, ok)
+    return history
 
 
 def all_queries() -> dict[str, QueryDef]:
     _load_all_modules()
-    rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_ORDER)}
-    tail = len(rank)
-    ordered = sorted(
-        _REGISTRY.items(),
-        key=lambda kv: (rank.get(kv[0], tail), list(_REGISTRY).index(kv[0])),
-    )
-    return dict(ordered)
+    history = _driver_history()
+    reg_order = {n: i for i, n in enumerate(_REGISTRY)}
+
+    def key(item: tuple[str, QueryDef]):
+        name = item[0]
+        row = history.get(name)
+        if row is None:
+            return (0, 0, reg_order[name])  # never driver-checked
+        rnd, ok = row
+        if not ok:
+            return (1, rnd, reg_order[name])  # last driver row failed
+        return (2, rnd, reg_order[name])  # verified: oldest round first
+
+    return dict(sorted(_REGISTRY.items(), key=key))
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -873,16 +873,18 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
     """,
-    description="TPC-H Q14 analog: promo-type revenue share over a ship-date year (broadcast part join)",
+    description="TPC-H Q14 analog: promo-type revenue share over a ship-date year",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part grows with SF (SF x 200k rows) — no broadcast hint; AQE picks
+    # broadcast at small SF and falls back to shuffle join at scale.
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -909,12 +911,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q18 analog: large-volume orders (groupBy+having over 3-table join)",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer grows with SF (SF x 150k rows) — unhinted; AQE decides.
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
@@ -942,9 +945,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q19 analog: disjunction of brand/size/quantity bands (single join, OR-of-ANDs predicate)",
 )
 def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part grows with SF — unhinted; AQE decides the join strategy.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     band = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))

@@ -77,15 +77,20 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_apply_in_pandas",
     oracle="""
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
       FROM orders
+    ), ranked AS (
+      SELECT o_custkey, o_orderkey, c,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY c DESC, o_orderkey) AS rn,
+             SUM(c) OVER (PARTITION BY o_custkey) AS sum_c,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      FROM cents
     )
     SELECT o_custkey, o_orderkey,
-           ROUND(o_totalprice - cust_avg, 4) AS delta_from_avg
+           (c * cnt - sum_c) / (100.0 * cnt) AS delta_from_avg
     FROM ranked WHERE rn = 1 ORDER BY o_custkey
     """,
     description="applyInPandas: per-group dataframe kernel (top order vs group mean)",
@@ -95,27 +100,35 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     per customer (~150k tiny calls at sf1 — per-group overhead swamps
     the work). Group by a hash bucket instead and vectorize the
     per-customer logic inside the kernel with pandas groupby: same
-    result, ~constant number of Python invocations at any scale."""
+    result, ~constant number of Python invocations at any scale.
+
+    Determinism note: o_totalprice has 2 decimals, so all arithmetic is
+    done in exact integer cents (int64 sums are order-independent); the
+    single final division of exact integers is correctly rounded IEEE,
+    so the double is bit-identical regardless of shuffle arrival order
+    — a float mean() here was accumulation-order-dependent and flipped
+    ROUND(x, 4) on boundary rows."""
 
     def top_vs_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        pdf = pdf.copy()
+        pdf["c"] = (pdf["o_totalprice"].to_numpy() * 100).round().astype("int64")
+        s = pdf.sort_values(["c", "o_orderkey"], ascending=[False, True])
         g = s.groupby("o_custkey", sort=False)
-        top = g.head(1)[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
-        means = g["o_totalprice"].mean()
-        top["delta_raw"] = (
-            top["o_totalprice"].to_numpy() - means.loc[top["o_custkey"]].to_numpy()
-        )
-        return top[["o_custkey", "o_orderkey", "delta_raw"]]
+        top = g.head(1)[["o_custkey", "o_orderkey", "c"]].copy()
+        sums = g["c"].sum()
+        cnts = g["c"].count()
+        sum_c = sums.loc[top["o_custkey"]].to_numpy()
+        cnt = cnts.loc[top["o_custkey"]].to_numpy()
+        top["delta_from_avg"] = (top["c"].to_numpy() * cnt - sum_c) / (100.0 * cnt)
+        return top[["o_custkey", "o_orderkey", "delta_from_avg"]]
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return (
         o.groupBy(F.pmod(F.col("o_custkey"), F.lit(512)).alias("bucket"))
-        .applyInPandas(top_vs_mean, schema="o_custkey long, o_orderkey long, delta_raw double")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round("delta_raw", 4).alias("delta_from_avg"),
+        .applyInPandas(
+            top_vs_mean, schema="o_custkey long, o_orderkey long, delta_from_avg double"
         )
+        .select("o_custkey", "o_orderkey", "delta_from_avg")
         .orderBy("o_custkey")
     )
 

@@ -390,7 +390,11 @@ def _candidate_ratios_int(values: np.ndarray, s: PageStats) -> dict[Codec, float
 
 
 def _compress_codes_into(
-    out: bytearray, codes: np.ndarray, n_uniq: int, forbidden: frozenset[Codec] = frozenset()
+    out: bytearray,
+    codes: np.ndarray,
+    n_uniq: int,
+    forbidden: frozenset[Codec] = frozenset(),
+    ratio: float | None = None,
 ) -> None:
     """Fast path for dictionary index streams: bounded non-negative
     ints whose max is known. Picks RLE vs Bitpacking by EXACT payload
@@ -398,14 +402,21 @@ def _compress_codes_into(
     more than encoding the codes themselves). The page stays readable
     by the normal integer decoder; only the writer-side search is
     short-circuited (the reference also restricts recursive codec
-    choice — integer/dict.rs:59-62)."""
+    choice — integer/dict.rs:59-62). The WriteOptions compress_ratio
+    threshold still applies, as in _compress_offsets_into: if the exact
+    RLE/bitpack ratio misses the bar, fall back to the general codec."""
     n = len(codes)
     codes = np.ascontiguousarray(codes, dtype=np.int64)
     width = _bits_needed(max(n_uniq - 1, 1))
     changes = (int(np.count_nonzero(codes[1:] != codes[:-1])) + 1) if n > 1 else n
     rle_size = 4 + changes * 12
     bp_size = 2 + (n * width + 7) // 8
-    if rle_size < bp_size and Codec.RLE not in forbidden:
+    best = min(rle_size, bp_size)
+    threshold = DEFAULT_COMPRESS_RATIO if ratio is None else ratio
+    if best > 0 and codes.nbytes / best < threshold:
+        raw = codes.tobytes()
+        write_block(out, Codec.ZSTD, _basic_compress(Codec.ZSTD, raw), len(raw))
+    elif rle_size < bp_size and Codec.RLE not in forbidden:
         write_block(out, Codec.RLE, _rle_encode(codes), codes.nbytes)
     elif Codec.BITPACKING not in forbidden:
         payload = struct.pack("<BB", width, 0) + _pack_bits(codes, width)

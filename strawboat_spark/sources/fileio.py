@@ -219,7 +219,28 @@ class _FsspecFileSystem:
 
     def create(self, path: str):
         f = self._fs.open(path, "wb")
-        f.abort = getattr(f, "abort", f.close)  # best-effort
+        if not hasattr(f, "abort"):
+            # fsspec close() FLUSHES AND COMMITS the upload, so it must
+            # never stand in for abort: a failed write would publish a
+            # truncated object that poisons every directory listing.
+            # Prefer discard() (drops the multipart upload); otherwise
+            # commit-then-delete so no partial file stays visible.
+            discard = getattr(f, "discard", None)
+            fs, scheme = self._fs, self._scheme
+
+            def _abort(_f=f, _discard=discard):
+                if _discard is not None:
+                    _discard()
+                    return
+                try:
+                    _f.close()
+                finally:
+                    try:
+                        fs.rm(path)
+                    except OSError:
+                        pass  # nothing was published
+
+            f.abort = _abort
         return f
 
     def list_files(self, path: str, suffix: str) -> list[str]:

@@ -544,3 +544,56 @@ def test_schema_evolution_no_common_columns(registered, tmp_path):
     merged = spark.read.format("strawboat").option("merge_schema", "true").load(path)
     assert merged.count() == 12
     assert merged.select("y").filter(F.col("y").isNotNull()).count() == 7
+
+
+def test_fsspec_abort_never_publishes_partial_file(tmp_path):
+    """fsspec close() commits the upload, so abort must discard the
+    multipart upload (or delete the published object) — a committed
+    truncated .strb file would poison every later directory listing."""
+    import io
+
+    from strawboat_spark.sources.fileio import _FsspecFileSystem
+
+    class FakeFile(io.BytesIO):
+        def __init__(self, fs, path):
+            super().__init__()
+            self._fs, self._path = fs, path
+
+        def close(self):
+            self._fs.published[self._path] = self.getvalue()
+            super().close()
+
+    class FakeDiscardFile(FakeFile):
+        def __init__(self, fs, path):
+            super().__init__(fs, path)
+            self.discarded = False
+
+        def discard(self):
+            self.discarded = True
+
+    class FakeFs:
+        def __init__(self, file_cls):
+            self.published = {}
+            self.removed = []
+            self._file_cls = file_cls
+
+        def open(self, path, mode):
+            return self._file_cls(self, path)
+
+        def rm(self, path):
+            self.removed.append(path)
+            self.published.pop(path, None)
+
+    # adapter without fsspec installed: bypass __init__
+    for file_cls, expect_discard in ((FakeFile, False), (FakeDiscardFile, True)):
+        ad = _FsspecFileSystem.__new__(_FsspecFileSystem)
+        ad._fs = FakeFs(file_cls)
+        ad._scheme = "fake"
+        f = ad.create("bucket/data.strb")
+        f.write(b"partial")
+        f.abort()
+        assert ad._fs.published == {}, "abort left a partial object visible"
+        if expect_discard:
+            assert f.discarded and not ad._fs.removed
+        else:
+            assert ad._fs.removed == ["bucket/data.strb"]

@@ -61,3 +61,40 @@ def test_multiprobe_keys_hamming_ball():
     # every probe is within hamming distance 2 of its key
     for row, key in zip(ball2, (0b1010, 0b0001)):
         assert all(bin(int(p) ^ key).count("1") <= 2 for p in row)
+
+
+def test_ivf_training_sample_is_uniform_on_cluster_sorted_corpus(spark):
+    """Real corpora are clustered by source/time; a limit()-based
+    training sample sees only the first partitions (one corner of the
+    corpus) and IVF recall collapses. _kmeans_centroids must sample
+    uniformly so every cluster is represented even when the data layout
+    is cluster-sorted."""
+    from strawboat_spark.operators.similarity import _kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 8, 400, 16
+    means = rng.normal(size=(n_clusters, dim))
+    means /= np.linalg.norm(means, axis=1, keepdims=True)
+    rows = []
+    for cid in range(n_clusters):
+        pts = means[cid] + 0.05 * rng.normal(size=(per, dim))
+        rows.extend((cid, [float(v) for v in p]) for p in pts)
+    df = (
+        spark.createDataFrame(rows, "cid int, vec array<double>")
+        .repartitionByRange(n_clusters, "cid")  # cluster-sorted layout
+        .persist()
+    )
+    try:
+        # the failure mode the fix removes: limit() sees ~1 partition
+        limited = np.array([r[0] for r in df.orderBy("cid").limit(256).select("cid").collect()])
+        assert len(set(limited.tolist())) <= 2, "limit() should be partition-biased here"
+
+        cents = np.array(_kmeans_centroids(df, "vec", n_clusters, seed=42, sample_size=256))
+        assert len(cents) == n_clusters
+        # every true cluster center must be near some learned centroid
+        sims = means @ cents.T  # both ~unit-norm
+        assert (sims.max(axis=1) > 0.9).all(), (
+            f"cluster coverage broken: per-cluster best sims {sims.max(axis=1)}"
+        )
+    finally:
+        df.unpersist()

@@ -138,17 +138,19 @@ def test_salted_join_matches_plain_join(spark):
     assert left_got.count() == left_want.count()
 
 
-def test_q14_broadcasts_part_and_pushes_dates(spark, registry):
-    r = audit(registry["q14_promo_revenue"].fn(spark, SF_CORRECT))
-    assert r.n_broadcast_joins >= 1
-    assert r.n_sortmerge_joins == 0
+def test_q14_no_forced_broadcast_and_pushes_dates(spark, registry):
+    df = registry["q14_promo_revenue"].fn(spark, SF_CORRECT)
+    # part scales with SF: strategy must be AQE's, not pinned
+    assert _n_broadcast_hints(df) == 0
+    r = audit(df)
     joined = " ".join(r.pushed_filters)
     assert "l_shipdate" in joined, "ship-date range not pushed to scan"
 
 
-def test_q18_broadcasts_customer(spark, registry):
-    r = audit(registry["q18_large_orders"].fn(spark, SF_CORRECT))
-    assert r.n_broadcast_joins >= 1
+def test_q18_q19_no_forced_broadcast(spark, registry):
+    # customer/part scale with SF: zero ResolvedHints, AQE decides
+    assert _n_broadcast_hints(registry["q18_large_orders"].fn(spark, SF_CORRECT)) == 0
+    assert _n_broadcast_hints(registry["q19_disjunctive_bands"].fn(spark, SF_CORRECT)) == 0
 
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
