@@ -142,15 +142,38 @@ def domain_mix_sample(
     standard way to hit a target domain mix (up/down-weighting web vs
     code vs books) without rand()'s run-to-run nondeterminism.
 
-    Map-only: no shuffle, no driver data. Domains absent from `rates`
-    keep everything (rate 1.0). Rates > 1 (upsampling) are a separate
-    concern (explode by repeat count) — this operator only filters.
+    Rates may exceed 1 (upsampling): a row of rate r yields floor(r)
+    copies plus one more iff its bucket falls below frac(r)·65536, so
+    the expected multiplicity is exactly r and the decision is per-row
+    deterministic. When every rate is ≤ 1 this reduces to a map-only
+    filter and the schema is unchanged; any rate > 1 switches to a
+    map-side explode and appends a `copy_idx` column (0-based replica
+    index) so downstream packing/shuffling can distinguish copies.
+
+    Map-only either way: no shuffle, no driver data. Domains absent
+    from `rates` keep everything (rate 1.0).
     """
     d = F.col(domain_col)
     rate = F.lit(1.0)
     for k, v in sorted(rates.items()):
         rate = F.when(d == F.lit(k), F.lit(float(v))).otherwise(rate)
-    return df.filter(split_bucket(id_col) < (rate * _SPLIT_BUCKETS).cast("int"))
+    if all(float(v) <= 1.0 for v in rates.values()):
+        return df.filter(split_bucket(id_col) < (rate * _SPLIT_BUCKETS).cast("int"))
+    # upsampling path: n_copies = floor(r) + [bucket < frac(r)*65536]
+    whole = F.floor(rate).cast("int")
+    frac_cut = ((rate - F.floor(rate)) * _SPLIT_BUCKETS).cast("int")
+    n_copies = whole + F.when(split_bucket(id_col) < frac_cut, 1).otherwise(0)
+    cols = df.columns
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .select(
+            *cols,
+            F.posexplode(F.array_repeat(F.lit(True), F.col("__n_copies"))).alias(
+                "copy_idx", "__dup"
+            ),
+        )
+        .drop("__dup")
+    )
 
 
 def with_shuffle_key(
