@@ -34,15 +34,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type, so read nanos as long and truncate to micros
-        # (integer division: ns values exceed double's 2^53 mantissa).
-        # DuckDB does the same ns->us truncation, so oracles agree.
+        # events.ts has shipped as both parquet TIMESTAMP(MICROS) (reads
+        # natively) and TIMESTAMP(NANOS) (Spark has no ns timestamp type:
+        # read nanos as long, truncate to micros with integer division —
+        # ns values exceed double's 2^53 mantissa; DuckDB truncates the
+        # same way, so oracles agree). Detect which by the read dtype.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
