@@ -49,6 +49,7 @@ class Codec(IntEnum):
     BITPACKING = 14
     DELTA_BITPACKING = 15
     PATAS = 16
+    PATAS_PACKED = 17
 
 
 _ARROW_CODEC_NAMES = {Codec.LZ4: "lz4", Codec.ZSTD: "zstd", Codec.SNAPPY: "snappy"}
@@ -67,6 +68,7 @@ _FORCE_ENV = {
     Codec.BITPACKING: "STRAWBOAT_BITPACK_COMPRESSION",
     Codec.DELTA_BITPACKING: "STRAWBOAT_DELTABP_COMPRESSION",
     Codec.PATAS: "STRAWBOAT_PATAS_COMPRESSION",
+    Codec.PATAS_PACKED: "STRAWBOAT_PATAS_PACKED_COMPRESSION",
 }
 
 
@@ -644,6 +646,169 @@ def _choose(
 # Double family (float32/float64): OneValue, RLE, Dict, basic
 # --------------------------------------------------------------------------
 
+_PATAS_BLOCK = 128  # reference ring-buffer size (patas.rs:45)
+
+
+def _patas_refs(n: int, bits: np.ndarray) -> np.ndarray:
+    """Per-element reference index, reference-Patas semantics
+    (patas.rs:59-65): the most recent earlier occurrence of the exact
+    same bit pattern if it lies within the last 128 positions, else the
+    previous element — except that a never-seen value inside the first
+    128 positions references element 0 (the `unwrap_or(0)` path).
+
+    Vectorized prev-occurrence: stable argsort groups equal bit
+    patterns while keeping positional order inside each group, so the
+    previous element of a sorted run IS the previous occurrence.
+    """
+    idx = np.arange(n, dtype=np.int64)
+    order = np.argsort(bits, kind="stable")
+    sb = bits[order]
+    prev = np.full(n, -1, dtype=np.int64)
+    if n > 1:
+        same = sb[1:] == sb[:-1]
+        prev[order[1:]] = np.where(same, order[:-1], -1)
+    ref = np.where(prev >= 0, prev, 0)
+    ref = np.where(idx - ref >= _PATAS_BLOCK, idx - 1, ref)
+    return ref
+
+
+def _patas_pack_body(bits: np.ndarray) -> bytes:
+    """Encode a page of float bit patterns into the Patas packed-u16
+    layout (reference src/compression/double/patas.rs:36-105): value i
+    XORs against a reference value (see _patas_refs), and each record
+    is a u16 `(ref_diff:7 | sig_bytes:3 | trailing_zeros:6)` plus
+    `sig_bytes` little-endian bytes of `xor >> trailing_zeros`.
+
+    Layout difference, deliberately: the reference interleaves header
+    and payload per value (AoS); this implementation stores first value
+    | all headers | all payloads (SoA) so both directions are whole-
+    page numpy kernels and the header stream — highly repetitive on
+    real data — sits contiguously for the outer general codec. The
+    per-value information content is identical to the reference.
+    """
+    n = len(bits)
+    itemsize = bits.dtype.itemsize
+    nbits = itemsize * 8
+    first = bits[:1].tobytes()
+    if n <= 1:
+        return first
+    idx = np.arange(n, dtype=np.int64)
+    ref = _patas_refs(n, bits)
+    ref_diff = (idx - ref).astype(np.uint16)
+    xor = bits ^ bits[ref]
+    xor = xor[1:]  # element 0 is stored raw
+    ref_diff = ref_diff[1:]
+
+    is_zero = xor == 0
+    # trailing zeros: lowest set bit is an exact power of two, and
+    # float64 represents powers of two exactly, so log2 is exact.
+    lowbit = xor & (~xor + np.uint64(1) if itemsize == 8 else ~xor + np.uint32(1))
+    safe = np.where(is_zero, 1, lowbit)
+    tz = np.log2(safe.astype(np.float64)).astype(np.uint8)
+    shifted = xor >> tz.astype(bits.dtype)
+    # significant bytes = ceil(bit_length(shifted)/8) via thresholds
+    sig = np.ones(len(xor), dtype=np.uint8)
+    for k in range(1, itemsize):
+        sig += (shifted >= (1 << (8 * k))).astype(np.uint8)
+    sig[is_zero] = 0
+    tz[is_zero] = nbits - 1  # sentinel: tz==nbits-1 & sig==0 -> equal
+
+    packed = (
+        (ref_diff.astype(np.uint16) << 9)
+        | ((sig.astype(np.uint16) & 7) << 6)
+        | tz.astype(np.uint16)
+    )
+    # payload: low `sig` bytes of each shifted xor, row-major
+    mat = np.ascontiguousarray(shifted.astype(f"<u{itemsize}")).view(np.uint8)
+    mat = mat.reshape(len(xor), itemsize)
+    mask = np.arange(itemsize, dtype=np.uint8)[None, :] < sig[:, None]
+    payload = mat[mask]
+    return first + packed.astype("<u2").tobytes() + payload.tobytes()
+
+
+def _patas_unpack_body(body: bytes, n: int, bits_dtype: np.dtype) -> np.ndarray:
+    """Decode _patas_pack_body. The reconstruction chain
+    value[i] = xor[i] ^ value[i - ref_diff[i]] is sequential in the
+    reference (patas.rs:119-130); here it is solved in O(log n)
+    vectorized rounds of pointer doubling — each value's result is the
+    XOR of contributions along its reference-ancestor path to value 0,
+    so gather-and-double computes all paths at once."""
+    itemsize = bits_dtype.itemsize
+    nbits = itemsize * 8
+    if n == 0:
+        return np.empty(0, dtype=bits_dtype)
+    first = np.frombuffer(body, dtype=bits_dtype, count=1)[0]
+    if n == 1:
+        return np.full(1, first, dtype=bits_dtype)
+    headers = np.frombuffer(body, dtype="<u2", count=n - 1, offset=itemsize)
+    ref_diff = (headers >> 9).astype(np.int64)
+    sig = ((headers >> 6) & 7).astype(np.uint8)
+    tz = (headers & 63).astype(np.uint8)
+    # sig==0 means either xor==0 (tz at sentinel) or a full-width value
+    is_zero = (sig == 0) & (tz == nbits - 1)
+    sig = np.where((sig == 0) & ~is_zero, itemsize, sig).astype(np.uint8)
+    sig[is_zero] = 0
+
+    ends = np.cumsum(sig.astype(np.int64))
+    payload = np.frombuffer(body, dtype=np.uint8, offset=itemsize + 2 * (n - 1))
+    if len(payload) < (ends[-1] if len(ends) else 0):
+        raise ValueError("patas payload truncated")
+    mat = np.zeros((n - 1, itemsize), dtype=np.uint8)
+    mask = np.arange(itemsize, dtype=np.uint8)[None, :] < sig[:, None]
+    mat[mask] = payload[: ends[-1]]
+    shifted = mat.reshape(-1).view(f"<u{itemsize}").astype(bits_dtype, copy=False)
+    xor = shifted << np.where(is_zero, 0, tz).astype(bits_dtype)
+    xor[is_zero] = 0
+
+    # contribution per node; node 0 contributes the raw first value
+    acc = np.empty(n, dtype=bits_dtype)
+    acc[0] = first
+    acc[1:] = xor
+    # Walk-shaped data references the direct predecessor for almost
+    # every record (the exceptions are the first ~128 values, which the
+    # reference's unwrap_or(0) path points at element 0). Split at the
+    # last non-1 reference: the head resolves by pointer doubling (it
+    # is tiny), the tail is a plain cumulative XOR scan.
+    nz = np.flatnonzero(ref_diff != 1)
+    split = int(nz[-1]) + 1 if len(nz) else 0  # values[1+split:] all diff-1
+    head_n = split + 1  # values 0..split resolve via doubling
+    if head_n < n:
+        head = _patas_resolve_chain(acc[:head_n], ref_diff[:split])
+        tail = np.empty(n - split, dtype=bits_dtype)
+        tail[0] = head[-1]
+        tail[1:] = acc[head_n:]
+        out = np.empty(n, dtype=bits_dtype)
+        out[:head_n] = head
+        out[head_n:] = np.bitwise_xor.accumulate(tail)[1:]
+        return out
+    return _patas_resolve_chain(acc, ref_diff)
+
+
+def _patas_resolve_chain(acc: np.ndarray, ref_diff: np.ndarray) -> np.ndarray:
+    """Resolve value[i] = acc[i] ^ value[i - ref_diff[i-1]] for all i
+    (value[0] = acc[0]) by pointer doubling: O(log chain-length)
+    vectorized rounds instead of the reference's sequential loop."""
+    n = len(acc)
+    parent = np.empty(n, dtype=np.int64)
+    parent[0] = -1
+    parent[1:] = np.arange(1, n, dtype=np.int64) - ref_diff
+    # Invariant after k rounds: res[i] = XOR of acc over the path
+    # segment from i up to (not including) parent[i], where parent[i]
+    # is i's 2^k-th ancestor (-1 = past the root, segment complete).
+    # Each round gathers res[p]/parent[p] BEFORE writing, which gives
+    # snapshot semantics without copying the full arrays: an updated
+    # entry is never re-read within the same round.
+    res = acc.copy()
+    act = np.flatnonzero(parent >= 0)
+    while len(act):
+        p = parent[act]
+        rp = res[p]
+        pp = parent[p]
+        res[act] ^= rp
+        parent[act] = pp
+        act = act[pp >= 0]
+    return res
+
 
 def compress_double(
     values: np.ndarray,
@@ -694,6 +859,23 @@ def compress_double(
             patas_ratio = 1.0
         if patas_ratio >= DEFAULT_COMPRESS_RATIO:
             est[Codec.PATAS] = patas_ratio
+        # True Patas (packed-u16 records, reference patas.rs): encode a
+        # sample through the real kernel + outer zstd for the estimate.
+        # The xor-sample ratio above is a free pre-filter: pages where
+        # even the xor stream barely compresses (random mantissas) can
+        # never clear the 2x bar, so don't pay the sample encode.
+        packed_forced = os.environ.get(_FORCE_ENV[Codec.PATAS_PACKED]) == "1"
+        if packed_forced or patas_ratio >= DEFAULT_COMPRESS_RATIO * 0.75:
+            n_sample = min(s.count, SAMPLE_BYTES // (2 * itemsize))
+            try:
+                body_s = _patas_pack_body(bits[:n_sample])
+                packed_ratio = (n_sample * itemsize) / max(
+                    1, len(_basic_compress(Codec.ZSTD, body_s))
+                )
+            except Exception:
+                packed_ratio = 1.0
+            if packed_forced or packed_ratio >= DEFAULT_COMPRESS_RATIO:
+                est[Codec.PATAS_PACKED] = packed_ratio
     choice = _choose(est, forbidden, raw, default_codec, ratio)
 
     if choice == Codec.ONE_VALUE:
@@ -707,6 +889,13 @@ def compress_double(
             np.bitwise_xor(bits[1:], bits[:-1], out=xored[1:])
         # inner stream always zstd so the decoder needs no out-of-band info
         write_block(out, Codec.PATAS, _basic_compress(Codec.ZSTD, xored.tobytes()), len(raw))
+    elif choice == Codec.PATAS_PACKED:
+        # payload = u32 body_len | zstd(body): the block header's
+        # uncompressed_size stays the raw page size (stat parity), so
+        # the zstd frame's own size rides in front of it.
+        body = _patas_pack_body(bits)
+        payload = struct.pack("<I", len(body)) + _basic_compress(Codec.ZSTD, body)
+        write_block(out, Codec.PATAS_PACKED, payload, len(raw))
     elif choice == Codec.RLE:
         write_block(out, Codec.RLE, _rle_encode_via_bits(values), len(raw))
     elif choice == Codec.FREQ:
@@ -750,6 +939,10 @@ def decompress_double(buf: memoryview, pos: int, n: int, dtype: np.dtype) -> tup
         raw = _basic_decompress(Codec.ZSTD, bytes(payload), usize)
         xored = np.frombuffer(raw, dtype=bits_dtype, count=n).copy()
         return np.bitwise_xor.accumulate(xored).view(dtype), nxt
+    if codec == Codec.PATAS_PACKED:
+        (body_len,) = struct.unpack_from("<I", payload, 0)
+        body = _basic_decompress(Codec.ZSTD, bytes(payload[4:]), body_len)
+        return _patas_unpack_body(body, n, bits_dtype).view(dtype), nxt
     if codec == Codec.FREQ:
         top = np.frombuffer(payload[: dtype.itemsize], dtype=dtype)[0]
         (n_exc,) = struct.unpack_from("<I", payload, 8)

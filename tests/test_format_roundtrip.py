@@ -349,6 +349,56 @@ def test_patas_float_roundtrip(monkeypatch):
     assert_rt(pa.table({"y": pa.array(walk.astype(np.float32))}))
 
 
+def test_patas_packed_roundtrip(monkeypatch):
+    """True Patas layout (packed-u16 records, reference patas.rs):
+    forced roundtrip over walk / repeat-heavy / special-value pages."""
+    monkeypatch.setenv("STRAWBOAT_PATAS_PACKED_COMPRESSION", "1")
+    walk = np.cumsum(RNG.normal(scale=0.01, size=20000)) + 100.0
+    assert_rt(pa.table({"x": pa.array(walk)}))
+    assert_rt(pa.table({"y": pa.array(walk.astype(np.float32))}))
+    periodic = np.tile(np.round(RNG.normal(20, 5, 96), 1), 200)
+    assert_rt(pa.table({"p": pa.array(periodic)}))
+    # NaN != NaN under Arrow equality — compare bit patterns via numpy
+    special = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0] * 2000)
+    got = roundtrip(pa.table({"s": pa.array(special)}))
+    out = got.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+    assert np.array_equal(out.view(np.uint64), special.view(np.uint64))
+
+
+def test_patas_packed_matches_reference_semantics():
+    """The vectorized encoder must emit exactly the reference's
+    per-record (ref_diff, sig_bytes, trailing_zeros) stream
+    (patas.rs:52-101: most recent equal value within the 128-slot
+    ring, else previous element; unseen values inside the first 128
+    positions reference element 0)."""
+    from strawboat_spark.sources.codecs import _patas_pack_body
+
+    vals = np.repeat(RNG.normal(0, 1, 40), 50)[RNG.permutation(2000)]
+    bits = np.ascontiguousarray(vals).view(np.uint64)
+
+    indices: dict[int, int] = {}
+    expect = []
+    blist = [int(b) for b in bits]
+    for i, val in enumerate(blist):
+        if i:
+            ref = indices.get(val, 0)
+            if ref > i or (i - ref) >= 128:
+                ref = i - 1
+            xor = val ^ blist[ref]
+            if xor == 0:
+                tz_stored, sig = 63, 0
+            else:
+                tz = (xor & -xor).bit_length() - 1
+                sig_bits = xor.bit_length() - tz
+                tz_stored, sig = tz, (sig_bits + 7) >> 3
+            expect.append((i - ref, sig & 7, tz_stored))
+        indices[val] = i
+    body = _patas_pack_body(bits)
+    hdr = np.frombuffer(body, "<u2", len(bits) - 1, offset=8)
+    got = list(zip((hdr >> 9).tolist(), ((hdr >> 6) & 7).tolist(), (hdr & 63).tolist()))
+    assert got == expect
+
+
 def test_patas_chosen_adaptively():
     """A smooth series should pick PATAS over plain zstd on merit."""
     from strawboat_spark.sources.pagefile import write_file
