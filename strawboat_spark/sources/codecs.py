@@ -1068,6 +1068,7 @@ def compress_binary(
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
     ratio: float | None = None,
+    stats_out: dict | None = None,
 ) -> bytes:
     out = bytearray()
     # Block 1: offsets — monotone by construction, direct delta-bitpack.
@@ -1096,6 +1097,10 @@ def compress_binary(
             )
             denc = arr.dictionary_encode()
             n_uniq = len(denc.dictionary)
+            if stats_out is not None and n_uniq <= 32:
+                # surface the page's full distinct set (cheap: already
+                # computed) for footer-level membership pruning
+                stats_out["distinct"] = denc.dictionary.to_pylist()
             codes_np = denc.indices.to_numpy(zero_copy_only=False)
             counts = np.bincount(codes_np, minlength=n_uniq)
             top_code = int(np.argmax(counts))

@@ -435,9 +435,26 @@ def _value_may_match(f: Filter, pvals: dict) -> bool:
 
 
 def _page_may_match(f: Filter, p) -> bool:
-    """Conservative: False only when min/max PROVE no row matches."""
+    """Conservative: False only when stats PROVE no row matches."""
     if isinstance(f, IsNotNull):
         return p.null_count < p.num_values
+    # Dict-membership pruning: low-cardinality string pages carry their
+    # full distinct set, so equality predicates prune exactly even when
+    # the value falls inside [min, max] (e.g. 'CLERK#5' between
+    # 'CLERK#1' and 'CLERK#9' but absent from the page).
+    distinct = getattr(p, "distinct", None)
+    if distinct is not None and isinstance(f, (EqualTo, In)):
+        values = [f.value] if isinstance(f, EqualTo) else list(f.value)
+        decoded = []
+        for v in values:
+            if isinstance(v, bytes):
+                try:
+                    v = v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return True  # incomparable with the stored stat
+            decoded.append(v)
+        if all(isinstance(v, str) for v in decoded):
+            return any(v in distinct for v in decoded)
     mn, mx = p.min, p.max
     if mn is None or mx is None:
         return True

@@ -165,6 +165,12 @@ class PageMeta:
     null_count: int = 0
     min: object = None
     max: object = None
+    # Full distinct-value list for low-cardinality string pages (<=32
+    # uniques, each json-safe) — enables exact membership pruning on
+    # EqualTo/In where min/max can't prove absence (reference surfaces
+    # the same dict stats via stat(), src/stat.rs:63-152). None = stat
+    # absent; never prune on its absence.
+    distinct: list | None = None
 
 
 @dataclass
@@ -194,6 +200,7 @@ class FileMeta:
                         "offset": lf.offset,
                         "pages": [
                             [p.length, p.num_values, p.null_count, p.min, p.max]
+                            + ([p.distinct] if p.distinct is not None else [])
                             for p in lf.pages
                         ],
                     }
@@ -399,6 +406,7 @@ class StrawboatWriter:
         valid = _validity_np(arr)
         out = bytearray(_pack_validity(valid))
         mn = mx = None
+        distinct = None
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
             out += compress_boolean(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
@@ -428,7 +436,23 @@ class StrawboatWriter:
             if n - null_count > 0:
                 mm = pa.compute.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
-            out += compress_binary(offsets, data, self.default_codec, self.forbidden, ratio=self.compress_ratio)
+            bstats: dict = {}
+            out += compress_binary(
+                offsets,
+                data,
+                self.default_codec,
+                self.forbidden,
+                ratio=self.compress_ratio,
+                stats_out=bstats,
+            )
+            raw_distinct = bstats.get("distinct")
+            if raw_distinct is not None:
+                safe = [_json_safe(v) for v in raw_distinct]
+                # nulls are encoded as "" placeholders: "" may appear in
+                # the dict without being a real value — extra entries
+                # only make pruning less aggressive, so keep them. Any
+                # unrepresentable entry (non-utf8 / >64B) voids the stat.
+                distinct = sorted(safe) if None not in safe else None
         elif kind == "fixed":
             width = arr.type.byte_width
             buf = arr.buffers()[1]
@@ -438,7 +462,7 @@ class StrawboatWriter:
             )
         else:
             raise NotImplementedError(kind)
-        return bytes(out), PageMeta(len(out), n, null_count, mn, mx)
+        return bytes(out), PageMeta(len(out), n, null_count, mn, mx, distinct)
 
 
 def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:

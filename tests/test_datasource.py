@@ -257,6 +257,48 @@ def test_sorted_layout_page_skipping(registered, tmp_path):
     assert got == want
 
 
+def test_dict_membership_page_skipping(registered, tmp_path):
+    """Low-cardinality string pages persist their full distinct set, so
+    an EqualTo on a value inside [min, max] but absent from a page's
+    dictionary prunes it — pruning min/max alone can never do (the
+    reference surfaces the same dict stats, src/stat.rs:63-152)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl, _list_files
+    from strawboat_spark.sources.pagefile import read_footer
+
+    spark = registered
+    # Half the pages hold {AAA, ZZZ}, half hold {AAA, MMM, ZZZ}: the
+    # filter MMM lands inside every page's [min, max], so only the
+    # distinct-set stat can prune the first kind.
+    rows = []
+    for page in range(8):
+        vocab = ["AAA", "ZZZ"] if page % 2 == 0 else ["AAA", "MMM", "ZZZ"]
+        rows += [(page * 1024 + i, vocab[i % len(vocab)]) for i in range(1024)]
+    df = spark.createDataFrame(rows, "id long, tag string").coalesce(1)
+    path = str(tmp_path / "tags")
+    df.write.format("strawboat").option("page_size", "1024").mode("overwrite").save(path)
+
+    schema = spark.read.format("strawboat").load(path).schema
+    r = StrawboatReaderImpl({"path": path}, schema)
+    r.pushFilters([EqualTo(("tag",), "MMM")])
+    stripes = r.partitions()
+    kept = total = 0
+    for f in _list_files(path):
+        with open(f, "rb") as fh:
+            _, meta = read_footer(fh)
+        tag_pages = next(lf for lf in meta.leaves if lf.name == "tag").pages
+        assert all(p.distinct is not None for p in tag_pages), "distinct stat missing"
+        total += len(tag_pages)
+        for s in (st for st in stripes if st.file == f):
+            kept += sum(r._page_mask(meta, s))
+    assert total >= 8
+    assert kept <= total // 2, f"kept {kept}/{total}: membership pruning inactive"
+
+    got = spark.read.format("strawboat").load(path).filter(F.col("tag") == "MMM").count()
+    assert got == df.filter(F.col("tag") == "MMM").count()
+
+
 def test_nan_page_stats_absent(tmp_path):
     """A float page containing NaN persists no min/max (parquet-writer
     convention): Spark orders NaN above every double, so stats that
