@@ -210,10 +210,11 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
         if nb:
             vals = values[: nb * 8].astype(np.uint64).reshape(nb, 8)
             block = np.zeros((nb, width + 8), dtype=np.uint8)
+            tmp = np.empty(nb, dtype=np.uint64)  # reused shift buffer
             for j in range(8):
                 b0, sh = (j * width) >> 3, np.uint64((j * width) & 7)
-                shifted = vals[:, j] << sh  # ufunc output is contiguous
-                block[:, b0 : b0 + 8] |= shifted.view(np.uint8).reshape(nb, 8)
+                np.left_shift(vals[:, j], sh, out=tmp)
+                block[:, b0 : b0 + 8] |= tmp.view(np.uint8).reshape(nb, 8)
             out += block[:, :width].tobytes()
         tail = values[nb * 8 :]
         if len(tail):
@@ -343,10 +344,11 @@ def compress_integer(
     forbidden: frozenset[Codec] = frozenset(),
     stats: PageStats | None = None,
     ratio: float | None = None,
+    memo: dict | None = None,
 ) -> bytes:
     """Encode one page of integers; returns header+payload bytes."""
     out = bytearray()
-    _compress_integer_into(out, values, default_codec, forbidden, stats, ratio)
+    _compress_integer_into(out, values, default_codec, forbidden, stats, ratio, memo)
     return bytes(out)
 
 
@@ -459,14 +461,19 @@ def _compress_integer_into(
     forbidden: frozenset[Codec],
     stats: PageStats | None = None,
     ratio: float | None = None,
+    memo: dict | None = None,
 ) -> None:
     values = np.ascontiguousarray(values)
     raw = values.tobytes()
+    sticky = _memo_sticky(memo)
+    if sticky is not None:
+        write_block(out, sticky, _basic_compress(sticky, raw), len(raw))
+        return
     s = stats if stats is not None else collect_stats(values)
 
-    choice = _choose(
-        _candidate_ratios_int(values, s), forbidden, raw, default_codec, ratio
-    )
+    est = _candidate_ratios_int(values, s)
+    choice = _choose(est, forbidden, raw, default_codec, ratio)
+    _memo_store(memo, choice, est, ratio)
 
     if choice == Codec.ONE_VALUE:
         payload = struct.pack("<q", int(values[0]) if len(values) else 0)
@@ -601,6 +608,46 @@ def _ratio_sample(raw: bytes) -> bytes:
         return raw
     step = len(raw) // 8
     return b"".join(raw[i * step : i * step + 1024] for i in range(8))
+
+
+_BASIC_CODECS = (Codec.NONE, Codec.LZ4, Codec.ZSTD, Codec.SNAPPY)
+_MEMO_REPROBE = 16
+
+
+def _memo_sticky(memo: dict | None) -> Codec | None:
+    """Per-leaf sticky codec choice. When the previous page of a column
+    fell through to a basic codec (high-entropy data: stats, candidate
+    estimates, and sample compressions were all wasted work), reuse it
+    for the next pages and only re-probe every _MEMO_REPROBE pages.
+    Pages are self-describing, so a stale stick costs ratio on up to 15
+    pages, never correctness. Specialized choices never stick — their
+    eligibility genuinely varies page to page."""
+    if memo is None or _forced():
+        return None
+    c = memo.get("choice")
+    if c in _BASIC_CODECS and memo.get("countdown", 0) > 0:
+        memo["countdown"] -= 1
+        return c
+    return None
+
+
+def _memo_store(
+    memo: dict | None,
+    choice: Codec,
+    est: dict | None = None,
+    threshold: float | None = None,
+) -> None:
+    """Record a page's full-path outcome. Stick only when the choice is
+    a basic codec AND no specialized candidate even reached the ratio
+    bar — a contested page (specialized estimate above the bar, basic
+    won on the sampled ratio) must keep re-probing, because the winner
+    there flips with page content."""
+    if memo is None:
+        return
+    bar = DEFAULT_COMPRESS_RATIO if threshold is None else threshold
+    uncontested = not est or max(est.values()) < bar
+    memo["choice"] = choice if (choice in _BASIC_CODECS and uncontested) else None
+    memo["countdown"] = _MEMO_REPROBE - 1
 
 
 def _choose(
@@ -815,10 +862,15 @@ def compress_double(
     default_codec: Codec = Codec.ZSTD,
     forbidden: frozenset[Codec] = frozenset(),
     ratio: float | None = None,
+    memo: dict | None = None,
 ) -> bytes:
     out = bytearray()
     values = np.ascontiguousarray(values)
     raw = values.tobytes()
+    sticky = _memo_sticky(memo)
+    if sticky is not None:
+        write_block(out, sticky, _basic_compress(sticky, raw), len(raw))
+        return bytes(out)
     # Stats over the bit patterns (OrderedFloat-style total order,
     # reference DoubleStats) — NaN-safe because we compare bits.
     bits = values.view(np.uint32 if values.dtype.itemsize == 4 else np.uint64)
@@ -877,6 +929,7 @@ def compress_double(
             if packed_forced or packed_ratio >= DEFAULT_COMPRESS_RATIO:
                 est[Codec.PATAS_PACKED] = packed_ratio
     choice = _choose(est, forbidden, raw, default_codec, ratio)
+    _memo_store(memo, choice, est, ratio)
 
     if choice == Codec.ONE_VALUE:
         payload = values[:1].tobytes() if len(values) else bytes(itemsize)
@@ -1069,6 +1122,7 @@ def compress_binary(
     forbidden: frozenset[Codec] = frozenset(),
     ratio: float | None = None,
     stats_out: dict | None = None,
+    memo: dict | None = None,
 ) -> bytes:
     out = bytearray()
     # Block 1: offsets — monotone by construction, direct delta-bitpack.
@@ -1078,23 +1132,28 @@ def compress_binary(
         _compress_integer_into(out, offsets.astype(np.int64), default_codec, forbidden, ratio=ratio)
     # Block 2: value bytes. Dict-style dedup happens naturally via zstd;
     # an explicit Dict codec for binary pays off on low-cardinality pages.
+    sticky = _memo_sticky(memo)
+    if sticky is not None:
+        write_block(out, sticky, _basic_compress(sticky, data), len(data))
+        return bytes(out)
     n = len(offsets) - 1
     est: dict[Codec, float] = {}
     denc = None  # arrow DictionaryArray when the page looks low-card
     if n > 0 and len(data) > 0:
-        # Two-stage uniqueness probe: a 256-value sample set first (a
-        # python set over byte slices — microseconds), and only when the
-        # sample looks low-cardinality pay for the full
+        # Two-stage uniqueness probe: count distinct over a 256-value
+        # sample first (Arrow C++ over a zero-copy slice), and only
+        # when the sample looks low-cardinality pay for the full
         # dictionary_encode, which the Dict encoding needs anyway.
-        # Everything heavy runs in Arrow C++ — no per-row Python.
+        import pyarrow.compute as pc
+
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)), pa.py_buffer(data)],
+        )
         sample_n = min(n, 256)
-        sample = {bytes(data[offsets[i] : offsets[i + 1]]) for i in range(sample_n)}
-        if len(sample) * 3 < max(sample_n, 3):
-            arr = pa.LargeBinaryArray.from_buffers(
-                pa.large_binary(),
-                n,
-                [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)), pa.py_buffer(data)],
-            )
+        sample_uniq = pc.count_distinct(arr.slice(0, sample_n)).as_py()
+        if sample_uniq * 3 < max(sample_n, 3):
             denc = arr.dictionary_encode()
             n_uniq = len(denc.dictionary)
             if stats_out is not None and n_uniq <= 32:
@@ -1124,6 +1183,7 @@ def compress_binary(
                     4 + top_len + 4 + n_exc * 13 + exc_bytes + 24
                 )
     choice = _choose(est, forbidden, data, default_codec, ratio)
+    _memo_store(memo, choice, est, ratio)
     if choice == Codec.ONE_VALUE and denc is not None:
         first = data[offsets[0] : offsets[1]] if n else b""
         payload = struct.pack("<I", len(first)) + first

@@ -298,6 +298,10 @@ class StrawboatWriter:
         ]
         self._leaves = [LeafMeta(name=d["name"]) for d in self._leaf_descr]
         self._streams: list[bytearray] = [bytearray() for _ in self._leaves]
+        # Per-leaf sticky codec choice (codecs._memo_sticky): columns
+        # whose pages keep falling through to the general codec skip
+        # the stats/estimate/sample pipeline on subsequent pages.
+        self._codec_memo: list[dict] = [{} for _ in self._leaves]
         self._pending: pa.Table | None = None
         self._num_rows = 0
         self._finished = False
@@ -396,17 +400,18 @@ class StrawboatWriter:
         elif kind == "null":
             leaves[leaf_i].pages.append(PageMeta(0, len(arr), len(arr)))
         else:
-            page, pm = self._encode_flat(arr, kind)
+            page, pm = self._encode_flat(arr, kind, leaf_i)
             streams[leaf_i] += page
             leaves[leaf_i].pages.append(pm)
 
-    def _encode_flat(self, arr: pa.Array, kind: str) -> tuple[bytes, PageMeta]:
+    def _encode_flat(self, arr: pa.Array, kind: str, leaf_i: int = -1) -> tuple[bytes, PageMeta]:
         n = len(arr)
         null_count = arr.null_count
         valid = _validity_np(arr)
         out = bytearray(_pack_validity(valid))
         mn = mx = None
         distinct = None
+        memo = self._codec_memo[leaf_i] if leaf_i >= 0 else None
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
             out += compress_boolean(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
@@ -416,7 +421,9 @@ class StrawboatWriter:
             if n - null_count > 0:
                 nn = vals if valid is None else vals[valid]
                 mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
-            out += compress_integer(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
+            out += compress_integer(
+                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio, memo=memo
+            )
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
             if arr.null_count:
@@ -430,7 +437,9 @@ class StrawboatWriter:
                 # page contains NaN.
                 if not np.isnan(nn).any():
                     mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
-            out += compress_double(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
+            out += compress_double(
+                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio, memo=memo
+            )
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
             if n - null_count > 0:
@@ -444,6 +453,7 @@ class StrawboatWriter:
                 self.forbidden,
                 ratio=self.compress_ratio,
                 stats_out=bstats,
+                memo=memo,
             )
             raw_distinct = bstats.get("distinct")
             if raw_distinct is not None:
