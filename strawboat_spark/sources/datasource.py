@@ -68,6 +68,13 @@ _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 def _list_files(path: str) -> list[str]:
     fs = get_fs(path)
     if fs.isdir(path):
+        man = read_manifest(path)
+        if man is not None:
+            # Manifest present: its entry list IS the committed
+            # generation (snapshot isolation for compact/appends), and
+            # its embedded footers pre-warm planning.
+            _seed_footer_cache(path, man)
+            return sorted(os.path.join(path, e["path"]) for e in man["entries"])
         return fs.list_files(path, FILE_EXT)
     return [path]
 
@@ -132,6 +139,152 @@ class _Stripe(InputPartition):
 @dataclass
 class _Commit(WriterCommitMessage):
     files: list
+    # parallel to `files`: footer meta (FileMeta JSON dict) and base64
+    # arrow-IPC schema per file, so the driver can publish a manifest
+    # without re-reading any footer. Optional for compatibility.
+    metas: list | None = None
+    schemas_b64: list | None = None
+
+
+# --------------------------------------------------------------------------
+# Directory manifest: the committed file set + embedded footer meta.
+#
+# `_strawboat_manifest.json` at the table root makes the directory a
+# (single-writer) table: readers that find it list exactly one committed
+# generation — a crashed write's orphan files are invisible, and
+# compact() swaps generations atomically instead of exposing the
+# mid-swap duplicate window (the object-store pattern: the manifest is
+# one atomic PUT). Entries carry each file's footer meta + schema, so
+# planning (schema()/partitions()) costs ONE manifest read instead of
+# one footer round-trip per file. Absent manifest = legacy directory:
+# globbing behaves exactly as before.
+# --------------------------------------------------------------------------
+
+MANIFEST_NAME = "_strawboat_manifest.json"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_NAME)
+
+
+def read_manifest(root: str) -> dict | None:
+    import json
+
+    fs = get_fs(root)
+    mp = _manifest_path(root)
+    try:
+        if not fs.exists(mp):
+            return None
+        with fs.open_read(mp) as f:
+            d = json.loads(f.read().decode())
+        if not isinstance(d.get("entries"), list):
+            return None
+        return d
+    except (OSError, KeyError, ValueError):
+        return None  # unreadable manifest -> fall back to listing
+
+
+def write_manifest(root: str, entries: list[dict], generation: int | None = None) -> None:
+    """Atomically publish the manifest. `entries`: [{path: rel, sig:
+    [..]|None, meta: dict|None, schema_b64: str|None}]."""
+    import json
+
+    fs = get_fs(root)
+    if generation is None:
+        prev = read_manifest(root)
+        generation = (prev.get("generation", 0) + 1) if prev else 1
+    payload = json.dumps(
+        {
+            "version": 1,
+            "generation": generation,
+            "entries": sorted(entries, key=lambda e: e["path"]),
+        }
+    ).encode()
+    with fs.create(_manifest_path(root)) as h:
+        h.write(payload)
+
+
+def _meta_json_dict(meta) -> dict:
+    import json
+
+    return json.loads(meta.to_json().decode())
+
+
+def _schema_b64(arrow_schema: pa.Schema) -> str:
+    import base64
+
+    return base64.b64encode(arrow_schema.serialize().to_pybytes()).decode()
+
+
+def _manifest_entry(root: str, file: str, meta=None, schema_b64: str | None = None) -> dict:
+    fs = get_fs(file)
+    sig = None
+    stat_sig = getattr(fs, "stat_sig", None)
+    if stat_sig is not None:
+        try:
+            sig = list(stat_sig(file))
+        except (OSError, KeyError):
+            sig = None
+    rel = os.path.relpath(backend_path(file), backend_path(root))
+    meta_dict = None
+    if meta is not None:
+        import json
+
+        meta_dict = json.loads(meta.to_json().decode()) if hasattr(meta, "to_json") else meta
+    return {"path": rel, "sig": sig, "meta": meta_dict, "schema_b64": schema_b64}
+
+
+def publish_manifest(root: str, messages=None) -> None:
+    """Commit-time manifest refresh: prior entries still on disk, plus
+    the just-written files (with executor-provided footer meta), plus
+    any foreign files found by listing (meta-less entries — readers
+    fall back to a footer read for those)."""
+    fs = get_fs(root)
+    on_disk = set(fs.list_files(root, FILE_EXT)) if fs.isdir(root) else set()
+    prev = read_manifest(root)
+    entries: dict[str, dict] = {}
+    if prev:
+        for e in prev["entries"]:
+            absf = os.path.join(root, e["path"])
+            if absf in on_disk:
+                entries[absf] = e
+    if messages:
+        for m in messages:
+            if m is None:
+                continue
+            metas = m.metas or [None] * len(m.files)
+            schemas = m.schemas_b64 or [None] * len(m.files)
+            for f, meta, sch in zip(m.files, metas, schemas):
+                if f in on_disk:
+                    entries[f] = _manifest_entry(root, f, meta, sch)
+    for f in on_disk:
+        if f not in entries:
+            entries[f] = _manifest_entry(root, f)
+    write_manifest(root, list(entries.values()))
+
+
+def _seed_footer_cache(root: str, man: dict) -> None:
+    """Warm _FOOTER_CACHE from manifest entries so planning skips the
+    per-file footer reads (sig still guards staleness at lookup)."""
+    import base64
+    import json
+
+    from strawboat_spark.sources.pagefile import FileMeta
+
+    for e in man.get("entries", ()):
+        sig, meta, sch = e.get("sig"), e.get("meta"), e.get("schema_b64")
+        if sig is None or meta is None or sch is None:
+            continue
+        absf = os.path.join(root, e["path"])
+        if absf in _FOOTER_CACHE:
+            continue
+        try:
+            schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(sch)))
+            fmeta = FileMeta.from_json(json.dumps(meta).encode())
+        except Exception:
+            continue
+        if len(_FOOTER_CACHE) < _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE[absf] = (tuple(sig), schema, fmeta)
 
 
 def self_partition_cols(options) -> list[str]:
@@ -602,6 +755,13 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if fs.isdir(self.path):
                 for f in _list_files(self.path):
                     fs.remove(f)
+                # the old generation is gone; a stale manifest must not
+                # shadow the files this job is about to write
+                try:
+                    if fs.exists(_manifest_path(self.path)):
+                        fs.remove(_manifest_path(self.path))
+                except (OSError, KeyError):
+                    pass
         else:
             # Append: the directory's footer schema is the contract —
             # a second schema would silently corrupt later reads (the
@@ -653,8 +813,12 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
                 w.write_batch(batch)
-            w.finish()
-        return _Commit(files=[out])
+            meta = w.finish()
+        return _Commit(
+            files=[out],
+            metas=[_meta_json_dict(meta)],
+            schemas_b64=[_schema_b64(arrow_schema)],
+        )
 
     def _write_partitioned(self, iterator, arrow_schema: pa.Schema, codec):
         """One open file per partition value seen by this task; the
@@ -711,13 +875,17 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 for b in sub.to_batches():
                     w.write_batch(b)
         files = []
+        metas = []
         for h, w, final in open_files.values():
-            w.finish()
+            metas.append(_meta_json_dict(w.finish()))
             h.close()
             files.append(final)
-        return _Commit(files=files)
+        return _Commit(
+            files=files, metas=metas, schemas_b64=[_schema_b64(stored)] * len(files)
+        )
 
     def commit(self, messages):
+        publish_manifest(self.path, messages)
         return None
 
     def abort(self, messages):
@@ -767,17 +935,22 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
                     batch = batch.cast(arrow_schema, safe=False)
                 w.write_batch(batch)
                 wrote = True
-            w.finish()
+            meta = w.finish()
         except BaseException:
             h.abort()
             raise
         if wrote:
             h.close()
-            return _Commit(files=[out])
+            return _Commit(
+                files=[out],
+                metas=[_meta_json_dict(meta)],
+                schemas_b64=[_schema_b64(arrow_schema)],
+            )
         h.abort()
         return _Commit(files=[])
 
     def commit(self, messages, batchId=None):  # noqa: N803
+        publish_manifest(self.path, messages)
         return None
 
     def abort(self, messages, batchId=None):  # noqa: N803

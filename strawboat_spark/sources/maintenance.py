@@ -8,9 +8,13 @@ still holds exactly one partition value.
 
 Scale shape: one Spark job per leaf directory, reading through the
 datasource (stripes fan out) and writing `target_files` outputs via
-coalesce — no driver-side data movement; the swap is file renames.
-Local-FS rename swap is near-atomic per directory; an object-store
-deployment would swap a manifest instead (out of scope here).
+coalesce — no driver-side data movement; the swap is a manifest
+generation flip: readers list the directory through
+`_strawboat_manifest.json`, so a concurrent reader sees exactly one
+committed generation (old files until the manifest PUT, new files
+after), never the mid-swap duplicate or partial set. Directories that
+predate the manifest get one written from the pre-compact listing
+FIRST, so even their concurrent readers snapshot the old generation.
 """
 
 from __future__ import annotations
@@ -37,7 +41,18 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
     Returns {"before": n_files, "after": n_files}. Skips leaf dirs that
     already have <= target_files files.
     """
+    from strawboat_spark.sources.datasource import (
+        _manifest_entry,
+        publish_manifest,
+        read_manifest,
+        write_manifest,
+    )
+
     register(spark)
+    # Snapshot the old generation first: readers that start during the
+    # swap list through the manifest and never see mid-swap state.
+    if read_manifest(path) is None:
+        publish_manifest(path)
     before = after = 0
     for leaf in _leaf_dirs(path):
         files = sorted(_glob.glob(os.path.join(leaf, f"*{FILE_EXT}")))
@@ -54,12 +69,31 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
             .mode("overwrite")
             .save(tmp)
         )
+        # The tmp write committed its own manifest with embedded footer
+        # meta — carry it over so the compacted table keeps one-read
+        # planning.
+        tmp_man = read_manifest(tmp) or {"entries": []}
+        tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
         new_files = sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}")))
-        # Move replacements in (unique uuid names) BEFORE deleting the
-        # originals: a crash or concurrent reader mid-swap sees a
-        # complete (at worst duplicated) set, never missing rows.
+        moved_entries = []
         for f in new_files:
-            shutil.move(f, os.path.join(leaf, os.path.basename(f)))
+            dest = os.path.join(leaf, os.path.basename(f))
+            shutil.move(f, dest)
+            src_e = tmp_meta.get(os.path.basename(f), {})
+            moved_entries.append(
+                _manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64"))
+            )
+        # Generation flip: replace this leaf's originals with the new
+        # files in ONE atomic manifest PUT, then physically delete.
+        man = read_manifest(path)
+        originals_rel = {
+            os.path.relpath(f, path) for f in files
+        }
+        entries = [
+            e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
+        ]
+        entries += moved_entries
+        write_manifest(path, entries)
         for f in files:
             os.remove(f)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -639,3 +639,65 @@ def test_fsspec_abort_never_publishes_partial_file(tmp_path):
             assert f.discarded and not ad._fs.removed
         else:
             assert ad._fs.removed == ["bucket/data.strb"]
+
+
+def test_manifest_snapshot_listing(registered, tmp_path):
+    """The committed manifest is the reader's file list: orphan files
+    (crashed writes, foreign drops) are invisible until a commit
+    publishes them, and planning runs off the manifest's embedded
+    footers (one manifest read instead of a footer read per file)."""
+    import shutil
+
+    from strawboat_spark.sources import datasource as ds
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_tbl")
+    src.repartition(4).write.format("strawboat").mode("overwrite").save(path)
+
+    man = ds.read_manifest(path)
+    assert man is not None and man["generation"] >= 1
+    files = ds._list_files(path)
+    assert len(files) == 4
+    assert all(e["meta"] is not None and e["schema_b64"] for e in man["entries"])
+
+    # an orphan copy of a data file must NOT appear in reads
+    orphan = f"{path}/part-orphan.strb"
+    shutil.copy(files[0], orphan)
+    assert orphan not in ds._list_files(path)
+    assert spark.read.format("strawboat").load(path).count() == src.count()
+
+    # manifest-seeded planning: footer cache holds every listed file
+    for f in ds._list_files(path):
+        assert f in ds._FOOTER_CACHE
+
+    # append commits a new generation that now includes the orphan too
+    orphan_rows = spark.read.format("strawboat").load(orphan).count()
+    src.limit(10).write.format("strawboat").mode("append").save(path)
+    man2 = ds.read_manifest(path)
+    assert man2["generation"] == man["generation"] + 1
+    got = spark.read.format("strawboat").load(path).count()
+    assert got == src.count() + orphan_rows + 10
+
+
+def test_manifest_compact_generation_flip(registered, tmp_path):
+    """compact() publishes the replacement file set in one atomic
+    manifest PUT — a reader's listing is either the old or the new
+    generation, never the mid-swap union (ADVICE round-2 item)."""
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import compact
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_tbl")
+    src.repartition(6).write.format("strawboat").mode("overwrite").save(path)
+    gen_before = ds.read_manifest(path)["generation"]
+
+    stats = compact(spark, path, target_files=1)
+    assert stats["after"] < stats["before"]
+    man = ds.read_manifest(path)
+    assert man["generation"] > gen_before
+    assert len(man["entries"]) == 1
+    # carried-over footer meta from the compact write
+    assert man["entries"][0]["meta"] is not None
+    assert spark.read.format("strawboat").load(path).count() == src.count()
