@@ -113,3 +113,16 @@ def fingerprint(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def repetition_ratio(toks_col, n: int = 3) -> Column:
+    """Duplicated word-n-gram fraction of a document: 1 − distinct/total
+    n-grams, 0 for docs shorter than n tokens. The classic cheap
+    repetition filter for LLM corpus quality (a high ratio flags boiler-
+    plate, keyword stuffing, and decode loops). Pass a pre-projected
+    token array (see shingles_from_tokens perf contract)."""
+    grams = shingles_from_tokens(toks_col, n)
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))

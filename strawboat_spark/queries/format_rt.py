@@ -196,3 +196,62 @@ def strawboat_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column string, n_pages long, compressed_bytes long, n_values long, "
         "null_count long, codecs string",
     ).orderBy("column")
+
+
+def _interop_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """orders → Spark-native {orc,json,csv} files → read back. Proves
+    the engine round-trips through every columnar/row format a user
+    would stage data in (the reference only speaks its own format +
+    parquet/csv/json via Arrow; Spark gives ORC for free)."""
+    path = f"{tempfile.mkdtemp(prefix='strawboat_interop_')}/orders_{fmt}"
+    src = load_table(spark, sf_dir, "orders")
+    w = src.write.mode("overwrite")
+    rd = spark.read
+    if fmt in ("json", "csv"):
+        # schema-carrying read: text formats don't persist types
+        rd = rd.schema(src.schema)
+        if fmt == "csv":
+            w = w.option("header", "false")
+    getattr(w.format(fmt), "save")(path)
+    return getattr(rd.format(fmt), "load")(path)
+
+
+_INTEROP_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(MIN(o_orderdate) AS DATE) AS first_date
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _interop_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderdate").cast("date").alias("first_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "format_orc_roundtrip",
+    oracle=_INTEROP_ORACLE,
+    description="orders → ORC → read back → aggregate (columnar interop)",
+)
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interop_agg(_interop_roundtrip(spark, sf_dir, "orc"))
+
+
+@query(
+    "format_json_roundtrip",
+    oracle=_INTEROP_ORACLE,
+    description="orders → JSON lines → schema-carrying read back → aggregate (row interop)",
+)
+def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interop_agg(_interop_roundtrip(spark, sf_dir, "json"))

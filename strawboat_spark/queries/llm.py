@@ -20,7 +20,9 @@ from strawboat_spark.functions.text import (
     lang_id,
     lang_scores,
     quality_score,
+    repetition_ratio,
     token_count,
+    tokens,
 )
 from strawboat_spark.operators.dedup import (
     exact_dedup,
@@ -883,4 +885,81 @@ def corpus_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_quota_topn(scored, "lang", "n_tokens", 20, "doc_id")
         .select("lang", "doc_id", "n_tokens", "quota_rank")
         .orderBy("lang", "quota_rank")
+    )
+
+@query(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, str_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+    ), grams AS (
+      SELECT lang,
+             list_transform(generate_series(1, len(tk) - 2),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+      FROM toks
+    ), r AS (
+      SELECT lang,
+             CASE WHEN len(tg) > 0
+                  THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                  ELSE 0.0 END AS rep
+      FROM grams
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(rep), 4) AS avg_rep,
+           ROUND(MAX(rep), 4) AS max_rep,
+           CAST(SUM(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    description="duplicate-trigram repetition filter (Gopher-style) per language",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicated word trigrams
+    (boilerplate / keyword-stuffing / decode-loop detector). Pure JVM
+    higher-order expressions over a pre-projected token array — no UDF,
+    no shuffle beyond the final per-language aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    rep = (
+        d.select("lang", tokens("text").alias("tk"))
+        .select("lang", repetition_ratio("tk").alias("rep"))
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.round(F.max("rep"), 4).alias("max_rep"),
+            F.sum(F.when(F.col("rep") > 0.1, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(LEAST(FLOOR(n_chars / 500), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    description="doc-length histogram per language (500-char buckets, capped at 9)",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution per language — the sanity histogram every
+    corpus build checks before/after filtering. Integer bucket math so
+    the driver hash is exact; map-side combine only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.least(F.floor(F.col("n_chars") / 500), F.lit(9)).cast("bigint").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "bucket")
     )

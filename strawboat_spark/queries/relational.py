@@ -1418,3 +1418,88 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_tus
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, tus,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), stats AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(tus) - MIN(tus) AS duration_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events,
+           CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
+    FROM stats
+    """,
+    description="batch sessionization: 30-min-gap sessions via lag + running sum (no UDF, no state store)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as pure window algebra: flag gaps >30min
+    with lag(), number sessions with a running sum of flags — the
+    standard batch twin of the streaming session window. One shuffle on
+    user_id; duration kept in exact integer microseconds so the driver
+    hash is float-free until the final rounded average.
+
+    Tie-break: (ts, event_id) ordering makes lag deterministic when two
+    events share a timestamp."""
+    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # events.ts reads as TIMESTAMP_NTZ from native-micros parquet and as
+    # TIMESTAMP from the legacy nanos path; both need tz-free epoch
+    # micros (DuckDB's epoch_us treats the naive value as the instant).
+    if isinstance(ev.schema["ts"].dataType, TimestampNTZType):
+        tus = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:
+        tus = F.unix_micros(F.col("ts"))
+    e = ev.select("user_id", "event_id", tus.alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.when(
+            F.lag("tus").over(w).isNull() | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.select(
+        "user_id", "tus", F.sum("new_session").over(ws).alias("session_id")
+    )
+    stats = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("tus") - F.min("tus")).alias("duration_us"),
+    )
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+        F.sum("duration_us").cast("bigint").alias("total_duration_us"),
+    )
