@@ -98,3 +98,41 @@ def test_ivf_training_sample_is_uniform_on_cluster_sorted_corpus(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_simhash_packed_matches_unpacked(spark):
+    """The 15-bit-lane packed vote aggregation (17 shuffled longs per
+    doc) must reproduce exactly the naive 64-aggregate formulation's
+    fingerprints (majority rule 2*ones > n == sign of +1/-1 votes)."""
+    from strawboat_spark.functions.text import tokens
+    from strawboat_spark.operators.dedup import simhash
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different content with other words entirely"),
+        (4, "a"),
+        (5, "repeated repeated repeated repeated repeated token"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toked = df.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toked.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0,
+            F.lit(1).cast("bigint") * (1 << i) if i < 63 else F.lit(-(1 << 63)),
+        ).otherwise(F.lit(0))
+    want = {r["doc_id"]: r["simhash"] for r in agg.select("doc_id", fp.alias("simhash")).collect()}
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert got == want
