@@ -224,3 +224,25 @@ def test_bucketed_join_has_no_join_exchange(spark, registry):
         assert r.text.count("Bucketed: true") == 2, r.text
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sessionize_single_user_shuffle(spark, registry):
+    """Both windows AND the session groupBy must reuse ONE hash
+    exchange on user_id (plus the inherent single-partition final agg)
+    — a second per-user shuffle would double the dominant cost at
+    scale. No Python eval anywhere: pure window algebra."""
+    df = registry["events_sessionize"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+    # the two logical windows fuse over one sort
+    assert plan.count("Sort ") <= 1 or plan.count("+- Sort") <= 1
+
+
+def test_repetition_ratio_stays_jvm(spark, registry):
+    """The trigram repetition filter must compile to higher-order
+    array expressions (JVM codegen), never a Python UDF."""
+    df = registry["text_repetition_ratio"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
