@@ -255,3 +255,73 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interop_agg(_interop_roundtrip(spark, sf_dir, "json"))
+
+
+@query(
+    "strawboat_roundtrip_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           CAST(MIN(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS min_disc,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="decimal(12,2) columns through the format: exact decimal aggregates, cast to double only at the end",
+)
+def strawboat_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal pages through the full datasource path (the lo/hi-word
+    integer-codec route, reference decimal parity src/compression/
+    integer/traits.rs:30-39). Sums are computed IN decimal — exact at
+    2 dp — and cast to double only in the final projection, so both
+    engines produce bit-identical doubles with no rounding epsilon."""
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_dec_')}/lineitem_dec"
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(12,2)").alias("disc"),
+    )
+    src.write.format("strawboat").mode("overwrite").save(path)
+    back = spark.read.format("strawboat").load(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.sum("price").cast("double").alias("total_price"),
+            F.min("disc").cast("double").alias("min_disc"),
+            F.max("price").cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "strawboat_sql_view",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="SQL DDL surface: CREATE TEMP VIEW ... USING strawboat, then pure spark.sql",
+)
+def strawboat_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual-SQL path over the format: a temp view created with
+    `USING strawboat` and a plain spark.sql aggregate — what a SQL-only
+    user of the engine actually types."""
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_sqlv_')}/orders"
+    load_table(spark, sf_dir, "orders").write.format("strawboat").mode("overwrite").save(path)
+    spark.sql("DROP VIEW IF EXISTS sb_orders_sql_view")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW sb_orders_sql_view USING strawboat OPTIONS (path '{path}')"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM sb_orders_sql_view GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )

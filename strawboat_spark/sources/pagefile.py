@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from strawboat_spark.sources.codecs import (
     Codec,
@@ -443,7 +444,7 @@ class StrawboatWriter:
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
             if n - null_count > 0:
-                mm = pa.compute.min_max(arr)
+                mm = pc.min_max(arr)
                 mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
             bstats: dict = {}
             out += compress_binary(
@@ -479,7 +480,7 @@ def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:
     """Raw fixed-width values with nulls zeroed (deterministic bytes)."""
     if arr.null_count:
         zero = pa.scalar(0, type=pa.int64()).cast(arr.type)
-        arr = pa.compute.fill_null(arr, zero)
+        arr = pc.fill_null(arr, zero)
     view = arr.buffers()[1]
     off = arr.offset
     return np.frombuffer(view, dtype=dtype, count=len(arr), offset=off * dtype.itemsize).copy()
