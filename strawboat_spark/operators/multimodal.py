@@ -56,18 +56,82 @@ def pack_media(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
     )
 
 
-def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
-    """STUB: image decode. No imaging library ships in this container.
+def synthesize_ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic P6 PPM image: pixel i (channel-flattened) is
+    ((i*31 + doc_id) % 256). Used to exercise the REAL decoder with an
+    SQL-computable expected mean."""
+    import numpy as np
 
-    With deterministic_fake=True returns a stable pseudo-decode
-    (dimensions + mean derived from the bytes themselves) so the
-    distributed plumbing is testable end-to-end; otherwise raises.
-    """
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = ((np.arange(width * height * 3, dtype=np.int64) * 31 + doc_id) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    comment/whitespace handling, then raw RGB rows. Pure numpy."""
+    import numpy as np
+
+    pos = 2  # past b"P6"
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, round(float(px.astype(np.float64).mean()), 4) if len(px) else 0.0
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows bottom-up,
+    padded to 4 bytes. Pure numpy."""
+    import struct as _struct
+
+    import numpy as np
+
+    data_off = _struct.unpack_from("<I", payload, 10)[0]
+    w = _struct.unpack_from("<i", payload, 18)[0]
+    h_raw = _struct.unpack_from("<i", payload, 22)[0]
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    comp = _struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = rows.reshape(h, row_bytes)[:, : w * 3]
+    return w, h, round(float(px.astype(np.float64).mean()), 4)
+
+
+def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
+    """Image decode: REAL for the formats a header-only numpy parser
+    covers (binary PPM `P6`, uncompressed 24-bit BMP); other formats
+    (JPEG/PNG/...) need an imaging library this container doesn't ship
+    — they fall back to a stable pseudo-decode when
+    deterministic_fake=True, else raise. The mapInPandas plumbing is
+    identical either way, so swapping in PIL later only touches this
+    function."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires an imaging library (PIL/opencv) not "
-            "present in this environment; pass deterministic_fake=True "
-            "to exercise the pipeline with stable fake features"
+            "only PPM(P6)/BMP(24bpp) decode natively; other formats need "
+            "an imaging library (PIL/opencv) not present in this "
+            "environment; pass deterministic_fake=True to exercise the "
+            "pipeline with stable fake features"
         )
     n = len(payload)
     width = 16 + (n % 64)

@@ -963,3 +963,53 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "multimodal_image_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 8 AS INT) AS width,
+             CAST(8 + doc_id % 5 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, width * height * 3 - 1),
+             i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity,
+           CAST(length('P6' || chr(10) || CAST(width AS VARCHAR) || ' ' ||
+                       CAST(height AS VARCHAR) || chr(10) || '255' || chr(10))
+                + width * height * 3 AS BIGINT) AS n_bytes
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL image decode: synthesized P6 PPM payloads through the numpy decoder, exact analytic oracle",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode gate: executors synthesize a valid binary
+    PPM per doc (pixel i = (i*31 + doc_id) % 256), the numpy P6 parser
+    decodes it back, and DuckDB reproduces width/height/mean/n_bytes
+    analytically — so the decoder itself is hash-verified, not stubbed.
+    JPEG/PNG still require an imaging library (see _decode_image_bytes);
+    this pins the decode SEAM with a format the container can decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_ppm_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_ppm_bytes(int(i), 8 + int(i) % 8, 8 + int(i) % 5) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")

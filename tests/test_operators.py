@@ -136,3 +136,43 @@ def test_simhash_packed_matches_unpacked(spark):
 
     got = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
     assert got == want
+
+
+def test_image_decoders_pure_numpy():
+    """PPM(P6) and 24-bit BMP decode without any imaging library:
+    hand-built files with known dimensions and mean."""
+    import struct
+
+    from strawboat_spark.operators.multimodal import (
+        _decode_image_bytes,
+        synthesize_ppm_bytes,
+    )
+
+    # PPM: synthesized pixels (i*31 + 7) % 256
+    w, h = 5, 3
+    payload = synthesize_ppm_bytes(7, w, h)
+    gw, gh, mean = _decode_image_bytes(payload, deterministic_fake=False)
+    want = round(float(np.mean((np.arange(w * h * 3) * 31 + 7) % 256)), 4)
+    assert (gw, gh, mean) == (w, h, want)
+
+    # PPM with a header comment
+    commented = b"P6\n# a comment\n5 3\n255\n" + payload.split(b"255\n", 1)[1]
+    assert _decode_image_bytes(commented, False) == (w, h, want)
+
+    # BMP 24bpp bottom-up with row padding: 3x2 image, all channels = 100
+    bw, bh = 3, 2
+    row_bytes = (bw * 3 + 3) & ~3  # 12 (9 data + 3 pad)
+    data_off = 54
+    img = bytearray()
+    img += b"BM" + struct.pack("<IHHI", data_off + row_bytes * bh, 0, 0, data_off)
+    img += struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, row_bytes * bh, 0, 0, 0, 0)
+    for _ in range(bh):
+        img += bytes([100] * (bw * 3)) + bytes(row_bytes - bw * 3)
+    gw, gh, mean = _decode_image_bytes(bytes(img), False)
+    assert (gw, gh, mean) == (bw, bh, 100.0)
+
+    # unknown format still raises without the fake
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG....", deterministic_fake=False)
