@@ -252,3 +252,56 @@ def extract_audio_features(chunks: DataFrame, id_col: str = "doc_id") -> DataFra
             yield pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "rms", "n_bytes"])
 
     return chunks.select(id_col, "chunk_idx", "chunk").mapInPandas(gen, schema=AUDIO_FEATURES)
+
+
+def synthesize_wav_bytes(doc_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: sample i is
+    ((i*37 + doc_id*11) % 2048) - 1024. Exercises the REAL RIFF parser
+    with an SQL-computable expected RMS."""
+    import struct as _struct
+
+    import numpy as np
+
+    samples = ((np.arange(n_samples, dtype=np.int64) * 37 + doc_id * 11) % 2048 - 1024).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    hdr += b"data" + _struct.pack("<I", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 parse, pure numpy: walks chunks (fmt /data, any
+    order, extension-tolerant), returns (sample_rate, n_samples,
+    duration_sec, rms). Mono or interleaved multi-channel (RMS over
+    all channels)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    n_frames = len(samples) // max(n_channels, 1)
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+    return sample_rate, n_frames, round(n_frames / sample_rate, 6), round(rms, 4)

@@ -1013,3 +1013,54 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
     return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, CAST(400 + doc_id % 100 AS BIGINT) AS n_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           n_samples,
+           ROUND(CAST(n_samples AS DOUBLE) / 8000, 6) AS duration_sec,
+           ROUND(sqrt(list_avg(list_transform(
+             generate_series(0, n_samples - 1),
+             i -> CAST(((i * 37 + doc_id * 11) % 2048 - 1024) *
+                       ((i * 37 + doc_id * 11) % 2048 - 1024) AS DOUBLE)))), 4) AS rms
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL audio decode: synthesized RIFF/PCM16 WAVs through the numpy parser, exact analytic oracle",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode gate: executors synthesize valid
+    16-bit mono PCM WAVs (sample i = (i*37 + doc_id*11) % 2048 - 1024),
+    the numpy RIFF parser walks fmt/data chunks and computes
+    rate/frames/duration/RMS, and DuckDB reproduces all four
+    analytically — decoder hash-verified, not stubbed."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import decode_wav, synthesize_wav_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                wav = synthesize_wav_bytes(did, 400 + did % 100)
+                rate, n, dur, rms = decode_wav(wav)
+                rows.append((did, rate, n, dur, rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "duration_sec", "rms"]
+            )
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, sample_rate int, n_samples long, duration_sec double, rms double",
+    ).orderBy("doc_id")

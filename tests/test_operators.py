@@ -176,3 +176,30 @@ def test_image_decoders_pure_numpy():
 
     with _pytest.raises(NotImplementedError):
         _decode_image_bytes(b"\x89PNG....", deterministic_fake=False)
+
+
+def test_wav_decoder_pure_numpy():
+    """RIFF/PCM16 parse without audio libraries: synthesized WAV plus a
+    chunk-order/padding variant decode to the same stats."""
+    import struct
+
+    from strawboat_spark.operators.multimodal import decode_wav, synthesize_wav_bytes
+
+    wav = synthesize_wav_bytes(3, 500, sample_rate=16000)
+    rate, n, dur, rms = decode_wav(wav)
+    s = (np.arange(500, dtype=np.int64) * 37 + 33) % 2048 - 1024
+    assert (rate, n) == (16000, 500)
+    assert dur == round(500 / 16000, 6)
+    assert rms == round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 4)
+
+    # tolerate an extra odd-sized chunk before fmt/data (word alignment)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    reordered = wav[:12] + extra + wav[12:]
+    fixed = bytearray(reordered)
+    struct.pack_into("<I", fixed, 4, len(fixed) - 8)
+    assert decode_wav(bytes(fixed)) == (rate, n, dur, rms)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....not a wav")
