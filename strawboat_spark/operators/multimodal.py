@@ -305,3 +305,62 @@ def decode_wav(payload: bytes):
     n_frames = len(samples) // max(n_channels, 1)
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
     return sample_rate, n_frames, round(n_frames / sample_rate, 6), round(rms, 4)
+
+
+def synthesize_y4m_bytes(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic YUV4MPEG2 (4:2:0) clip: luma pixel i of frame f is
+    ((i*13 + f*7 + doc_id) % 256); chroma planes constant 128. The one
+    video container a header-only numpy parser can decode for real."""
+    import numpy as np
+
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode())
+    luma_n = width * height
+    chroma = bytes([128] * ((width // 2) * (height // 2) * 2))
+    idx = np.arange(luma_n, dtype=np.int64) * 13
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += ((idx + f * 7 + doc_id) % 256).astype(np.uint8).tobytes()
+        out += chroma
+    return bytes(out)
+
+
+def decode_y4m_frames(payload: bytes, every_n: int = 1):
+    """YUV4MPEG2 parse, pure numpy: header (W/H/C tags), then
+    `FRAME\\n`-delimited uncompressed planes. Returns
+    (width, height, n_frames, [(frame_idx, luma_mean) every Nth]).
+    Only 4:2:0 (default) and 4:4:4 subsampling are supported."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    c420 = True
+    for tag in head[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            if tag[1:4] == b"444":
+                c420 = False
+            elif tag[1:4] != b"420":
+                raise ValueError(f"unsupported chroma mode {tag!r}")
+    if not w or not h:
+        raise ValueError("missing W/H header tags")
+    luma_n = w * h
+    frame_bytes = luma_n + (2 * (w // 2) * (h // 2) if c420 else 2 * luma_n)
+    pos = nl + 1
+    frames = []
+    idx = 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params (if any) end at \n
+        if idx % every_n == 0:
+            luma = np.frombuffer(payload, dtype=np.uint8, count=luma_n, offset=pos)
+            frames.append((idx, round(float(luma.astype(np.float64).mean()), 4)))
+        pos += frame_bytes
+        idx += 1
+    return w, h, idx, frames

@@ -1064,3 +1064,61 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         schema="doc_id long, sample_rate int, n_samples long, duration_sec double, rms double",
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+             CAST(4 + doc_id % 4 AS INT) AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, width, height, n_frames,
+             CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+      FROM dims
+    )
+    SELECT doc_id, frame_idx, width, height, n_frames,
+           ROUND(list_avg(list_transform(
+             generate_series(0, width * height - 1),
+             i -> CAST((i * 13 + frame_idx * 7 + doc_id) % 256 AS DOUBLE))), 4) AS luma_mean
+    FROM frames WHERE frame_idx % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    description="REAL video frame sampling: synthesized Y4M clips, every-2nd-frame luma means, exact analytic oracle",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video decode gate: executors synthesize
+    YUV4MPEG2 clips (uncompressed planes — the one video container a
+    numpy header parser decodes for real), the parser walks FRAME
+    markers sampling every 2nd frame's luma mean, and DuckDB
+    reproduces each sampled frame analytically."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import (
+        decode_y4m_frames,
+        synthesize_y4m_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                clip = synthesize_y4m_bytes(did, 16, 8, 4 + did % 4)
+                w, h, nf, frames = decode_y4m_frames(clip, every_n=2)
+                rows += [(did, fi, w, h, nf, m) for fi, m in frames]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "n_frames", "luma_mean"],
+            )
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, frame_idx int, width int, height int, n_frames int, luma_mean double",
+    ).orderBy("doc_id", "frame_idx")

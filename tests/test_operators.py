@@ -203,3 +203,40 @@ def test_wav_decoder_pure_numpy():
 
     with _pytest.raises(ValueError):
         decode_wav(b"OggS....not a wav")
+
+
+def test_y4m_decoder_pure_numpy():
+    """YUV4MPEG2 parse without video libraries: frame count, sampling
+    stride, and per-frame luma means; 4:4:4 variant; error paths."""
+    from strawboat_spark.operators.multimodal import (
+        decode_y4m_frames,
+        synthesize_y4m_bytes,
+    )
+
+    clip = synthesize_y4m_bytes(5, 8, 4, 5)
+    w, h, nf, frames = decode_y4m_frames(clip, every_n=2)
+    assert (w, h, nf) == (8, 4, 5)
+    assert [fi for fi, _ in frames] == [0, 2, 4]
+    for fi, mean in frames:
+        want = round(float(np.mean((np.arange(8 * 4) * 13 + fi * 7 + 5) % 256)), 4)
+        assert mean == want
+
+    # 4:4:4: same luma, fatter chroma — means unchanged
+    c444 = clip.replace(b"C420\n", b"C444\n", 1)
+    # rebuild with 444-sized chroma
+    header = c444.split(b"\n", 1)[0] + b"\n"
+    luma_n = 8 * 4
+    body = b""
+    for fi in range(5):
+        body += b"FRAME\n"
+        body += bytes(((np.arange(luma_n) * 13 + fi * 7 + 5) % 256).astype(np.uint8))
+        body += bytes([128] * (2 * luma_n))
+    _, _, nf2, frames2 = decode_y4m_frames(header + body, every_n=2)
+    assert nf2 == 5 and frames2 == frames
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"RIFF....")
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"YUV4MPEG2 W8 H4 C411\n")
