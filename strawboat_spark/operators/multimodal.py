@@ -4,11 +4,15 @@ Design: media rides in opaque BinaryType payload columns with a typed
 metadata struct alongside — the strawboat format stores BinaryType
 natively (§1.2), so payloads round-trip through format("strawboat")
 unchanged. Decode / feature-extract run as Arrow-batched mapInPandas
-stages: the Spark-side contract (schemas, batch iteration,
-partitioning) is real and tested; only the innermost byte→pixels
-decode is stubbed because no image/audio libraries exist in this
-container (clearly marked; swap `_decode_image_bytes` for a PIL/ffmpeg
-call to go live).
+stages. Decode is REAL — pure numpy, no external libraries — for the
+uncompressed container of each modality: binary PPM `P6` + 24-bit BMP
+images, RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video, each gated
+by an exact analytic DuckDB oracle (`multimodal_image_decode`,
+`multimodal_wav_decode`, `multimodal_video_frames`). Compressed
+formats (JPEG/PNG/MP3/H.264/...) need codec libraries this container
+doesn't ship: those paths raise a declared NotImplementedError (or a
+deterministic fake under `deterministic_fake=True`), and swapping in
+PIL/ffmpeg later touches only the `_decode_*` seams.
 
 Scale notes: payload columns dominate bytes, so every stage keeps
 them in Arrow batches (no per-row Python), prunes the payload as early

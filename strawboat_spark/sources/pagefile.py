@@ -560,6 +560,11 @@ class StrawboatReader:
         self.fobj = fobj
         if schema is None or meta is None:
             schema, meta = read_footer(fobj)
+            # Full read path: also validate the leading magic (footer
+            # reads alone stay tail-only — one ranged GET at planning).
+            fobj.seek(0)
+            if fobj.read(len(MAGIC)) != MAGIC:
+                raise ValueError("not a strawboat file (bad magic)")
         self.schema = schema
         self.meta = meta
         self._leaf_descr: list[dict] = []

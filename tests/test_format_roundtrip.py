@@ -565,3 +565,35 @@ def test_bitpack_per_block_widths():
     dec2, _ = C.decompress_integer(memoryview(enc_sj), 0, n, np.dtype(np.int64))
     assert (dec2 == sorted_v).all()
     assert len(enc_sj) < 8192, len(enc_sj)
+
+
+def test_corrupt_file_errors_are_clear():
+    """Truncated or mangled files must raise recognizable errors at
+    open/read time — never silently return wrong data (the reference's
+    EOS/footer validation contract, src/read/reader.rs)."""
+    import pytest
+
+    from strawboat_spark.sources.pagefile import StrawboatReader, read_footer
+
+    t = pa.table({"a": pa.array(np.arange(5000)), "s": pa.array([f"v{i}" for i in range(5000)])})
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, t.schema, page_size=1024)
+    w.write_table(t)
+    w.finish()
+    full = buf.getvalue()
+
+    # truncated tail (footer gone)
+    with pytest.raises(ValueError, match="strawboat"):
+        read_footer(io.BytesIO(full[: len(full) // 2]))
+
+    # bad magic: footer reads are tail-only by design, but the full
+    # reader must reject the file
+    with pytest.raises(ValueError, match="magic"):
+        StrawboatReader(io.BytesIO(b"NOTMAGIC" + full[8:])).read_table()
+
+    # flipped byte inside the footer meta JSON: planning must fail
+    # loudly, never plan from garbage
+    body = bytearray(full)
+    body[len(full) - 30] ^= 0xFF
+    with pytest.raises(Exception):
+        read_footer(io.BytesIO(bytes(body)))
