@@ -235,10 +235,18 @@ def _manifest_entry(root: str, file: str, meta=None, schema_b64: str | None = No
 
 
 def publish_manifest(root: str, messages=None) -> None:
-    """Commit-time manifest refresh: prior entries still on disk, plus
-    the just-written files (with executor-provided footer meta), plus
-    any foreign files found by listing (meta-less entries — readers
-    fall back to a footer read for those)."""
+    """Commit-time manifest refresh: prior entries still on disk plus
+    the just-committed files (with executor-provided footer meta).
+
+    Deliberately STRICT: files on disk that neither the previous
+    manifest nor this commit's messages vouch for stay out — a failed
+    job's leftover task files must not be legitimized by the next
+    successful commit (that would double-count data after a retry).
+    vacuum() reclaims them. To adopt a legacy directory of hand-placed
+    files, delete the manifest (readers fall back to globbing) or call
+    publish_manifest(root) with no messages BEFORE the first managed
+    write — with no prior manifest, everything on disk is adopted as
+    the initial generation."""
     fs = get_fs(root)
     on_disk = set(fs.list_files(root, FILE_EXT)) if fs.isdir(root) else set()
     prev = read_manifest(root)
@@ -257,9 +265,11 @@ def publish_manifest(root: str, messages=None) -> None:
             for f, meta, sch in zip(m.files, metas, schemas):
                 if f in on_disk:
                     entries[f] = _manifest_entry(root, f, meta, sch)
-    for f in on_disk:
-        if f not in entries:
-            entries[f] = _manifest_entry(root, f)
+    if prev is None:
+        # bootstrap: adopt pre-existing files as the first generation
+        for f in on_disk:
+            if f not in entries:
+                entries[f] = _manifest_entry(root, f)
     write_manifest(root, list(entries.values()))
 
 

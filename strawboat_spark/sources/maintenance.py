@@ -99,3 +99,46 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
         after += len(new_files)
     return {"before": before, "after": after}
+
+
+def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
+    """Delete data files invisible to readers: *.strb under the table
+    root that the committed manifest does NOT list (crashed writes,
+    aborted compactions, foreign drops never committed), plus leftover
+    `.__compact__` scratch directories.
+
+    Safety: requires a manifest (listing IS the read surface then —
+    an unlisted file can never be read); without one this is a no-op,
+    because globbing readers would see every file. Only files older
+    than `grace_seconds` go (an in-flight write's file exists before
+    its commit publishes it; the grace window keeps vacuum from racing
+    an active writer). Returns {"removed": n, "kept": n}.
+    """
+    import time
+
+    from strawboat_spark.sources.datasource import read_manifest
+
+    man = read_manifest(path)
+    if man is None:
+        return {"removed": 0, "kept": 0}
+    listed = {os.path.normpath(os.path.join(path, e["path"])) for e in man["entries"]}
+    removed = kept = 0
+    now = time.time()
+    for root, dirs, files in os.walk(path):
+        for d in list(dirs):
+            if d.endswith(".__compact__"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                removed += 1
+        for f in files:
+            if not f.endswith(FILE_EXT):
+                continue
+            full = os.path.normpath(os.path.join(root, f))
+            if full in listed:
+                kept += 1
+            elif now - os.path.getmtime(full) > grace_seconds:
+                os.remove(full)
+                removed += 1
+            else:
+                kept += 1  # too young: may belong to an uncommitted write
+    return {"removed": removed, "kept": kept}

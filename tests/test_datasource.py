@@ -671,13 +671,14 @@ def test_manifest_snapshot_listing(registered, tmp_path):
     for f in ds._list_files(path):
         assert f in ds._FOOTER_CACHE
 
-    # append commits a new generation that now includes the orphan too
-    orphan_rows = spark.read.format("strawboat").load(orphan).count()
+    # append commits a new generation; the orphan stays OUT — a failed
+    # job's leftovers must never be legitimized by a later commit
+    # (duplicate data after retries). vacuum() reclaims it.
     src.limit(10).write.format("strawboat").mode("append").save(path)
     man2 = ds.read_manifest(path)
     assert man2["generation"] == man["generation"] + 1
-    got = spark.read.format("strawboat").load(path).count()
-    assert got == src.count() + orphan_rows + 10
+    assert spark.read.format("strawboat").load(path).count() == src.count() + 10
+    assert not any(e["path"].endswith("part-orphan.strb") for e in man2["entries"])
 
 
 def test_manifest_compact_generation_flip(registered, tmp_path):
@@ -701,3 +702,44 @@ def test_manifest_compact_generation_flip(registered, tmp_path):
     # carried-over footer meta from the compact write
     assert man["entries"][0]["meta"] is not None
     assert spark.read.format("strawboat").load(path).count() == src.count()
+
+
+def test_vacuum_removes_only_unlisted_and_old(registered, tmp_path):
+    """vacuum() deletes orphans the manifest doesn't list (and stale
+    compact scratch), never committed files nor young uncommitted
+    writes inside the grace window."""
+    import os
+    import shutil
+
+    from strawboat_spark.sources.maintenance import vacuum
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_vac")
+    src.repartition(2).write.format("strawboat").mode("overwrite").save(path)
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".strb")
+    )
+    orphan_old = os.path.join(path, "part-orphan-old.strb")
+    orphan_new = os.path.join(path, "part-orphan-new.strb")
+    shutil.copy(files[0], orphan_old)
+    shutil.copy(files[0], orphan_new)
+    os.utime(orphan_old, (1, 1))  # ancient
+    os.makedirs(os.path.join(path, "leaf.__compact__"), exist_ok=True)
+
+    stats = vacuum(path, grace_seconds=3600)
+    assert not os.path.exists(orphan_old)
+    assert os.path.exists(orphan_new)  # young: grace window
+    assert not os.path.isdir(os.path.join(path, "leaf.__compact__"))
+    assert stats["removed"] == 2  # old orphan + scratch dir
+    assert all(os.path.exists(f) for f in files)
+    assert spark.read.format("strawboat").load(path).count() == src.count()
+
+    # no manifest -> no-op (globbing readers can see every file)
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    shutil.copy(files[0], os.path.join(legacy, "a.strb"))
+    os.utime(os.path.join(legacy, "a.strb"), (1, 1))
+    assert vacuum(legacy) == {"removed": 0, "kept": 0}
+    assert os.path.exists(os.path.join(legacy, "a.strb"))
