@@ -325,3 +325,12 @@ def strawboat_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sb_orders_sql_view GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "format_csv_roundtrip",
+    oracle=_INTEROP_ORACLE,
+    description="orders → CSV → schema-carrying read back → aggregate (text interop)",
+)
+def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interop_agg(_interop_roundtrip(spark, sf_dir, "csv"))

@@ -1503,3 +1503,81 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("bigint").alias("max_events"),
         F.sum("duration_us").cast("bigint").alias("total_duration_us"),
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_rich
+      FROM customer WHERE c_acctbal > 7500 GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_poor
+      FROM supplier WHERE s_acctbal < -500 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_rich, 0) AS n_rich,
+           COALESCE(n_poor, 0) AS n_poor
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    description="full outer join of two filtered aggregates (null-completing both sides)",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER shape: selective filters leave nations present on
+    only one side, so both null-completion directions are exercised.
+    Aggregate-then-join keeps the outer join's inputs tiny (<=25 rows
+    each at any SF) — the shuffle is on the pre-aggregated keys."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7500)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -500)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_poor"))
+    )
+    return (
+        c.join(s, c.nk == s.snk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.snk).alias("nationkey"),
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+            F.coalesce("n_poor", F.lit(0)).alias("n_poor"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM q GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+    description="ntile(4) distribution window with deterministic tie-break, aggregated per bucket",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
