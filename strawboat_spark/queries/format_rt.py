@@ -334,3 +334,39 @@ def strawboat_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interop_agg(_interop_roundtrip(spark, sf_dir, "csv"))
+
+
+@query(
+    "strawboat_zorder_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey > 1000 AND o_totalprice > 50000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="Z-ordered layout scan: 2-column clustering, selective 2-predicate filter through page stats",
+)
+def strawboat_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column pruning end-to-end: orders Z-ORDERED on
+    (o_custkey, o_totalprice), then a conjunctive filter on both —
+    page min/max stats prune on each predicate independently
+    (operators/layout.py; test_zorder_layout_prunes_both_columns pins
+    the skip fractions)."""
+    from strawboat_spark.operators.layout import write_zordered
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_zo_')}/orders_z"
+    write_zordered(
+        load_table(spark, sf_dir, "orders"), path, "o_custkey", "o_totalprice", n_files=4
+    )
+    back = spark.read.format("strawboat").load(path)
+    return (
+        back.filter((F.col("o_custkey") > 1000) & (F.col("o_totalprice") > 50000))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -743,3 +743,65 @@ def test_vacuum_removes_only_unlisted_and_old(registered, tmp_path):
     os.utime(os.path.join(legacy, "a.strb"), (1, 1))
     assert vacuum(legacy) == {"removed": 0, "kept": 0}
     assert os.path.exists(os.path.join(legacy, "a.strb"))
+
+
+def test_zorder_layout_prunes_both_columns(registered, tmp_path):
+    """Z-ordered layout must give real page skipping on BOTH clustered
+    columns, where a single-column sort prunes only its own column."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from strawboat_spark.operators.layout import write_zordered
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl, _list_files
+    from strawboat_spark.sources.pagefile import read_footer
+    from tests.conftest import SF_CORRECT
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+
+    def kept_fraction(path, col, cutoff):
+        schema = spark.read.format("strawboat").load(path).schema
+        r = StrawboatReaderImpl({"path": path}, schema)
+        r.pushFilters([GreaterThan((col,), cutoff)])
+        stripes = r.partitions()
+        kept = total = 0
+        for f in _list_files(path):
+            with open(f, "rb") as fh:
+                _, meta = read_footer(fh)
+            total += len(meta.leaves[0].pages)
+            for s in (st for st in stripes if st.file == f):
+                kept += sum(r._page_mask(meta, s))
+        return kept / max(total, 1)
+
+    cut_key = src.approxQuantile("o_custkey", [0.9], 0.01)[0]
+    cut_price = src.approxQuantile("o_totalprice", [0.9], 0.01)[0]
+
+    # baseline: sorted by custkey only
+    sorted_path = str(tmp_path / "orders_sorted_one")
+    (
+        src.repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.format("strawboat")
+        .option("page_size", "1024")
+        .mode("overwrite")
+        .save(sorted_path)
+    )
+    z_path = str(tmp_path / "orders_zorder")
+    write_zordered(src, z_path, "o_custkey", "o_totalprice", n_files=4, page_size=1024)
+
+    base_a = kept_fraction(sorted_path, "o_custkey", cut_key)
+    base_b = kept_fraction(sorted_path, "o_totalprice", cut_price)
+    z_a = kept_fraction(z_path, "o_custkey", cut_key)
+    z_b = kept_fraction(z_path, "o_totalprice", cut_price)
+
+    # one-column sort: near-perfect on its column, useless on the other
+    assert base_a < 0.25
+    assert base_b > 0.8
+    # z-order: meaningful pruning on BOTH (classic ~sqrt trade-off)
+    assert z_a < 0.65, f"zorder failed to prune col_a: kept {z_a}"
+    assert z_b < 0.65, f"zorder failed to prune col_b: kept {z_b}"
+
+    # correctness unaffected
+    got = (
+        spark.read.format("strawboat").load(z_path).filter(F.col("o_totalprice") > cut_price).count()
+    )
+    assert got == src.filter(F.col("o_totalprice") > cut_price).count()
