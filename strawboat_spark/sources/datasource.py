@@ -56,6 +56,7 @@ from pyspark.sql.types import StructType
 from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
 
 FILE_EXT = ".strb"
+STRIPE_BYTES = 32 << 20  # compressed bytes per read partition cap (splits fat pages)
 STRIPE_PAGES = 16  # pages per read partition (16 * 8192 rows ≈ 131k rows — the
 # analog of spark.sql.files.maxPartitionBytes: fine enough that a handful of
 # large files still fans out across executors, coarse enough that per-task
@@ -435,23 +436,58 @@ class StrawboatReaderImpl(DataSourceReader):
             if all(_value_may_match(f, pvals) for f in self._filters):
                 survivors.append((file, pvals))
 
-        def _pages(file: str) -> int:
+        def _plan(file: str):
+            """(n_pages, per-page compressed bytes, keep) for one file.
+            keep=False when the file's AGGREGATED column stats prove no
+            page can match a pushed filter — the whole file is dropped
+            at planning, so no task is ever scheduled for it (at 100 TB
+            the saved scheduling dwarfs the per-stripe page skip that
+            would otherwise reject the same pages one task at a time)."""
             _, meta = _cached_footer(file)
-            return len(meta.leaves[0].pages) if meta.leaves else 0
+            if not meta.leaves:
+                return 0, [], True
+            n_pages = len(meta.leaves[0].pages)
+            pages_by_leaf = {lf.name: lf.pages for lf in meta.leaves}
+            for f in self._filters:
+                pages = pages_by_leaf.get(f.attribute[0])
+                if pages and not _page_may_match(f, _aggregate_page_stats(pages)):
+                    return n_pages, [], False
+            per_page = [
+                sum(lf.pages[i].length for lf in meta.leaves if i < len(lf.pages))
+                for i in range(n_pages)
+            ]
+            return n_pages, per_page, True
 
         # Footer reads are independent ranged reads — overlap them
         # (matters against object stores where each is a round-trip).
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(survivors)))) as ex:
-            page_counts = list(ex.map(_pages, [f for f, _ in survivors]))
+            plans = list(ex.map(_plan, [f for f, _ in survivors]))
 
         parts: list[_Stripe] = []
-        for (file, pvals), n_pages in zip(survivors, page_counts):
+        for (file, pvals), (n_pages, per_page, keep) in zip(survivors, plans):
             pv = tuple(sorted(pvals.items()))
+            if not keep:
+                continue
             if n_pages == 0:
                 parts.append(_Stripe(file, 0, 0, pv))
                 continue
-            for s in range(0, n_pages, STRIPE_PAGES):
-                parts.append(_Stripe(file, s, min(s + STRIPE_PAGES, n_pages), pv))
+            # Stripes are capped by BOTH page count and compressed
+            # bytes: the page cap keeps slim-row files fanning out as
+            # before; the byte cap splits fat-page files (wide rows,
+            # embedded media) so a task's working set stays bounded —
+            # the maxPartitionBytes analog for this format.
+            s = 0
+            while s < n_pages:
+                e, acc = s, 0
+                while (
+                    e < n_pages
+                    and e - s < STRIPE_PAGES
+                    and (acc == 0 or acc + per_page[e] <= STRIPE_BYTES)
+                ):
+                    acc += per_page[e]
+                    e += 1
+                parts.append(_Stripe(file, s, e, pv))
+                s = e
         return parts
 
     def read(self, partition: _Stripe):
@@ -595,6 +631,34 @@ def _value_may_match(f: Filter, pvals: dict) -> bool:
     except TypeError:
         return True
     return True
+
+
+def _aggregate_page_stats(pages):
+    """Whole-file column stats from per-page stats, conservative: a
+    single stat-less page voids the file-level min/max (absence must
+    never prune); the distinct union survives only when EVERY page has
+    one and the union stays small."""
+    from strawboat_spark.sources.pagefile import PageMeta
+
+    mins = [p.min for p in pages]
+    maxs = [p.max for p in pages]
+    mn = None if any(m is None for m in mins) else min(mins)
+    mx = None if any(m is None for m in maxs) else max(maxs)
+    distinct = None
+    if all(getattr(p, "distinct", None) is not None for p in pages):
+        u: set = set()
+        for p in pages:
+            u.update(p.distinct)
+        if len(u) <= 256:
+            distinct = sorted(u)
+    return PageMeta(
+        length=0,
+        num_values=sum(p.num_values for p in pages),
+        null_count=sum(p.null_count for p in pages),
+        min=mn,
+        max=mx,
+        distinct=distinct,
+    )
 
 
 def _page_may_match(f: Filter, p) -> bool:

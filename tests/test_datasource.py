@@ -805,3 +805,38 @@ def test_zorder_layout_prunes_both_columns(registered, tmp_path):
         spark.read.format("strawboat").load(z_path).filter(F.col("o_totalprice") > cut_price).count()
     )
     assert got == src.filter(F.col("o_totalprice") > cut_price).count()
+
+
+def test_file_level_stat_pruning(registered, tmp_path):
+    """A file whose AGGREGATED column stats provably fail a pushed
+    filter must vanish at planning — zero stripes scheduled for it
+    (task-scheduling saver at fleet scale)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_filestats")
+    # range-partitioned on totalprice: each file holds a disjoint band
+    (
+        src.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.format("strawboat")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = spark.read.format("strawboat").load(path).schema
+    cutoff = src.approxQuantile("o_totalprice", [0.9], 0.01)[0]
+
+    r_all = StrawboatReaderImpl({"path": path}, schema)
+    files_all = {s.file for s in r_all.partitions()}
+    r_pruned = StrawboatReaderImpl({"path": path}, schema)
+    r_pruned.pushFilters([GreaterThan(("o_totalprice",), cutoff)])
+    files_kept = {s.file for s in r_pruned.partitions()}
+    assert len(files_kept) < len(files_all), "no whole file was pruned"
+
+    got = spark.read.format("strawboat").load(path).filter(
+        F.col("o_totalprice") > cutoff
+    ).count()
+    assert got == src.filter(F.col("o_totalprice") > cutoff).count()
