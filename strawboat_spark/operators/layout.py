@@ -13,14 +13,16 @@ amortized over every later pruned scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
-_ZBITS = 21  # bits per dimension (2 dims fit a bigint with room)
+_ZBITS = 21  # bits per dimension at 2 dims; n dims get 62 // n
 
 
-def _rank_scale(col, mn, mx, bits: int = _ZBITS):
+def _rank_scale(col, mn, mx, bits: int):
     """Scale a numeric column to an integer [0, 2^bits) rank given its
     min/max (driver-computed once; constant-folded into the plan)."""
+    if mn is None or mx is None:
+        return F.lit(0).cast("bigint")  # all-null column: constant rank
     span = float(mx) - float(mn)
     if span <= 0:
         return F.lit(0).cast("bigint")
@@ -29,15 +31,34 @@ def _rank_scale(col, mn, mx, bits: int = _ZBITS):
     return F.greatest(F.lit(0), F.least(r, F.lit((1 << bits) - 1)))
 
 
-def zorder_key(a, b, bits: int = _ZBITS):
-    """Interleave the low `bits` bits of two non-negative bigint ranks
-    (a even positions, b odd): pure shift/and/or expressions."""
+def zorder_key(ranks: list[Column], bits: int) -> Column:
+    """Interleave the low `bits` bits of n non-negative bigint ranks
+    (rank j occupies bit positions j, j+n, j+2n, ...): pure
+    shift/and/or expressions, whole-stage-codegen friendly."""
+    n = len(ranks)
     z = F.lit(0).cast("bigint")
     for k in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(a, k).bitwiseAND(F.lit(1)), 2 * k)
-        ).bitwiseOR(F.shiftleft(F.shiftright(b, k).bitwiseAND(F.lit(1)), 2 * k + 1))
+        for j, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, k).bitwiseAND(F.lit(1)), k * n + j)
+            )
     return z
+
+
+def with_zorder_key(df: DataFrame, cols: list[str], out_col: str = "__zkey") -> DataFrame:
+    """Attach the Z-order key over `cols` (2+ numeric columns). Column
+    min/max come from ONE lightweight agg (2n scalars to the driver)."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    bits = min(_ZBITS, 62 // len(cols))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    mm = df.agg(*aggs).collect()[0]
+    ranks = [
+        _rank_scale(F.col(c), mm[2 * i], mm[2 * i + 1], bits) for i, c in enumerate(cols)
+    ]
+    return df.withColumn(out_col, zorder_key(ranks, bits))
 
 
 def write_zordered(
@@ -45,22 +66,19 @@ def write_zordered(
     path: str,
     col_a: str,
     col_b: str,
+    *more_cols: str,
     n_files: int = 4,
     page_size: int = 1024,
 ) -> None:
-    """Write `df` as a strawboat directory Z-ORDERED on (col_a, col_b):
-    range-partition + sort by the interleaved key, so the persisted
-    per-page min/max stats prune selective filters on EITHER column.
+    """Write `df` as a strawboat directory Z-ORDERED on the given
+    columns: range-partition + sort by the interleaved key, so the
+    persisted per-page min/max stats prune selective filters on ANY of
+    the clustered columns.
 
     Scale shape: ONE shuffle (repartitionByRange on the z-key) no
-    matter how many later queries prune; min/max of both columns come
-    from a single lightweight agg (two scalars to the driver)."""
-    mm = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-    ).collect()[0]
-    za = _rank_scale(F.col(col_a), mm[0], mm[1])
-    zb = _rank_scale(F.col(col_b), mm[2], mm[3])
-    keyed = df.withColumn("__zkey", zorder_key(za, zb))
+    matter how many later queries prune; column min/max come from a
+    single lightweight agg."""
+    keyed = with_zorder_key(df, [col_a, col_b, *more_cols])
     (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")

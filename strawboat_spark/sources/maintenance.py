@@ -142,3 +142,55 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
             else:
                 kept += 1  # too young: may belong to an uncommitted write
     return {"removed": removed, "kept": kept}
+
+
+def optimize(
+    spark,
+    path: str,
+    zorder_by: list[str] | None = None,
+    target_files: int = 4,
+    page_size: int = 8192,
+) -> dict:
+    """Rewrite a (non-hive) table compacted and, when `zorder_by` is
+    given, Z-ORDERED on those columns (operators/layout.py) — the
+    OPTIMIZE ... ZORDER BY maintenance verb. The swap is the same
+    atomic manifest generation flip as compact(): concurrent readers
+    see the old files until the manifest PUT, the new ones after.
+
+    Returns {"before": n_files, "after": n_files}.
+    """
+    from strawboat_spark.operators.layout import write_zordered
+    from strawboat_spark.sources.datasource import (
+        _manifest_entry,
+        publish_manifest,
+        read_manifest,
+        write_manifest,
+    )
+
+    if not zorder_by:
+        return compact(spark, path, target_files)
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)  # snapshot the old generation first
+    originals = sorted(
+        _glob.glob(os.path.join(path, "**", f"*{FILE_EXT}"), recursive=True)
+    )
+    tmp = path.rstrip("/") + ".__optimize__"
+    df = spark.read.format("strawboat").load(path)
+    write_zordered(
+        df, tmp, *zorder_by, n_files=target_files, page_size=page_size
+    )
+    tmp_man = read_manifest(tmp) or {"entries": []}
+    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+    new_files = sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}")))
+    moved = []
+    for f in new_files:
+        dest = os.path.join(path, os.path.basename(f))
+        shutil.move(f, dest)
+        src_e = tmp_meta.get(os.path.basename(f), {})
+        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
+    write_manifest(path, moved)  # generation flip: only the new files
+    for f in originals:
+        os.remove(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"before": len(originals), "after": len(new_files)}

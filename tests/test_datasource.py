@@ -840,3 +840,26 @@ def test_file_level_stat_pruning(registered, tmp_path):
         F.col("o_totalprice") > cutoff
     ).count()
     assert got == src.filter(F.col("o_totalprice") > cutoff).count()
+
+
+def test_optimize_zorder_rewrites_table(registered, tmp_path):
+    """optimize(zorder_by=[a,b]) rewrites the table clustered on both
+    columns with an atomic manifest flip; row set unchanged."""
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import optimize
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_opt")
+    src.repartition(6).write.format("strawboat").mode("overwrite").save(path)
+    gen0 = ds.read_manifest(path)["generation"]
+
+    stats = optimize(spark, path, zorder_by=["o_custkey", "o_totalprice"], target_files=2)
+    assert stats == {"before": 6, "after": 2}
+    man = ds.read_manifest(path)
+    assert man["generation"] > gen0 and len(man["entries"]) == 2
+    back = spark.read.format("strawboat").load(path)
+    assert back.count() == src.count()
+    a = src.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    b = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    assert a == b
