@@ -138,3 +138,36 @@ def test_nan_and_inf_floats():
     assert np.array_equal(out, vals, equal_nan=True)
     # -0.0 sign preserved
     assert np.signbit(out[4])
+
+
+@given(
+    vals=st.lists(floats, min_size=1, max_size=500),
+    page=st.sampled_from([7, 64, 2048]),
+)
+@settings(**SETTINGS)
+def test_float64_roundtrip_forced_patas_packed(vals, page):
+    """Packed-Patas path under arbitrary doubles (incl. infinities,
+    subnormals, nulls) at awkward page sizes."""
+    import os
+
+    os.environ["STRAWBOAT_PATAS_PACKED_COMPRESSION"] = "1"
+    try:
+        _check(pa.table({"x": pa.array(vals, type=pa.float64())}), page)
+    finally:
+        os.environ.pop("STRAWBOAT_PATAS_PACKED_COMPRESSION", None)
+
+
+@given(
+    bits=st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=400),
+)
+@settings(**SETTINGS)
+def test_patas_packed_body_any_bit_patterns(bits):
+    """The raw pack/unpack kernels over arbitrary uint64 bit patterns
+    (covers every NaN payload arrow equality can't)."""
+    import numpy as np
+
+    from strawboat_spark.sources.codecs import _patas_pack_body, _patas_unpack_body
+
+    arr = np.array(bits, dtype=np.uint64)
+    out = _patas_unpack_body(_patas_pack_body(arr), len(arr), np.dtype(np.uint64))
+    assert np.array_equal(out, arr)
