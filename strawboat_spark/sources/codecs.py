@@ -610,6 +610,82 @@ def _ratio_sample(raw: bytes) -> bytes:
     return b"".join(raw[i * step : i * step + 1024] for i in range(8))
 
 
+# --------------------------------------------------------------------------
+# Page bloom filters (opt-in, for high-cardinality string equality).
+# Self-contained vectorized rolling hash — NOT python-hash/pandas-hash,
+# whose seeds can drift across versions: a bloom read by a future
+# version must probe with bit-identical hashes or it would prune pages
+# that DO contain the value (wrong results, not just a missed prune).
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 2048  # 256 B per page per column
+_BLOOM_K = 4
+_HASH_R = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd -> invertible mod 2^64
+_HASH_RINV = np.uint64(pow(int(_HASH_R), -1, 1 << 64))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    # splitmix64 finalizer: diffuses the polynomial hash's low bits
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _stable_segment_hashes(data: bytes, offsets: np.ndarray) -> np.ndarray:
+    """64-bit hash per [offsets[i], offsets[i+1]) byte segment, fully
+    vectorized: polynomial prefix sums in wrapping uint64 arithmetic,
+    segment value = (prefix[e] - prefix[s]) * r^-s, then splitmix."""
+    n_bytes = len(data)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    rpow = np.ones(n_bytes + 1, dtype=np.uint64)
+    if n_bytes:
+        rpow[1:] = np.multiply.accumulate(np.full(n_bytes, _HASH_R, dtype=np.uint64))
+    prefix = np.zeros(n_bytes + 1, dtype=np.uint64)
+    if n_bytes:
+        np.cumsum(b * rpow[:n_bytes], out=prefix[1:])
+    offs = offsets.astype(np.int64)
+    starts, ends = offs[:-1], offs[1:]
+    rinv_pow = np.ones(n_bytes + 1, dtype=np.uint64)
+    if n_bytes:
+        rinv_pow[1:] = np.multiply.accumulate(
+            np.full(n_bytes, _HASH_RINV, dtype=np.uint64)
+        )
+    seg = (prefix[ends] - prefix[starts]) * rinv_pow[starts]
+    lengths = (ends - starts).astype(np.uint64)
+    return _mix64(seg ^ (lengths * np.uint64(0xC2B2AE3D27D4EB4F)))
+
+
+def _bloom_build(hashes: np.ndarray) -> bytes:
+    """Blob = u32 m_bits | filter bytes. m sized at ~10 bits per value
+    (~1% FP at k=4), power of two, floor _BLOOM_BITS."""
+    m = _BLOOM_BITS
+    target = 10 * max(len(hashes), 1)
+    while m < target:
+        m <<= 1
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    h1 = hashes & np.uint64(0xFFFFFFFF)
+    h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+    for i in range(_BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bloom, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8))
+    return struct.pack("<I", m) + bloom.tobytes()
+
+
+def _bloom_may_contain(blob: bytes, value: bytes) -> bool:
+    (m,) = struct.unpack_from("<I", blob, 0)
+    bloom = blob[4:]
+    offs = np.array([0, len(value)], dtype=np.int64)
+    h = _stable_segment_hashes(value, offs)[0]
+    h1 = int(h & np.uint64(0xFFFFFFFF))
+    h2 = int((h >> np.uint64(32)) | np.uint64(1))
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) % m
+        if not (bloom[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 _BASIC_CODECS = (Codec.NONE, Codec.LZ4, Codec.ZSTD, Codec.SNAPPY)
 _MEMO_REPROBE = 16
 

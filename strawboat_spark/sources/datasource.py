@@ -16,6 +16,16 @@ Scale design:
   against persisted per-page min/max and RETURNS ALL filters to Spark,
   so Spark re-applies them — page skipping is a pure IO reduction,
   never a correctness dependency (SURVEY.md §7.3 risk note).
+- KNOWN UPSTREAM ISSUE (pyspark 4.1.2, reproducible with a minimal
+  pure-API source): after a FILTERED action on a DataFrame from any
+  Python data source with filter pushdown enabled, the same DataFrame
+  object's LATER actions reuse the filtered scan plan (the JVM caches
+  the python-planned partitions in the shared relation and pushdown
+  overwrites them). Workaround: create the DataFrame fresh per query
+  (`spark.read.format("strawboat").load(path)` — cheap here, planning
+  is manifest-cached). Our reader additionally snapshots filters into
+  each partition at planning time, so executors never read pruning
+  state from the shared reader instance.
 - The writer is Arrow-native (DataSourceArrowWriter): one strawboat
   file per task, uuid names, two-phase commit via temp dir rename
   semantics (write final names; abort deletes its own files).
@@ -135,6 +145,11 @@ class _Stripe(InputPartition):
     page_start: int
     page_end: int  # exclusive
     part_values: tuple = ()  # ((col, value), ...) from hive-style dirs
+    # The query's pushed filters ride INSIDE the partition: executors
+    # prune pages from the snapshot the planner took, never from
+    # mutable reader state (the upstream plan-cache issue in the module
+    # docstring makes reader-held state untrustworthy across plans).
+    filters: tuple = ()
 
 
 @dataclass
@@ -468,8 +483,9 @@ class StrawboatReaderImpl(DataSourceReader):
             pv = tuple(sorted(pvals.items()))
             if not keep:
                 continue
+            fsnap = tuple(self._filters)
             if n_pages == 0:
-                parts.append(_Stripe(file, 0, 0, pv))
+                parts.append(_Stripe(file, 0, 0, pv, fsnap))
                 continue
             # Stripes are capped by BOTH page count and compressed
             # bytes: the page cap keeps slim-row files fanning out as
@@ -486,7 +502,7 @@ class StrawboatReaderImpl(DataSourceReader):
                 ):
                     acc += per_page[e]
                     e += 1
-                parts.append(_Stripe(file, s, e, pv))
+                parts.append(_Stripe(file, s, e, pv, fsnap))
                 s = e
         return parts
 
@@ -495,6 +511,9 @@ class StrawboatReaderImpl(DataSourceReader):
 
         from strawboat_spark.sources.pagefile import StrawboatReader
 
+        if partition is None:
+            # planning pruned every file: Spark still runs one task
+            return iter(())
         want = to_arrow_schema(self.schema)
         pvals = dict(partition.part_values)
         fschema, fmeta = _cached_footer(partition.file)
@@ -549,7 +568,7 @@ class StrawboatReaderImpl(DataSourceReader):
         n_pages = len(meta.leaves[0].pages) if meta.leaves else 0
         keep = [partition.page_start <= i < partition.page_end for i in range(n_pages)]
         pages_by_leaf = {lf.name: lf.pages for lf in meta.leaves}
-        for f in self._filters:
+        for f in partition.filters:
             col = f.attribute[0]
             pages = pages_by_leaf.get(col)
             if pages is None:
@@ -682,6 +701,23 @@ def _page_may_match(f: Filter, p) -> bool:
             decoded.append(v)
         if all(isinstance(v, str) for v in decoded):
             return any(v in distinct for v in decoded)
+    bloom_b64 = getattr(p, "bloom", None)
+    if bloom_b64 is not None and isinstance(f, (EqualTo, In)):
+        import base64
+
+        from strawboat_spark.sources.codecs import _bloom_may_contain
+
+        try:
+            blob = base64.b64decode(bloom_b64)
+            values = [f.value] if isinstance(f, EqualTo) else list(f.value)
+            probes = []
+            for v in values:
+                probes.append(v.encode("utf-8") if isinstance(v, str) else v)
+            if all(isinstance(v, bytes) for v in probes):
+                if not any(_bloom_may_contain(blob, v) for v in probes):
+                    return False
+        except Exception:
+            pass  # unreadable stat never prunes
     mn, mx = p.min, p.max
     if mn is None or mx is None:
         return True
@@ -788,6 +824,9 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
 
         from strawboat_spark.sources.pagefile import StrawboatReader
 
+        if partition is None:
+            # planning pruned every file: Spark still runs one task
+            return iter(())
         want = to_arrow_schema(self.schema)
         fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
@@ -815,6 +854,9 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         self.codec_name = options.get("compression", "zstd")
         self.forbidden = _parse_forbidden(options)
         self.compress_ratio = float(options["compress_ratio"]) if "compress_ratio" in options else None
+        self.bloom_columns = frozenset(
+            c.strip() for c in options.get("bloom_columns", "").split(",") if c.strip()
+        )
         # Hive-style layout: partition columns become directories, not
         # stored pages (option because the Python DataSource API has no
         # partitionBy passthrough).
@@ -882,7 +924,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             return self._write_partitioned(iterator, arrow_schema, codec)
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}{FILE_EXT}")
         with get_fs(out).create(out) as f:
-            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
+            w = StrawboatWriter(f, arrow_schema, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio, bloom_columns=self.bloom_columns)
             for batch in iterator:
                 if batch.schema != arrow_schema:
                     batch = batch.cast(arrow_schema, safe=False)
@@ -920,7 +962,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 fs.makedirs(d)
                 final = os.path.join(d, f"part-{uuid.uuid4().hex}{FILE_EXT}")
                 h = fs.create(final)
-                w = StrawboatWriter(h, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio)
+                w = StrawboatWriter(h, stored, page_size=self.page_size, default_codec=codec, forbidden=self.forbidden, compress_ratio=self.compress_ratio, bloom_columns=self.bloom_columns)
                 open_files[reldir] = (h, w, final)
             return open_files[reldir][1]
 

@@ -172,6 +172,9 @@ class PageMeta:
     # the same dict stats via stat(), src/stat.rs:63-152). None = stat
     # absent; never prune on its absence.
     distinct: list | None = None
+    # base64 bloom blob (codecs._bloom_build) for opt-in string
+    # equality pruning on high-cardinality pages. None = stat absent.
+    bloom: str | None = None
 
 
 @dataclass
@@ -201,7 +204,11 @@ class FileMeta:
                         "offset": lf.offset,
                         "pages": [
                             [p.length, p.num_values, p.null_count, p.min, p.max]
-                            + ([p.distinct] if p.distinct is not None else [])
+                            + (
+                                [p.distinct, p.bloom]
+                                if p.bloom is not None
+                                else ([p.distinct] if p.distinct is not None else [])
+                            )
                             for p in lf.pages
                         ],
                     }
@@ -264,6 +271,7 @@ class StrawboatWriter:
         default_codec: Codec = Codec.ZSTD,
         forbidden: frozenset = frozenset(),
         compress_ratio: float | None = None,
+        bloom_columns: frozenset = frozenset(),
     ):
         # `forbidden` mirrors the reference WriteOptions
         # forbidden_compressions (src/write/common.rs:37-45): codecs the
@@ -285,6 +293,11 @@ class StrawboatWriter:
         self.page_size = page_size
         self.default_codec = default_codec
         self.forbidden = frozenset(forbidden)
+        # Opt-in per-page bloom filters for string equality pruning on
+        # high-cardinality columns dict-distinct stats can't cover
+        # (~10 bits/value footer cost + a vectorized hash pass per
+        # page, so it is a choice, not a default).
+        self.bloom_columns = frozenset(bloom_columns)
         # reference WriteOptions.default_compress_ratio: minimum
         # estimated ratio a specialized codec needs to be considered.
         self.compress_ratio = compress_ratio
@@ -412,6 +425,7 @@ class StrawboatWriter:
         out = bytearray(_pack_validity(valid))
         mn = mx = None
         distinct = None
+        bloom = None
         memo = self._codec_memo[leaf_i] if leaf_i >= 0 else None
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
@@ -456,6 +470,20 @@ class StrawboatWriter:
                 stats_out=bstats,
                 memo=memo,
             )
+            if (
+                leaf_i >= 0
+                and self._leaf_descr[leaf_i]["name"] in self.bloom_columns
+                and n - null_count > 0
+            ):
+                import base64
+
+                from strawboat_spark.sources.codecs import (
+                    _bloom_build,
+                    _stable_segment_hashes,
+                )
+
+                hashes = _stable_segment_hashes(data, offsets)
+                bloom = base64.b64encode(_bloom_build(hashes)).decode()
             raw_distinct = bstats.get("distinct")
             if raw_distinct is not None:
                 safe = [_json_safe(v) for v in raw_distinct]
@@ -473,7 +501,7 @@ class StrawboatWriter:
             )
         else:
             raise NotImplementedError(kind)
-        return bytes(out), PageMeta(len(out), n, null_count, mn, mx, distinct)
+        return bytes(out), PageMeta(len(out), n, null_count, mn, mx, distinct, bloom)
 
 
 def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:
