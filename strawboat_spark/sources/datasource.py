@@ -57,8 +57,10 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -429,7 +431,7 @@ class StrawboatReaderImpl(DataSourceReader):
         for f in filters:
             if isinstance(f, _RANGE_OPS) and len(f.attribute) == 1:
                 self._filters.append(f)
-            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+            elif isinstance(f, (IsNotNull, IsNull, StringStartsWith)) and len(f.attribute) == 1:
                 self._filters.append(f)
         # Return everything: Spark re-applies; our evaluation only skips pages.
         return filters
@@ -684,6 +686,8 @@ def _page_may_match(f: Filter, p) -> bool:
     """Conservative: False only when stats PROVE no row matches."""
     if isinstance(f, IsNotNull):
         return p.null_count < p.num_values
+    if isinstance(f, IsNull):
+        return p.null_count > 0
     # Dict-membership pruning: low-cardinality string pages carry their
     # full distinct set, so equality predicates prune exactly even when
     # the value falls inside [min, max] (e.g. 'CLERK#5' between
@@ -721,6 +725,14 @@ def _page_may_match(f: Filter, p) -> bool:
     mn, mx = p.min, p.max
     if mn is None or mx is None:
         return True
+    if isinstance(f, StringStartsWith):
+        # a value with prefix v can live in [mn, mx] only if v sits
+        # between the stats' same-length prefixes (stats are stored
+        # un-truncated: _json_safe voids anything >64 chars)
+        v = f.value
+        if not (isinstance(v, str) and isinstance(mn, str) and isinstance(mx, str)):
+            return True
+        return mn[: len(v)] <= v <= mx[: len(v)]
     try:
         if isinstance(f, EqualTo):
             return mn <= f.value <= mx
