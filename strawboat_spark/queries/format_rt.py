@@ -370,3 +370,48 @@ def strawboat_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "strawboat_maintenance_cycle",
+    oracle="""
+    SELECT 6 AS files_before, 2 AS files_after,
+           CAST(1 AS BIGINT) AS orphans_removed,
+           (SELECT COUNT(*) FROM orders) AS rows_intact
+    """,
+    description="maintenance verbs end-to-end: write 6 files -> orphan drop -> OPTIMIZE ZORDER -> vacuum; deterministic stats",
+)
+def strawboat_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-upkeep lifecycle as a hash-verifiable query: a 6-file
+    write, a simulated crashed-write orphan, an OPTIMIZE ZORDER BY
+    rewrite to 2 files (atomic manifest flip), then vacuum() reclaiming
+    the orphan — every count deterministic, and the row set provably
+    intact afterwards."""
+    import os
+    import shutil
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import optimize, vacuum
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_maint_')}/orders"
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(6).write.format("strawboat").mode("overwrite").save(path)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".strb"))
+    files_before = len(files)
+
+    stats = optimize(spark, path, zorder_by=["o_custkey", "o_totalprice"], target_files=2)
+
+    # a crashed write's leftover lands after the rewrite: on disk,
+    # never committed — invisible to readers, reclaimed by vacuum
+    survivors = sorted(f for f in os.listdir(path) if f.endswith(".strb"))
+    orphan = os.path.join(path, "part-orphan.strb")
+    shutil.copy(os.path.join(path, survivors[0]), orphan)
+    os.utime(orphan, (1, 1))
+    vac = vacuum(path, grace_seconds=3600)
+
+    rows = spark.read.format("strawboat").load(path).count()
+    return spark.createDataFrame(
+        [(files_before, stats["after"], vac["removed"], rows)],
+        "files_before int, files_after int, orphans_removed bigint, rows_intact bigint",
+    )
