@@ -266,14 +266,23 @@ def publish_manifest(root: str, messages=None) -> None:
     write — with no prior manifest, everything on disk is adopted as
     the initial generation."""
     fs = get_fs(root)
-    on_disk = set(fs.list_files(root, FILE_EXT)) if fs.isdir(root) else set()
+
+    # Compare scheme-normalized paths: commit messages carry the
+    # caller's URL form (file:///t/x.strb) while the backend listing is
+    # plain (/t/x.strb) — a raw string match would drop valid files.
+    def _norm(p: str) -> str:
+        return os.path.normpath(backend_path(p))
+
+    on_disk = (
+        {_norm(f): f for f in fs.list_files(root, FILE_EXT)} if fs.isdir(root) else {}
+    )
     prev = read_manifest(root)
     entries: dict[str, dict] = {}
     if prev:
         for e in prev["entries"]:
-            absf = os.path.join(root, e["path"])
-            if absf in on_disk:
-                entries[absf] = e
+            key = _norm(os.path.join(root, e["path"]))
+            if key in on_disk:
+                entries[key] = e
     if messages:
         for m in messages:
             if m is None:
@@ -281,13 +290,18 @@ def publish_manifest(root: str, messages=None) -> None:
             metas = m.metas or [None] * len(m.files)
             schemas = m.schemas_b64 or [None] * len(m.files)
             for f, meta, sch in zip(m.files, metas, schemas):
-                if f in on_disk:
-                    entries[f] = _manifest_entry(root, f, meta, sch)
-    if prev is None:
-        # bootstrap: adopt pre-existing files as the first generation
-        for f in on_disk:
-            if f not in entries:
-                entries[f] = _manifest_entry(root, f)
+                if _norm(f) in on_disk:
+                    entries[_norm(f)] = _manifest_entry(root, f, meta, sch)
+    if prev is None and not messages:
+        # Explicit bootstrap (publish_manifest(root) with no messages):
+        # adopt pre-existing files as the first generation. When commit
+        # messages ARE present, unvouched on-disk files stay out — they
+        # are crashed-job orphans, not legacy data (the documented
+        # legacy-adoption path is an explicit no-message publish before
+        # the first managed write).
+        for key, f in on_disk.items():
+            if key not in entries:
+                entries[key] = _manifest_entry(root, f)
     write_manifest(root, list(entries.values()))
 
 
@@ -428,6 +442,10 @@ class StrawboatReaderImpl(DataSourceReader):
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        # Reset per pushdown pass: the JVM plan cache can reuse one
+        # reader instance across queries, and a stale union of filters
+        # from a previous query would prune pages this one must read.
+        self._filters = []
         for f in filters:
             if isinstance(f, _RANGE_OPS) and len(f.attribute) == 1:
                 self._filters.append(f)
@@ -881,7 +899,11 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         fs.makedirs(self.path)
         if overwrite:
             if fs.isdir(self.path):
-                for f in _list_files(self.path):
+                # Glob, don't trust the manifest: uncommitted orphans
+                # from a crashed earlier job are on disk but not in the
+                # manifest, and anything that survives overwrite would
+                # be adopted into the fresh table's first generation.
+                for f in fs.list_files(self.path, FILE_EXT):
                     fs.remove(f)
                 # the old generation is gone; a stale manifest must not
                 # shadow the files this job is about to write

@@ -26,15 +26,6 @@ import shutil
 from strawboat_spark.sources.datasource import FILE_EXT, register
 
 
-def _leaf_dirs(path: str) -> list[str]:
-    """Directories that directly contain data files."""
-    out = []
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(FILE_EXT) for f in files):
-            out.append(root)
-    return sorted(out)
-
-
 def compact(spark, path: str, target_files: int = 1) -> dict:
     """Rewrite each leaf directory's files into `target_files` files.
 
@@ -53,22 +44,56 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
     # swap list through the manifest and never see mid-swap state.
     if read_manifest(path) is None:
         publish_manifest(path)
+    # The root manifest is the committed generation: compact reads and
+    # replaces ONLY its entries. Uncommitted orphans in a leaf (crashed
+    # writes) are neither folded into the output nor deleted here —
+    # that is vacuum()'s job, with its grace window.
+    root_man = read_manifest(path) or {"entries": []}
+    committed_by_leaf: dict[str, list[dict]] = {}
+    for e in root_man["entries"]:
+        leaf = os.path.normpath(os.path.dirname(os.path.join(path, e["path"])))
+        committed_by_leaf.setdefault(leaf, []).append(e)
     before = after = 0
-    for leaf in _leaf_dirs(path):
-        files = sorted(_glob.glob(os.path.join(leaf, f"*{FILE_EXT}")))
+    for leaf in sorted(committed_by_leaf):
+        leaf_entries = committed_by_leaf[leaf]
+        files = sorted(os.path.join(path, e["path"]) for e in leaf_entries)
         before += len(files)
         if len(files) <= target_files:
             after += len(files)
             continue
         tmp = leaf + ".__compact__"
-        (
-            spark.read.format("strawboat")
-            .load(leaf)
-            .coalesce(target_files)
-            .write.format("strawboat")
-            .mode("overwrite")
-            .save(tmp)
-        )
+        # A hive leaf has no manifest of its own (it lives at the table
+        # root), so a bare load(leaf) would glob — and glob sees
+        # orphans. Pin the read surface by writing a leaf manifest
+        # holding exactly the committed entries (paths rebased), then
+        # drop it once the compaction job has run.
+        leaf_man_written = False
+        if leaf != os.path.normpath(path) and read_manifest(leaf) is None:
+            write_manifest(
+                leaf,
+                [
+                    {**e, "path": os.path.relpath(os.path.join(path, e["path"]), leaf)}
+                    for e in leaf_entries
+                ],
+            )
+            leaf_man_written = True
+        try:
+            (
+                spark.read.format("strawboat")
+                .load(leaf)
+                .coalesce(target_files)
+                .write.format("strawboat")
+                .mode("overwrite")
+                .save(tmp)
+            )
+        finally:
+            if leaf_man_written:
+                from strawboat_spark.sources.datasource import _manifest_path
+
+                try:
+                    os.remove(_manifest_path(leaf))
+                except OSError:
+                    pass
         # The tmp write committed its own manifest with embedded footer
         # meta — carry it over so the compacted table keeps one-read
         # planning.
@@ -172,9 +197,20 @@ def optimize(
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)  # snapshot the old generation first
-    originals = sorted(
-        _glob.glob(os.path.join(path, "**", f"*{FILE_EXT}"), recursive=True)
-    )
+    root_man = read_manifest(path) or {"entries": []}
+    # Z-ordering rewrites to a flat file set; on a hive-partitioned
+    # table that would silently flatten the layout (and break partition
+    # pruning). Enforce what the docstring promises.
+    if any(os.sep in e["path"] or "/" in e["path"] for e in root_man["entries"]):
+        raise ValueError(
+            "optimize(zorder_by=...) does not support hive-partitioned "
+            "tables (it would flatten the partition layout); use "
+            "compact() per-leaf instead"
+        )
+    # Only the committed generation is rewritten and deleted;
+    # uncommitted orphans are left for vacuum() and stay out of the
+    # new manifest (the flip below lists only the new files).
+    originals = sorted(os.path.join(path, e["path"]) for e in root_man["entries"])
     tmp = path.rstrip("/") + ".__optimize__"
     df = spark.read.format("strawboat").load(path)
     write_zordered(

@@ -534,6 +534,10 @@ def test_file_scheme_end_to_end(registered, tmp_path):
     back = spark.read.format("strawboat").load(url)
     assert back.count() == src.count()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # append through the URL form must keep the prior generation's
+    # entries (manifest membership compares scheme-normalized paths)
+    src.limit(2).write.format("strawboat").mode("append").save(url)
+    assert spark.read.format("strawboat").load(url).count() == src.count() + 2
 
 
 def test_schema_evolution_merge_and_nullfill(registered, tmp_path):
@@ -963,3 +967,142 @@ def test_isnull_and_startswith_pruning(registered, tmp_path):
     load = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
     assert load().filter(F.col("tag").isNull()).count() == 512
     assert load().filter(F.col("tag").startswith("k00070")).count() == 10
+
+
+def test_overwrite_purges_uncommitted_orphans(registered, tmp_path):
+    """mode("overwrite") must clear EVERY on-disk data file, not just
+    the manifest-listed generation: a crashed job's uncommitted orphan
+    that survives overwrite would be adopted into the fresh table's
+    first manifest and resurrect stale rows (ADVICE round-4 high)."""
+    import os
+    import shutil
+
+    from strawboat_spark.sources import datasource as ds
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_ow")
+    src.write.format("strawboat").mode("overwrite").save(path)
+    committed = ds._list_files(path)
+    orphan = os.path.join(path, "part-crashed-orphan.strb")
+    shutil.copy(committed[0], orphan)
+
+    sub = src.limit(2)
+    sub.write.format("strawboat").mode("overwrite").save(path)
+    assert not os.path.exists(orphan)
+    man = ds.read_manifest(path)
+    assert not any("orphan" in e["path"] for e in man["entries"])
+    assert spark.read.format("strawboat").load(path).count() == 2
+
+
+def test_publish_manifest_commit_never_adopts_orphans(tmp_path):
+    """A commit-time publish (messages present) with no prior manifest
+    must NOT bootstrap-adopt unvouched on-disk files; explicit
+    publish_manifest(root) with no messages still does (the documented
+    legacy-adoption path)."""
+    import shutil
+
+    from strawboat_spark.sources import datasource as ds
+
+    class _Msg:
+        def __init__(self, files):
+            self.files = files
+            self.metas = None
+            self.schemas_b64 = None
+
+    root = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(root)
+    committed = os.path.join(root, "part-0.strb")
+    orphan = os.path.join(root, "part-orphan.strb")
+    for p in (committed, orphan):
+        with open(p, "wb") as f:
+            f.write(b"STRAWBOAT")
+
+    ds.publish_manifest(root, [_Msg([committed])])
+    man = ds.read_manifest(root)
+    assert [e["path"] for e in man["entries"]] == ["part-0.strb"]
+
+    # explicit no-message publish on a manifest-less dir adopts all
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    shutil.copy(committed, os.path.join(legacy, "a.strb"))
+    ds.publish_manifest(legacy)
+    assert len(ds.read_manifest(legacy)["entries"]) == 1
+
+
+def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
+    """compact() on a hive table must read and replace ONLY the root
+    manifest's committed entries for each leaf: an uncommitted orphan
+    in a leaf dir is neither folded into the compacted output (no
+    duplicate rows) nor deleted (vacuum()'s job, with its grace
+    window) (ADVICE round-4 medium)."""
+    import glob
+    import os
+    import shutil
+
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import compact
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_hive")
+    src.repartition(4).write.format("strawboat").option(
+        "partition_by", "r_regionkey"
+    ).mode("overwrite").save(path)
+    total = src.count()
+
+    leaf = sorted(glob.glob(f"{path}/r_regionkey=*"))[0]
+    a_file = glob.glob(f"{leaf}/*.strb")[0]
+    orphan = os.path.join(leaf, "part-orphan.strb")
+    shutil.copy(a_file, orphan)
+
+    compact(spark, path, target_files=1)
+    # orphan survived (not deleted), is not listed, and its rows are
+    # not duplicated into the compacted generation
+    assert os.path.exists(orphan)
+    man = ds.read_manifest(path)
+    assert not any("orphan" in e["path"] for e in man["entries"])
+    assert spark.read.format("strawboat").load(path).count() == total
+    # the temporary per-leaf manifest pin was cleaned up
+    assert not os.path.exists(os.path.join(leaf, ds.MANIFEST_NAME))
+
+
+def test_push_filters_reset_between_passes(registered, tmp_path):
+    """pushFilters must start each pushdown pass clean: the JVM plan
+    cache can reuse one reader instance, and a union of filters from
+    a previous query would over-prune (ADVICE round-4 low)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_pf")
+    src.write.format("strawboat").mode("overwrite").save(path)
+    schema = spark.read.format("strawboat").load(path).schema
+
+    r = StrawboatReaderImpl({"path": path}, schema)
+    r.pushFilters([EqualTo(("r_regionkey",), 0)])
+    assert len(r._filters) == 1
+    r.pushFilters([EqualTo(("r_regionkey",), 3)])
+    assert len(r._filters) == 1
+    assert r._filters[0].value == 3
+
+
+def test_optimize_zorder_rejects_hive_layout(registered, tmp_path):
+    """optimize(zorder_by=...) would flatten a hive layout; it must
+    raise and point at compact() (ADVICE round-4 low)."""
+    import pytest as _pytest
+
+    from strawboat_spark.sources.maintenance import optimize
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    path = str(tmp_path / "region_zhive")
+    src.write.format("strawboat").option("partition_by", "r_regionkey").mode(
+        "overwrite"
+    ).save(path)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        optimize(spark, path, zorder_by=["r_name"])
