@@ -72,7 +72,13 @@ _FORCE_ENV = {
 }
 
 
-def _forced() -> list[Codec]:
+def _forced(memo: dict | None = None) -> list[Codec]:
+    """Codecs forced via env. The 8 environ lookups cost real time at
+    one-call-per-candidate-per-page scale, so writers snapshot the
+    result once into each per-leaf memo dict ("forced" key) and the
+    hot path reads that; standalone calls (no memo) stay live."""
+    if memo is not None and "forced" in memo:
+        return memo["forced"]
     return [c for c, env in _FORCE_ENV.items() if os.environ.get(env) == "1"]
 
 
@@ -92,6 +98,12 @@ class PageStats:
     max_val: object
     top_count: int  # occurrences of the most frequent value
     top_val: object
+    # Exact-path byproducts (sorted uniques + counts + dict codes),
+    # kept so the Dict/Freq encoders reuse them instead of re-sorting
+    # the page.
+    uniques: object = None
+    counts: object = None
+    codes: object = None
 
 
 def collect_stats(values: np.ndarray, null_count: int = 0) -> PageStats:
@@ -113,8 +125,15 @@ def collect_stats(values: np.ndarray, null_count: int = 0) -> PageStats:
         m = len(sample)
         exact = len(su) * 3 < m  # low-card by sample → exact pass pays off
 
+    uniques = counts = codes = None
     if exact:
-        uniques, counts = np.unique(values, return_counts=True)
+        # return_inverse rides along (argsort instead of sort): exact
+        # pages are precisely the Dict candidates, and the inverse IS
+        # the Dict code stream — computing it here saves the encoder
+        # a second full pass.
+        uniques, codes, counts = np.unique(
+            values, return_inverse=True, return_counts=True
+        )
         top_i = int(np.argmax(counts))
         unique_count = len(uniques)
         top_count = int(counts[top_i])
@@ -135,10 +154,13 @@ def collect_stats(values: np.ndarray, null_count: int = 0) -> PageStats:
         unique_count=unique_count,
         run_count=changes,
         is_sorted=is_sorted,
-        min_val=values.min(),
-        max_val=values.max(),
+        min_val=values.min() if uniques is None else uniques[0],
+        max_val=values.max() if uniques is None else uniques[-1],
         top_count=top_count,
         top_val=top_val,
+        uniques=uniques,
+        counts=counts,
+        codes=codes,
     )
 
 
@@ -192,6 +214,26 @@ def _bits_needed(max_val: int) -> int:
     return max(1, int(max_val).bit_length())
 
 
+_BIT_IDX_CACHE: dict[int, np.ndarray] = {}
+
+
+def _bit_idx(width: int) -> np.ndarray:
+    a = _BIT_IDX_CACHE.get(width)
+    if a is None:
+        a = _BIT_IDX_CACHE[width] = np.arange(width, dtype=np.uint64)
+    return a
+
+
+def _as_u64(values: np.ndarray) -> np.ndarray:
+    # Values are non-negative by every caller's contract, so an i64
+    # page reinterprets as u64 for free; other dtypes pay the cast.
+    if values.dtype == np.int64:
+        return values.view(np.uint64)
+    if values.dtype == np.uint64:
+        return values
+    return values.astype(np.uint64)
+
+
 def _pack_bits(values: np.ndarray, width: int) -> bytes:
     """LSB-first bit-pack of non-negative int64 values at fixed width."""
     n = len(values)
@@ -200,6 +242,45 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
     if width in (8, 16, 32):
         # Byte-aligned narrow widths: packing is a narrowing cast.
         return values.astype(f"<u{width >> 3}").tobytes()
+    # Merge-rounds fast path: pick the smallest group size k (2/4/8)
+    # whose packed group is byte-aligned (k*width % 8 == 0) and fits in
+    # at most 64+56 bits; log2(k) shift-or rounds collapse k neighbors
+    # into one (or two) u64 words whose low k*width/8 bytes ARE the
+    # LSB-first stream. ~3 whole-array ops instead of 8 strided lane
+    # ORs — covers every width < 16 plus even widths to 30.
+    for k in (8, 4, 2):  # bigger groups amortize better (measured ~2x)
+        gbits = k * width
+        if gbits % 8 == 0 and gbits <= 120 and (k >> 1) * width <= 60:
+            ng = n // k
+            out = bytearray()
+            if ng:
+                a = _as_u64(values[: ng * k])
+                cb, g = width, 1
+                while g * 2 <= k and 2 * cb <= 64:
+                    a = a[0::2] | (a[1::2] << np.uint64(cb))
+                    cb, g = cb * 2, g * 2
+                gbytes = gbits >> 3
+                if g < k:  # final merge overflows u64: lo/hi split
+                    lo = a[0::2] | (a[1::2] << np.uint64(cb))
+                    hi = a[1::2] >> np.uint64(64 - cb)
+                    block = np.empty((ng, gbytes), dtype=np.uint8)
+                    block[:, :8] = lo.view(np.uint8).reshape(ng, 8)
+                    block[:, 8:] = hi.view(np.uint8).reshape(ng, 8)[:, : gbytes - 8]
+                else:
+                    block = (
+                        np.ascontiguousarray(a)
+                        .view(np.uint8)
+                        .reshape(ng, 8)[:, :gbytes]
+                    )
+                out += block.tobytes()
+            tail = values[ng * k :]
+            if len(tail):
+                acc, pos = 0, 0
+                for t in tail.tolist():
+                    acc |= int(t) << pos
+                    pos += width
+                out += acc.to_bytes((pos + 7) >> 3, "little")
+            return bytes(out)
     if width <= 57:
         # Lane encode (mirror of _unpack_bits): 8 values span exactly
         # `width` bytes; lane j ORs its shifted u64 little-endian bytes
@@ -208,7 +289,7 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
         nb = n >> 3
         out = bytearray()
         if nb:
-            vals = values[: nb * 8].astype(np.uint64).reshape(nb, 8)
+            vals = _as_u64(values[: nb * 8]).reshape(nb, 8)
             block = np.zeros((nb, width + 8), dtype=np.uint8)
             tmp = np.empty(nb, dtype=np.uint64)  # reused shift buffer
             for j in range(8):
@@ -218,13 +299,17 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
             out += block[:, :width].tobytes()
         tail = values[nb * 8 :]
         if len(tail):
-            bit_idx = np.arange(width, dtype=np.uint64)
-            bits = ((tail.astype(np.uint64)[:, None] >> bit_idx) & 1).astype(np.uint8)
-            out += np.packbits(bits.reshape(len(tail) * width), bitorder="little").tobytes()
+            # <=7 values: accumulate into one Python int — cheaper than
+            # building a bit matrix and round-tripping packbits.
+            acc, pos = 0, 0
+            for v in tail.tolist():
+                acc |= int(v) << pos
+                pos += width
+            out += acc.to_bytes((pos + 7) >> 3, "little")
         return bytes(out)
-    bit_idx = np.arange(width, dtype=np.uint64)
+    bit_idx = _bit_idx(width)
     # (n, width) matrix of bits, flattened LSB-first, then packbits.
-    bits = ((values.astype(np.uint64)[:, None] >> bit_idx) & 1).astype(np.uint8)
+    bits = ((_as_u64(values)[:, None] >> bit_idx) & 1).astype(np.uint8)
     return np.packbits(bits.reshape(n * width), bitorder="little").tobytes()
 
 
@@ -464,30 +549,39 @@ def _compress_integer_into(
     memo: dict | None = None,
 ) -> None:
     values = np.ascontiguousarray(values)
-    raw = values.tobytes()
+    nraw = values.nbytes
     sticky = _memo_sticky(memo)
     if sticky is not None:
-        write_block(out, sticky, _basic_compress(sticky, raw), len(raw))
+        raw = values.tobytes()
+        write_block(out, sticky, _basic_compress(sticky, raw), nraw)
         return
     s = stats if stats is not None else collect_stats(values)
 
     est = _candidate_ratios_int(values, s)
-    choice = _choose(est, forbidden, raw, default_codec, ratio)
+    # raw bytes materialize lazily: a page that picks a specialized
+    # codec never pays the full-page copy.
+    choice = _choose(est, forbidden, values.tobytes, default_codec, ratio, memo)
     _memo_store(memo, choice, est, ratio)
+    raw = b""  # only basic codecs below read it
+    if choice in _BASIC_CODECS:
+        raw = values.tobytes()
 
     if choice == Codec.ONE_VALUE:
         payload = struct.pack("<q", int(values[0]) if len(values) else 0)
-        write_block(out, Codec.ONE_VALUE, payload, len(raw))
+        write_block(out, Codec.ONE_VALUE, payload, nraw)
     elif choice == Codec.RLE:
         payload = _rle_encode(values)
-        write_block(out, Codec.RLE, payload, len(raw))
+        write_block(out, Codec.RLE, payload, nraw)
     elif choice == Codec.DICT:
-        uniques, codes = np.unique(values, return_inverse=True)
+        if s.uniques is not None and s.codes is not None:
+            uniques, codes = s.uniques, s.codes
+        else:
+            uniques, codes = np.unique(values, return_inverse=True)
         body = bytearray()
         body += struct.pack("<II", len(uniques), values.dtype.itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
         _compress_codes_into(body, codes, len(uniques), forbidden)
-        write_block(out, Codec.DICT, bytes(body), len(raw))
+        write_block(out, Codec.DICT, bytes(body), nraw)
     elif choice == Codec.FREQ:
         top = values.dtype.type(s.top_val)
         exc_pos = np.flatnonzero(values != top).astype(np.uint32)
@@ -501,7 +595,7 @@ def _compress_integer_into(
             forbidden | {Codec.FREQ},
             ratio=ratio,
         )
-        write_block(out, Codec.FREQ, bytes(body), len(raw))
+        write_block(out, Codec.FREQ, bytes(body), nraw)
     elif choice == Codec.BITPACKING:
         v64 = values.astype(np.int64)
         width = _bits_needed(int(s.max_val)) if len(values) else 1
@@ -515,7 +609,7 @@ def _compress_integer_into(
                 payload = struct.pack("<BB", 0, 0) + _pack_bits_blocked(v64, widths)
         if payload is None:
             payload = struct.pack("<BB", width, 0) + _pack_bits(v64, width)
-        write_block(out, Codec.BITPACKING, payload, len(raw))
+        write_block(out, Codec.BITPACKING, payload, nraw)
     elif choice == Codec.DELTA_BITPACKING:
         v64 = values.astype(np.int64)
         deltas = np.diff(v64)
@@ -532,9 +626,9 @@ def _compress_integer_into(
                 )
         if payload is None:
             payload = struct.pack("<qB", first, width) + _pack_bits(deltas, width)
-        write_block(out, Codec.DELTA_BITPACKING, payload, len(raw))
+        write_block(out, Codec.DELTA_BITPACKING, payload, nraw)
     else:
-        write_block(out, choice, _basic_compress(choice, raw), len(raw))
+        write_block(out, choice, _basic_compress(choice, raw), nraw)
 
 
 def decompress_integer(buf: memoryview, pos: int, n: int, dtype: np.dtype) -> tuple[np.ndarray, int]:
@@ -698,7 +792,7 @@ def _memo_sticky(memo: dict | None) -> Codec | None:
     Pages are self-describing, so a stale stick costs ratio on up to 15
     pages, never correctness. Specialized choices never stick — their
     eligibility genuinely varies page to page."""
-    if memo is None or _forced():
+    if memo is None or _forced(memo):
         return None
     c = memo.get("choice")
     if c in _BASIC_CODECS and memo.get("countdown", 0) > 0:
@@ -729,15 +823,16 @@ def _memo_store(
 def _choose(
     est: dict[Codec, float],
     forbidden: frozenset[Codec],
-    raw: bytes,
+    raw,  # bytes, or a zero-arg callable producing them (lazy)
     default_codec: Codec,
     threshold: float | None = None,
+    memo: dict | None = None,
 ) -> Codec:
     if threshold is None:
         threshold = DEFAULT_COMPRESS_RATIO
     """Pick the best-estimated specialized codec above threshold, else
     the general codec (reference `choose_compressor` semantics)."""
-    forced = [c for c in _forced() if c in est and c not in forbidden]
+    forced = [c for c in _forced(memo) if c in est and c not in forbidden]
     if forced:
         return forced[0]
     est = {c: r for c, r in est.items() if c not in forbidden}
@@ -749,13 +844,32 @@ def _choose(
             # sampled general-codec ratio so zstd keeps winning on noise.
             if est[best] >= 50:
                 return best
-            sample = _ratio_sample(raw)
-            try:
-                general_ratio = len(sample) / max(
-                    1, len(_basic_compress(default_codec, sample))
-                )
-            except Exception:
-                general_ratio = 1.0
+            # The sampled general-codec ratio is a column property far
+            # more than a page property: reuse it for a window of pages
+            # instead of paying a sample compression on every contested
+            # page — but ONLY when the decision isn't close. A marginal
+            # comparison keeps per-page sampling, so one unlucky sample
+            # can never flip a whole column (the same isolation rule
+            # the sticky memo applies to basic-codec wins).
+            gr = memo.get("gen_ratio") if memo is not None else None
+            clear_cut = (
+                gr is not None
+                and gr[1] > 0
+                and abs(est[best] * 1.3 - gr[0]) > 0.25 * gr[0]
+            )
+            if clear_cut:
+                general_ratio = gr[0]
+                memo["gen_ratio"] = (general_ratio, gr[1] - 1)
+            else:
+                sample = _ratio_sample(raw() if callable(raw) else raw)
+                try:
+                    general_ratio = len(sample) / max(
+                        1, len(_basic_compress(default_codec, sample))
+                    )
+                except Exception:
+                    general_ratio = 1.0
+                if memo is not None:
+                    memo["gen_ratio"] = (general_ratio, _MEMO_REPROBE - 1)
             # 1.3x bias toward the specialized codec: sampled general
             # ratios are optimistic (small-sample zstd), and specialized
             # encodings decode faster and expose structure (dict ids,
@@ -942,10 +1056,11 @@ def compress_double(
 ) -> bytes:
     out = bytearray()
     values = np.ascontiguousarray(values)
-    raw = values.tobytes()
+    nraw = values.nbytes
     sticky = _memo_sticky(memo)
     if sticky is not None:
-        write_block(out, sticky, _basic_compress(sticky, raw), len(raw))
+        raw = values.tobytes()
+        write_block(out, sticky, _basic_compress(sticky, raw), nraw)
         return bytes(out)
     # Stats over the bit patterns (OrderedFloat-style total order,
     # reference DoubleStats) — NaN-safe because we compare bits.
@@ -954,18 +1069,18 @@ def compress_double(
     itemsize = values.dtype.itemsize
     est: dict[Codec, float] = {}
     if s.unique_count <= 1:
-        est[Codec.ONE_VALUE] = (len(raw) or 1) / float(itemsize + 8)
+        est[Codec.ONE_VALUE] = (nraw or 1) / float(itemsize + 8)
     if s.count:
-        est[Codec.RLE] = (len(raw) or 1) / float(4 + s.run_count * (4 + itemsize))
+        est[Codec.RLE] = (nraw or 1) / float(4 + s.run_count * (4 + itemsize))
         if s.unique_count * 3 < s.count:
             idx_bits = _bits_needed(max(s.unique_count - 1, 1))
-            est[Codec.DICT] = (len(raw) or 1) / float(
+            est[Codec.DICT] = (nraw or 1) / float(
                 8 + s.unique_count * itemsize + s.count * idx_bits / 8 + 16
             )
         if s.top_count * 10 >= s.count * 9:
             # Freq: dominant value + exception scatter (double/freq.rs)
             n_exc = s.count - s.top_count
-            est[Codec.FREQ] = (len(raw) or 1) / float(
+            est[Codec.FREQ] = (nraw or 1) / float(
                 itemsize + 8 + n_exc * (4 + itemsize) + 16
             )
     # PATAS (simplified): XOR each value with its predecessor, then
@@ -981,7 +1096,7 @@ def compress_double(
         sample = xored.tobytes()[:SAMPLE_BYTES]
         try:
             patas_ratio = (
-                min(len(raw), SAMPLE_BYTES) / max(1, len(_basic_compress(Codec.ZSTD, sample)))
+                min(nraw, SAMPLE_BYTES) / max(1, len(_basic_compress(Codec.ZSTD, sample)))
             )
         except Exception:
             patas_ratio = 1.0
@@ -992,7 +1107,7 @@ def compress_double(
         # The xor-sample ratio above is a free pre-filter: pages where
         # even the xor stream barely compresses (random mantissas) can
         # never clear the 2x bar, so don't pay the sample encode.
-        packed_forced = os.environ.get(_FORCE_ENV[Codec.PATAS_PACKED]) == "1"
+        packed_forced = Codec.PATAS_PACKED in _forced(memo)
         if packed_forced or patas_ratio >= DEFAULT_COMPRESS_RATIO * 0.75:
             n_sample = min(s.count, SAMPLE_BYTES // (2 * itemsize))
             try:
@@ -1004,29 +1119,30 @@ def compress_double(
                 packed_ratio = 1.0
             if packed_forced or packed_ratio >= DEFAULT_COMPRESS_RATIO:
                 est[Codec.PATAS_PACKED] = packed_ratio
-    choice = _choose(est, forbidden, raw, default_codec, ratio)
+    choice = _choose(est, forbidden, values.tobytes, default_codec, ratio, memo)
     _memo_store(memo, choice, est, ratio)
+    raw = values.tobytes() if choice in _BASIC_CODECS else b""
 
     if choice == Codec.ONE_VALUE:
         payload = values[:1].tobytes() if len(values) else bytes(itemsize)
         payload += bytes(8 - len(payload)) if len(payload) < 8 else b""
-        write_block(out, Codec.ONE_VALUE, payload, len(raw))
+        write_block(out, Codec.ONE_VALUE, payload, nraw)
     elif choice == Codec.PATAS:
         xored = np.empty_like(bits)
         if len(bits):
             xored[0] = bits[0]
             np.bitwise_xor(bits[1:], bits[:-1], out=xored[1:])
         # inner stream always zstd so the decoder needs no out-of-band info
-        write_block(out, Codec.PATAS, _basic_compress(Codec.ZSTD, xored.tobytes()), len(raw))
+        write_block(out, Codec.PATAS, _basic_compress(Codec.ZSTD, xored.tobytes()), nraw)
     elif choice == Codec.PATAS_PACKED:
         # payload = u32 body_len | zstd(body): the block header's
         # uncompressed_size stays the raw page size (stat parity), so
         # the zstd frame's own size rides in front of it.
         body = _patas_pack_body(bits)
         payload = struct.pack("<I", len(body)) + _basic_compress(Codec.ZSTD, body)
-        write_block(out, Codec.PATAS_PACKED, payload, len(raw))
+        write_block(out, Codec.PATAS_PACKED, payload, nraw)
     elif choice == Codec.RLE:
-        write_block(out, Codec.RLE, _rle_encode_via_bits(values), len(raw))
+        write_block(out, Codec.RLE, _rle_encode_via_bits(values), nraw)
     elif choice == Codec.FREQ:
         top = s.top_val  # a bit pattern (uint view)
         exc_pos = np.flatnonzero(bits != top).astype(np.int64)
@@ -1035,17 +1151,20 @@ def compress_double(
         body += struct.pack("<I", len(exc_pos))
         _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ}, ratio=ratio)
         body += np.ascontiguousarray(values[exc_pos]).tobytes()
-        write_block(out, Codec.FREQ, bytes(body), len(raw))
+        write_block(out, Codec.FREQ, bytes(body), nraw)
     elif choice == Codec.DICT:
-        uniq_bits, codes = np.unique(bits, return_inverse=True)
+        if s.uniques is not None and s.codes is not None:
+            uniq_bits, codes = s.uniques, s.codes
+        else:
+            uniq_bits, codes = np.unique(bits, return_inverse=True)
         uniques = uniq_bits.view(values.dtype)
         body = bytearray()
         body += struct.pack("<II", len(uniques), itemsize)
         body += np.ascontiguousarray(uniques).tobytes()
         _compress_codes_into(body, codes, len(uniques), forbidden)
-        write_block(out, Codec.DICT, bytes(body), len(raw))
+        write_block(out, Codec.DICT, bytes(body), nraw)
     else:
-        write_block(out, choice, _basic_compress(choice, raw), len(raw))
+        write_block(out, choice, _basic_compress(choice, raw), nraw)
     return bytes(out)
 
 
@@ -1215,6 +1334,63 @@ def compress_binary(
     n = len(offsets) - 1
     est: dict[Codec, float] = {}
     denc = None  # arrow DictionaryArray when the page looks low-card
+    if (
+        n > 0
+        and len(data) == n
+        and int(offsets[-1]) == n
+        and bool((np.diff(offsets) == 1).all())
+    ):
+        # Every value is exactly one byte (single-char status/flag
+        # columns): the whole pipeline — uniqueness, top-value, Dict/
+        # Freq encode — runs as numpy u8 kernels, skipping the Arrow
+        # array build + dictionary_encode round-trip entirely. Payload
+        # layouts are bit-identical to the general path below.
+        b = np.frombuffer(data, dtype=np.uint8)
+        byte_counts = np.bincount(b, minlength=256)
+        uniq = np.flatnonzero(byte_counts).astype(np.uint8)
+        n_uniq = len(uniq)
+        counts = byte_counts[uniq]
+        lut = np.zeros(256, dtype=np.int64)
+        lut[uniq] = np.arange(n_uniq)
+        codes = lut[b]
+        top_code = int(np.argmax(counts))
+        top_count = int(counts[top_code])
+        if stats_out is not None and n_uniq <= 32:
+            stats_out["distinct"] = [bytes([u]) for u in uniq.tolist()]
+        if n_uniq <= 1:
+            est[Codec.ONE_VALUE] = (len(data) or 1) / float(len(data) / max(n, 1) + 8)
+        if n_uniq * 3 < n:
+            idx_bits = _bits_needed(max(n_uniq - 1, 1))
+            est[Codec.DICT] = len(data) / float(n_uniq + 8 * n_uniq + n * idx_bits / 8 + 24)
+        if top_count * 10 >= n * 9 and n_uniq > 1:
+            n_exc = n - top_count
+            est[Codec.FREQ] = len(data) / float(4 + 1 + 4 + n_exc * 13 + n_exc + 24)
+        choice = _choose(est, forbidden, data, default_codec, ratio, memo)
+        _memo_store(memo, choice, est, ratio)
+        if choice == Codec.ONE_VALUE:
+            payload = struct.pack("<I", 1) + data[:1]
+            write_block(out, Codec.ONE_VALUE, payload, len(data))
+        elif choice == Codec.DICT:
+            body = bytearray()
+            body += struct.pack("<I", n_uniq)
+            body += np.arange(n_uniq + 1, dtype=np.int64).tobytes()
+            body += uniq.tobytes()
+            _compress_codes_into(body, codes, n_uniq, forbidden)
+            write_block(out, Codec.DICT, bytes(body), len(data))
+        elif choice == Codec.FREQ:
+            exc_pos = np.flatnonzero(codes != top_code).astype(np.int64)
+            body = bytearray()
+            body += struct.pack("<I", 1) + bytes([int(uniq[top_code])])
+            body += struct.pack("<I", len(exc_pos))
+            _compress_integer_into(body, exc_pos, default_codec, forbidden | {Codec.FREQ}, ratio=ratio)
+            _compress_integer_into(
+                body, np.ones(len(exc_pos), dtype=np.int64), default_codec, forbidden | {Codec.FREQ}, ratio=ratio
+            )
+            body += b[exc_pos].tobytes()
+            write_block(out, Codec.FREQ, bytes(body), len(data))
+        else:
+            write_block(out, choice, _basic_compress(choice, data), len(data))
+        return bytes(out)
     if n > 0 and len(data) > 0:
         # Two-stage uniqueness probe: count distinct over a 256-value
         # sample first (Arrow C++ over a zero-copy slice), and only
@@ -1258,7 +1434,7 @@ def compress_binary(
                 est[Codec.FREQ] = (len(data) or 1) / float(
                     4 + top_len + 4 + n_exc * 13 + exc_bytes + 24
                 )
-    choice = _choose(est, forbidden, data, default_codec, ratio)
+    choice = _choose(est, forbidden, data, default_codec, ratio, memo)
     _memo_store(memo, choice, est, ratio)
     if choice == Codec.ONE_VALUE and denc is not None:
         first = data[offsets[0] : offsets[1]] if n else b""

@@ -314,8 +314,16 @@ class StrawboatWriter:
         self._streams: list[bytearray] = [bytearray() for _ in self._leaves]
         # Per-leaf sticky codec choice (codecs._memo_sticky): columns
         # whose pages keep falling through to the general codec skip
-        # the stats/estimate/sample pipeline on subsequent pages.
-        self._codec_memo: list[dict] = [{} for _ in self._leaves]
+        # the stats/estimate/sample pipeline on subsequent pages. The
+        # "forced" key snapshots the env-forced codec list once per
+        # writer so the per-candidate hot path skips environ lookups
+        # (tests set the env before constructing the writer).
+        from strawboat_spark.sources.codecs import _forced
+
+        forced_snapshot = _forced()
+        self._codec_memo: list[dict] = [
+            {"forced": forced_snapshot} for _ in self._leaves
+        ]
         self._pending: pa.Table | None = None
         self._num_rows = 0
         self._finished = False
@@ -458,8 +466,22 @@ class StrawboatWriter:
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
             if n - null_count > 0:
-                mm = pc.min_max(arr)
-                mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
+                if (
+                    null_count == 0
+                    and len(data) == n
+                    and int(offsets[-1]) == n
+                    and bool((np.diff(offsets) == 1).all())
+                ):
+                    # single-byte values (flag/status columns): byte
+                    # order == utf8/binary order, numpy beats Arrow
+                    bview = np.frombuffer(data, dtype=np.uint8)
+                    lo, hi = int(bview.min()), int(bview.max())
+                    as_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+                    mn = _json_safe(chr(lo) if as_str else bytes([lo]))
+                    mx = _json_safe(chr(hi) if as_str else bytes([hi]))
+                else:
+                    mm = pc.min_max(arr)
+                    mn, mx = _json_safe(mm["min"].as_py()), _json_safe(mm["max"].as_py())
             bstats: dict = {}
             out += compress_binary(
                 offsets,
