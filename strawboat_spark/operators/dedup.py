@@ -214,17 +214,38 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle (bounded by posting-list sizes), count intersections, and
     compute |A∩B| / (|A|+|B|-|A∩B|). SQL-expressible — this operator
-    carries an exact DuckDB oracle, validating the minhash estimate."""
+    carries an exact DuckDB oracle, validating the minhash estimate.
+
+    Boilerplate guard: a shingle shared by more than `max_doc_freq`
+    documents (site chrome, license headers, template text) would make
+    the self-join quadratic in its posting list — one trigram shared by
+    1M docs is ~10^12 join rows. Such shingles are cut from the
+    universe BEFORE the join, from both the intersection counts AND the
+    set sizes, so `jaccard` stays a true set similarity over the
+    df-filtered shingle space. The cut is an explicit, audited contract
+    (ngram_df_stats reports every dropped shingle and the pair volume
+    it avoided), mirroring lsh_candidate_pairs' bucket cap; per-shingle
+    join fan-out is bounded at max_doc_freq^2."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
+    )
+    from pyspark.sql import Window
+
+    sh = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= max_doc_freq)
+        .drop("__df")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -244,6 +265,35 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_df_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Audit companion to ngram_jaccard_pairs' df-cut (the analog of
+    lsh_bucket_stats): one row per shingle the cut drops, with its
+    document frequency and the self-join pair volume the cut avoided —
+    run or sink alongside a capped run so truncation is observed,
+    never silent. Output: (shingle, doc_freq, n_pairs_avoided)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select(
+            "shingle",
+            "doc_freq",
+            (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2).cast("bigint").alias("n_pairs_avoided"),
+        )
     )
 
 

@@ -64,11 +64,14 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
                      for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
       FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      -- df-cut mirror of ngram_jaccard_pairs(max_doc_freq=1000)
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
@@ -98,11 +101,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
                      for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
       FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      -- df-cut mirror of ngram_jaccard_pairs(max_doc_freq=1000)
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -135,6 +141,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_df_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    )
+    SELECT shingle, COUNT(*) AS doc_freq,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs_avoided
+    FROM sh GROUP BY shingle HAVING COUNT(*) > 5
+    ORDER BY doc_freq DESC, shingle
+    """,
+    description="df-cut audit for ngram_jaccard_pairs: dropped boilerplate shingles + avoided pair volume",
+)
+def dedup_ngram_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import ngram_df_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_df_stats(d, "text", "doc_id", shingle_n=3, max_doc_freq=5).orderBy(
+        F.col("doc_freq").desc(), "shingle"
+    )
 
 
 @query(
@@ -593,11 +626,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.doc_id, k.lang, k.text FROM kept k JOIN exact_surv e USING (doc_id)
     ), tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM surv
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
                      for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
       FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      -- df-cut mirror of ngram_jaccard_pairs(max_doc_freq=1000)
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (

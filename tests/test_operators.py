@@ -240,3 +240,54 @@ def test_y4m_decoder_pure_numpy():
         decode_y4m_frames(b"RIFF....")
     with _pytest.raises(ValueError):
         decode_y4m_frames(b"YUV4MPEG2 W8 H4 C411\n")
+
+
+def test_ngram_df_cut_bounds_boilerplate_joins(spark):
+    """A trigram shared by every document makes the inverted-index
+    self-join quadratic; the df-cut must drop it from the universe
+    (bounded pair output) and ngram_df_stats must report exactly what
+    was dropped — no silent cap (VERDICT round-4 scale-killer)."""
+    from strawboat_spark.operators.dedup import ngram_df_stats, ngram_jaccard_pairs
+
+    # 300 docs sharing one boilerplate trigram + a unique tail each:
+    # uncapped, the shared shingle alone yields C(300,2) ≈ 45k join rows
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved unique"),
+            F.col("id").cast("string"),
+            F.lit(" tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.01, max_doc_freq=100
+    )
+    # the only shared shingle ("all rights reserved") is cut at df=300 >
+    # 100, so no pair survives — and the join never expanded it
+    assert pairs.count() == 0
+
+    stats = ngram_df_stats(docs, "text", "doc_id", shingle_n=3, max_doc_freq=100).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    assert r["shingle"] == "all rights reserved"
+    assert r["doc_freq"] == 300
+    assert r["n_pairs_avoided"] == 300 * 299 // 2
+
+
+def test_ngram_df_cut_preserves_normal_corpus(spark):
+    """Shingles under the cap are untouched: capped and effectively-
+    uncapped runs agree on a normal corpus."""
+    from strawboat_spark.operators.dedup import ngram_jaccard_pairs
+
+    from strawboat_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = set(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.12, max_doc_freq=1000
+    ).collect()))
+    uncapped = set(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.12, max_doc_freq=1 << 30
+    ).collect()))
+    assert capped and capped == uncapped
