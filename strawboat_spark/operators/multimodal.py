@@ -71,6 +71,25 @@ def synthesize_ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
     return header + px.tobytes()
 
 
+def synthesize_bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic uncompressed 24-bit BMP: pixel byte i (row-major,
+    bottom-up, no padding — width must be a multiple of 4 so rows are
+    4-byte aligned) is ((i*17 + doc_id) % 256). Used to exercise the
+    REAL BMP decoder with an SQL-computable expected mean."""
+    import struct as _struct
+
+    import numpy as np
+
+    if width % 4:
+        raise ValueError("width must be a multiple of 4 (padless rows)")
+    n_px = width * height * 3
+    data_off = 14 + 40
+    header = b"BM" + _struct.pack("<IHHI", data_off + n_px, 0, 0, data_off)
+    header += _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, n_px, 2835, 2835, 0, 0)
+    px = ((np.arange(n_px, dtype=np.int64) * 17 + doc_id) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
 def _decode_ppm(payload: bytes):
     """Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
     comment/whitespace handling, then raw RGB rows. Pure numpy."""

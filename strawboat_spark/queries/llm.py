@@ -184,12 +184,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based
-    description="64-bit SimHash fingerprints per document",
+    oracle="""
+    SELECT doc_id, TRUE AS dup_invariant, TRUE AS perm_invariant
+    FROM documents ORDER BY doc_id
+    """,
+    description="64-bit SimHash fingerprints gated by exact multiset invariants (dup/permutation)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw xxhash64-based fingerprint has no DuckDB twin, but
+    SimHash is a function of the token MULTISET, so two invariants hold
+    EXACTLY and gate the implementation:
+      dup_invariant  — simhash(text + ' ' + text) == simhash(text)
+        (every per-bit vote count doubles along with the token count;
+        the majority 2*ones > n is scale-invariant)
+      perm_invariant — simhash over reversed token order == simhash
+        (per-token hashes are summed, order never enters)
+    A bug in vote packing, lane overflow, or majority assembly breaks
+    these long before it breaks anything subtler."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d, "text", "doc_id").orderBy("doc_id")
+    base = simhash(d, "text", "doc_id")
+    doubled = simhash(
+        d.select("doc_id", F.concat_ws(" ", "text", "text").alias("text")),
+        "text",
+        "doc_id",
+    ).withColumnRenamed("simhash", "simhash_dup")
+    reversed_ = simhash(
+        d.select(
+            "doc_id",
+            F.concat_ws(" ", F.reverse(F.split(F.lower(F.trim("text")), r"\s+"))).alias("text"),
+        ),
+        "text",
+        "doc_id",
+    ).withColumnRenamed("simhash", "simhash_rev")
+    return (
+        base.join(doubled, "doc_id")
+        .join(reversed_, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("simhash") == F.col("simhash_dup")).alias("dup_invariant"),
+            (F.col("simhash") == F.col("simhash_rev")).alias("perm_invariant"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -490,18 +526,52 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_features",
-    oracle=None,  # decode is stubbed (no imaging libs in container)
-    description="mapInPandas image feature extraction over binary payloads (fake decode)",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id % 4) * 4 AS INT) AS width,
+             CAST(6 + doc_id % 7 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, width * height * 3 - 1),
+             i -> CAST((i * 17 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity,
+           CAST(54 + width * height * 3 AS BIGINT) AS n_bytes
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL image features: synthesized 24-bit BMPs through the numpy decoder, exact analytic oracle",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.multimodal import extract_image_features
+    """BMP twin of multimodal_image_decode's PPM gate: executors
+    synthesize a valid uncompressed 24-bit BMP per doc (pixel byte i =
+    (i*17 + doc_id) % 256, padless 4-aligned rows), the numpy
+    BITMAPINFOHEADER parser decodes it, and DuckDB reproduces
+    width/height/mean/n_bytes analytically — together the two queries
+    hash-verify BOTH native image decoders. JPEG/PNG remain a declared
+    seam (operators/multimodal.py:_decode_image_bytes)."""
+    from collections.abc import Iterator
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_bmp_bytes,
     )
-    return extract_image_features(d, "doc_id", "payload", deterministic_fake=True).orderBy(
-        "doc_id"
-    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_bmp_bytes(int(i), 8 + (int(i) % 4) * 4, 6 + int(i) % 7)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
 
 
 @query(

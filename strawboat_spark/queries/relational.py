@@ -204,14 +204,36 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL estimate is engine-specific — rows-only check.
-    description="approx_count_distinct (HyperLogLog++) per event type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="approx_count_distinct (HyperLogLog++) per event type, gated within 5% of exact",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate vs exact count per group, reduced to an exactly
+    oracle-able boolean: the engine-specific estimate itself can't be
+    reproduced in SQL, but |approx-exact|/exact <= 0.05 (2.5x the
+    configured 2% rsd) must ALWAYS hold — the same recall-gate trick
+    the ANN queries use (queries/llm.py)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
 
