@@ -222,25 +222,37 @@ def _kmeans_centroids(
     The sample must be UNIFORM: `limit(n)` takes the first partitions,
     and real corpora are clustered by source/time, so limit-trained
     centroids describe one corner of the corpus and recall collapses.
-    `sample()` thins every partition instead; the driver then takes a
-    seeded subset of the (bounded) oversample."""
-    cnt = df.count()
-    if cnt == 0:
+    Tagging every row with an iid uniform priority and taking the
+    global smallest `sample_size` (Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject: per-partition top-k, driver merge) is a
+    simple random sample without replacement in ONE corpus pass — the
+    previous count()+sample() recipe cost a full extra scan just to
+    size the fraction."""
+    rows = (
+        df.select(vec_col)
+        .withColumn("_priority", F.rand(seed))
+        .orderBy("_priority")
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
         return []
-    if cnt <= sample_size:
-        rows = df.select(vec_col).collect()
-    else:
-        # oversample by 2x so per-partition Bernoulli variance almost
-        # never leaves us short, then thin uniformly on the driver
-        fraction = min(1.0, 2.0 * sample_size / cnt)
-        rows = df.select(vec_col).sample(fraction=fraction, seed=seed).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    if len(x) > sample_size:
-        idx = np.random.default_rng(seed).choice(len(x), size=sample_size, replace=False)
-        x = x[np.sort(idx)]
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    # kmeans++ init: d^2-weighted seeding keeps every real cluster
+    # covered; uniform-random init merges clusters on unlucky draws
+    k = min(n_centroids, len(x))
+    first = rng.integers(len(x))
+    chosen = [first]
+    d2 = np.maximum(1.0 - x @ x[first], 0.0) ** 2
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(len(x), p=p))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ x[nxt], 0.0) ** 2)
+    cent = x[chosen].copy()
     for _ in range(iters):
         sims = x @ cent.T
         assign = sims.argmax(axis=1)

@@ -283,11 +283,13 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strawboat_spark.operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    # nprobe 10/16: the synthetic embeddings are near-random (top-10
+    # nprobe 12/16: the synthetic embeddings are near-random (top-10
     # neighbor cosine ~0.3), which is the worst case for cell pruning —
-    # real clustered corpora reach the same recall at far lower nprobe.
+    # with a balanced (kmeans++) quantizer, recall on random data tracks
+    # nprobe/n_cells, so the probe budget must carry the gate margin.
+    # Real clustered corpora reach the same recall at far lower nprobe.
     return ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=10
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
     )
 
 
@@ -339,7 +341,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda e, q: ivf_cosine_topk(
-            e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=10
+            e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
         ),
         "ivf_recall_at_10",
     )

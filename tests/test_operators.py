@@ -100,6 +100,28 @@ def test_ivf_training_sample_is_uniform_on_cluster_sorted_corpus(spark):
         df.unpersist()
 
 
+def test_ivf_training_is_single_pass(spark):
+    """Training must not pay a full count() scan before sampling: the
+    TakeOrdered-by-rand sample sizes itself in one pass. Guard by
+    making count() explode if anything in the training path calls it."""
+    from strawboat_spark.operators.similarity import _kmeans_centroids
+
+    df = spark.range(500).selectExpr("array(cast(id as double), 1.0d) as vec")
+
+    class NoCount(type(df)):
+        pass
+
+    df.__class__ = NoCount
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("training path called count() — extra full scan")
+
+    NoCount.count = boom
+    cents = _kmeans_centroids(df, "vec", 2, seed=1, sample_size=64)
+    assert len(cents) == 2
+    assert _kmeans_centroids(df.filter("vec[0] < 0"), "vec", 2, seed=1) == []
+
+
 def test_simhash_packed_matches_unpacked(spark):
     """The 15-bit-lane packed vote aggregation (17 shuffled longs per
     doc) must reproduce exactly the naive 64-aggregate formulation's
