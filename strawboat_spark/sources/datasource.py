@@ -181,15 +181,23 @@ class _Commit(WriterCommitMessage):
 MANIFEST_NAME = "_strawboat_manifest.json"
 
 
+class ManifestConflictError(RuntimeError):
+    """A concurrent committer published the generation this writer was
+    about to claim. Retry with a fresh read (publish_manifest does) or
+    surface to the user — never silently drop the other commit."""
+
+
 def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST_NAME)
 
 
-def read_manifest(root: str) -> dict | None:
+def _gen_path(root: str, generation: int) -> str:
+    return os.path.join(root, f"_strawboat_manifest.gen.{generation:012d}.json")
+
+
+def _read_manifest_file(fs, mp: str) -> dict | None:
     import json
 
-    fs = get_fs(root)
-    mp = _manifest_path(root)
     try:
         if not fs.exists(mp):
             return None
@@ -202,9 +210,29 @@ def read_manifest(root: str) -> dict | None:
         return None  # unreadable manifest -> fall back to listing
 
 
+def read_manifest(root: str) -> dict | None:
+    """Current committed generation. Two-level layout for concurrency
+    safety: each generation is an immutable CAS-created
+    `_strawboat_manifest.gen.N.json`; `_strawboat_manifest.json` is a
+    lagging cache of the newest one (kept for pre-CAS directories and
+    cheap reads). Resolve the true head by probing forward from the
+    cache — in the no-race steady state that is one exists() miss."""
+    fs = get_fs(root)
+    man = _read_manifest_file(fs, _manifest_path(root))
+    head = man.get("generation", 0) if man else 0
+    while True:
+        nxt = _read_manifest_file(fs, _gen_path(root, head + 1))
+        if nxt is None:
+            return man
+        man, head = nxt, head + 1
+
+
 def write_manifest(root: str, entries: list[dict], generation: int | None = None) -> None:
-    """Atomically publish the manifest. `entries`: [{path: rel, sig:
-    [..]|None, meta: dict|None, schema_b64: str|None}]."""
+    """Publish `entries` as the next manifest generation via CAS: the
+    generation file is create-if-absent, so of two racing committers
+    exactly one wins and the loser gets ManifestConflictError (with the
+    winner's entries durable and readable for a retry-merge). `entries`:
+    [{path: rel, sig: [..]|None, meta: dict|None, schema_b64: str|None}]."""
     import json
 
     fs = get_fs(root)
@@ -218,8 +246,50 @@ def write_manifest(root: str, entries: list[dict], generation: int | None = None
             "entries": sorted(entries, key=lambda e: e["path"]),
         }
     ).encode()
-    with fs.create(_manifest_path(root)) as h:
-        h.write(payload)
+    try:
+        with fs.create_exclusive(_gen_path(root, generation)) as h:
+            h.write(payload)
+    except FileExistsError as e:
+        raise ManifestConflictError(
+            f"manifest generation {generation} at {root} was published by a "
+            f"concurrent committer"
+        ) from e
+    # Refresh the cache pointer only forward: a slow loser must not roll
+    # it back (harmless if it did — readers probe past it — but the probe
+    # chain stays short when the cache is the true head).
+    cached = _read_manifest_file(fs, _manifest_path(root))
+    if cached is None or cached.get("generation", 0) < generation:
+        with fs.create(_manifest_path(root)) as h:
+            h.write(payload)
+    # Old generation files are retained until vacuum(): deleting them
+    # here could strand a racing committer's forward probe.
+
+
+def delete_manifest(root: str) -> None:
+    """Remove the cache manifest and every generation file — used by
+    overwrite (fresh table: generation counter restarts) and by
+    compact()'s temporary leaf manifests."""
+    fs = get_fs(root)
+    man = _read_manifest_file(fs, _manifest_path(root))
+    head = man.get("generation", 0) if man else 0
+    # generations are contiguous from 1; probe past the cache pointer
+    # (the head can run ahead of it) until the first gap beyond head
+    gen = 1
+    while True:
+        gp = _gen_path(root, gen)
+        if fs.exists(gp):
+            try:
+                fs.remove(gp)
+            except (OSError, KeyError):
+                pass
+        elif gen > head:
+            break
+        gen += 1
+    try:
+        if fs.exists(_manifest_path(root)):
+            fs.remove(_manifest_path(root))
+    except (OSError, KeyError):
+        pass
 
 
 def _meta_json_dict(meta) -> dict:
@@ -264,7 +334,12 @@ def publish_manifest(root: str, messages=None) -> None:
     files, delete the manifest (readers fall back to globbing) or call
     publish_manifest(root) with no messages BEFORE the first managed
     write — with no prior manifest, everything on disk is adopted as
-    the initial generation."""
+    the initial generation.
+
+    Concurrency-safe: the generation PUT is a CAS (write_manifest), and
+    on conflict this re-reads the winner's manifest — which vouches for
+    the winner's files — and merges this commit's files on top, so two
+    jobs appending at once both land in the final manifest."""
     fs = get_fs(root)
 
     # Compare scheme-normalized paths: commit messages carry the
@@ -273,36 +348,46 @@ def publish_manifest(root: str, messages=None) -> None:
     def _norm(p: str) -> str:
         return os.path.normpath(backend_path(p))
 
-    on_disk = (
-        {_norm(f): f for f in fs.list_files(root, FILE_EXT)} if fs.isdir(root) else {}
+    for _attempt in range(50):
+        on_disk = (
+            {_norm(f): f for f in fs.list_files(root, FILE_EXT)} if fs.isdir(root) else {}
+        )
+        prev = read_manifest(root)
+        entries: dict[str, dict] = {}
+        if prev:
+            for e in prev["entries"]:
+                key = _norm(os.path.join(root, e["path"]))
+                if key in on_disk:
+                    entries[key] = e
+        if messages:
+            for m in messages:
+                if m is None:
+                    continue
+                metas = m.metas or [None] * len(m.files)
+                schemas = m.schemas_b64 or [None] * len(m.files)
+                for f, meta, sch in zip(m.files, metas, schemas):
+                    if _norm(f) in on_disk:
+                        entries[_norm(f)] = _manifest_entry(root, f, meta, sch)
+        if prev is None and not messages:
+            # Explicit bootstrap (publish_manifest(root) with no
+            # messages): adopt pre-existing files as the first
+            # generation. When commit messages ARE present, unvouched
+            # on-disk files stay out — they are crashed-job orphans,
+            # not legacy data (the documented legacy-adoption path is
+            # an explicit no-message publish before the first managed
+            # write).
+            for key, f in on_disk.items():
+                if key not in entries:
+                    entries[key] = _manifest_entry(root, f)
+        gen = (prev.get("generation", 0) + 1) if prev else 1
+        try:
+            write_manifest(root, list(entries.values()), generation=gen)
+            return
+        except ManifestConflictError:
+            continue  # winner's entries are durable; re-read and merge
+    raise ManifestConflictError(
+        f"publish_manifest({root}): lost the generation race 50 times"
     )
-    prev = read_manifest(root)
-    entries: dict[str, dict] = {}
-    if prev:
-        for e in prev["entries"]:
-            key = _norm(os.path.join(root, e["path"]))
-            if key in on_disk:
-                entries[key] = e
-    if messages:
-        for m in messages:
-            if m is None:
-                continue
-            metas = m.metas or [None] * len(m.files)
-            schemas = m.schemas_b64 or [None] * len(m.files)
-            for f, meta, sch in zip(m.files, metas, schemas):
-                if _norm(f) in on_disk:
-                    entries[_norm(f)] = _manifest_entry(root, f, meta, sch)
-    if prev is None and not messages:
-        # Explicit bootstrap (publish_manifest(root) with no messages):
-        # adopt pre-existing files as the first generation. When commit
-        # messages ARE present, unvouched on-disk files stay out — they
-        # are crashed-job orphans, not legacy data (the documented
-        # legacy-adoption path is an explicit no-message publish before
-        # the first managed write).
-        for key, f in on_disk.items():
-            if key not in entries:
-                entries[key] = _manifest_entry(root, f)
-    write_manifest(root, list(entries.values()))
 
 
 def _seed_footer_cache(root: str, man: dict) -> None:
@@ -905,13 +990,9 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 # be adopted into the fresh table's first generation.
                 for f in fs.list_files(self.path, FILE_EXT):
                     fs.remove(f)
-                # the old generation is gone; a stale manifest must not
-                # shadow the files this job is about to write
-                try:
-                    if fs.exists(_manifest_path(self.path)):
-                        fs.remove(_manifest_path(self.path))
-                except (OSError, KeyError):
-                    pass
+                # the old generations are gone; stale manifests (cache
+                # + gen files) must not shadow this job's fresh table
+                delete_manifest(self.path)
         else:
             # Append: the directory's footer schema is the contract —
             # a second schema would silently corrupt later reads (the

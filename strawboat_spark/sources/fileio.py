@@ -79,6 +79,31 @@ class _AtomicLocalFile:
         self.abort() if exc_type else self.close()
 
 
+class _ExclusiveLocalFile(_AtomicLocalFile):
+    """Atomic create-if-absent: publish via `os.link(tmp, final)`, which
+    fails with FileExistsError when `final` already exists — a true
+    filesystem CAS (rename would silently replace). Readers still never
+    see a partial file: the link appears fully written or not at all."""
+
+    def __init__(self, final: str):
+        self.final = final
+        # per-writer tmp name: racing writers must not clobber each
+        # other's scratch before the link race decides the winner
+        self.tmp = f"{final}.{os.getpid()}.{id(self):x}.tmp"
+        self._f = open(self.tmp, "wb")
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+            try:
+                os.link(self.tmp, self.final)
+            finally:
+                try:
+                    os.unlink(self.tmp)
+                except OSError:
+                    pass
+
+
 class LocalFileSystem:
     def _p(self, path: str) -> str:
         return backend_path(path)
@@ -88,6 +113,10 @@ class LocalFileSystem:
 
     def create(self, path: str) -> _AtomicLocalFile:
         return _AtomicLocalFile(self._p(path))
+
+    def create_exclusive(self, path: str) -> _ExclusiveLocalFile:
+        """Raises FileExistsError on close() if `path` already exists."""
+        return _ExclusiveLocalFile(self._p(path))
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         p = self._p(path)
@@ -114,16 +143,21 @@ class LocalFileSystem:
 
 
 class _MemoryWriteHandle(io.BytesIO):
-    def __init__(self, store: dict, key: str, lock: threading.Lock, versions: dict, fs):
+    def __init__(
+        self, store: dict, key: str, lock: threading.Lock, versions: dict, fs, exclusive=False
+    ):
         super().__init__()
         self._store, self._key, self._lock = store, key, lock
         self._versions = versions
         self._fs = fs
         self._published = False
+        self._exclusive = exclusive
 
     def close(self) -> None:
         if not self.closed and not self._published:
             with self._lock:
+                if self._exclusive and self._key in self._store:
+                    raise FileExistsError(self._key)  # conditional PUT lost the race
                 self._store[self._key] = self.getvalue()
                 self._versions[self._key] = self._versions.get(self._key, 0) + 1
                 self._fs._clock += 1
@@ -163,6 +197,13 @@ class MemoryFileSystem:
 
     def create(self, path: str) -> _MemoryWriteHandle:
         return _MemoryWriteHandle(self._store, self._key(path), self._lock, self._versions, self)
+
+    def create_exclusive(self, path: str) -> _MemoryWriteHandle:
+        """Conditional PUT (If-None-Match: *): close() raises
+        FileExistsError if the key was published meanwhile."""
+        return _MemoryWriteHandle(
+            self._store, self._key(path), self._lock, self._versions, self, exclusive=True
+        )
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         prefix = self._key(path) + "/"
@@ -242,6 +283,17 @@ class _FsspecFileSystem:
 
             f.abort = _abort
         return f
+
+    def create_exclusive(self, path: str):
+        """Best-effort create-if-absent: the generic fsspec API has no
+        conditional PUT, so this is an exists() check followed by a
+        plain create — a real object-store backend should override with
+        the store's native CAS (S3 If-None-Match:*, GCS
+        ifGenerationMatch=0, Azure If-None-Match:*) via
+        register_filesystem."""
+        if self._fs.exists(path):
+            raise FileExistsError(path)
+        return self.create(path)
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         _, rest = split_scheme(path)

@@ -88,12 +88,9 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
             )
         finally:
             if leaf_man_written:
-                from strawboat_spark.sources.datasource import _manifest_path
+                from strawboat_spark.sources.datasource import delete_manifest
 
-                try:
-                    os.remove(_manifest_path(leaf))
-                except OSError:
-                    pass
+                delete_manifest(leaf)
         # The tmp write committed its own manifest with embedded footer
         # meta — carry it over so the compacted table keeps one-read
         # planning.
@@ -110,15 +107,27 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
             )
         # Generation flip: replace this leaf's originals with the new
         # files in ONE atomic manifest PUT, then physically delete.
-        man = read_manifest(path)
+        # The PUT is a CAS; a concurrent append's commit re-reads and
+        # retries the same way, so neither side's files are dropped.
+        from strawboat_spark.sources.datasource import ManifestConflictError
+
         originals_rel = {
             os.path.relpath(f, path) for f in files
         }
-        entries = [
-            e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
-        ]
-        entries += moved_entries
-        write_manifest(path, entries)
+        for _attempt in range(50):
+            man = read_manifest(path)
+            entries = [
+                e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
+            ]
+            entries += moved_entries
+            gen = (man.get("generation", 0) + 1) if man else 1
+            try:
+                write_manifest(path, entries, generation=gen)
+                break
+            except ManifestConflictError:
+                continue
+        else:
+            raise ManifestConflictError(f"compact({path}): lost the generation race 50 times")
         for f in files:
             os.remove(f)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -166,6 +175,32 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
                 removed += 1
             else:
                 kept += 1  # too young: may belong to an uncommitted write
+    # Retire superseded manifest generation files (write_manifest keeps
+    # them so racing committers can forward-probe). First pin the cache
+    # pointer at the head so readers no longer need the old gens, then
+    # delete gens below head past the same grace window (a mid-probe
+    # reader may still be walking them).
+    import json
+
+    from strawboat_spark.sources.datasource import _gen_path, _manifest_path
+    from strawboat_spark.sources.fileio import get_fs
+
+    fs = get_fs(path)
+    head = man.get("generation", 0)
+    cur = read_manifest(path)  # head may have advanced during the walk
+    if cur and cur.get("generation", 0) >= head:
+        man, head = cur, cur.get("generation", 0)
+    with fs.create(_manifest_path(path)) as h:
+        h.write(json.dumps(man).encode())
+    for gen in range(1, head):
+        gp = _gen_path(path, gen)
+        bp = os.path.join(path, os.path.basename(gp))
+        try:
+            if os.path.exists(bp) and now - os.path.getmtime(bp) > grace_seconds:
+                os.remove(bp)
+                removed += 1
+        except OSError:
+            pass
     return {"removed": removed, "kept": kept}
 
 
@@ -225,7 +260,24 @@ def optimize(
         shutil.move(f, dest)
         src_e = tmp_meta.get(os.path.basename(f), {})
         moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
-    write_manifest(path, moved)  # generation flip: only the new files
+    # Generation flip via CAS: keep any files a concurrent commit
+    # published since the snapshot (they are neither originals nor ours)
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    originals_rel = {e["path"] for e in root_man["entries"]}
+    for _attempt in range(50):
+        man = read_manifest(path)
+        entries = [
+            e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
+        ]
+        gen = (man.get("generation", 0) + 1) if man else 1
+        try:
+            write_manifest(path, entries + moved, generation=gen)
+            break
+        except ManifestConflictError:
+            continue
+    else:
+        raise ManifestConflictError(f"optimize({path}): lost the generation race 50 times")
     for f in originals:
         os.remove(f)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -1032,6 +1032,127 @@ def test_publish_manifest_commit_never_adopts_orphans(tmp_path):
     assert len(ds.read_manifest(legacy)["entries"]) == 1
 
 
+def test_manifest_cas_two_committers_both_survive(tmp_path):
+    """Two committers that both planned the same next generation: the
+    CAS lets exactly one win; the loser raises ManifestConflictError
+    and its retry (publish_manifest's loop) merges ON TOP of the
+    winner's durable entries — neither commit's files are dropped
+    (VERDICT r4 #4: previously the second publisher silently won)."""
+    import os
+
+    from strawboat_spark.sources import datasource as ds
+
+    class _Msg:
+        def __init__(self, files):
+            self.files = files
+            self.metas = None
+            self.schemas_b64 = None
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+
+    def put(name):
+        p = os.path.join(root, name)
+        with open(p, "wb") as f:
+            f.write(b"STRAWBOAT")
+        return p
+
+    base, fa, fb = put("base.strb"), put("job-a.strb"), put("job-b.strb")
+    ds.publish_manifest(root, [_Msg([base])])  # generation 1
+
+    # both writers snapshot generation 1 and race for generation 2
+    import json
+
+    ds.write_manifest(root, [{"path": "base.strb", "sig": None, "meta": None,
+                              "schema_b64": None},
+                             {"path": "job-a.strb", "sig": None, "meta": None,
+                              "schema_b64": None}], generation=2)
+    try:
+        ds.write_manifest(root, [{"path": "base.strb", "sig": None, "meta": None,
+                                  "schema_b64": None},
+                                 {"path": "job-b.strb", "sig": None, "meta": None,
+                                  "schema_b64": None}], generation=2)
+        raise AssertionError("second generation-2 publish must conflict")
+    except ds.ManifestConflictError:
+        pass
+    # loser's high-level retry path: re-read (sees winner) and merge
+    ds.publish_manifest(root, [_Msg([fb])])
+    man = ds.read_manifest(root)
+    assert man["generation"] == 3
+    assert sorted(e["path"] for e in man["entries"]) == [
+        "base.strb", "job-a.strb", "job-b.strb"]
+    # cache pointer survives at head; gen files retained for probing
+    raw = json.load(open(os.path.join(root, ds.MANIFEST_NAME)))
+    assert raw["generation"] == 3
+
+
+def test_manifest_reader_resolves_head_past_stale_cache(tmp_path):
+    """read_manifest must probe generation files forward from the cache
+    pointer: a loser that rolls the cache back (or a winner that dies
+    before refreshing it) must not hide a committed generation."""
+    import json
+    import os
+
+    from strawboat_spark.sources import datasource as ds
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    with open(os.path.join(root, "a.strb"), "wb") as f:
+        f.write(b"STRAWBOAT")
+    ds.publish_manifest(root)  # generation 1 everywhere
+    ds.write_manifest(root, [{"path": "a.strb", "sig": None, "meta": None,
+                              "schema_b64": None},
+                             {"path": "late.strb", "sig": None, "meta": None,
+                              "schema_b64": None}], generation=2)
+    # simulate a crashed winner: roll the cache pointer back to gen 1
+    gen1 = json.load(open(os.path.join(root, "_strawboat_manifest.gen.000000000001.json")))
+    with open(os.path.join(root, ds.MANIFEST_NAME), "w") as f:
+        json.dump(gen1, f)
+    man = ds.read_manifest(root)
+    assert man["generation"] == 2
+    assert any(e["path"] == "late.strb" for e in man["entries"])
+
+
+def test_manifest_concurrent_publish_threads(tmp_path):
+    """Stress the whole retry loop: N threads publish distinct files
+    concurrently; every file must appear in the final manifest and the
+    generation counter must advance once per successful publish."""
+    import os
+    import threading
+
+    from strawboat_spark.sources import datasource as ds
+
+    class _Msg:
+        def __init__(self, files):
+            self.files = files
+            self.metas = None
+            self.schemas_b64 = None
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    names = [f"job-{i}.strb" for i in range(8)]
+    for n in names:
+        with open(os.path.join(root, n), "wb") as f:
+            f.write(b"STRAWBOAT")
+    errs = []
+
+    def commit(n):
+        try:
+            ds.publish_manifest(root, [_Msg([os.path.join(root, n)])])
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=commit, args=(n,)) for n in names]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    man = ds.read_manifest(root)
+    assert sorted(e["path"] for e in man["entries"]) == sorted(names)
+    assert man["generation"] == len(names)
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
