@@ -4,15 +4,17 @@ Design: media rides in opaque BinaryType payload columns with a typed
 metadata struct alongside — the strawboat format stores BinaryType
 natively (§1.2), so payloads round-trip through format("strawboat")
 unchanged. Decode / feature-extract run as Arrow-batched mapInPandas
-stages. Decode is REAL — pure numpy, no external libraries — for the
-uncompressed container of each modality: binary PPM `P6` + 24-bit BMP
-images, RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video, each gated
-by an exact analytic DuckDB oracle (`multimodal_image_decode`,
-`multimodal_wav_decode`, `multimodal_video_frames`). Compressed
-formats (JPEG/PNG/MP3/H.264/...) need codec libraries this container
-doesn't ship: those paths raise a declared NotImplementedError (or a
-deterministic fake under `deterministic_fake=True`), and swapping in
-PIL/ffmpeg later touches only the `_decode_*` seams.
+stages. Decode is REAL — pure numpy, no external libraries — for binary PPM
+`P6` + 24-bit BMP + baseline JPEG images (operators/jpeg.py carries a
+full T.81 baseline Huffman+IDCT codec), RIFF/PCM16 WAV audio, and
+YUV4MPEG2 (Y4M) video, each gated by an exact analytic DuckDB oracle
+(`multimodal_image_decode`, `multimodal_jpeg_decode`,
+`multimodal_wav_decode`, `multimodal_video_frames`). Remaining
+compressed formats (PNG/MP3/H.264/...) need codec libraries this
+container doesn't ship: those paths raise a declared
+NotImplementedError (or a deterministic fake under
+`deterministic_fake=True`), and swapping in PIL/ffmpeg later touches
+only the `_decode_*` seams.
 
 Scale notes: payload columns dominate bytes, so every stage keeps
 them in Arrow batches (no per-row Python), prunes the payload as early
@@ -138,10 +140,10 @@ def _decode_bmp(payload: bytes):
 
 
 def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
-    """Image decode: REAL for the formats a header-only numpy parser
-    covers (binary PPM `P6`, uncompressed 24-bit BMP); other formats
-    (JPEG/PNG/...) need an imaging library this container doesn't ship
-    — they fall back to a stable pseudo-decode when
+    """Image decode: REAL for binary PPM `P6`, uncompressed 24-bit BMP,
+    and baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py);
+    other formats (PNG/WebP/...) need an imaging library this container
+    doesn't ship — they fall back to a stable pseudo-decode when
     deterministic_fake=True, else raise. The mapInPandas plumbing is
     identical either way, so swapping in PIL later only touches this
     function."""
@@ -149,12 +151,16 @@ def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from strawboat_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP(24bpp) decode natively; other formats need "
-            "an imaging library (PIL/opencv) not present in this "
-            "environment; pass deterministic_fake=True to exercise the "
-            "pipeline with stable fake features"
+            "only PPM(P6)/BMP(24bpp)/baseline-JPEG decode natively; other "
+            "formats need an imaging library (PIL/opencv) not present in "
+            "this environment; pass deterministic_fake=True to exercise "
+            "the pipeline with stable fake features"
         )
     n = len(payload)
     width = 16 + (n % 64)

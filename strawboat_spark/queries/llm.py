@@ -577,6 +577,57 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, CAST((width // 8) * (height // 8) - 1 AS BIGINT)),
+             j -> CAST((j * 41 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL baseline-JPEG decode (pure-numpy Huffman+IDCT), exact analytic oracle",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG gate for the compressed-image path: executors synthesize a
+    valid baseline JPEG per doc (grayscale, all-ones quant table, 8x8
+    block j constant at (j*41 + doc_id) % 256 — DC-only blocks, so the
+    T.81 Huffman+IDCT decode in operators/jpeg.py is bit-exact) and
+    DuckDB reproduces width/height/mean analytically. Unlike the
+    PPM/BMP gates this exercises entropy decoding, dequantization and
+    the IDCT, i.e. the machinery a real corpus's JPEGs need."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.jpeg import synthesize_jpeg_bytes
+    from strawboat_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_jpeg_bytes(int(i), 8 * (1 + int(i) % 3), 8 * (1 + int(i) % 2))
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        extract_image_features(with_payload, "doc_id", "payload")
+        .select("doc_id", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "multimodal_audio_chunks",
     oracle="""
     WITH payloads AS (
