@@ -5,16 +5,17 @@ metadata struct alongside — the strawboat format stores BinaryType
 natively (§1.2), so payloads round-trip through format("strawboat")
 unchanged. Decode / feature-extract run as Arrow-batched mapInPandas
 stages. Decode is REAL — pure numpy, no external libraries — for binary PPM
-`P6` + 24-bit BMP + baseline JPEG images (operators/jpeg.py carries a
-full T.81 baseline Huffman+IDCT codec), RIFF/PCM16 WAV audio, and
-YUV4MPEG2 (Y4M) video, each gated by an exact analytic DuckDB oracle
+`P6` + 24-bit BMP + baseline JPEG (operators/jpeg.py, full T.81
+Huffman+IDCT) + PNG (operators/png.py, stdlib-zlib inflate +
+unfilter) images, RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video,
+each gated by an exact analytic DuckDB oracle
 (`multimodal_image_decode`, `multimodal_jpeg_decode`,
-`multimodal_wav_decode`, `multimodal_video_frames`). Remaining
-compressed formats (PNG/MP3/H.264/...) need codec libraries this
-container doesn't ship: those paths raise a declared
-NotImplementedError (or a deterministic fake under
-`deterministic_fake=True`), and swapping in PIL/ffmpeg later touches
-only the `_decode_*` seams.
+`multimodal_png_decode`, `multimodal_wav_decode`,
+`multimodal_video_frames`). Remaining compressed formats
+(MP3/H.264/...) need codec libraries this container doesn't ship:
+those paths raise a declared NotImplementedError (or a deterministic
+fake under `deterministic_fake=True`), and swapping in ffmpeg later
+touches only the `_decode_*` seams.
 
 Scale notes: payload columns dominate bytes, so every stage keeps
 them in Arrow batches (no per-row Python), prunes the payload as early
@@ -155,12 +156,16 @@ def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
         from strawboat_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"\x89PNG":
+        from strawboat_spark.operators.png import decode_png
+
+        return decode_png(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP(24bpp)/baseline-JPEG decode natively; other "
-            "formats need an imaging library (PIL/opencv) not present in "
-            "this environment; pass deterministic_fake=True to exercise "
-            "the pipeline with stable fake features"
+            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG decode natively; "
+            "other formats need an imaging library (PIL/opencv) not "
+            "present in this environment; pass deterministic_fake=True "
+            "to exercise the pipeline with stable fake features"
         )
     n = len(payload)
     width = 16 + (n % 64)

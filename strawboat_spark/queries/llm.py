@@ -628,6 +628,56 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(5 + doc_id % 6 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, CAST(width * height - 1 AS BIGINT)),
+             i -> CAST((i * 23 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL PNG decode (stdlib-zlib inflate + numpy unfilter), exact oracle (lossless)",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG gate: executors synthesize a grayscale PNG per doc (pixel i
+    = (i*23 + doc_id) % 256) and decode it with the pure-numpy
+    RFC-2083 parser (operators/png.py). PNG is lossless, so unlike the
+    JPEG gate no DC-only trick is needed — any image roundtrips
+    bit-exact and the oracle is the plain analytic mean. Arbitrary
+    (non-multiple-of-8) dimensions exercise the row-filter machinery
+    the fixed-size gates can't."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import extract_image_features
+    from strawboat_spark.operators.png import synthesize_png_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_png_bytes(int(i), 8 + int(i) % 9, 5 + int(i) % 6) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        extract_image_features(with_payload, "doc_id", "payload")
+        .select("doc_id", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "multimodal_audio_chunks",
     oracle="""
     WITH payloads AS (
