@@ -48,12 +48,14 @@ def backend_path(path: str) -> str:
 
 
 class _AtomicLocalFile:
-    """Write to `.tmp`, rename into place on close — readers never see
-    a partial file (same contract an object store gives via PUT)."""
+    """Write to a per-writer tmp, rename into place on close — readers
+    never see a partial file (same contract an object store gives via
+    PUT), and concurrent writers of the SAME path never share scratch
+    (last rename wins, like overlapping object-store PUTs)."""
 
     def __init__(self, final: str):
         self.final = final
-        self.tmp = final + ".tmp"
+        self.tmp = f"{final}.{os.getpid()}.{id(self):x}.tmp"
         self._f = open(self.tmp, "wb")
 
     def write(self, b) -> int:
@@ -84,13 +86,6 @@ class _ExclusiveLocalFile(_AtomicLocalFile):
     fails with FileExistsError when `final` already exists — a true
     filesystem CAS (rename would silently replace). Readers still never
     see a partial file: the link appears fully written or not at all."""
-
-    def __init__(self, final: str):
-        self.final = final
-        # per-writer tmp name: racing writers must not clobber each
-        # other's scratch before the link race decides the winner
-        self.tmp = f"{final}.{os.getpid()}.{id(self):x}.tmp"
-        self._f = open(self.tmp, "wb")
 
     def close(self) -> None:
         if not self._f.closed:

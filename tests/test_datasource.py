@@ -1153,6 +1153,61 @@ def test_manifest_concurrent_publish_threads(tmp_path):
     assert man["generation"] == len(names)
 
 
+def test_concurrent_spark_appends_both_commit(registered, tmp_path):
+    """End-to-end CAS evidence: two real Spark append jobs racing on
+    the same table must both land — total row count is the sum, and
+    the manifest lists every part file both jobs wrote."""
+    import os
+    import threading
+
+    spark = registered
+    path = str(tmp_path / "tbl")
+    spark.range(0, 10).selectExpr("id", "id * 2 as v").write.format(
+        "strawboat"
+    ).mode("overwrite").save(path)
+    errs = []
+
+    def append(lo, hi):
+        try:
+            # pyspark 4.1 quirk: python-data-source WRITE resolution
+            # consults the JVM active session, which is unset on the
+            # fresh JVM thread a secondary python thread maps to (even
+            # under InheritableThread) -> DATA_SOURCE_NOT_FOUND. Pin it.
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, hi)
+                .selectExpr("id", "id * 2 as v")
+                .repartition(4)  # several commit messages per job
+                .write.format("strawboat")
+                .mode("append")
+                .save(path)
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    from pyspark import InheritableThread
+
+    ts = [
+        InheritableThread(target=append, args=(100, 200)),
+        InheritableThread(target=append, args=(200, 300)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    from strawboat_spark.sources import datasource as ds
+
+    man = ds.read_manifest(path)
+    on_disk = {f for f in os.listdir(path) if f.endswith(ds.FILE_EXT)}
+    assert {e["path"] for e in man["entries"]} == on_disk
+    got = spark.read.format("strawboat").load(path)
+    assert got.count() == 210
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10)) + sum(range(100, 300))
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
