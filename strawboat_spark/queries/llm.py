@@ -1276,6 +1276,63 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS n_blocks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           n_blocks * 256 AS n_samples,
+           ROUND(CAST(n_blocks * 256 AS DOUBLE) / 8000, 6) AS duration_sec,
+           ROUND(sqrt(list_avg(list_transform(
+             generate_series(0, n_blocks - 1),
+             b -> CAST(((b * 53 + doc_id * 7) % 2048 - 1024) *
+                       ((b * 53 + doc_id * 7) % 2048 - 1024) AS DOUBLE)))), 4) AS rms
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL FLAC decode (pure-numpy frame/subframe/Rice parser), exact analytic oracle",
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio gate: executors synthesize a spec-valid mono
+    FLAC per doc (block b of 256 samples CONSTANT at
+    (b*53 + doc_id*7) % 2048 - 1024 — FLAC is lossless, so the decode
+    is bit-exact) and the pure-Python/numpy decoder
+    (operators/flac.py) parses STREAMINFO + frames + subframes.
+    Equal-sized blocks make the stream RMS an analytic function of the
+    block values, which DuckDB reproduces. Fixed-predictor + Rice and
+    stereo decorrelation paths are pinned by tests/test_flac.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.flac import decode_flac, encode_flac_constant
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                nb = 3 + did % 4
+                vals = [(b * 53 + did * 7) % 2048 - 1024 for b in range(nb)]
+                rate, n, dur, rms = decode_flac(
+                    encode_flac_constant(vals, sample_rate=8000, block_size=256)
+                )
+                rows.append((did, rate, n, dur, rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "duration_sec", "rms"]
+            )
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, sample_rate int, n_samples long, duration_sec double, rms double",
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH dims AS (

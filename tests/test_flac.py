@@ -1,0 +1,72 @@
+"""FLAC codec (operators/flac.py): lossless decode across subframe
+types, Rice residuals, stereo decorrelation, and error paths."""
+
+import numpy as np
+import pytest
+
+from strawboat_spark.operators.flac import (
+    decode_flac,
+    encode_flac_constant,
+    encode_flac_fixed,
+    encode_flac_stereo_leftside,
+    encode_flac_verbatim,
+)
+
+
+def _rms(x):
+    return round(float(np.sqrt(np.mean(np.asarray(x, dtype=np.float64) ** 2))), 4)
+
+
+def test_constant_blocks_decode_bit_exact():
+    """The oracle path: equal CONSTANT blocks -> analytic RMS."""
+    for doc_id in (0, 5, 99):
+        nb = 3 + doc_id % 4
+        vals = [(b * 53 + doc_id * 7) % 2048 - 1024 for b in range(nb)]
+        sr, n, dur, rms = decode_flac(encode_flac_constant(vals, block_size=256))
+        assert (sr, n, dur) == (8000, nb * 256, round(nb * 256 / 8000, 6))
+        assert rms == _rms(np.repeat(np.array(vals, np.float64), 256))
+
+
+def test_verbatim_roundtrip_with_partial_final_block():
+    rng = np.random.default_rng(0)
+    s = rng.integers(-32768, 32768, size=1000)
+    sr, n, dur, rms = decode_flac(encode_flac_verbatim(s, sample_rate=16000, block_size=256))
+    assert (sr, n, rms) == (16000, 1000, _rms(s))
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+def test_fixed_predictor_with_rice_residuals(order):
+    """Every fixed order: warmup samples + Rice-coded residuals must
+    reconstruct the signal exactly (lossless)."""
+    t = np.arange(5000)
+    s = (1000 * np.sin(t / 50) + 200 * np.sin(t / 7)).astype(np.int64)
+    sr, n, dur, rms = decode_flac(encode_flac_fixed(s, order=order, block_size=1024))
+    assert (n, rms) == (5000, _rms(s))
+
+
+def test_fixed_actually_compresses_smooth_signals():
+    t = np.arange(4096)
+    s = (1000 * np.sin(t / 50)).astype(np.int64)
+    smooth = len(encode_flac_fixed(s, order=3, block_size=1024))
+    raw = len(encode_flac_verbatim(s, block_size=1024))
+    assert smooth < raw / 3  # prediction + Rice should crush a sine
+
+
+def test_stereo_left_side_decorrelation():
+    rng = np.random.default_rng(1)
+    left = rng.integers(-2000, 2000, size=3000)
+    right = left + rng.integers(-50, 50, size=3000)
+    sr, n, dur, rms = decode_flac(encode_flac_stereo_leftside(left, right, block_size=1024))
+    assert (n, rms) == (3000, _rms(np.stack([left, right])))
+
+
+def test_bad_payloads_raise():
+    with pytest.raises(ValueError, match="FLAC"):
+        decode_flac(b"RIFFxxxxWAVE")
+    good = bytearray(encode_flac_constant([5], block_size=256))
+    good[42] ^= 0xFF  # corrupt inside the first frame's sync region
+    # either a sync error or a reserved-field error — never a silent
+    # wrong answer
+    with pytest.raises((ValueError, IndexError)):
+        sr, n, dur, rms = decode_flac(bytes(good))
+        assert rms == 5.0  # unreachable unless decode silently passed
