@@ -1333,6 +1333,130 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shards_tar_members",
+    oracle="""
+    WITH shards AS (
+      SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_samples FROM documents
+    ), samples AS (
+      SELECT doc_id, CAST(unnest(generate_series(0, n_samples - 1)) AS BIGINT) AS s
+      FROM shards
+    ), members AS (
+      SELECT doc_id AS shard_id,
+             printf('%06d-%04d.bin', doc_id, s) AS member_name,
+             CAST(64 + (s * 7) % 32 AS BIGINT) AS member_size,
+             list_sum(list_transform(
+               generate_series(0, 64 + (s * 7) % 32 - 1),
+               j -> (j * 19 + doc_id + s) % 256)) AS bin_sum,
+             CAST(NULL AS VARCHAR) AS txt_content
+      FROM samples
+      UNION ALL
+      SELECT doc_id,
+             printf('%06d-%04d.txt', doc_id, s),
+             CAST(length(printf('doc-%d-%d', doc_id, s)) AS BIGINT),
+             CAST(NULL AS BIGINT),
+             printf('doc-%d-%d', doc_id, s)
+      FROM samples
+    )
+    SELECT shard_id, member_name, member_size,
+           CAST(bin_sum AS BIGINT) AS bin_sum, txt_content
+    FROM members ORDER BY shard_id, member_name
+    """,
+    description="WebDataset tar shards: explode members relationally (stdlib tarfile), exact oracle",
+)
+def shards_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training corpora ship as tar shards (WebDataset). Executors
+    synthesize a deterministic ustar shard per doc (2 members per
+    sample: .bin with formula bytes, .txt with a known string), the
+    stdlib-tarfile explode fans members out into rows, and DuckDB
+    re-derives names, sizes, byte sums and text analytically. Half the
+    shards go through the gzip path (tarfile `r:*` sniffing)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.shards import explode_tar_members, synthesize_tar_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_tar_bytes(int(i), 2 + int(i) % 3, compress=bool(int(i) % 2))
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    shards = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    members = explode_tar_members(shards, "doc_id", "payload")
+
+    # no type hints: llm.py uses postponed annotations, and pyspark
+    # cannot resolve the stringified `pd.Series` hint for a UDF defined
+    # inside a function (pd is not in module globals)
+    byte_sum = F.pandas_udf(lambda b: b.map(lambda x: sum(bytearray(x))), "long")
+
+    return members.select(
+        "shard_id",
+        "member_name",
+        "member_size",
+        F.when(F.col("member_name").endswith(".bin"), byte_sum("member_bytes")).alias(
+            "bin_sum"
+        ),
+        F.when(
+            F.col("member_name").endswith(".txt"),
+            F.col("member_bytes").cast("string"),
+        ).alias("txt_content"),
+    ).orderBy("shard_id", "member_name")
+
+
+@query(
+    "shards_webdataset_group",
+    oracle="""
+    WITH shards AS (
+      SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_samples FROM documents
+    )
+    SELECT doc_id AS shard_id,
+           printf('%06d-%04d', doc_id, CAST(unnest(generate_series(0, n_samples - 1)) AS BIGINT)) AS sample_key,
+           CAST(2 AS BIGINT) AS n_parts,
+           'bin,txt' AS exts
+    FROM shards ORDER BY shard_id, sample_key
+    """,
+    description="WebDataset sample regrouping: members -> one row per key with ext->bytes map",
+)
+def shards_webdataset_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regroups exploded members into training samples by key prefix
+    (map_from_entries over groupBy — JVM-side after the explode). The
+    oracle pins sample keys, part counts and the sorted extension set;
+    byte-level parity is already pinned by shards_tar_members."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.shards import (
+        explode_tar_members,
+        group_webdataset_samples,
+        synthesize_tar_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [synthesize_tar_bytes(int(i), 2 + int(i) % 3) for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    shards = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    grouped = group_webdataset_samples(explode_tar_members(shards, "doc_id", "payload"))
+    return grouped.select(
+        "shard_id",
+        "sample_key",
+        "n_parts",
+        F.array_join(F.array_sort(F.map_keys("parts")), ",").alias("exts"),
+    ).orderBy("shard_id", "sample_key")
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH dims AS (

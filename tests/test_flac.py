@@ -60,6 +60,47 @@ def test_stereo_left_side_decorrelation():
     assert (n, rms) == (3000, _rms(np.stack([left, right])))
 
 
+def test_lpc_subframe_decodes():
+    """The LPC branch has no synthesis encoder, so pin it with a
+    hand-crafted subframe bitstream: order-2 predictor with known
+    coefficients/shift, residuals Rice-coded, decoded against an
+    independent numpy reconstruction."""
+    from strawboat_spark.operators.flac import (
+        _BitReader,
+        _BitWriter,
+        _decode_subframe,
+        _write_rice,
+    )
+
+    bps, order, shift = 16, 2, 5
+    coefs = [40, -12]  # applied to out[i-1], out[i-2], then >> shift
+    warm = [100, 130]
+    res = [3, -2, 7, 0, -5, 1, 4, -1, 0, 2, -3, 6, -4, 0]
+    block_size = order + len(res)
+    # independent reference reconstruction
+    out = list(warm)
+    for e in res:
+        pred = (coefs[0] * out[-1] + coefs[1] * out[-2]) >> shift
+        out.append(e + pred)
+
+    sw = _BitWriter()
+    sw.write(0, 1)  # padding
+    sw.write(32 + (order - 1), 6)  # SUBFRAME_LPC, order bits = order-1
+    sw.write(0, 1)  # no wasted bits
+    for s in warm:
+        sw.write(s & ((1 << bps) - 1), bps)
+    prec = 7
+    sw.write(prec - 1, 4)
+    sw.write(shift & 0x1F, 5)
+    for c in coefs:
+        sw.write(c & ((1 << prec) - 1), prec)
+    _write_rice(sw, np.array(res, dtype=np.int64), 2)
+    sw.align()
+
+    got = _decode_subframe(_BitReader(bytes(sw.out)), block_size, bps)
+    assert got.tolist() == out
+
+
 def test_bad_payloads_raise():
     with pytest.raises(ValueError, match="FLAC"):
         decode_flac(b"RIFFxxxxWAVE")

@@ -122,6 +122,39 @@ def test_ivf_training_is_single_pass(spark):
     assert _kmeans_centroids(df.filter("vec[0] < 0"), "vec", 2, seed=1) == []
 
 
+def test_tar_shard_explode_and_group(spark):
+    """WebDataset shard plumbing: members explode one row each (plain
+    tar AND tar.gz through the same `r:*` sniffing), bytes roundtrip
+    exactly, and regrouping yields one row per sample key with the
+    ext->bytes map."""
+    from strawboat_spark.operators.shards import (
+        explode_tar_members,
+        group_webdataset_samples,
+        synthesize_tar_bytes,
+    )
+
+    rows = [(0, synthesize_tar_bytes(0, 2)), (1, synthesize_tar_bytes(1, 3, compress=True))]
+    df = spark.createDataFrame(rows, "shard long, payload binary")
+    members = explode_tar_members(df, "shard", "payload").collect()
+    assert len(members) == (2 + 3) * 2  # .bin + .txt per sample
+    byname = {m["member_name"]: m for m in members}
+    b0 = byname["000001-0002.bin"]
+    size = 64 + (2 * 7) % 32
+    exp = bytes(((np.arange(size) * 19 + 1 + 2) % 256).astype(np.uint8))
+    assert b0["member_bytes"] == exp and b0["member_size"] == size
+    assert byname["000000-0001.txt"]["member_bytes"] == b"doc-0-1"
+
+    grouped = group_webdataset_samples(
+        explode_tar_members(df, "shard", "payload")
+    ).collect()
+    assert len(grouped) == 5
+    g = {(r["shard_id"], r["sample_key"]): r for r in grouped}
+    sample = g[(1, "000001-0002")]
+    assert sample["n_parts"] == 2
+    assert sorted(sample["parts"].keys()) == ["bin", "txt"]
+    assert bytes(sample["parts"]["txt"]) == b"doc-1-2"
+
+
 def test_simhash_packed_matches_unpacked(spark):
     """The 15-bit-lane packed vote aggregation (17 shuffled longs per
     doc) must reproduce exactly the naive 64-aggregate formulation's
