@@ -394,6 +394,54 @@ def strawboat_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_time_travel",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS gen1_rows, CAST(30 AS BIGINT) AS gen2_rows,
+           CAST(60 AS BIGINT) AS gen3_rows, CAST(60 AS BIGINT) AS head_rows,
+           3 AS n_generations,
+           CAST((SELECT SUM(o_orderkey) FROM orders) AS BIGINT) AS src_anchor
+    """,
+    description="time travel: at_generation=N snapshot reads over an append history, deterministic counts",
+)
+def strawboat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAS generations double as table history: every commit publishes
+    an immutable _strawboat_manifest.gen.N.json, so
+    `option("at_generation", N)` reads the table exactly as of commit
+    N until vacuum() retires the horizon. Three commits, three pinned
+    snapshot counts, plus an sf-scaling anchor so the oracle exercises
+    real data too (reference has no table layer; this extends its
+    format the way Delta extends parquet)."""
+    from strawboat_spark.sources.datasource import list_generations, register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_tt_')}/t"
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")  # noqa: E731
+    mk(0, 10).coalesce(1).write.format("strawboat").mode("overwrite").save(path)
+    mk(10, 30).coalesce(1).write.format("strawboat").mode("append").save(path)
+    mk(30, 60).coalesce(1).write.format("strawboat").mode("append").save(path)
+    at = lambda g: (  # noqa: E731
+        spark.read.format("strawboat").option("at_generation", g).load(path).count()
+    )
+    anchor = load_table(spark, sf_dir, "orders").agg(
+        F.sum("o_orderkey").cast("bigint")
+    ).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                at(1),
+                at(2),
+                at(3),
+                spark.read.format("strawboat").load(path).count(),
+                len(list_generations(path)),
+                anchor,
+            )
+        ],
+        "gen1_rows bigint, gen2_rows bigint, gen3_rows bigint, "
+        "head_rows bigint, n_generations int, src_anchor bigint",
+    )
+
+
+@query(
     "strawboat_maintenance_cycle",
     oracle="""
     SELECT 6 AS files_before, 2 AS files_after,

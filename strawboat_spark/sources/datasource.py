@@ -78,16 +78,24 @@ _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
-def _list_files(path: str) -> list[str]:
+def _list_files(path: str, at_generation: int | None = None) -> list[str]:
     fs = get_fs(path)
     if fs.isdir(path):
-        man = read_manifest(path)
+        man = (
+            read_manifest_at(path, at_generation)
+            if at_generation is not None
+            else read_manifest(path)
+        )
         if man is not None:
             # Manifest present: its entry list IS the committed
             # generation (snapshot isolation for compact/appends), and
             # its embedded footers pre-warm planning.
             _seed_footer_cache(path, man)
             return sorted(os.path.join(path, e["path"]) for e in man["entries"])
+        if at_generation is not None:
+            raise ValueError(
+                f"strawboat: at_generation={at_generation} but {path} has no manifest"
+            )
         return fs.list_files(path, FILE_EXT)
     return [path]
 
@@ -225,6 +233,44 @@ def read_manifest(root: str) -> dict | None:
         if nxt is None:
             return man
         man, head = nxt, head + 1
+
+
+def read_manifest_at(root: str, generation: int) -> dict:
+    """Time travel: the manifest exactly as of `generation`. Generation
+    files are immutable and retained until vacuum() retires them, so
+    snapshot reads of earlier generations work until maintenance
+    reclaims the horizon (same contract as Delta's VERSION AS OF +
+    VACUUM). Raises when that generation is gone or never existed."""
+    fs = get_fs(root)
+    man = _read_manifest_file(fs, _gen_path(root, generation))
+    if man is not None:
+        return man
+    cur = read_manifest(root)  # pre-CAS directory: cache may BE gen N
+    if cur is not None and cur.get("generation", 0) == generation:
+        return cur
+    raise ValueError(
+        f"strawboat: generation {generation} of {root} is not available "
+        f"(current: {cur.get('generation') if cur else None}; older "
+        f"generations are retired by vacuum())"
+    )
+
+
+def list_generations(root: str) -> list[dict]:
+    """Table history: [{generation, n_files, current}] for every
+    generation still on disk, oldest first."""
+    fs = get_fs(root)
+    cur = read_manifest(root)
+    head = cur.get("generation", 0) if cur else 0
+    out = []
+    for gen in range(1, head + 1):
+        man = _read_manifest_file(fs, _gen_path(root, gen))
+        if man is None and gen == head:
+            man = cur
+        if man is not None:
+            out.append(
+                {"generation": gen, "n_files": len(man["entries"]), "current": gen == head}
+            )
+    return out
 
 
 def write_manifest(root: str, entries: list[dict], generation: int | None = None) -> None:
@@ -439,7 +485,7 @@ class StrawboatDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("strawboat: 'path' option is required")
-        files = _list_files(path)
+        files = _list_files(path, _at_generation(self.options))
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
         arrow_schema, _ = _cached_footer(files[0])
@@ -520,10 +566,19 @@ class StrawboatDataSource(DataSource):
 _RANGE_OPS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
 
 
+def _at_generation(options) -> int | None:
+    """Time-travel read option: `at_generation=N` pins the scan to the
+    manifest exactly as of generation N (files retained until
+    vacuum()/compact() reclaim them)."""
+    v = options.get("at_generation", "").strip() if hasattr(options, "get") else ""
+    return int(v) if v else None
+
+
 class StrawboatReaderImpl(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         self.schema = schema
+        self.at_generation = _at_generation(options)
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -542,7 +597,7 @@ class StrawboatReaderImpl(DataSourceReader):
     def partitions(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        files = _list_files(self.path)
+        files = _list_files(self.path, self.at_generation)
         part_types = dict(_infer_partition_fields(self.path, files))
         survivors: list[tuple[str, dict]] = []
         for file in files:

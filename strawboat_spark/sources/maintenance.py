@@ -148,16 +148,53 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
     its commit publishes it; the grace window keeps vacuum from racing
     an active writer). Returns {"removed": n, "kept": n}.
     """
+    import json
     import time
 
-    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.sources.datasource import (
+        _gen_path,
+        _manifest_path,
+        _read_manifest_file,
+        read_manifest,
+    )
+    from strawboat_spark.sources.fileio import get_fs
 
     man = read_manifest(path)
     if man is None:
         return {"removed": 0, "kept": 0}
-    listed = {os.path.normpath(os.path.join(path, e["path"])) for e in man["entries"]}
     removed = kept = 0
     now = time.time()
+    fs = get_fs(path)
+    head = man.get("generation", 0)
+    # 1. Pin the cache pointer at the head (readers then never need the
+    #    old generation files for probing), then retire superseded
+    #    generation files past the grace window. Doing this FIRST means
+    #    step 2's keep-set only has to honor generations that survive.
+    with fs.create(_manifest_path(path)) as h:
+        h.write(json.dumps(man).encode())
+    retained = [man]
+    for gen in range(1, head):
+        gp = _gen_path(path, gen)
+        try:
+            if fs.exists(gp):
+                if now - os.path.getmtime(gp) > grace_seconds:
+                    fs.remove(gp)
+                    removed += 1
+                else:
+                    old = _read_manifest_file(fs, gp)
+                    if old is not None:
+                        retained.append(old)  # still time-travel-able
+        except OSError:
+            pass
+    # 2. Delete data files no RETAINED generation lists (crashed
+    #    writes, compacted-away originals whose generations are gone) —
+    #    so `at_generation` snapshot reads keep working for every
+    #    generation that still has a manifest file.
+    listed = {
+        os.path.normpath(os.path.join(path, e["path"]))
+        for m in retained
+        for e in m["entries"]
+    }
     for root, dirs, files in os.walk(path):
         for d in list(dirs):
             if d.endswith(".__compact__"):
@@ -175,32 +212,6 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
                 removed += 1
             else:
                 kept += 1  # too young: may belong to an uncommitted write
-    # Retire superseded manifest generation files (write_manifest keeps
-    # them so racing committers can forward-probe). First pin the cache
-    # pointer at the head so readers no longer need the old gens, then
-    # delete gens below head past the same grace window (a mid-probe
-    # reader may still be walking them).
-    import json
-
-    from strawboat_spark.sources.datasource import _gen_path, _manifest_path
-    from strawboat_spark.sources.fileio import get_fs
-
-    fs = get_fs(path)
-    head = man.get("generation", 0)
-    cur = read_manifest(path)  # head may have advanced during the walk
-    if cur and cur.get("generation", 0) >= head:
-        man, head = cur, cur.get("generation", 0)
-    with fs.create(_manifest_path(path)) as h:
-        h.write(json.dumps(man).encode())
-    for gen in range(1, head):
-        gp = _gen_path(path, gen)
-        bp = os.path.join(path, os.path.basename(gp))
-        try:
-            if os.path.exists(bp) and now - os.path.getmtime(bp) > grace_seconds:
-                os.remove(bp)
-                removed += 1
-        except OSError:
-            pass
     return {"removed": removed, "kept": kept}
 
 

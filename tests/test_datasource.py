@@ -1208,6 +1208,77 @@ def test_concurrent_spark_appends_both_commit(registered, tmp_path):
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10)) + sum(range(100, 300))
 
 
+def test_time_travel_reads_pinned_generations(registered, tmp_path):
+    """at_generation=N reads the table exactly as of generation N:
+    generation files are immutable, so append history stays queryable
+    until vacuum() retires it (Delta VERSION AS OF semantics)."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    w = lambda lo, hi, mode: (  # noqa: E731
+        spark.range(lo, hi).selectExpr("id", "id * 2 as v")
+        .write.format("strawboat").mode(mode).save(path)
+    )
+    w(0, 10, "overwrite")   # generation 1
+    w(10, 30, "append")     # generation 2
+    w(30, 60, "append")     # generation 3
+
+    rd = lambda gen: (  # noqa: E731
+        spark.read.format("strawboat").option("at_generation", gen).load(path).count()
+    )
+    assert rd(1) == 10 and rd(2) == 30 and rd(3) == 60
+    assert spark.read.format("strawboat").load(path).count() == 60
+
+    from strawboat_spark.sources.datasource import list_generations
+
+    gens = list_generations(path)
+    assert [g["generation"] for g in gens] == [1, 2, 3]
+    assert [g["current"] for g in gens] == [False, False, True]
+    assert gens[0]["n_files"] < gens[2]["n_files"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="generation 9"):
+        rd(9)
+
+    from strawboat_spark.sources.maintenance import vacuum
+
+    # a graceful vacuum keeps young generations -> history still reads
+    vacuum(path, grace_seconds=3600.0)
+    assert rd(1) == 10 and rd(2) == 30
+    # grace 0 retires the old generations -> travel raises, head fine
+    vacuum(path, grace_seconds=0.0)
+    with _pytest.raises(Exception, match="generation 1"):
+        rd(1)
+    assert spark.read.format("strawboat").load(path).count() == 60
+
+
+def test_vacuum_keeps_files_of_retained_generations(registered, tmp_path):
+    """After compact(), the pre-compact originals are unlisted in the
+    HEAD but still listed by retained older generations — vacuum must
+    not delete them while those generations survive, or time travel
+    would dangle."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id")
+            .coalesce(1).write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append").save(path)
+        )
+    from strawboat_spark.sources.datasource import FILE_EXT as _EXT
+    from strawboat_spark.sources.maintenance import compact, vacuum
+
+    compact(spark, path, target_files=1)  # originals deleted by compact
+    import glob as _glob
+    import os as _os
+
+    n_before = len(_glob.glob(_os.path.join(path, f"*{_EXT}")))
+    vacuum(path, grace_seconds=3600.0)
+    # nothing young may be deleted, and the head still reads
+    assert len(_glob.glob(_os.path.join(path, f"*{_EXT}"))) == n_before
+    assert spark.read.format("strawboat").load(path).count() == 30
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
