@@ -442,6 +442,60 @@ def strawboat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_delete_update",
+    oracle="""
+    SELECT 1 AS del_files_rewritten, CAST(3 AS BIGINT) AS rows_deleted,
+           1 AS upd_files_rewritten, CAST(5 AS BIGINT) AS rows_updated,
+           CAST(27 AS BIGINT) AS rows_after,
+           CAST(435 - 25 - 26 - 27 + 5000 AS BIGINT) AS vsum_check
+    """,
+    description="copy-on-write DELETE/UPDATE: one stats-pruned scan finds affected files, only those rewrite",
+)
+def strawboat_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table mutations over the format (Delta-style COW): DELETE and
+    UPDATE locate affected files in ONE distributed scan via the
+    `_strawboat_file` provenance column (file/page stats prune the
+    untouched bulk to footer-only planning), rewrite just those files,
+    and flip the manifest generation via CAS. vsum_check pins the
+    exact surviving values: ids 0..29 minus deleted 25-27, with
+    v = id*2 except the 5 updated even ids < 10 get +1000 each."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import delete_where, update_where
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_mut_')}/t"
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id", "id * 2 as v")
+            .coalesce(1)
+            .write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append")
+            .save(path)
+        )
+    d = delete_where(spark, path, "id >= 25 and id < 28")
+    u = update_where(spark, path, "id % 2 = 0 and id < 10", {"v": "v + 1000"})
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    rows_after = rd().count()
+    # sum(id) + sum of untouched v adjustments: all v = 2*id, +1000 x5
+    vsum = rd().agg((F.sum("v") - F.sum("id")).cast("bigint")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                d["files_rewritten"],
+                d["rows_deleted"],
+                u["files_rewritten"],
+                u["rows_updated"],
+                rows_after,
+                vsum,
+            )
+        ],
+        "del_files_rewritten int, rows_deleted bigint, upd_files_rewritten int, "
+        "rows_updated bigint, rows_after bigint, vsum_check bigint",
+    )
+
+
+@query(
     "strawboat_maintenance_cycle",
     oracle="""
     SELECT 6 AS files_before, 2 AS files_after,

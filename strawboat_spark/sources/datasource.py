@@ -527,6 +527,12 @@ class StrawboatDataSource(DataSource):
         for name, tp in _infer_partition_fields(path, files):
             if name not in schema.fieldNames():
                 schema = schema.add(name, spark_types[tp])
+        if self.options.get("with_file_path", "").lower() == "true":
+            # Virtual provenance column (parquet's _metadata.file_path
+            # analog): each stripe emits its source file as a constant.
+            # This is what lets DELETE/UPDATE find affected files in
+            # ONE distributed, stats-pruned scan (maintenance.py).
+            schema = schema.add("_strawboat_file", StringType())
         # Projection pushdown at the API level: the Python DataSource API
         # (4.1) has no column-pruning hook Catalyst could call, so the
         # projection is an explicit read option — `columns=a,b` narrows
@@ -676,6 +682,8 @@ class StrawboatReaderImpl(DataSourceReader):
             return iter(())
         want = to_arrow_schema(self.schema)
         pvals = dict(partition.part_values)
+        if "_strawboat_file" in want.names:
+            pvals["_strawboat_file"] = partition.file
         fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)

@@ -215,6 +215,116 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
     return {"removed": removed, "kept": kept}
 
 
+def delete_where(spark, path: str, condition: str) -> dict:
+    """Copy-on-write DELETE: rows matching `condition` are removed by
+    rewriting ONLY the files that contain them, then flipping the
+    manifest generation (concurrent readers see the old snapshot until
+    the CAS PUT; time travel keeps the pre-delete generation until
+    vacuum()). Returns {"files_rewritten", "rows_deleted"}.
+
+    Scale shape: affected files are found in ONE distributed scan via
+    the `_strawboat_file` provenance column — the pushed filter prunes
+    whole files and pages by stats first, so a selective delete plans
+    footer-only for the untouched bulk; the rewrite job unions just
+    the affected files. No per-file driver jobs, no full-table
+    rewrite."""
+    return _mutate_where(spark, path, condition, None)
+
+
+def update_where(spark, path: str, condition: str, assignments: dict[str, str]) -> dict:
+    """Copy-on-write UPDATE ... SET: `assignments` maps column name to
+    a SQL expression applied to rows matching `condition`; same
+    file-pruned rewrite shape as delete_where. Returns
+    {"files_rewritten", "rows_updated"}."""
+    return _mutate_where(spark, path, condition, assignments)
+
+
+def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] | None) -> dict:
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        _manifest_entry,
+        publish_manifest,
+        read_manifest,
+        write_manifest,
+    )
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    root_man = read_manifest(path) or {"entries": []}
+    if any(os.sep in e["path"] or "/" in e["path"] for e in root_man["entries"]):
+        raise ValueError(
+            "delete_where/update_where do not support hive-partitioned "
+            "tables yet; filter per leaf and compact() instead"
+        )
+    key = "rows_deleted" if assignments is None else "rows_updated"
+    df = (
+        spark.read.format("strawboat")
+        .option("with_file_path", "true")
+        .load(path)
+    )
+    cond = F.expr(condition)
+    # one stats-pruned scan: affected files + matched row count together
+    hit = (
+        df.filter(cond)
+        .groupBy("_strawboat_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hit:
+        return {"files_rewritten": 0, key: 0}
+    candidates = sorted(r["_strawboat_file"] for r in hit)
+    n_rows = sum(r["n"] for r in hit)
+
+    from functools import reduce
+
+    parts = [
+        spark.read.format("strawboat").load(f).withColumn("__m", cond) for f in candidates
+    ]
+    src = reduce(lambda a, b: a.unionByName(b), parts)
+    matched = F.coalesce(F.col("__m"), F.lit(False))
+    if assignments is None:
+        out = src.filter(~matched).drop("__m")
+    else:
+        out = src.select(
+            *[
+                F.when(matched, F.expr(expr)).otherwise(F.col(c)).alias(c)
+                if (expr := assignments.get(c)) is not None
+                else F.col(c)
+                for c in src.columns
+                if c != "__m"
+            ]
+        )
+    tmp = path.rstrip("/") + ".__mutate__"
+    out.write.format("strawboat").mode("overwrite").save(tmp)
+    tmp_man = read_manifest(tmp) or {"entries": []}
+    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+    moved = []
+    for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
+        dest = os.path.join(path, os.path.basename(f))
+        shutil.move(f, dest)
+        src_e = tmp_meta.get(os.path.basename(f), {})
+        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
+    cand_rel = {os.path.relpath(f, path) for f in candidates}
+    for _attempt in range(50):
+        man = read_manifest(path)
+        entries = [e for e in (man["entries"] if man else []) if e["path"] not in cand_rel]
+        gen = (man.get("generation", 0) + 1) if man else 1
+        try:
+            write_manifest(path, entries + moved, generation=gen)
+            break
+        except ManifestConflictError:
+            continue
+    else:
+        raise ManifestConflictError(f"{key}({path}): lost the generation race 50 times")
+    for f in candidates:
+        os.remove(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"files_rewritten": len(candidates), key: n_rows}
+
+
 def optimize(
     spark,
     path: str,

@@ -1279,6 +1279,85 @@ def test_vacuum_keeps_files_of_retained_generations(registered, tmp_path):
     assert spark.read.format("strawboat").load(path).count() == 30
 
 
+def test_with_file_path_provenance_column(registered, tmp_path):
+    """`with_file_path=true` attaches each row's source file as a
+    constant column — the primitive DELETE/UPDATE use to find affected
+    files in one scan."""
+    import os
+
+    spark = registered
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id")
+            .coalesce(1).write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append").save(path)
+        )
+    # fresh load per action (pyspark 4.1 plan-cache bug, NOTES.md)
+    rd = lambda: (  # noqa: E731
+        spark.read.format("strawboat").option("with_file_path", "true").load(path)
+    )
+    assert "_strawboat_file" in rd().columns
+    files = {r[0] for r in rd().select("_strawboat_file").distinct().collect()}
+    assert len(files) == 3
+    assert all(os.path.dirname(f) == path for f in files)
+    # per-file association is exact, not just present
+    one = rd().filter("id = 15").select("_strawboat_file").collect()[0][0]
+    ids = {r[0] for r in rd().filter(F.col("_strawboat_file") == one).select("id").collect()}
+    assert ids == set(range(10, 20))
+
+
+def test_delete_where_rewrites_only_affected_files(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 as v")
+            .coalesce(1).write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append").save(path)
+        )
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import delete_where
+
+    before = {e["path"] for e in ds.read_manifest(path)["entries"]}
+    stats = delete_where(spark, path, "id >= 25 and id < 28")
+    assert stats == {"files_rewritten": 1, "rows_deleted": 3}
+    after = {e["path"] for e in ds.read_manifest(path)["entries"]}
+    # the two untouched files keep their identity; one was swapped
+    assert len(before & after) == 2 and len(after) == 3
+    # fresh load per action: the pyspark 4.1 plan-cache bug (NOTES.md)
+    # makes a filtered action poison later actions on the same object
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    assert rd().count() == 27
+    assert rd().filter("id >= 25 and id < 28").count() == 0
+    assert rd().agg(F.sum("id")).collect()[0][0] == sum(range(30)) - (25 + 26 + 27)
+    # no-match delete is a no-op
+    assert delete_where(spark, path, "id > 1000") == {
+        "files_rewritten": 0, "rows_deleted": 0}
+
+
+def test_update_where_rewrites_matching_rows(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    for i in range(2):
+        (
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 as v")
+            .coalesce(1).write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append").save(path)
+        )
+    from strawboat_spark.sources.maintenance import update_where
+
+    stats = update_where(spark, path, "id % 2 = 0 and id < 10", {"v": "v + 1000"})
+    assert stats == {"files_rewritten": 1, "rows_updated": 5}
+    # fresh load per action (pyspark 4.1 plan-cache bug, NOTES.md)
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    assert rd().count() == 20  # row count preserved
+    assert rd().filter("v >= 1000").count() == 5
+    assert rd().filter("id = 4").select("v").collect()[0][0] == 1008
+    assert rd().filter("id = 5").select("v").collect()[0][0] == 10
+    assert rd().filter("id = 14").select("v").collect()[0][0] == 28  # untouched file
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
