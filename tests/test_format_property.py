@@ -171,3 +171,61 @@ def test_patas_packed_body_any_bit_patterns(bits):
     arr = np.array(bits, dtype=np.uint64)
     out = _patas_unpack_body(_patas_pack_body(arr), len(arr), np.dtype(np.uint64))
     assert np.array_equal(out, arr)
+
+
+# ---------------------------------------------------------------------------
+# Media codec properties (operators/png.py, operators/jpeg.py,
+# operators/flac.py): lossless paths must roundtrip bit-exactly for
+# ARBITRARY inputs, not just the seeded test vectors.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_png_roundtrip_any_image(w, h, ch, seed):
+    from strawboat_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape).astype(np.uint8)
+    assert decode_png(encode_png(px)) == (w, h, round(float(px.mean()), 4))
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_jpeg_constant_blocks_any_values(bw, bh, seed):
+    """DC-only blocks decode bit-exactly for ANY block values/layout
+    (the invariant the multimodal_jpeg_decode oracle rests on)."""
+    from strawboat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(bh, bw))
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    dw, dh, mean = decode_jpeg(encode_jpeg(px))
+    assert (dw, dh) == (bw * 8, bh * 8)
+    assert mean == round(float(vals.mean()), 4)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    order=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_flac_fixed_roundtrip_any_signal(n, order, seed):
+    from strawboat_spark.operators.flac import decode_flac, encode_flac_fixed
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n)
+    sr, nf, dur, rms = decode_flac(encode_flac_fixed(s, order=order, block_size=512))
+    assert nf == n
+    assert rms == round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 4)
