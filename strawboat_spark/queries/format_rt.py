@@ -496,6 +496,56 @@ def strawboat_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_merge_upsert",
+    oracle="""
+    SELECT 2 AS files_rewritten, CAST(2 AS BIGINT) AS rows_updated,
+           CAST(1 AS BIGINT) AS rows_inserted, CAST(31 AS BIGINT) AS rows_after,
+           CAST(5000 + 15000 + 100000 AS BIGINT) AS upserted_vsum
+    """,
+    description="MERGE upsert: bound-pruned candidate scan, left-anti rewrite, atomic flip",
+)
+def strawboat_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Delta-class mutation verb: matched target rows are
+    replaced by source rows, unmatched source rows insert — one CAS
+    manifest flip, candidate files bound-pruned by the source keys'
+    min/max before the broadcast semi join (maintenance.merge_upsert)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import merge_upsert
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_merge_')}/t"
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id", "id * 2 as v")
+            .coalesce(1)
+            .write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append")
+            .save(path)
+        )
+    source = spark.createDataFrame(
+        [(5, 5000), (15, 15000), (100, 100000)], "id long, v long"
+    )
+    stats = merge_upsert(spark, path, source, on=["id"])
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    rows_after = rd().count()
+    vsum = rd().filter("v >= 5000").agg(F.sum("v").cast("bigint")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["files_rewritten"],
+                stats["rows_updated"],
+                stats["rows_inserted"],
+                rows_after,
+                vsum,
+            )
+        ],
+        "files_rewritten int, rows_updated bigint, rows_inserted bigint, "
+        "rows_after bigint, upserted_vsum bigint",
+    )
+
+
+@query(
     "strawboat_maintenance_cycle",
     oracle="""
     SELECT 6 AS files_before, 2 AS files_after,

@@ -325,6 +325,100 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     return {"files_rewritten": len(candidates), key: n_rows}
 
 
+def merge_upsert(spark, path: str, source, on: list[str]) -> dict:
+    """MERGE (upsert): target rows whose `on` key appears in `source`
+    are replaced by the source row; unmatched source rows are
+    inserted. One atomic manifest flip covers both, so readers see
+    either the pre-merge or the post-merge table.
+
+    Scale shape: candidate files are found with the `_strawboat_file`
+    provenance scan PRE-FILTERED by the source keys' min/max bounds —
+    a pushed BETWEEN that lets file/page stats prune the untouched
+    bulk before the (broadcast) semi join; only candidate files are
+    rewritten (left-anti against the source keys), and the source
+    itself lands as fresh appended files. Returns
+    {"files_rewritten", "rows_updated", "rows_inserted"}."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        _manifest_entry,
+        publish_manifest,
+        read_manifest,
+        write_manifest,
+    )
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    root_man = read_manifest(path) or {"entries": []}
+    if any(os.sep in e["path"] or "/" in e["path"] for e in root_man["entries"]):
+        raise ValueError("merge_upsert does not support hive-partitioned tables yet")
+    source = source.cache()
+    n_source = source.count()
+    if n_source == 0:
+        return {"files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+    bounds = source.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
+    ).collect()[0]
+    keys = source.select(*on).distinct()
+    df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
+    for c in on:
+        # sound pre-filter: every match lies inside the source bounds;
+        # this is what the page/file stats can prune on
+        df = df.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
+    hit = (
+        df.join(F.broadcast(keys), on=on, how="leftsemi")
+        .groupBy("_strawboat_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    candidates = sorted(r["_strawboat_file"] for r in hit)
+    rows_updated = sum(r["n"] for r in hit)
+    tmp = path.rstrip("/") + ".__merge__"
+    out_cols = [c for c in spark.read.format("strawboat").load(path).columns]
+    if candidates:
+        from functools import reduce
+
+        parts = [spark.read.format("strawboat").load(f) for f in candidates]
+        survivors = reduce(lambda a, b: a.unionByName(b), parts).join(
+            F.broadcast(keys), on=on, how="left_anti"
+        )
+        merged = survivors.select(*out_cols).unionByName(source.select(*out_cols))
+    else:
+        merged = source.select(*out_cols)
+    merged.write.format("strawboat").mode("overwrite").save(tmp)
+    tmp_man = read_manifest(tmp) or {"entries": []}
+    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+    moved = []
+    for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
+        dest = os.path.join(path, os.path.basename(f))
+        shutil.move(f, dest)
+        src_e = tmp_meta.get(os.path.basename(f), {})
+        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
+    cand_rel = {os.path.relpath(f, path) for f in candidates}
+    for _attempt in range(50):
+        man = read_manifest(path)
+        entries = [e for e in (man["entries"] if man else []) if e["path"] not in cand_rel]
+        gen = (man.get("generation", 0) + 1) if man else 1
+        try:
+            write_manifest(path, entries + moved, generation=gen)
+            break
+        except ManifestConflictError:
+            continue
+    else:
+        raise ManifestConflictError(f"merge_upsert({path}): lost the generation race 50 times")
+    for f in candidates:
+        os.remove(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    source.unpersist()
+    return {
+        "files_rewritten": len(candidates),
+        "rows_updated": rows_updated,
+        "rows_inserted": n_source - rows_updated,
+    }
+
+
 def optimize(
     spark,
     path: str,

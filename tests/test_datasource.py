@@ -1358,6 +1358,36 @@ def test_update_where_rewrites_matching_rows(registered, tmp_path):
     assert rd().filter("id = 14").select("v").collect()[0][0] == 28  # untouched file
 
 
+def test_merge_upsert_replaces_and_inserts(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        (
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 as v")
+            .coalesce(1).write.format("strawboat")
+            .mode("overwrite" if i == 0 else "append").save(path)
+        )
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import merge_upsert
+
+    before = {e["path"] for e in ds.read_manifest(path)["entries"]}
+    source = spark.createDataFrame(
+        [(5, 5000), (15, 15000), (100, 100000)], "id long, v long"
+    )
+    stats = merge_upsert(spark, path, source, on=["id"])
+    assert stats == {"files_rewritten": 2, "rows_updated": 2, "rows_inserted": 1}
+    after = {e["path"] for e in ds.read_manifest(path)["entries"]}
+    assert len(before & after) == 1  # the id 20-29 file is untouched
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    assert rd().count() == 31
+    assert {r[0] for r in rd().filter("v >= 5000").select("id").collect()} == {5, 15, 100}
+    assert rd().filter("id = 5").select("v").collect()[0][0] == 5000
+    assert rd().filter("id = 6").select("v").collect()[0][0] == 12
+    # empty source is a no-op
+    assert merge_upsert(spark, path, source.filter("id < 0"), on=["id"]) == {
+        "files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
