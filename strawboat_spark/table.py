@@ -1,0 +1,99 @@
+"""Ergonomic facade over the strawboat table layer.
+
+One object per table path, wrapping the datasource (reads, appends,
+time travel) and the maintenance verbs (compact / vacuum / optimize /
+delete / update / merge) that operate on the CAS manifest:
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, "/data/events")
+    t.append(df)
+    t.delete("ts < '2020-01-01'")
+    t.merge(updates, on=["event_id"])
+    old = t.read(at_generation=3)
+    t.history()        # [{generation, n_files, current}]
+    t.vacuum()
+
+Every verb is documented on its underlying function; this module adds
+no behavior — it only binds (spark, path) so pipelines stop threading
+them through every call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    def __init__(self, spark: SparkSession, path: str):
+        from strawboat_spark.sources.datasource import register
+
+        register(spark)
+        self.spark = spark
+        self.path = path
+
+    # -- reads ------------------------------------------------------------
+    def read(
+        self,
+        at_generation: int | None = None,
+        columns: list[str] | None = None,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        rd = self.spark.read.format("strawboat")
+        if at_generation is not None:
+            rd = rd.option("at_generation", str(at_generation))
+        if columns:
+            rd = rd.option("columns", ",".join(columns))
+        if with_file_path:
+            rd = rd.option("with_file_path", "true")
+        return rd.load(self.path)
+
+    def history(self) -> list[dict]:
+        from strawboat_spark.sources.datasource import list_generations
+
+        return list_generations(self.path)
+
+    # -- writes -----------------------------------------------------------
+    def _write(self, df: DataFrame, mode: str, **options) -> None:
+        w = df.write.format("strawboat").mode(mode)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save(self.path)
+
+    def overwrite(self, df: DataFrame, **options) -> None:
+        self._write(df, "overwrite", **options)
+
+    def append(self, df: DataFrame, **options) -> None:
+        self._write(df, "append", **options)
+
+    # -- mutations --------------------------------------------------------
+    def delete(self, condition: str) -> dict:
+        from strawboat_spark.sources.maintenance import delete_where
+
+        return delete_where(self.spark, self.path, condition)
+
+    def update(self, condition: str, assignments: dict[str, str]) -> dict:
+        from strawboat_spark.sources.maintenance import update_where
+
+        return update_where(self.spark, self.path, condition, assignments)
+
+    def merge(self, source: DataFrame, on: list[str]) -> dict:
+        from strawboat_spark.sources.maintenance import merge_upsert
+
+        return merge_upsert(self.spark, self.path, source, on)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, target_files: int = 1) -> dict:
+        from strawboat_spark.sources.maintenance import compact
+
+        return compact(self.spark, self.path, target_files)
+
+    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> dict:
+        from strawboat_spark.sources.maintenance import optimize
+
+        return optimize(self.spark, self.path, zorder_by=zorder_by, target_files=target_files)
+
+    def vacuum(self, grace_seconds: float = 3600.0) -> dict:
+        from strawboat_spark.sources.maintenance import vacuum
+
+        return vacuum(self.path, grace_seconds=grace_seconds)

@@ -1388,6 +1388,32 @@ def test_merge_upsert_replaces_and_inserts(registered, tmp_path):
         "files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
 
 
+def test_table_facade_lifecycle(registered, tmp_path):
+    """Table() binds (spark, path) over the whole verb set; one
+    lifecycle pass proves the facade wires each underlying function."""
+    from strawboat_spark.table import Table
+
+    spark = registered
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 10).selectExpr("id", "id * 2 as v"))
+    t.append(spark.range(10, 20).selectExpr("id", "id * 2 as v"))
+    assert t.read().count() == 20
+    assert t.read(at_generation=1).count() == 10
+    assert [g["generation"] for g in t.history()] == [1, 2]
+    assert t.read(columns=["id"]).columns == ["id"]
+    assert "_strawboat_file" in t.read(with_file_path=True).columns
+
+    assert t.delete("id >= 18")["rows_deleted"] == 2
+    assert t.update("id = 0", {"v": "99"})["rows_updated"] == 1
+    st = t.merge(spark.createDataFrame([(3, 300), (50, 500)], "id long, v long"), on=["id"])
+    assert (st["rows_updated"], st["rows_inserted"]) == (1, 1)
+    assert t.read().count() == 19
+    assert t.compact(target_files=1)["after"] == 1
+    vac = t.vacuum(grace_seconds=0.0)
+    assert vac["removed"] >= 1
+    assert t.read().count() == 19
+
+
 def test_compact_hive_leaf_skips_orphans(registered, tmp_path):
     """compact() on a hive table must read and replace ONLY the root
     manifest's committed entries for each leaf: an uncommitted orphan
