@@ -237,21 +237,25 @@ def encode_flac_fixed(
     si.write(len(samples), 36)
     si.align()
     out += bytes([0x80, 0, 0, 34]) + si.out + b"\x00" * 16
-    coefs = _FIXED_COEFFS[order]
     for idx in range(0, (len(samples) + block_size - 1) // block_size):
         chunk = samples[idx * block_size : (idx + 1) * block_size]
         bs = len(chunk)
+        # a block shorter than the predictor order can't carry its
+        # warmup — clamp per frame (real encoders do the same for the
+        # short final block)
+        eff = min(order, bs - 1)
+        coefs = _FIXED_COEFFS[eff]
         body = _frame_header(idx, bs, sample_rate, bits_per_sample)
         sw = _BitWriter()
         sw.write(0, 1)
-        sw.write(8 + order, 6)  # SUBFRAME_FIXED
+        sw.write(8 + eff, 6)  # SUBFRAME_FIXED
         sw.write(0, 1)
-        for s in chunk[:order].tolist():
+        for s in chunk[:eff].tolist():
             sw.write(int(s) & ((1 << bits_per_sample) - 1), bits_per_sample)
         res = np.array(
             [
                 int(chunk[i]) - sum(c * int(chunk[i - 1 - j]) for j, c in enumerate(coefs))
-                for i in range(order, bs)
+                for i in range(eff, bs)
             ],
             dtype=np.int64,
         )
@@ -319,6 +323,10 @@ def _read_residuals(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     plen = 4 + method  # rice parameter width
     po = br.read(4)
     nparts = 1 << po
+    if block_size - order < 0 or (po and block_size % nparts):
+        raise ValueError(
+            f"invalid residual layout (block {block_size}, order {order}, partitions {nparts})"
+        )
     out = np.empty(block_size - order, dtype=np.int64)
     filled = 0
     for p in range(nparts):
