@@ -233,14 +233,15 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG encoder: grayscale ((h, w) uint8) or RGB
-    ((h, w, 3) uint8), 4:4:4 or 4:2:0 chroma, optional restart markers.
-    Dimensions must be multiples of 8 (16 for 4:2:0). All components
+    ((h, w, 3) uint8), 4:4:4 / 4:2:2 / 4:2:0 chroma, optional restart
+    markers. Dimensions must be multiples of 8 (16 when chroma is
+    subsampled). All components
     share the Annex K luminance tables and quant table 0 (legal, and
     what keeps constant-color images bit-exact with the default
     all-ones quant table)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
-    blk = 16 if (not gray and subsampling == "420") else 8
+    blk = 16 if (not gray and subsampling in ("420", "422")) else 8
     if h % blk or w % blk:
         raise ValueError(f"encoder requires multiple-of-{blk} dimensions")
     q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant).reshape(64)
@@ -255,6 +256,10 @@ def encode_jpeg(
             cb = ycc[:, :, 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
             cr = ycc[:, :, 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
             comps = [(ycc[:, :, 0], 2, 2), (cb, 1, 1), (cr, 1, 1)]
+        elif subsampling == "422":
+            cb = ycc[:, :, 1].reshape(h, w // 2, 2).mean(axis=2)
+            cr = ycc[:, :, 2].reshape(h, w // 2, 2).mean(axis=2)
+            comps = [(ycc[:, :, 0], 2, 1), (cb, 1, 1), (cr, 1, 1)]
         elif subsampling == "444":
             comps = [(ycc[:, :, 0], 1, 1), (ycc[:, :, 1], 1, 1), (ycc[:, :, 2], 1, 1)]
         else:

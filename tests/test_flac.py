@@ -111,3 +111,17 @@ def test_bad_payloads_raise():
     with pytest.raises((ValueError, IndexError)):
         sr, n, dur, rms = decode_flac(bytes(good))
         assert rms == 5.0  # unreachable unless decode silently passed
+
+
+def test_lpc_encoder_compresses_and_roundtrips():
+    """Levinson-Durbin LPC beats verbatim on tonal signals and stays
+    lossless; exercises the same decode path as the hand-crafted
+    bitstream test, but end-to-end."""
+    from strawboat_spark.operators.flac import encode_flac_lpc, encode_flac_verbatim
+
+    t = np.arange(5000)
+    s = (3000 * np.sin(t / 30) + 500 * np.sin(t / 5)).astype(np.int64)
+    b = encode_flac_lpc(s, order=4, block_size=1024)
+    sr, n, dur, rms = decode_flac(b)
+    assert (n, rms) == (5000, _rms(s))
+    assert len(b) < len(encode_flac_verbatim(s, block_size=1024)) / 2

@@ -229,3 +229,21 @@ def test_flac_fixed_roundtrip_any_signal(n, order, seed):
     sr, nf, dur, rms = decode_flac(encode_flac_fixed(s, order=order, block_size=512))
     assert nf == n
     assert rms == round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 4)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    order=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_flac_lpc_roundtrip_any_signal(n, order, seed):
+    """Quantized-LPC subframes are lossless for ANY signal and order —
+    the residual carries whatever the predictor misses."""
+    from strawboat_spark.operators.flac import decode_flac, encode_flac_lpc
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n)
+    sr, nf, dur, rms = decode_flac(encode_flac_lpc(s, order=order, block_size=512))
+    assert nf == n
+    assert rms == round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 4)
