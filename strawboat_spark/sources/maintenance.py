@@ -253,18 +253,32 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
-    root_man = read_manifest(path) or {"entries": []}
-    if any(os.sep in e["path"] or "/" in e["path"] for e in root_man["entries"]):
-        raise ValueError(
-            "delete_where/update_where do not support hive-partitioned "
-            "tables yet; filter per leaf and compact() instead"
-        )
     key = "rows_deleted" if assignments is None else "rows_updated"
     df = (
         spark.read.format("strawboat")
         .option("with_file_path", "true")
         .load(path)
     )
+    # Hive layout: partition columns live in directory names, not pages.
+    # The candidate scan sees them (the datasource reattaches constants),
+    # and the per-leaf rewrite below reattaches them for predicate
+    # evaluation then drops them before writing back into the leaf.
+    from strawboat_spark.sources.datasource import (
+        _cast_partition_value,
+        _infer_partition_fields,
+        _list_files,
+        _partition_values,
+    )
+
+    part_types = dict(_infer_partition_fields(path, _list_files(path)))
+    if assignments and part_types:
+        bad = sorted(set(assignments) & set(part_types))
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign hive partition columns {bad} "
+                f"(rows would have to move between partitions); rewrite "
+                f"with overwrite instead"
+            )
     cond = F.expr(condition)
     # one stats-pruned scan: affected files + matched row count together
     hit = (
@@ -280,33 +294,52 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
 
     from functools import reduce
 
-    parts = [
-        spark.read.format("strawboat").load(f).withColumn("__m", cond) for f in candidates
-    ]
-    src = reduce(lambda a, b: a.unionByName(b), parts)
+    def _with_partition_consts(f: str):
+        base = spark.read.format("strawboat").load(f)
+        for c, tp in part_types.items():
+            raw = _partition_values(f, path).get(c)
+            base = base.withColumn(c, F.lit(_cast_partition_value(raw, tp)).cast(tp))
+        return base.withColumn("__m", cond)
+
     matched = F.coalesce(F.col("__m"), F.lit(False))
-    if assignments is None:
-        out = src.filter(~matched).drop("__m")
-    else:
-        out = src.select(
+    drop = ["__m", *part_types]
+
+    def _rewrite(files: list[str]):
+        src = reduce(
+            lambda a, b: a.unionByName(b), [_with_partition_consts(f) for f in files]
+        )
+        if assignments is None:
+            return src.filter(~matched).drop(*drop)
+        return src.select(
             *[
                 F.when(matched, F.expr(expr)).otherwise(F.col(c)).alias(c)
                 if (expr := assignments.get(c)) is not None
                 else F.col(c)
                 for c in src.columns
-                if c != "__m"
+                if c not in drop
             ]
         )
-    tmp = path.rstrip("/") + ".__mutate__"
-    out.write.format("strawboat").mode("overwrite").save(tmp)
-    tmp_man = read_manifest(tmp) or {"entries": []}
-    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+
+    # Rewrites group by leaf directory so every output file still holds
+    # exactly one partition value (flat tables have one group: the root)
+    by_leaf: dict[str, list[str]] = {}
+    for f in candidates:
+        by_leaf.setdefault(os.path.normpath(os.path.dirname(f)), []).append(f)
     moved = []
-    for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
-        dest = os.path.join(path, os.path.basename(f))
-        shutil.move(f, dest)
-        src_e = tmp_meta.get(os.path.basename(f), {})
-        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
+    for leaf, leaf_files in sorted(by_leaf.items()):
+        leaf_out = _rewrite(leaf_files)
+        tmp = leaf.rstrip("/") + ".__mutate__"
+        leaf_out.write.format("strawboat").mode("overwrite").save(tmp)
+        tmp_man = read_manifest(tmp) or {"entries": []}
+        tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+        for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
+            dest = os.path.join(leaf, os.path.basename(f))
+            shutil.move(f, dest)
+            src_e = tmp_meta.get(os.path.basename(f), {})
+            moved.append(
+                _manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64"))
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
     cand_rel = {os.path.relpath(f, path) for f in candidates}
     for _attempt in range(50):
         man = read_manifest(path)

@@ -1358,6 +1358,46 @@ def test_update_where_rewrites_matching_rows(registered, tmp_path):
     assert rd().filter("id = 14").select("v").collect()[0][0] == 28  # untouched file
 
 
+def test_delete_update_on_hive_partitioned_table(registered, tmp_path):
+    """Per-leaf COW: the predicate may reference partition columns
+    (reattached as constants), only leaves with matches rewrite, and
+    the partition layout survives."""
+    import os
+
+    spark = registered
+    path = str(tmp_path / "tbl")
+    (
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(30)], "id long, region long, v long"
+        )
+        .repartition(3, "region")
+        .write.format("strawboat")
+        .option("partition_by", "region")
+        .mode("overwrite")
+        .save(path)
+    )
+    from strawboat_spark.sources.maintenance import delete_where, update_where
+
+    stats = delete_where(spark, path, "region = 1 and id < 10")
+    assert stats["rows_deleted"] == 3  # ids 1, 4, 7
+    rd = lambda: spark.read.format("strawboat").load(path)  # noqa: E731
+    assert rd().count() == 27
+    assert rd().filter("region = 1").count() == 7
+    assert sorted(os.listdir(path))[:1] != []  # leaf dirs survive
+    assert {d for d in os.listdir(path) if d.startswith("region=")} == {
+        "region=0", "region=1", "region=2"}
+
+    stats = update_where(spark, path, "region = 2 and id = 5", {"v": "v + 1"})
+    assert stats == {"files_rewritten": 1, "rows_updated": 1}
+    assert rd().filter("id = 5").select("v").collect()[0][0] == 51
+    assert rd().filter("id = 8").select("v").collect()[0][0] == 80
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition columns"):
+        update_where(spark, path, "id = 1", {"region": "region + 1"})
+
+
 def test_merge_upsert_replaces_and_inserts(registered, tmp_path):
     spark = registered
     path = str(tmp_path / "tbl")
