@@ -368,9 +368,19 @@ def _manifest_entry(root: str, file: str, meta=None, schema_b64: str | None = No
     return {"path": rel, "sig": sig, "meta": meta_dict, "schema_b64": schema_b64}
 
 
-def publish_manifest(root: str, messages=None) -> None:
+def publish_manifest(root: str, messages=None, replace: bool = False) -> None:
     """Commit-time manifest refresh: prior entries still on disk plus
     the just-committed files (with executor-provided footer meta).
+
+    `replace=True` (overwrite commits) publishes a generation listing
+    ONLY this commit's files: the previous generation's files stay on
+    disk and stay listed by their own (immutable) generation manifests,
+    so time travel reads across an overwrite keep working and
+    generation numbering stays monotonic for the life of the table —
+    an `at_generation=N` pin can never silently resolve to a different
+    table's snapshot (Delta's overwrite-as-new-version semantics).
+    vacuum() reclaims the replaced files once their generations age
+    out.
 
     Deliberately STRICT: files on disk that neither the previous
     manifest nor this commit's messages vouch for stay out — a failed
@@ -400,7 +410,7 @@ def publish_manifest(root: str, messages=None) -> None:
         )
         prev = read_manifest(root)
         entries: dict[str, dict] = {}
-        if prev:
+        if prev and not replace:
             for e in prev["entries"]:
                 key = _norm(os.path.join(root, e["path"]))
                 if key in on_disk:
@@ -414,7 +424,7 @@ def publish_manifest(root: str, messages=None) -> None:
                 for f, meta, sch in zip(m.files, metas, schemas):
                     if _norm(f) in on_disk:
                         entries[_norm(f)] = _manifest_entry(root, f, meta, sch)
-        if prev is None and not messages:
+        if prev is None and not messages and not replace:
             # Explicit bootstrap (publish_manifest(root) with no
             # messages): adopt pre-existing files as the first
             # generation. When commit messages ARE present, unvouched
@@ -488,6 +498,12 @@ class StrawboatDataSource(DataSource):
         files = _list_files(path, _at_generation(self.options))
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
+        files_opt = _files_option(self.options)
+        all_files = files  # partition-column inference always sees the full table
+        if files_opt is not None:
+            files = [os.path.join(path, rel) for rel in files_opt]
+            if not files:
+                raise ValueError("strawboat: 'files' option names no files")
         arrow_schema, _ = _cached_footer(files[0])
         # Force nullable like Spark's parquet source does for file-based
         # schemas: other files in the directory may predate a column
@@ -524,7 +540,7 @@ class StrawboatDataSource(DataSource):
         from pyspark.sql.types import DoubleType, LongType, StringType
 
         spark_types = {"bigint": LongType(), "double": DoubleType(), "string": StringType()}
-        for name, tp in _infer_partition_fields(path, files):
+        for name, tp in _infer_partition_fields(path, all_files):
             if name not in schema.fieldNames():
                 schema = schema.add(name, spark_types[tp])
         if self.options.get("with_file_path", "").lower() == "true":
@@ -580,11 +596,33 @@ def _at_generation(options) -> int | None:
     return int(v) if v else None
 
 
+def _files_option(options) -> list[str] | None:
+    """`files=<JSON array of root-relative paths>` pins the scan to
+    exactly those data files, bypassing the manifest listing (the
+    manifest still seeds footer caches when present). This is what
+    keeps DELETE/UPDATE/MERGE rewrite plans at ONE scan node per leaf
+    regardless of candidate-file count — the alternative (a
+    unionByName leg per file) blows up Catalyst analysis at ~10k
+    files. Hive partition columns are still inferred from the FULL
+    table listing, so a single-leaf restriction cannot flip a
+    partition column's inferred type."""
+    import json
+
+    v = options.get("files", "").strip() if hasattr(options, "get") else ""
+    if not v:
+        return None
+    lst = json.loads(v)
+    if not isinstance(lst, list) or not all(isinstance(x, str) for x in lst):
+        raise ValueError("strawboat: 'files' option must be a JSON array of relative paths")
+    return sorted(lst)
+
+
 class StrawboatReaderImpl(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         self.schema = schema
         self.at_generation = _at_generation(options)
+        self.files_opt = _files_option(options)
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -605,6 +643,8 @@ class StrawboatReaderImpl(DataSourceReader):
 
         files = _list_files(self.path, self.at_generation)
         part_types = dict(_infer_partition_fields(self.path, files))
+        if self.files_opt is not None:
+            files = [os.path.join(self.path, rel) for rel in self.files_opt]
         survivors: list[tuple[str, dict]] = []
         for file in files:
             pvals = {
@@ -1043,19 +1083,28 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if c not in schema.fieldNames():
                 raise ValueError(f"strawboat: partition_by column {c!r} not in schema")
         # Runs on the driver: prepare the output directory.
+        self.overwrite = overwrite
         fs = get_fs(self.path)
         fs.makedirs(self.path)
         if overwrite:
-            if fs.isdir(self.path):
-                # Glob, don't trust the manifest: uncommitted orphans
-                # from a crashed earlier job are on disk but not in the
-                # manifest, and anything that survives overwrite would
-                # be adopted into the fresh table's first generation.
-                for f in fs.list_files(self.path, FILE_EXT):
-                    fs.remove(f)
-                # the old generations are gone; stale manifests (cache
-                # + gen files) must not shadow this job's fresh table
-                delete_manifest(self.path)
+            # Overwrite is a MANIFEST generation flip, not a physical
+            # purge: commit() publishes a generation listing ONLY this
+            # job's files (replace=True). Old files stay on disk,
+            # listed by their own immutable generation manifests, so
+            # time travel across the overwrite works and a concurrent
+            # reader planned against the old generation finishes its
+            # scan — vacuum() reclaims them later. Orphans from crashed
+            # jobs are never adopted (the replace manifest lists only
+            # committed files). A legacy dir without a manifest gets
+            # one FIRST so its pre-overwrite state is snapshotted as a
+            # readable generation (and globbing readers never see the
+            # mixed old+new file set).
+            if (
+                fs.isdir(self.path)
+                and read_manifest(self.path) is None
+                and fs.list_files(self.path, FILE_EXT)
+            ):
+                publish_manifest(self.path)
         else:
             # Append: the directory's footer schema is the contract —
             # a second schema would silently corrupt later reads (the
@@ -1179,7 +1228,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         )
 
     def commit(self, messages):
-        publish_manifest(self.path, messages)
+        publish_manifest(self.path, messages, replace=self.overwrite)
         return None
 
     def abort(self, messages):

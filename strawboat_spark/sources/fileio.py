@@ -136,6 +136,26 @@ class LocalFileSystem:
     def mtime_ns(self, path: str) -> int:
         return os.stat(self._p(path)).st_mtime_ns
 
+    def age_seconds(self, path: str) -> float:
+        import time
+
+        return time.time() - os.stat(self._p(path)).st_mtime
+
+    def move(self, src: str, dst: str) -> None:
+        os.replace(self._p(src), self._p(dst))
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+    def list_dirs(self, path: str) -> list[str]:
+        p = self._p(path)
+        out = []
+        for root, dirs, _ in os.walk(p):
+            out.extend(os.path.join(root, d) for d in dirs)
+        return sorted(out)
+
 
 class _MemoryWriteHandle(io.BytesIO):
     def __init__(
@@ -153,10 +173,13 @@ class _MemoryWriteHandle(io.BytesIO):
             with self._lock:
                 if self._exclusive and self._key in self._store:
                     raise FileExistsError(self._key)  # conditional PUT lost the race
+                import time as _time
+
                 self._store[self._key] = self.getvalue()
                 self._versions[self._key] = self._versions.get(self._key, 0) + 1
                 self._fs._clock += 1
                 self._fs._mtimes[self._key] = self._fs._clock
+                self._fs._wall[self._key] = _time.time()
             self._published = True
         super().close()
 
@@ -179,6 +202,7 @@ class MemoryFileSystem:
         self._store: dict[str, bytes] = {}
         self._versions: dict[str, int] = {}
         self._mtimes: dict[str, int] = {}
+        self._wall: dict[str, float] = {}  # wall-clock publish time (vacuum grace)
         self._clock = 0  # monotonic publish tick — the store's "mtime"
         self._lock = threading.Lock()
 
@@ -234,11 +258,60 @@ class MemoryFileSystem:
         with self._lock:
             return self._mtimes.get(self._key(path), 0)
 
+    def age_seconds(self, path: str) -> float:
+        # Wall-clock age (vacuum's grace window needs real seconds; the
+        # tick clock above is for ordering only).
+        import time
+
+        with self._lock:
+            return time.time() - self._wall.get(self._key(path), 0.0)
+
+    def move(self, src: str, dst: str) -> None:
+        # Object-store "rename": server-side copy + delete (what
+        # s3/gcs do under the hood — there is no atomic rename).
+        import time
+
+        with self._lock:
+            sk, dk = self._key(src), self._key(dst)
+            self._store[dk] = self._store.pop(sk)
+            self._versions[dk] = self._versions.get(dk, 0) + 1
+            self._clock += 1
+            self._mtimes[dk] = self._clock
+            self._wall[dk] = time.time()
+            for m in (self._versions, self._mtimes, self._wall):
+                m.pop(sk, None)
+
+    def remove_tree(self, path: str) -> None:
+        prefix = self._key(path) + "/"
+        with self._lock:
+            for k in [k for k in self._store if k.startswith(prefix)]:
+                del self._store[k]
+                for m in (self._versions, self._mtimes, self._wall):
+                    m.pop(k, None)
+
+    def list_dirs(self, path: str) -> list[str]:
+        # Object stores have no directories: a "dir" is any key prefix
+        # with at least one object under it (empty dirs cannot exist).
+        prefix = self._key(path) + "/"
+        dirs: set[str] = set()
+        with self._lock:
+            for k in self._store:
+                if not k.startswith(prefix):
+                    continue
+                parts = k[len(prefix):].split("/")[:-1]
+                for i in range(1, len(parts) + 1):
+                    dirs.add(prefix + "/".join(parts[:i]))
+        return sorted(f"memory://{d}" for d in dirs)
+
     def clear(self) -> None:
         with self._lock:
             self._store.clear()
             self._versions.clear()
             self._mtimes.clear()
+            self._wall.clear()
+
+
+_TOCTOU_WARNED: set[str] = set()
 
 
 class _FsspecFileSystem:
@@ -282,10 +355,26 @@ class _FsspecFileSystem:
     def create_exclusive(self, path: str):
         """Best-effort create-if-absent: the generic fsspec API has no
         conditional PUT, so this is an exists() check followed by a
-        plain create — a real object-store backend should override with
-        the store's native CAS (S3 If-None-Match:*, GCS
+        plain create — a TOCTOU window, NOT a true CAS. Two racing
+        committers can both pass the exists() check and one commit is
+        silently lost. Single-writer tables are safe; for concurrent
+        committers a real object-store backend must override with the
+        store's native conditional PUT (S3 If-None-Match:*, GCS
         ifGenerationMatch=0, Azure If-None-Match:*) via
-        register_filesystem."""
+        register_filesystem. A loud once-per-scheme warning marks the
+        weakened guarantee."""
+        import warnings
+
+        if self._scheme not in _TOCTOU_WARNED:
+            _TOCTOU_WARNED.add(self._scheme)
+            warnings.warn(
+                f"strawboat: manifest commits on {self._scheme}:// go through "
+                f"fsspec's exists()+create (no conditional PUT) — concurrent "
+                f"committers can silently lose a commit. Register a filesystem "
+                f"with a native CAS create_exclusive for multi-writer tables.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if self._fs.exists(path):
             raise FileExistsError(path)
         return self.create(path)
@@ -313,6 +402,34 @@ class _FsspecFileSystem:
         # fsspec's `modified` maps to the store's LastModified; a real
         # object-store listing returns this with the LIST response.
         return int(self._fs.modified(path).timestamp() * 1_000_000_000)
+
+    def age_seconds(self, path: str) -> float:
+        import time
+
+        return time.time() - self._fs.modified(path).timestamp()
+
+    def move(self, src: str, dst: str) -> None:
+        # fsspec mv = server-side copy + delete on object stores.
+        self._fs.mv(split_scheme(src)[1], split_scheme(dst)[1])
+
+    def remove_tree(self, path: str) -> None:
+        _, rest = split_scheme(path)
+        try:
+            self._fs.rm(rest, recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def list_dirs(self, path: str) -> list[str]:
+        _, rest = split_scheme(path)
+        try:
+            found = self._fs.find(rest, withdirs=True, detail=True)
+        except (OSError, TypeError):
+            return []
+        return sorted(
+            f"{self._scheme}://{p}"
+            for p, info in found.items()
+            if info.get("type") == "directory"
+        )
 
 
 _LOCAL = LocalFileSystem()

@@ -6,38 +6,155 @@ Layout-preserving: a hive-partitioned directory is compacted leaf-dir
 by leaf-dir, so partition pruning keeps working and each output file
 still holds exactly one partition value.
 
-Scale shape: one Spark job per leaf directory, reading through the
-datasource (stripes fan out) and writing `target_files` outputs via
-coalesce — no driver-side data movement; the swap is a manifest
-generation flip: readers list the directory through
-`_strawboat_manifest.json`, so a concurrent reader sees exactly one
-committed generation (old files until the manifest PUT, new files
-after), never the mid-swap duplicate or partial set. Directories that
-predate the manifest get one written from the pre-compact listing
-FIRST, so even their concurrent readers snapshot the old generation.
+Two invariants every verb here upholds:
+
+1. **All IO goes through the fileio seam** (`get_fs`): compact /
+   vacuum / delete / update / merge run unchanged against any
+   registered backend (local, memory://, fsspec object stores) — no
+   direct os.walk / shutil / glob anywhere in this module.
+2. **Mutations never delete data files.** A verb's commit is ONE CAS
+   manifest generation flip; the superseded files stay on disk, still
+   listed by their own immutable generation manifests, so (a) time
+   travel to any pre-mutation generation keeps reading correctly and
+   (b) a concurrent reader that planned its scan against the old
+   generation finishes without dangling-file errors. `vacuum()` is the
+   only deleter: it reclaims files no RETAINED generation lists, after
+   a grace window (Delta's VACUUM contract).
+
+Scale shape: each verb runs one Spark job per affected leaf directory,
+reading through the datasource with the `files` read option — ONE scan
+node per leaf regardless of how many candidate files it touches (a
+union-per-file plan would blow up Catalyst analysis at ~10k files) —
+and writing outputs distributed; the driver only moves manifests.
 """
 
 from __future__ import annotations
 
-import glob as _glob
 import os
-import shutil
 
 from strawboat_spark.sources.datasource import FILE_EXT, register
+from strawboat_spark.sources.fileio import backend_path, get_fs
+
+_SCRATCH_SUFFIXES = (
+    ".__compact__",
+    ".__mutate__",
+    ".__merge__",
+    ".__merge_src__",
+    ".__optimize__",
+)
+
+# MERGE broadcasts its (distinct) source keys into the target-side
+# joins only below this many keys; above it the joins run shuffled and
+# AQE picks the strategy — a non-selective backfill source must never
+# be forced through a driver-assembled broadcast.
+MERGE_BROADCAST_MAX_KEYS = 500_000
+
+
+def _merge_broadcast_max_keys() -> int:
+    return int(os.environ.get("STRAWBOAT_MERGE_BROADCAST_MAX_KEYS", MERGE_BROADCAST_MAX_KEYS))
+
+
+def _norm(p: str) -> str:
+    return os.path.normpath(backend_path(p))
+
+
+def _rel(p: str, root: str) -> str:
+    return os.path.relpath(_norm(p), _norm(root))
+
+
+def _age_seconds(fs, path: str) -> float:
+    age = getattr(fs, "age_seconds", None)
+    if age is not None:
+        return age(path)
+    import time
+
+    return time.time() - fs.mtime_ns(path) / 1e9
+
+
+def _read_files(spark, path: str, rels: list[str]):
+    """One datasource scan pinned to exactly `rels` (root-relative) —
+    the single-scan rewrite plan: file count only widens the scan's
+    partition list, never the plan tree."""
+    import json
+
+    return (
+        spark.read.format("strawboat")
+        .option("files", json.dumps(sorted(rels)))
+        .load(path)
+    )
+
+
+def _adopt_tmp(table_root: str, tmp: str, dest_dir: str | None = None) -> list[dict]:
+    """Move the tmp write's committed data files into `dest_dir`
+    (default: the table root, preserving hive subdirs), carrying the
+    tmp manifest's embedded footer meta into entries rebased onto the
+    table root, then drop the whole tmp tree (which also discards any
+    crashed-run leftovers the tmp manifest does not vouch for)."""
+    from strawboat_spark.sources.datasource import _manifest_entry, read_manifest
+
+    dest_dir = dest_dir or table_root
+    fs = get_fs(tmp)
+    tmp_man = read_manifest(tmp)
+    if tmp_man is not None:
+        rels = [e["path"] for e in tmp_man["entries"]]
+        meta_by_rel = {e["path"]: e for e in tmp_man["entries"]}
+    else:  # tmp written by something that commits no manifest
+        rels = [_rel(f, tmp) for f in fs.list_files(tmp, FILE_EXT)]
+        meta_by_rel = {}
+    moved = []
+    for rel in sorted(rels):
+        src = os.path.join(tmp, rel)
+        dest = os.path.join(dest_dir, rel)
+        d = os.path.dirname(dest)
+        if d:
+            get_fs(dest).makedirs(d)
+        fs.move(src, dest)
+        e = meta_by_rel.get(rel, {})
+        moved.append(_manifest_entry(table_root, dest, e.get("meta"), e.get("schema_b64")))
+    fs.remove_tree(tmp)
+    return moved
+
+
+def _flip_generation(path: str, drop_rel: set[str], add_entries: list[dict], verb: str) -> None:
+    """CAS generation flip: current entries minus `drop_rel` plus
+    `add_entries`, retried against concurrent committers (whose files
+    are neither dropped nor ours, so both commits land). Superseded
+    data files are NOT deleted here — older generation manifests still
+    list them; vacuum() reclaims them once those generations age out."""
+    from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        read_manifest,
+        write_manifest,
+    )
+
+    for _attempt in range(50):
+        man = read_manifest(path)
+        entries = [e for e in (man["entries"] if man else []) if e["path"] not in drop_rel]
+        gen = (man.get("generation", 0) + 1) if man else 1
+        try:
+            write_manifest(path, entries + add_entries, generation=gen)
+            return
+        except ManifestConflictError:
+            continue
+    raise ManifestConflictError(f"{verb}({path}): lost the generation race 50 times")
+
+
+def _part_layout(path: str) -> dict[str, str]:
+    """{partition column: spark type} for the table's hive layout."""
+    from strawboat_spark.sources.datasource import _infer_partition_fields, _list_files
+
+    return dict(_infer_partition_fields(path, _list_files(path)))
 
 
 def compact(spark, path: str, target_files: int = 1) -> dict:
     """Rewrite each leaf directory's files into `target_files` files.
 
     Returns {"before": n_files, "after": n_files}. Skips leaf dirs that
-    already have <= target_files files.
+    already have <= target_files files. The swap is a CAS manifest
+    generation flip per leaf; pre-compact files stay on disk for time
+    travel / in-flight readers until vacuum() reclaims them.
     """
-    from strawboat_spark.sources.datasource import (
-        _manifest_entry,
-        publish_manifest,
-        read_manifest,
-        write_manifest,
-    )
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
 
     register(spark)
     # Snapshot the old generation first: readers that start during the
@@ -49,107 +166,55 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
     # writes) are neither folded into the output nor deleted here —
     # that is vacuum()'s job, with its grace window.
     root_man = read_manifest(path) or {"entries": []}
-    committed_by_leaf: dict[str, list[dict]] = {}
+    part_cols = list(_part_layout(path))
+    by_leaf: dict[str, list[str]] = {}
     for e in root_man["entries"]:
-        leaf = os.path.normpath(os.path.dirname(os.path.join(path, e["path"])))
-        committed_by_leaf.setdefault(leaf, []).append(e)
+        by_leaf.setdefault(os.path.dirname(e["path"]), []).append(e["path"])
     before = after = 0
-    for leaf in sorted(committed_by_leaf):
-        leaf_entries = committed_by_leaf[leaf]
-        files = sorted(os.path.join(path, e["path"]) for e in leaf_entries)
-        before += len(files)
-        if len(files) <= target_files:
-            after += len(files)
+    for reldir in sorted(by_leaf):
+        rels = sorted(by_leaf[reldir])
+        before += len(rels)
+        if len(rels) <= target_files:
+            after += len(rels)
             continue
-        tmp = leaf + ".__compact__"
-        # A hive leaf has no manifest of its own (it lives at the table
-        # root), so a bare load(leaf) would glob — and glob sees
-        # orphans. Pin the read surface by writing a leaf manifest
-        # holding exactly the committed entries (paths rebased), then
-        # drop it once the compaction job has run.
-        leaf_man_written = False
-        if leaf != os.path.normpath(path) and read_manifest(leaf) is None:
-            write_manifest(
-                leaf,
-                [
-                    {**e, "path": os.path.relpath(os.path.join(path, e["path"]), leaf)}
-                    for e in leaf_entries
-                ],
-            )
-            leaf_man_written = True
-        try:
-            (
-                spark.read.format("strawboat")
-                .load(leaf)
-                .coalesce(target_files)
-                .write.format("strawboat")
-                .mode("overwrite")
-                .save(tmp)
-            )
-        finally:
-            if leaf_man_written:
-                from strawboat_spark.sources.datasource import delete_manifest
-
-                delete_manifest(leaf)
-        # The tmp write committed its own manifest with embedded footer
-        # meta — carry it over so the compacted table keeps one-read
-        # planning.
-        tmp_man = read_manifest(tmp) or {"entries": []}
-        tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
-        new_files = sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}")))
-        moved_entries = []
-        for f in new_files:
-            dest = os.path.join(leaf, os.path.basename(f))
-            shutil.move(f, dest)
-            src_e = tmp_meta.get(os.path.basename(f), {})
-            moved_entries.append(
-                _manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64"))
-            )
-        # Generation flip: replace this leaf's originals with the new
-        # files in ONE atomic manifest PUT, then physically delete.
-        # The PUT is a CAS; a concurrent append's commit re-reads and
-        # retries the same way, so neither side's files are dropped.
-        from strawboat_spark.sources.datasource import ManifestConflictError
-
-        originals_rel = {
-            os.path.relpath(f, path) for f in files
-        }
-        for _attempt in range(50):
-            man = read_manifest(path)
-            entries = [
-                e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
-            ]
-            entries += moved_entries
-            gen = (man.get("generation", 0) + 1) if man else 1
-            try:
-                write_manifest(path, entries, generation=gen)
-                break
-            except ManifestConflictError:
-                continue
-        else:
-            raise ManifestConflictError(f"compact({path}): lost the generation race 50 times")
-        for f in files:
-            os.remove(f)
-        shutil.rmtree(tmp, ignore_errors=True)
-        after += len(new_files)
+        leaf = os.path.join(path, reldir) if reldir else path
+        tmp = leaf.rstrip("/") + ".__compact__"
+        get_fs(tmp).remove_tree(tmp)  # crashed-run leftovers
+        df = _read_files(spark, path, rels)
+        if part_cols:
+            # partition values live in the leaf's directory name, not
+            # in stored pages — drop the reattached constants
+            df = df.drop(*part_cols)
+        (
+            df.coalesce(target_files)
+            .write.format("strawboat")
+            .mode("overwrite")
+            .save(tmp)
+        )
+        moved = _adopt_tmp(path, tmp, dest_dir=leaf)
+        _flip_generation(path, set(rels), moved, "compact")
+        after += len(moved)
     return {"before": before, "after": after}
 
 
 def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
-    """Delete data files invisible to readers: *.strb under the table
-    root that the committed manifest does NOT list (crashed writes,
-    aborted compactions, foreign drops never committed), plus leftover
-    `.__compact__` scratch directories.
+    """The table layer's ONLY deleter of data files. Reclaims, after
+    `grace_seconds`:
 
-    Safety: requires a manifest (listing IS the read surface then —
-    an unlisted file can never be read); without one this is a no-op,
-    because globbing readers would see every file. Only files older
-    than `grace_seconds` go (an in-flight write's file exists before
-    its commit publishes it; the grace window keeps vacuum from racing
-    an active writer). Returns {"removed": n, "kept": n}.
+    - generation manifests older than the head (each one first loses
+      time-travel reachability, then its no-longer-listed files);
+    - data files no RETAINED generation lists — crashed writes,
+      compacted/mutated-away originals whose generations are gone;
+    - scratch trees (`*.__compact__/...`) of crashed maintenance runs.
+
+    Safety: requires a manifest (listing IS the read surface then — an
+    unlisted file can never be read); without one this is a no-op,
+    because globbing readers would see every file. The grace window
+    keeps vacuum from racing an active writer (a file exists before
+    its commit publishes it) and keeps just-superseded generations
+    briefly time-travel-able. Returns {"removed": n, "kept": n}.
     """
     import json
-    import time
 
     from strawboat_spark.sources.datasource import (
         _gen_path,
@@ -157,13 +222,11 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
         _read_manifest_file,
         read_manifest,
     )
-    from strawboat_spark.sources.fileio import get_fs
 
     man = read_manifest(path)
     if man is None:
         return {"removed": 0, "kept": 0}
     removed = kept = 0
-    now = time.time()
     fs = get_fs(path)
     head = man.get("generation", 0)
     # 1. Pin the cache pointer at the head (readers then never need the
@@ -177,57 +240,67 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
         gp = _gen_path(path, gen)
         try:
             if fs.exists(gp):
-                if now - os.path.getmtime(gp) > grace_seconds:
+                if _age_seconds(fs, gp) > grace_seconds:
                     fs.remove(gp)
                     removed += 1
                 else:
                     old = _read_manifest_file(fs, gp)
                     if old is not None:
                         retained.append(old)  # still time-travel-able
-        except OSError:
+        except (OSError, KeyError):
             pass
-    # 2. Delete data files no RETAINED generation lists (crashed
-    #    writes, compacted-away originals whose generations are gone) —
-    #    so `at_generation` snapshot reads keep working for every
+    # 2. Delete data files no RETAINED generation lists — so
+    #    `at_generation` snapshot reads keep working for every
     #    generation that still has a manifest file.
     listed = {
-        os.path.normpath(os.path.join(path, e["path"]))
-        for m in retained
-        for e in m["entries"]
+        _norm(os.path.join(path, e["path"])) for m in retained for e in m["entries"]
     }
-    for root, dirs, files in os.walk(path):
-        for d in list(dirs):
-            if d.endswith(".__compact__"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                dirs.remove(d)
-                removed += 1
-        for f in files:
-            if not f.endswith(FILE_EXT):
-                continue
-            full = os.path.normpath(os.path.join(root, f))
-            if full in listed:
-                kept += 1
-            elif now - os.path.getmtime(full) > grace_seconds:
-                os.remove(full)
+    scratch_roots: set[str] = {
+        d
+        for d in (getattr(fs, "list_dirs", lambda _p: [])(path))
+        if d.rstrip("/").endswith(_SCRATCH_SUFFIXES)
+    }
+    for f in fs.list_files(path, FILE_EXT):
+        rel = _rel(f, path)
+        segs = rel.split(os.sep)
+        scratch = next(
+            (i for i, s in enumerate(segs[:-1]) if s.endswith(_SCRATCH_SUFFIXES)), None
+        )
+        if scratch is not None:
+            # a crashed verb's tmp tree inside the root: reclaim whole
+            scratch_roots.add(os.path.join(path, *segs[: scratch + 1]))
+            continue
+        if _norm(f) in listed:
+            kept += 1
+            continue
+        try:
+            if _age_seconds(fs, f) > grace_seconds:
+                fs.remove(f)
                 removed += 1
             else:
                 kept += 1  # too young: may belong to an uncommitted write
+        except (OSError, KeyError):
+            kept += 1
+    for d in sorted(scratch_roots):
+        fs.remove_tree(d)
+        removed += 1
     return {"removed": removed, "kept": kept}
 
 
 def delete_where(spark, path: str, condition: str) -> dict:
     """Copy-on-write DELETE: rows matching `condition` are removed by
     rewriting ONLY the files that contain them, then flipping the
-    manifest generation (concurrent readers see the old snapshot until
-    the CAS PUT; time travel keeps the pre-delete generation until
-    vacuum()). Returns {"files_rewritten", "rows_deleted"}.
+    manifest generation. Concurrent readers and time travel keep the
+    pre-delete generation readable (its files stay on disk) until
+    vacuum() retires it. Returns {"files_rewritten", "rows_deleted"}.
 
     Scale shape: affected files are found in ONE distributed scan via
     the `_strawboat_file` provenance column — the pushed filter prunes
     whole files and pages by stats first, so a selective delete plans
-    footer-only for the untouched bulk; the rewrite job unions just
-    the affected files. No per-file driver jobs, no full-table
-    rewrite."""
+    footer-only for the untouched bulk; the rewrite is ONE scan per
+    affected leaf pinned to the candidate files via the `files` read
+    option. No per-file driver jobs, no per-file plan legs, no
+    full-table rewrite."""
     return _mutate_where(spark, path, condition, None)
 
 
@@ -242,35 +315,17 @@ def update_where(spark, path: str, condition: str, assignments: dict[str, str]) 
 def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] | None) -> dict:
     import pyspark.sql.functions as F
 
-    from strawboat_spark.sources.datasource import (
-        ManifestConflictError,
-        _manifest_entry,
-        publish_manifest,
-        read_manifest,
-        write_manifest,
-    )
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
 
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
     key = "rows_deleted" if assignments is None else "rows_updated"
-    df = (
-        spark.read.format("strawboat")
-        .option("with_file_path", "true")
-        .load(path)
-    )
     # Hive layout: partition columns live in directory names, not pages.
-    # The candidate scan sees them (the datasource reattaches constants),
-    # and the per-leaf rewrite below reattaches them for predicate
-    # evaluation then drops them before writing back into the leaf.
-    from strawboat_spark.sources.datasource import (
-        _cast_partition_value,
-        _infer_partition_fields,
-        _list_files,
-        _partition_values,
-    )
-
-    part_types = dict(_infer_partition_fields(path, _list_files(path)))
+    # Both the candidate scan and the per-leaf rewrite reattach them as
+    # constants (the datasource does), so `condition` can reference
+    # them; they are dropped again before writing back into the leaf.
+    part_types = _part_layout(path)
     if assignments and part_types:
         bad = sorted(set(assignments) & set(part_types))
         if bad:
@@ -281,6 +336,7 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
             )
     cond = F.expr(condition)
     # one stats-pruned scan: affected files + matched row count together
+    df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
     hit = (
         df.filter(cond)
         .groupBy("_strawboat_file")
@@ -291,23 +347,13 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         return {"files_rewritten": 0, key: 0}
     candidates = sorted(r["_strawboat_file"] for r in hit)
     n_rows = sum(r["n"] for r in hit)
-
-    from functools import reduce
-
-    def _with_partition_consts(f: str):
-        base = spark.read.format("strawboat").load(f)
-        for c, tp in part_types.items():
-            raw = _partition_values(f, path).get(c)
-            base = base.withColumn(c, F.lit(_cast_partition_value(raw, tp)).cast(tp))
-        return base.withColumn("__m", cond)
+    cand_rel = sorted(_rel(f, path) for f in candidates)
 
     matched = F.coalesce(F.col("__m"), F.lit(False))
     drop = ["__m", *part_types]
 
-    def _rewrite(files: list[str]):
-        src = reduce(
-            lambda a, b: a.unionByName(b), [_with_partition_consts(f) for f in files]
-        )
+    def _rewrite(src):
+        src = src.withColumn("__m", cond)
         if assignments is None:
             return src.filter(~matched).drop(*drop)
         return src.select(
@@ -323,38 +369,17 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     # Rewrites group by leaf directory so every output file still holds
     # exactly one partition value (flat tables have one group: the root)
     by_leaf: dict[str, list[str]] = {}
-    for f in candidates:
-        by_leaf.setdefault(os.path.normpath(os.path.dirname(f)), []).append(f)
+    for rel in cand_rel:
+        by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
     moved = []
-    for leaf, leaf_files in sorted(by_leaf.items()):
-        leaf_out = _rewrite(leaf_files)
+    for reldir, rels in sorted(by_leaf.items()):
+        leaf = os.path.join(path, reldir) if reldir else path
         tmp = leaf.rstrip("/") + ".__mutate__"
-        leaf_out.write.format("strawboat").mode("overwrite").save(tmp)
-        tmp_man = read_manifest(tmp) or {"entries": []}
-        tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
-        for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
-            dest = os.path.join(leaf, os.path.basename(f))
-            shutil.move(f, dest)
-            src_e = tmp_meta.get(os.path.basename(f), {})
-            moved.append(
-                _manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64"))
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
-    cand_rel = {os.path.relpath(f, path) for f in candidates}
-    for _attempt in range(50):
-        man = read_manifest(path)
-        entries = [e for e in (man["entries"] if man else []) if e["path"] not in cand_rel]
-        gen = (man.get("generation", 0) + 1) if man else 1
-        try:
-            write_manifest(path, entries + moved, generation=gen)
-            break
-        except ManifestConflictError:
-            continue
-    else:
-        raise ManifestConflictError(f"{key}({path}): lost the generation race 50 times")
-    for f in candidates:
-        os.remove(f)
-    shutil.rmtree(tmp, ignore_errors=True)
+        get_fs(tmp).remove_tree(tmp)  # crashed-run leftovers
+        out = _rewrite(_read_files(spark, path, rels))
+        out.write.format("strawboat").mode("overwrite").save(tmp)
+        moved += _adopt_tmp(path, tmp, dest_dir=leaf)
+    _flip_generation(path, set(cand_rel), moved, key)
     return {"files_rewritten": len(candidates), key: n_rows}
 
 
@@ -362,93 +387,103 @@ def merge_upsert(spark, path: str, source, on: list[str]) -> dict:
     """MERGE (upsert): target rows whose `on` key appears in `source`
     are replaced by the source row; unmatched source rows are
     inserted. One atomic manifest flip covers both, so readers see
-    either the pre-merge or the post-merge table.
+    either the pre-merge or the post-merge table; the pre-merge
+    generation stays time-travel-able until vacuum().
+
+    Works on flat AND hive-partitioned tables: candidate files are
+    rewritten per leaf, and the source lands partitioned by the
+    table's layout; partition columns in `on` prune whole leaves
+    before the candidate scan even reads a footer.
 
     Scale shape: candidate files are found with the `_strawboat_file`
     provenance scan PRE-FILTERED by the source keys' min/max bounds —
     a pushed BETWEEN that lets file/page stats prune the untouched
-    bulk before the (broadcast) semi join; only candidate files are
-    rewritten (left-anti against the source keys), and the source
-    itself lands as fresh appended files. Returns
-    {"files_rewritten", "rows_updated", "rows_inserted"}."""
+    bulk before the key semi join. The source keys are broadcast only
+    when few (<= STRAWBOAT_MERGE_BROADCAST_MAX_KEYS, default 500k);
+    a large backfill source runs shuffled joins under AQE instead of
+    OOMing the driver. Returns
+    {"files_rewritten", "rows_updated", "rows_inserted"} —
+    rows_updated counts replaced TARGET rows, rows_inserted counts
+    SOURCE rows whose key had no target match (correct under
+    duplicate keys on either side)."""
     import pyspark.sql.functions as F
 
-    from strawboat_spark.sources.datasource import (
-        ManifestConflictError,
-        _manifest_entry,
-        publish_manifest,
-        read_manifest,
-        write_manifest,
-    )
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
 
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
-    root_man = read_manifest(path) or {"entries": []}
-    if any(os.sep in e["path"] or "/" in e["path"] for e in root_man["entries"]):
-        raise ValueError("merge_upsert does not support hive-partitioned tables yet")
+    part_types = _part_layout(path)
+    part_cols = list(part_types)
     source = source.cache()
     n_source = source.count()
     if n_source == 0:
+        source.unpersist()
         return {"files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+    df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
+    out_cols = [c for c in df.columns if c != "_strawboat_file"]
+    missing = [c for c in out_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: source is missing target columns {missing}")
     bounds = source.agg(
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
-    keys = source.select(*on).distinct()
-    df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
+    keys = source.select(*on).distinct().cache()
+    n_keys = keys.count()
+    jkeys = F.broadcast(keys) if n_keys <= _merge_broadcast_max_keys() else keys
     for c in on:
         # sound pre-filter: every match lies inside the source bounds;
-        # this is what the page/file stats can prune on
+        # this is what the page/file stats (and hive partition values)
+        # can prune on
         df = df.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
     hit = (
-        df.join(F.broadcast(keys), on=on, how="leftsemi")
+        df.join(jkeys, on=on, how="leftsemi")
         .groupBy("_strawboat_file")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     candidates = sorted(r["_strawboat_file"] for r in hit)
     rows_updated = sum(r["n"] for r in hit)
-    tmp = path.rstrip("/") + ".__merge__"
-    out_cols = [c for c in spark.read.format("strawboat").load(path).columns]
-    if candidates:
-        from functools import reduce
-
-        parts = [spark.read.format("strawboat").load(f) for f in candidates]
-        survivors = reduce(lambda a, b: a.unionByName(b), parts).join(
-            F.broadcast(keys), on=on, how="left_anti"
-        )
-        merged = survivors.select(*out_cols).unionByName(source.select(*out_cols))
-    else:
-        merged = source.select(*out_cols)
-    merged.write.format("strawboat").mode("overwrite").save(tmp)
-    tmp_man = read_manifest(tmp) or {"entries": []}
-    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
+    cand_rel = sorted(_rel(f, path) for f in candidates)
+    stored_cols = [c for c in out_cols if c not in part_cols]
     moved = []
-    for f in sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}"))):
-        dest = os.path.join(path, os.path.basename(f))
-        shutil.move(f, dest)
-        src_e = tmp_meta.get(os.path.basename(f), {})
-        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
-    cand_rel = {os.path.relpath(f, path) for f in candidates}
-    for _attempt in range(50):
-        man = read_manifest(path)
-        entries = [e for e in (man["entries"] if man else []) if e["path"] not in cand_rel]
-        gen = (man.get("generation", 0) + 1) if man else 1
-        try:
-            write_manifest(path, entries + moved, generation=gen)
-            break
-        except ManifestConflictError:
-            continue
-    else:
-        raise ManifestConflictError(f"merge_upsert({path}): lost the generation race 50 times")
-    for f in candidates:
-        os.remove(f)
-    shutil.rmtree(tmp, ignore_errors=True)
+    matched_src = 0
+    if candidates:
+        # dup-key-safe stats: a source row whose key already exists in
+        # the target is an update, the rest are inserts (every matched
+        # target row lives in a candidate file by construction)
+        tgt_keys = _read_files(spark, path, cand_rel).select(*on).distinct()
+        matched_src = source.join(tgt_keys, on=on, how="leftsemi").count()
+        by_leaf: dict[str, list[str]] = {}
+        for rel in cand_rel:
+            by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
+        for reldir, rels in sorted(by_leaf.items()):
+            leaf = os.path.join(path, reldir) if reldir else path
+            tmp = leaf.rstrip("/") + ".__merge__"
+            get_fs(tmp).remove_tree(tmp)
+            survivors = (
+                _read_files(spark, path, rels)
+                .join(jkeys, on=on, how="left_anti")
+                .select(*stored_cols)
+            )
+            survivors.write.format("strawboat").mode("overwrite").save(tmp)
+            moved += _adopt_tmp(path, tmp, dest_dir=leaf)
+    # the source (updates + inserts together) lands as fresh files,
+    # partitioned by the table's hive layout when it has one
+    tmp_src = path.rstrip("/") + ".__merge_src__"
+    get_fs(tmp_src).remove_tree(tmp_src)
+    w = source.select(*out_cols).write.format("strawboat").mode("overwrite")
+    if part_cols:
+        w = w.option("partition_by", ",".join(part_cols))
+    w.save(tmp_src)
+    moved += _adopt_tmp(path, tmp_src)
+    _flip_generation(path, set(cand_rel), moved, "merge_upsert")
+    keys.unpersist()
     source.unpersist()
     return {
         "files_rewritten": len(candidates),
         "rows_updated": rows_updated,
-        "rows_inserted": n_source - rows_updated,
+        "rows_inserted": n_source - matched_src,
     }
 
 
@@ -463,17 +498,13 @@ def optimize(
     given, Z-ORDERED on those columns (operators/layout.py) — the
     OPTIMIZE ... ZORDER BY maintenance verb. The swap is the same
     atomic manifest generation flip as compact(): concurrent readers
-    see the old files until the manifest PUT, the new ones after.
+    see the old files until the manifest PUT, the new ones after, and
+    the pre-optimize generation stays readable until vacuum().
 
     Returns {"before": n_files, "after": n_files}.
     """
     from strawboat_spark.operators.layout import write_zordered
-    from strawboat_spark.sources.datasource import (
-        _manifest_entry,
-        publish_manifest,
-        read_manifest,
-        write_manifest,
-    )
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
 
     if not zorder_by:
         return compact(spark, path, target_files)
@@ -490,43 +521,14 @@ def optimize(
             "tables (it would flatten the partition layout); use "
             "compact() per-leaf instead"
         )
-    # Only the committed generation is rewritten and deleted;
+    # Only the committed generation is rewritten and replaced;
     # uncommitted orphans are left for vacuum() and stay out of the
     # new manifest (the flip below lists only the new files).
-    originals = sorted(os.path.join(path, e["path"]) for e in root_man["entries"])
-    tmp = path.rstrip("/") + ".__optimize__"
-    df = spark.read.format("strawboat").load(path)
-    write_zordered(
-        df, tmp, *zorder_by, n_files=target_files, page_size=page_size
-    )
-    tmp_man = read_manifest(tmp) or {"entries": []}
-    tmp_meta = {e["path"]: e for e in tmp_man["entries"]}
-    new_files = sorted(_glob.glob(os.path.join(tmp, f"*{FILE_EXT}")))
-    moved = []
-    for f in new_files:
-        dest = os.path.join(path, os.path.basename(f))
-        shutil.move(f, dest)
-        src_e = tmp_meta.get(os.path.basename(f), {})
-        moved.append(_manifest_entry(path, dest, src_e.get("meta"), src_e.get("schema_b64")))
-    # Generation flip via CAS: keep any files a concurrent commit
-    # published since the snapshot (they are neither originals nor ours)
-    from strawboat_spark.sources.datasource import ManifestConflictError
-
     originals_rel = {e["path"] for e in root_man["entries"]}
-    for _attempt in range(50):
-        man = read_manifest(path)
-        entries = [
-            e for e in (man["entries"] if man else []) if e["path"] not in originals_rel
-        ]
-        gen = (man.get("generation", 0) + 1) if man else 1
-        try:
-            write_manifest(path, entries + moved, generation=gen)
-            break
-        except ManifestConflictError:
-            continue
-    else:
-        raise ManifestConflictError(f"optimize({path}): lost the generation race 50 times")
-    for f in originals:
-        os.remove(f)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return {"before": len(originals), "after": len(new_files)}
+    tmp = path.rstrip("/") + ".__optimize__"
+    get_fs(tmp).remove_tree(tmp)
+    df = _read_files(spark, path, sorted(originals_rel))
+    write_zordered(df, tmp, *zorder_by, n_files=target_files, page_size=page_size)
+    moved = _adopt_tmp(path, tmp)
+    _flip_generation(path, originals_rel, moved, "optimize")
+    return {"before": len(originals_rel), "after": len(moved)}

