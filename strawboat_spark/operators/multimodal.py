@@ -142,12 +142,13 @@ def _decode_bmp(payload: bytes):
 
 def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
     """Image decode: REAL for binary PPM `P6`, uncompressed 24-bit BMP,
-    and baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py);
-    other formats (PNG/WebP/...) need an imaging library this container
-    doesn't ship — they fall back to a stable pseudo-decode when
-    deterministic_fake=True, else raise. The mapInPandas plumbing is
-    identical either way, so swapping in PIL later only touches this
-    function."""
+    baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py), and
+    PNG (operators/png.py, stdlib-zlib inflate + numpy unfilter);
+    remaining formats (WebP/GIF/TIFF/...) need an imaging library this
+    container doesn't ship — they fall back to a stable pseudo-decode
+    when deterministic_fake=True, else raise. The mapInPandas plumbing
+    is identical either way, so swapping in PIL later only touches
+    this function."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":

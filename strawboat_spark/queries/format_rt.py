@@ -546,6 +546,54 @@ def strawboat_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_snapshot_retention",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS gen1_rows, CAST(40 AS BIGINT) AS gen2_rows,
+           CAST(35 AS BIGINT) AS gen3_rows, CAST(10 AS BIGINT) AS head_rows,
+           CAST(40 AS BIGINT) AS gen2_after_vacuum,
+           CAST((SELECT SUM(c_custkey) FROM customer) AS BIGINT) AS src_anchor
+    """,
+    description="mutations retain superseded files: time travel reads pre-DELETE and pre-OVERWRITE generations until vacuum retires them",
+)
+def strawboat_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention contract (round-6 fix for the round-5 verdict's
+    confirmed break): DELETE and OVERWRITE flip the manifest
+    generation but leave the superseded data files on disk, still
+    listed by their own immutable generation manifests — so
+    `at_generation` snapshot reads of PRE-MUTATION generations keep
+    working (and an in-flight reader planned against them finishes),
+    and a graceful vacuum() keeps them; only an aged-out vacuum
+    reclaims. Delta's VERSION AS OF + VACUUM contract over the
+    strawboat format (the reference is a single-snapshot format,
+    src/read/reader.rs — the table layer is this repo's extension)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import delete_where, vacuum
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_ret_')}/t"
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")  # noqa: E731
+    mk(0, 20).coalesce(1).write.format("strawboat").mode("overwrite").save(path)   # gen 1
+    mk(20, 40).coalesce(1).write.format("strawboat").mode("append").save(path)     # gen 2
+    delete_where(spark, path, "id < 5")                                            # gen 3
+    mk(100, 110).coalesce(1).write.format("strawboat").mode("overwrite").save(path)  # gen 4
+    at = lambda g: (  # noqa: E731
+        spark.read.format("strawboat").option("at_generation", g).load(path).count()
+    )
+    g1, g2, g3 = at(1), at(2), at(3)
+    head = spark.read.format("strawboat").load(path).count()
+    vacuum(path, grace_seconds=3600.0)  # graceful: retains all generations
+    g2_after = at(2)
+    anchor = load_table(spark, sf_dir, "customer").agg(
+        F.sum("c_custkey").cast("bigint")
+    ).collect()[0][0]
+    return spark.createDataFrame(
+        [(g1, g2, g3, head, g2_after, anchor)],
+        "gen1_rows bigint, gen2_rows bigint, gen3_rows bigint, head_rows bigint, "
+        "gen2_after_vacuum bigint, src_anchor bigint",
+    )
+
+
+@query(
     "strawboat_maintenance_cycle",
     oracle="""
     SELECT 6 AS files_before, 2 AS files_after,
