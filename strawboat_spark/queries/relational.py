@@ -1603,3 +1603,331 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: the remaining TPC-H analogs (full 22-query coverage).
+# The testdata has no partsupp table and no l_shipmode/l_receiptdate
+# columns, so Q2/Q9/Q11/Q16/Q20 derive the supplier-part relation from
+# lineitem and Q12 buckets by shipping delay — same decorrelation /
+# join-shape workout, adapted predicates (like q21/q22 above).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 2) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND p_size = 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT MIN(ps2.unit_cost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    description=(
+        "TPC-H Q2 analog (supplier-part catalog derived from lineitem — no "
+        "partsupp table; unit cost = min observed extendedprice/quantity): "
+        "min-cost EUROPE supplier per LARGE size-15 part. The correlated MIN "
+        "subquery decorrelates into one per-part aggregation + equality "
+        "rejoin; dims broadcast, ONE shuffle of the derived catalog"
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # Derived supplier-part catalog: one shuffle on (partkey, suppkey).
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # EUROPE offers for the qualifying parts only (both dims broadcast).
+    # part and supplier both scale with SF — no pinned broadcast;
+    # AQE picks broadcast at small SF and shuffle at large.
+    offers = ps.join(p, ps.l_partkey == p.p_partkey).join(
+        eu_supp, ps.l_suppkey == F.col("s_suppkey")
+    )
+    # Correlated MIN decorrelated into a per-part WINDOW min: an
+    # agg+rejoin would duplicate the whole offers subtree (two lineitem
+    # scans); the window keeps ONE scan and adds only a per-part sort
+    # after the shuffle on p_partkey.
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("__min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) * 100, 0) AS BIGINT))
+                 AS DOUBLE) / 100, 2) AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS BIGINT)
+    ORDER BY 1, 2 DESC
+    """,
+    description=(
+        "TPC-H Q9 analog (profit = revenue - 10% of retail price as the "
+        "supply-cost stand-in — no partsupp table): profit by supplier "
+        "nation and order year for widget parts. part/supplier/nation "
+        "broadcast; lineitem-orders is the one fact-fact shuffle"
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)  # part/supplier scale with
+        .join(s, li.l_suppkey == F.col("s_suppkey"))  # SF: AQE decides
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        # Per-line profit quantized to integer cents BEFORE the sum: the
+        # per-row double is identical on any engine (same inputs, same
+        # expression), and a bigint sum is exact — so summation order
+        # (partial aggs, AQE splits) can never flip a half-cent boundary.
+        .agg(
+            F.round(
+                F.sum(F.round(profit * 100, 0).cast("long")).cast("double") / 100, 2
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS raw_value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, ROUND(raw_value, 2) AS part_value
+    FROM v
+    WHERE ROUND(raw_value, 2) > (SELECT ROUND(SUM(raw_value) * 0.001, 2) FROM v)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    description=(
+        "TPC-H Q11 analog (part value = traded revenue through NATION_7 "
+        "suppliers — no partsupp availqty): parts holding more than 0.1% of "
+        "the nation's total value. Scalar-subquery threshold = 1-row "
+        "broadcast over the SAME aggregated view (no second lineitem scan); "
+        "both sides rounded to cents before the comparison so summation "
+        "order can't flip boundary rows"
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)  # supplier scales: AQE decides
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_value"))
+    )
+    total = v.agg(F.round(F.sum("raw_value") * 0.001, 2).alias("__threshold"))
+    return (
+        v.join(broadcast(total))  # 1-row scalar, broadcast cross join
+        .filter(F.round(F.col("raw_value"), 2) > F.col("__threshold"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 'LATE'
+                  WHEN l_shipdate >= o_orderdate + INTERVAL 21 DAY THEN 'SLOW'
+                  ELSE 'FAST' END AS delay_bucket
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY delay_bucket ORDER BY delay_bucket
+    """,
+    description=(
+        "TPC-H Q12 analog (delay bucket FAST/SLOW/LATE from shipdate - "
+        "orderdate — no l_shipmode/receiptdate columns): high- vs "
+        "low-priority line counts per shipping-delay bucket. Date filter "
+        "pushes to the lineitem scan before the fact-fact join"
+    ),
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    bucket = (
+        F.when(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60), "LATE")
+        .when(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 21), "SLOW")
+        .otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(bucket.alias("delay_bucket"), high.alias("__high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("__high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("__high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query(
+    "q16_parts_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description=(
+        "TPC-H Q16 analog (supplier-part relation from lineitem; negative "
+        "account balance stands in for the complaints exclusion): distinct "
+        "supplier count per brand/type/size. NOT IN -> broadcast left-anti "
+        "join; part dim broadcast; one distinct-agg shuffle"
+    ),
+)
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)  # part scales: AQE decides
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+    description=(
+        "TPC-H Q20 analog (heavy shipper = >50 units of one small-part in "
+        "1997, standing in for the availqty > half-shipped test — no "
+        "partsupp): NATION_3 suppliers qualifying for the promotion. "
+        "Nested IN chain -> broadcast semi joins; HAVING gate aggregates "
+        "before the supplier semi join"
+    ),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    heavy = (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")  # part scales: AQE decides
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -246,3 +246,40 @@ def test_repetition_ratio_stays_jvm(spark, registry):
     df = registry["text_repetition_ratio"].fn(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+
+
+def test_round6_tpch_hints_bounded_dims_only(spark, registry):
+    """The six round-6 TPC-H analogs pin broadcasts ONLY on tables
+    bounded at every SF (nation=25, region=5, 1-row scalar aggs);
+    part/supplier/lineitem joins are left to AQE."""
+    expected = {
+        "q2_min_cost_supplier": 2,  # nation + region
+        "q9_product_profit": 1,  # nation
+        # nation appears twice (the aggregated view v feeds both the
+        # threshold scalar and the main branch) + the 1-row threshold
+        "q11_important_parts": 3,
+        "q12_shipping_delay": 0,
+        "q16_parts_supplier_cnt": 0,
+        "q20_promotion_suppliers": 1,  # nation
+    }
+    for name, n in expected.items():
+        df = registry[name].fn(spark, SF_CORRECT)
+        assert _n_broadcast_hints(df) == n, name
+
+
+def test_round6_tpch_pushes_date_filters(spark, registry):
+    from strawboat_spark.plans.audit import audit
+
+    for name in ("q12_shipping_delay", "q20_promotion_suppliers"):
+        r = audit(registry[name].fn(spark, SF_CORRECT))
+        assert "l_shipdate" in " ".join(r.pushed_filters), name
+
+
+def test_q2_catalog_single_shuffle_then_rejoin(spark, registry):
+    """The derived supplier-part catalog aggregates once on
+    (partkey, suppkey); the correlated-MIN rejoin must not rescan
+    lineitem — exactly one scan of the fact table in the plan."""
+    from strawboat_spark.plans.audit import audit
+
+    r = audit(registry["q2_min_cost_supplier"].fn(spark, SF_CORRECT))
+    assert r.text.count("lineitem.parquet") == 1, r.text[:2000]
