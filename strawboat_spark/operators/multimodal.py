@@ -7,11 +7,12 @@ unchanged. Decode / feature-extract run as Arrow-batched mapInPandas
 stages. Decode is REAL — pure numpy, no external libraries — for binary PPM
 `P6` + 24-bit BMP + baseline JPEG (operators/jpeg.py, full T.81
 Huffman+IDCT) + PNG (operators/png.py, stdlib-zlib inflate +
-unfilter) images, RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video,
+unfilter) + GIF (operators/gif.py, variable-width LZW) images,
+RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video,
 each gated by an exact analytic DuckDB oracle
 (`multimodal_image_decode`, `multimodal_jpeg_decode`,
-`multimodal_png_decode`, `multimodal_wav_decode`,
-`multimodal_video_frames`). Remaining compressed formats
+`multimodal_png_decode`, `multimodal_gif_decode`,
+`multimodal_wav_decode`, `multimodal_video_frames`). Remaining compressed formats
 (MP3/H.264/...) need codec libraries this container doesn't ship:
 those paths raise a declared NotImplementedError (or a deterministic
 fake under `deterministic_fake=True`), and swapping in ffmpeg later
@@ -142,9 +143,10 @@ def _decode_bmp(payload: bytes):
 
 def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
     """Image decode: REAL for binary PPM `P6`, uncompressed 24-bit BMP,
-    baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py), and
-    PNG (operators/png.py, stdlib-zlib inflate + numpy unfilter);
-    remaining formats (WebP/GIF/TIFF/...) need an imaging library this
+    baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py),
+    PNG (operators/png.py, stdlib-zlib inflate + numpy unfilter), and
+    GIF (operators/gif.py, variable-width LZW + palettes + interlace);
+    remaining formats (WebP/TIFF/...) need an imaging library this
     container doesn't ship — they fall back to a stable pseudo-decode
     when deterministic_fake=True, else raise. The mapInPandas plumbing
     is identical either way, so swapping in PIL later only touches
@@ -161,9 +163,13 @@ def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
         from strawboat_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        from strawboat_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG decode natively; "
+            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG/GIF decode natively; "
             "other formats need an imaging library (PIL/opencv) not "
             "present in this environment; pass deterministic_fake=True "
             "to exercise the pipeline with stable fake features"

@@ -678,6 +678,56 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(6 + doc_id % 11 AS INT) AS width,
+             CAST(4 + doc_id % 8 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, CAST(width * height - 1 AS BIGINT)),
+             i -> CAST((i * 29 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
+    FROM dims ORDER BY doc_id
+    """,
+    description="REAL GIF decode (variable-width LZW + palette), exact oracle (lossless)",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF gate: executors synthesize a 256-gray-palette GIF per doc
+    (pixel i = (i*29 + doc_id) % 256) and decode it with the pure
+    numpy/stdlib GIF87a/89a parser (operators/gif.py). GIF is
+    lossless, so the oracle is the plain analytic mean, like the PNG
+    gate — but the machinery exercised is entirely different:
+    variable-width LZW entropy decode with dictionary growth, palette
+    resolution, sub-block reassembly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.gif import synthesize_gif_bytes
+    from strawboat_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_gif_bytes(int(i), 6 + int(i) % 11, 4 + int(i) % 8) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        extract_image_features(with_payload, "doc_id", "payload")
+        .select("doc_id", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "multimodal_audio_chunks",
     oracle="""
     WITH payloads AS (
