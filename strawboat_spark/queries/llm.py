@@ -1562,3 +1562,92 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         schema="doc_id long, frame_idx int, width int, height int, n_frames int, luma_mean double",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), docfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (LN((n.n + 1.0) / (docfreq.df + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf, docfreq, n WHERE tf.term = docfreq.term
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    description=(
+        "TF-IDF keyword extraction: top-3 terms per document with smoothed "
+        "idf (scikit-learn formula). df is a groupBy + skew-splittable join "
+        "on term, NOT a per-term window — stopword partitions can't be split "
+        "by AQE under a window, so the window formulation dies at corpus "
+        "scale. Deterministic tiebreak (tfidf desc, term asc)"
+    ),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.ranking import top_keywords
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_keywords(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks2 GROUP BY doc_id
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks2 WHERE term IN ('filter', 'join', 'window')
+      GROUP BY doc_id, term
+    ), docfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT qtf.doc_id,
+           ROUND(SUM(LN((n.n - docfreq.df + 0.5) / (docfreq.df + 0.5) + 1.0)
+                     * qtf.tf * 2.2
+                     / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))),
+                 4) AS score
+    FROM qtf, docfreq, dl, avgdl, n
+    WHERE qtf.term = docfreq.term AND qtf.doc_id = dl.doc_id
+    GROUP BY qtf.doc_id
+    ORDER BY score DESC, qtf.doc_id
+    LIMIT 20
+    """,
+    description=(
+        "Okapi BM25 retrieval (k1=1.2, b=0.75): top-20 documents for a "
+        "3-term query. The exploded term stream filters to the query "
+        "vocabulary BEFORE any shuffle, so the per-query df table is "
+        "bounded and broadcast; dl/avgdl come from unfiltered counts"
+    ),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.ranking import bm25
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        bm25(d, "doc_id", "text", ["filter", "join", "window"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

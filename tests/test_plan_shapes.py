@@ -283,3 +283,27 @@ def test_q2_catalog_single_shuffle_then_rejoin(spark, registry):
 
     r = audit(registry["q2_min_cost_supplier"].fn(spark, SF_CORRECT))
     assert r.text.count("lineitem.parquet") == 1, r.text[:2000]
+
+
+def test_tfidf_df_join_not_term_window(spark, registry):
+    """df-per-term must be a groupBy + join (AQE can split hot stopword
+    partitions of a skewed join); the only Window allowed is the
+    per-document top-k ranking."""
+    df = registry["text_tfidf_keywords"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 1, plan[:2000]
+    # every window spec partitions by the doc id, never by term
+    assert "windowspecdefinition(doc_id" in plan
+    assert "windowspecdefinition(term" not in plan
+    # rank<=k pushed down as WindowGroupLimit (partial top-k before the
+    # shuffle — the window twin of TakeOrderedAndProject)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+
+
+def test_bm25_no_window_and_bounded_broadcasts(spark, registry):
+    df = registry["text_bm25_search"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # query-vocabulary df + the two 1-row scalars ride broadcasts
+    assert _n_broadcast_hints(df) == 3
