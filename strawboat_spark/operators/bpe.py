@@ -1,0 +1,134 @@
+"""Distributed BPE tokenizer training + encoding (SURVEY.md §2C ⊕
+text analysis — the trainable complement to functions/text.token_count's
+whitespace proxy).
+
+Algorithm (Sennrich et al. 2016, the public BPE formulation): start
+from characters, repeatedly merge the most frequent adjacent symbol
+pair. The standard scale trick: training runs over the WORD-FREQUENCY
+table, not the corpus — pair counts are weighted by word frequency, so
+each merge round costs O(vocabulary), and the 100 TB corpus is touched
+exactly once (the word-count shuffle).
+
+Scale design:
+- one corpus-wide shuffle builds (word, freq); every training round
+  then shuffles only the vocabulary-sized symbol table.
+- pair extraction and merge application are higher-order array
+  expressions (transform / aggregate folds) — JVM-evaluated, no Python
+  worker in the loop.
+- the per-round argmax is a deterministic 1-row collect
+  (count desc, pair asc tiebreak) — the only driver round-trip.
+- each round persists the new symbol table and unpersists the old one;
+  for merge counts in the hundreds, localCheckpoint every ~16 rounds
+  would bound expression-tree depth (documented, not needed at the
+  round counts the gates use).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from strawboat_spark.functions.text import tokens
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over whitespace tokens — the one corpus-wide shuffle."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs() -> Column:
+    """array<struct<left,right>> of adjacent symbol pairs of the
+    `__sym` column (JVM-side; transform lambdas can't capture an outer
+    array column by Column object, so the name is fixed)."""
+    return F.expr(
+        "transform(slice(__sym, 1, size(__sym) - 1), "
+        "(s, i) -> struct(s AS left, element_at(__sym, i + 2) AS right))"
+    )
+
+
+def _merge_fold(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol — an aggregate() fold, JVM-evaluated. Overlaps resolve
+    left-first, matching the reference BPE behavior ('aaa' + (a,a)
+    -> ['aa', 'a'])."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l_lit) & (s == r_lit),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def chars_of(word: Column) -> Column:
+    """Initial symbol sequence: the word's characters."""
+    return F.filter(F.split(word, ""), lambda c: c != "")
+
+
+def train_bpe(wc: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Learn n_merges merge rules from a (word, freq) table.
+
+    Returns the ordered merge list. Deterministic: ties on pair count
+    break on (left, right) ascending."""
+    sym = wc.select(chars_of(F.col("word")).alias("__sym"), "freq").persist()
+    sym.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                sym.select(F.explode(_adjacent_pairs()).alias("p"), "freq")
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["n"] <= 0:
+                break
+            left, right = best[0]["left"], best[0]["right"]
+            merges.append((left, right))
+            nxt = sym.select(
+                _merge_fold(F.col("__sym"), left, right).alias("__sym"), "freq"
+            ).persist()
+            nxt.count()
+            sym.unpersist()
+            sym = nxt
+    finally:
+        sym.unpersist()
+    return merges
+
+
+def encode_bpe(df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+    """(id, n_tokens, roundtrip_ok): encode each document with the
+    learned merges and verify losslessness (symbols re-concatenate to
+    the original words). Pure array algebra — no shuffle at all; the
+    merge list rides into the plan as literals."""
+    words = F.filter(tokens(text_col), lambda w: w != "")
+
+    def _encode_word(w: Column) -> Column:
+        s = chars_of(w)
+        for left, right in merges:
+            s = _merge_fold(s, left, right)
+        return F.struct(
+            F.size(s).alias("n"), (F.concat_ws("", s) == w).alias("ok")
+        )
+
+    enc = F.transform(words, _encode_word)
+    return df.select(
+        id_col,
+        F.aggregate(enc, F.lit(0), lambda acc, e: acc + e["n"]).alias("n_tokens"),
+        F.aggregate(enc, F.lit(True), lambda acc, e: acc & e["ok"]).alias(
+            "roundtrip_ok"
+        ),
+        F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")).alias(
+            "n_chars"
+        ),
+    )

@@ -1651,3 +1651,89 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "tokenizer_bpe_train",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), positions AS (
+      SELECT word, freq,
+             unnest(generate_series(1, length(word) - 1)) AS i
+      FROM wc
+    ), pairs AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+             SUM(freq) AS n
+      FROM positions GROUP BY 1, 2
+    ), best AS (SELECT l, r FROM pairs ORDER BY n DESC, l, r LIMIT 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wc) AS n_words,
+           (SELECT l FROM best) AS first_left,
+           (SELECT r FROM best) AS first_right,
+           TRUE AS all_roundtrip_ok,
+           TRUE AS tokens_shrank
+    """,
+    description=(
+        "distributed BPE training gate (8 merges over the word-frequency "
+        "table — corpus touched once, each round costs O(vocabulary)): "
+        "merge #1 must equal the SQL argmax of weighted character-pair "
+        "counts (deterministic tiebreak); encoding every document with the "
+        "learned merges must reconcatenate losslessly and shrink the token "
+        "count — the later merges aren't SQL-replayable (greedy symbol "
+        "folds), so they're gated by these exact invariants, the "
+        "simhash-gate pattern"
+    ),
+)
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d, "text")
+    merges = train_bpe(wc, 8)
+    enc = encode_bpe(d, "doc_id", "text", merges)
+    stats = enc.agg(
+        F.min("roundtrip_ok").alias("all_roundtrip_ok"),
+        (F.sum("n_tokens") < F.sum("n_chars")).alias("tokens_shrank"),
+    )
+    nw = wc.agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        nw.join(F.broadcast(stats))
+        .select(
+            "n_words",
+            F.lit(merges[0][0]).alias("first_left"),
+            F.lit(merges[0][1]).alias("first_right"),
+            "all_roundtrip_ok",
+            "tokens_shrank",
+        )
+    )
+
+
+@query(
+    "tokenizer_bpe_encode",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS INT)
+             AS n_chars,
+           TRUE AS roundtrip_ok
+    FROM documents ORDER BY doc_id
+    """,
+    description=(
+        "BPE encoding gate, per document: lossless reconcatenation after "
+        "8 learned merges (boolean invariant) + exact non-whitespace char "
+        "count. Encoding is pure JVM array algebra — zero shuffles, zero "
+        "Python workers; the merge list rides into the plan as literals"
+    ),
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(word_counts(d, "text"), 8)
+    return (
+        encode_bpe(d, "doc_id", "text", merges)
+        .select("doc_id", "n_chars", "roundtrip_ok")
+        .orderBy("doc_id")
+    )
