@@ -1931,3 +1931,127 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u LEFT JOIN v ON v.user_id = u.user_id
+             LEFT JOIN c ON c.user_id = u.user_id
+             LEFT JOIN p ON p.user_id = u.user_id
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    description=(
+        "funnel analysis (view -> click -> purchase, strictly ordered "
+        "timestamps): users per deepest stage reached. ONE shuffle on "
+        "user_id + a JVM fold over the sorted event list runs the state "
+        "machine — the oracle's three correlated MIN subqueries would be "
+        "three fact-table joins; the fold replaces them all"
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+    zero = F.struct(
+        F.lit(None).cast("timestamp").alias("v"),
+        F.lit(None).cast("timestamp").alias("c"),
+        F.lit(None).cast("timestamp").alias("p"),
+    )
+
+    def step(acc, x):
+        is_view = (x["event_type"] == "view") & acc["v"].isNull()
+        is_click = (
+            (x["event_type"] == "click")
+            & acc["v"].isNotNull()
+            & (x["ts"] > acc["v"])
+            & acc["c"].isNull()
+        )
+        is_purchase = (
+            (x["event_type"] == "purchase")
+            & acc["c"].isNotNull()
+            & (x["ts"] > acc["c"])
+            & acc["p"].isNull()
+        )
+        return F.struct(
+            F.when(is_view, x["ts"]).otherwise(acc["v"]).alias("v"),
+            F.when(is_click, x["ts"]).otherwise(acc["c"]).alias("c"),
+            F.when(is_purchase, x["ts"]).otherwise(acc["p"]).alias("p"),
+        )
+
+    stage = F.aggregate(
+        ev,
+        zero,
+        step,
+        lambda acc: F.when(acc["p"].isNotNull(), 3)
+        .when(acc["c"].isNotNull(), 2)
+        .when(acc["v"].isNotNull(), 1)
+        .otherwise(0),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             e.user_id
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    description=(
+        "cohort retention: users grouped by first-seen day, distinct "
+        "active users at each day offset <= 7. Two shuffles (first-day "
+        "agg on user_id reused by the join under AQE, then the "
+        "cohort/offset distinct-count); all-integer arithmetic, exact"
+    ),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(firsts, "user_id")  # user-cardinality side: AQE decides
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -307,3 +307,21 @@ def test_bm25_no_window_and_bounded_broadcasts(spark, registry):
     assert "Window" not in plan
     # query-vocabulary df + the two 1-row scalars ride broadcasts
     assert _n_broadcast_hints(df) == 3
+
+
+def test_funnel_single_user_shuffle_no_join(spark, registry):
+    """The funnel state machine folds over one sorted per-user event
+    list: exactly the user_id exchange + the stage re-agg — no join
+    nodes at all (the SQL formulation needs three fact-table joins)."""
+    df = registry["events_funnel"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+
+
+def test_cohort_retention_no_forced_broadcast(spark, registry):
+    # the first-day side scales with the user count: AQE decides
+    df = registry["events_cohort_retention"].fn(spark, SF_CORRECT)
+    assert _n_broadcast_hints(df) == 0
