@@ -159,3 +159,70 @@ def enrich_stream_stream_join(
         ),
         "inner",
     )
+
+
+TOPK_OUT_SCHEMA = "user_id long, n_seen long, rank int, value double, event_id long"
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k event values via transformWithStateInPandas —
+    Spark 4's arbitrary-state API (typed ListState/ValueState in the
+    state store, TTL- and timer-capable), the successor of
+    applyInPandasWithState used by running_user_totals above.
+
+    State per user is BOUNDED (k rows + one counter) regardless of
+    stream length — the incremental top-k a batch window can't give
+    you without reprocessing. Deterministic tiebreak (value desc,
+    event_id asc). Emits the current top-k per user per microbatch
+    with n_seen as the progress stamp (update mode).
+
+    DEPENDENCY GATE: transformWithState's state-store protocol speaks
+    protobuf; this container ships no `google.protobuf`, so the parity
+    test (`test_transform_with_state_topk`) importorskips and the
+    VERIFIED stateful path in this environment remains
+    running_user_totals (applyInPandasWithState, no protobuf). On a
+    cluster with protobuf installed the test runs as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.top = handle.getListState("topk", "value double, event_id long")
+            self.seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = [tuple(t) for t in self.top.get()] if self.top.exists() else []
+            n = self.seen.get()[0] if self.seen.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                cur.extend(
+                    zip(pdf["value"].astype(float), pdf["event_id"].astype("int64"))
+                )
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:k]
+            self.top.put([(float(v), int(e)) for v, e in cur])
+            self.seen.update((int(n),))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(cur),
+                    "n_seen": [int(n)] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "value": [v for v, _ in cur],
+                    "event_id": [e for _, e in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(),
+        outputStructType=TOPK_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -286,3 +286,34 @@ def test_stream_offsets_compact(spark, tmp_path):
     legacy_start = {"seen": sorted(_os.path.basename(f) for f in first_batch)}
     legacy_delta = rdr.partitions(legacy_start, {"seen": legacy_start["seen"] + [_os.path.basename(delta[0].file)]})
     assert [_os.path.basename(p.file) for p in legacy_delta] == [_os.path.basename(delta[0].file)]
+
+
+def test_transform_with_state_topk(spark, events_dir):
+    """transformWithStateInPandas top-k: after the stream drains, each
+    user's final emission must equal the batch top-3 window (value
+    desc, event_id asc). Needs google.protobuf (the transformWithState
+    state protocol) — absent in this container, present on real
+    clusters; applyInPandasWithState covers the stateful path here."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+
+    from strawboat_spark.streaming.pipelines import top_events_per_user
+
+    stream = read_events_stream(spark, events_dir, max_files=2)
+    got = _run_to_memory(spark, top_events_per_user(stream, k=3), "t_twstate",
+                         output_mode="update")
+    final_stamp = got.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+    latest = (
+        got.join(final_stamp, ["user_id", "n_seen"])
+        .select("user_id", "rank", "value", "event_id")
+        .collect()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    batch = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "value", "event_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "value", "event_id")
+        .collect()
+    )
+    assert sorted(map(tuple, latest)) == sorted(map(tuple, batch))
