@@ -315,10 +315,12 @@ def synthesize_wav_bytes(doc_id: int, n_samples: int, sample_rate: int = 8000) -
 
 
 def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM16 parse, pure numpy: walks chunks (fmt /data, any
+    """RIFF/WAVE parse, pure numpy: walks chunks (fmt /data, any
     order, extension-tolerant), returns (sample_rate, n_samples,
     duration_sec, rms). Mono or interleaved multi-channel (RMS over
-    all channels)."""
+    all channels). Sample codings: PCM16 (format tag 1) plus the G.711
+    telephony laws — A-law (tag 6) and μ-law (tag 7), decoded through
+    operators/g711.py's exact integer arithmetic."""
     import struct as _struct
 
     import numpy as np
@@ -340,12 +342,42 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_format == 6 and bits == 8:
+        from strawboat_spark.operators.g711 import alaw_to_linear
+
+        samples = alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 7 and bits == 8:
+        from strawboat_spark.operators.g711 import ulaw_to_linear
+
+        samples = ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(
+            f"only PCM16/A-law/mu-law supported (format={audio_format}, bits={bits})"
+        )
     n_frames = len(samples) // max(n_channels, 1)
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
     return sample_rate, n_frames, round(n_frames / sample_rate, 6), round(rms, 4)
+
+
+def synthesize_g711_wav_bytes(doc_id: int, n_samples: int, law: str = "ulaw",
+                              sample_rate: int = 8000) -> bytes:
+    """Deterministic G.711 mono WAV: code byte i is ((i*7 + doc_id) % 256).
+    Decode is exact integer arithmetic, so the expected RMS is an SQL
+    formula over the same code sequence (the multimodal_g711_decode
+    oracle replicates the μ-law bit fields literally)."""
+    import struct as _struct
+
+    import numpy as np
+
+    codes = ((np.arange(n_samples, dtype=np.int64) * 7 + doc_id) % 256).astype(np.uint8)
+    data = codes.tobytes()
+    tag = 7 if law == "ulaw" else 6
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, tag, 1, sample_rate, sample_rate, 1, 8)
+    hdr += b"data" + _struct.pack("<I", len(data))
+    return hdr + data
 
 
 def synthesize_y4m_bytes(doc_id: int, width: int, height: int, n_frames: int) -> bytes:

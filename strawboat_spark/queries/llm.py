@@ -1737,3 +1737,67 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "roundtrip_ok")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_g711_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, CAST(300 + doc_id % 150 AS BIGINT) AS n_samples
+      FROM documents
+    ), decoded AS (
+      SELECT doc_id, n_samples,
+             list_transform(
+               generate_series(0, n_samples - 1),
+               i -> CAST((CASE WHEN (255 - (i * 7 + doc_id) % 256) >= 128
+                          THEN 132 - (((255 - (i * 7 + doc_id) % 256) % 16) * 8 + 132)
+                               * (1 << (((255 - (i * 7 + doc_id) % 256) // 16) % 8))
+                          ELSE (((255 - (i * 7 + doc_id) % 256) % 16) * 8 + 132)
+                               * (1 << (((255 - (i * 7 + doc_id) % 256) // 16) % 8))
+                               - 132
+                          END) AS DOUBLE)) AS samples
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           n_samples,
+           ROUND(sqrt(list_avg(list_transform(samples, s -> s * s))), 4) AS rms
+    FROM decoded ORDER BY doc_id
+    """,
+    description=(
+        "REAL G.711 mu-law decode (ITU-T telephony log-PCM, WAV format "
+        "tag 7): the oracle replicates the complement/segment/mantissa "
+        "bit arithmetic literally in SQL — exact, no tables"
+    ),
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 gate: executors synthesize μ-law WAVs (code byte i =
+    (i*7 + doc_id) % 256), decode_wav dispatches format tag 7 through
+    operators/g711.py's vectorized expansion, and DuckDB recomputes
+    every decoded sample from the bit-field formula — the decode is
+    pure integer arithmetic, so the oracle is exact to the LSB."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_g711_wav_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                wav = synthesize_g711_wav_bytes(did, 300 + did % 150, "ulaw")
+                rate, n, _dur, rms = decode_wav(wav)
+                rows.append((did, rate, n, rms))
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate", "n_samples", "rms"])
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, sample_rate int, n_samples long, rms double",
+    ).orderBy("doc_id")
