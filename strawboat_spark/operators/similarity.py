@@ -454,3 +454,168 @@ def cosine_topk_vectorized(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# --------------------------------------------------------------------------
+
+
+def _pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    seed: int,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """PQ codebook training (Jegou et al., the public PQ formulation):
+    split the unit-normalized vector into m subvectors and k-means each
+    subspace independently (L2, kmeans++ init). Same bounded one-pass
+    rand-priority sample as the IVF coarse quantizer — O(sample)
+    regardless of corpus size. Returns (m, n_codes, d/m)."""
+    rows = (
+        df.select(vec_col)
+        .withColumn("_priority", F.rand(seed))
+        .orderBy("_priority")
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for i in range(m):
+        sub = np.ascontiguousarray(x[:, i * dsub : (i + 1) * dsub])
+        k = min(n_codes, len(sub))
+        # kmeans++ seeding in the subspace
+        chosen = [int(rng.integers(len(sub)))]
+        d2 = ((sub - sub[chosen[0]]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            nxt = int(rng.choice(len(sub), p=p))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cent = sub[chosen].copy()
+        for _ in range(iters):
+            d2m = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2m.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent.round(6))
+    return np.stack(books)  # (m, n_codes, dsub)
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, books: np.ndarray) -> DataFrame:
+    """(id, codes array<int>, unit vec, norm): encode each vector to m
+    codebook indices — the 4*d-byte float vector compresses to m bytes,
+    which is what makes billion-vector indexes fit in memory. Map-side
+    Arrow-batched; no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, n_codes, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            # argmin ||s - c||^2 == argmax (s.c - ||c||^2/2)
+            scores = sub @ books[i].T - 0.5 * (books[i] ** 2).sum(axis=1)
+            codes[:, i] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    c = _with_vec_norm(df, id_col, vec_col, "neighbor_id", "cv", "cn")
+    return c.withColumn("codes", encode("cv"))
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    n_candidates: int = 100,
+    max_queries: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN with exact refinement: asymmetric-distance (ADC) scoring
+    over the compressed codes selects n_candidates per query, then the
+    ORIGINAL vectors rerank the candidates exactly for the final top-k
+    (the IVF-PQ refinement recipe).
+
+    Scale shape: codes are m bytes/vector (vs 4d float bytes), ADC is
+    a per-batch table gather (one LUT per query, built once from the
+    codebooks), each batch emits at most n_candidates rows per query —
+    the shuffle is bounded by q x n_candidates x n_partitions, never
+    |corpus|. Output schema matches cosine_topk."""
+    books = _pq_codebooks(corpus, vec_col, m, n_codes, seed)
+    coded = pq_encode(corpus, id_col, vec_col, books)
+
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col).alias("v")).limit(max_queries).collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    mm, n_c, dsub = books.shape
+    # LUT[i, q, c] = q_sub_i . codebook_i[c]  -> adc(q, x) = sum_i LUT[i, q, code_i]
+    lut = np.einsum("qid,icd->iqc", q_mat.reshape(len(q_mat), mm, dsub), books)
+
+    def adc(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (b, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            b = len(ids)
+            acc = np.zeros((b, len(q_ids)), dtype=np.float64)
+            for i in range(mm):
+                acc += lut[i][:, codes[:, i]].T  # (b, q)
+            take = min(n_candidates, b)
+            # per-query partial top within the batch bounds the shuffle
+            part = np.argpartition(-acc, take - 1, axis=0)[:take]  # (take, q)
+            qcol = np.repeat(q_ids[None, :], take, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.ravel(),
+                    "neighbor_id": ids[part].ravel(),
+                    "adc": np.round(acc[part, np.arange(len(q_ids))[None, :]].ravel(), 6),
+                }
+            )
+
+    cand = (
+        coded.select("neighbor_id", "codes")
+        .mapInPandas(adc, schema="query_id long, neighbor_id long, adc double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = cand.withColumn("r", F.row_number().over(wq)).filter(
+        F.col("r") <= n_candidates
+    ).select("query_id", "neighbor_id")
+
+    # exact rerank of the shortlist against the original vectors
+    c = _with_vec_norm(corpus, id_col, vec_col, "n_id", "cv", "cn")
+    q = _with_vec_norm(queries, id_col, vec_col, "q_id", "qv", "qn")
+    scored = (
+        shortlist.join(c, shortlist.neighbor_id == F.col("n_id"))
+        .join(broadcast(q), shortlist.query_id == F.col("q_id"))
+        .withColumn("score", F.round(_cosine("cv", "qv", "cn", "qn"), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -349,3 +349,46 @@ def test_ngram_df_cut_preserves_normal_corpus(spark):
         docs, "text", "doc_id", threshold=0.12, max_doc_freq=1 << 30
     ).collect()))
     assert capped and capped == uncapped
+
+
+def test_pq_codes_compress_and_rerank_recall(spark):
+    """PQ: codes are m small ints (the 32x memory story), encoding is
+    deterministic, and ADC shortlist + exact rerank clears 0.8
+    recall@10 on the worst-case near-random embeddings."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.similarity import (
+        _pq_codebooks,
+        cosine_topk,
+        pq_cosine_topk,
+        pq_encode,
+    )
+    from strawboat_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    books = _pq_codebooks(e, "embedding", m=8, n_codes=64, seed=42)
+    assert books.shape == (8, 64, 8)  # 64-dim vectors, 8 subspaces
+    coded = pq_encode(e, "vec_id", "embedding", books)
+    rows = coded.select("codes").limit(20).collect()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 64 for c in r.codes)
+    # deterministic: same books -> same codes
+    again = pq_encode(e, "vec_id", "embedding", books).select("neighbor_id", "codes")
+    a = {r.neighbor_id: tuple(r.codes) for r in again.collect()}
+    b = {r.neighbor_id: tuple(r.codes) for r in coded.select("neighbor_id", "codes").collect()}
+    assert a == b
+
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select("query_id", "neighbor_id")
+    approx = pq_cosine_topk(e, q, "vec_id", "embedding", k=10, m=8, n_codes=64,
+                            n_candidates=100)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"], "left")
+    recall = hits.agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r")
+    ).collect()[0][0]
+    assert recall >= 0.8, recall
