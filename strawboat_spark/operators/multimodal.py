@@ -144,9 +144,10 @@ def _decode_bmp(payload: bytes):
 def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
     """Image decode: REAL for binary PPM `P6`, uncompressed 24-bit BMP,
     baseline JPEG (pure-numpy Huffman+IDCT, operators/jpeg.py),
-    PNG (operators/png.py, stdlib-zlib inflate + numpy unfilter), and
-    GIF (operators/gif.py, variable-width LZW + palettes + interlace);
-    remaining formats (WebP/TIFF/...) need an imaging library this
+    PNG (operators/png.py, stdlib-zlib inflate + numpy unfilter),
+    GIF (operators/gif.py, variable-width LZW + palettes + interlace),
+    and TIFF (operators/tiff.py, strips + PackBits/LZW + predictor);
+    remaining formats (WebP/...) need an imaging library this
     container doesn't ship — they fall back to a stable pseudo-decode
     when deterministic_fake=True, else raise. The mapInPandas plumbing
     is identical either way, so swapping in PIL later only touches
@@ -167,9 +168,13 @@ def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
         from strawboat_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from strawboat_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG/GIF decode natively; "
+            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG/GIF/TIFF decode natively; "
             "other formats need an imaging library (PIL/opencv) not "
             "present in this environment; pass deterministic_fake=True "
             "to exercise the pipeline with stable fake features"

@@ -1844,3 +1844,58 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         schema="doc_id long, sample_rate int, n_samples long, rms double",
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 12 AS INT) AS width,
+             CAST(4 + doc_id % 9 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, CAST(width * height - 1 AS BIGINT)),
+             i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
+    FROM dims ORDER BY doc_id
+    """,
+    description=(
+        "REAL TIFF decode (strip organization, TIFF-LZW with the "
+        "early-change width schedule, horizontal-differencing predictor), "
+        "exact oracle (lossless)"
+    ),
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF gate: executors synthesize grayscale LZW+predictor-2 TIFFs
+    (pixel i = (i*31 + doc_id) % 256, two strips) and decode them with
+    the pure numpy TIFF 6.0 parser (operators/tiff.py). Lossless like
+    the PNG/GIF gates, but the machinery differs again: IFD tag walk,
+    per-strip TIFF-LZW (MSB-first bits, early change — one code
+    earlier than GIF's schedule), and the predictor undone as a row
+    cumsum."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import extract_image_features
+    from strawboat_spark.operators.tiff import synthesize_tiff_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_tiff_bytes(int(i), 5 + int(i) % 12, 4 + int(i) % 9)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        extract_image_features(with_payload, "doc_id", "payload")
+        .select("doc_id", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    )
