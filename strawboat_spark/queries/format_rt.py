@@ -636,3 +636,43 @@ def strawboat_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(files_before, stats["after"], vac["removed"], rows)],
         "files_before int, files_after int, orphans_removed bigint, rows_intact bigint",
     )
+
+
+@query(
+    "strawboat_schema_merge",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1 ORDER BY priority NULLS FIRST
+    """,
+    description=(
+        "schema evolution gate: write (key, price), append (key, price, "
+        "priority) under merge_schema, read the union — files that "
+        "predate the column null-fill it (Delta/parquet mergeSchema "
+        "semantics), proven by the hash against an oracle that nulls "
+        "the same rows analytically"
+    ),
+)
+def strawboat_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_sm_')}/orders"
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.format("strawboat").mode("overwrite").save(path)
+    new.write.format("strawboat").option("merge_schema", "true").mode("append").save(path)
+    merged = spark.read.format("strawboat").option("merge_schema", "true").load(path)
+    return (
+        merged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(F.asc_nulls_first("priority"))
+    )
