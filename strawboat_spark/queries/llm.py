@@ -1899,3 +1899,30 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "mean_intensity")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS all_positive, TRUE AS all_below_cap
+    FROM documents
+    """,
+    description=(
+        "zlib information-density signal (Gopher/RefinedWeb quality rule): "
+        "per-doc compressed/raw ratio, Arrow-batched. No SQL zlib twin, so "
+        "the gate verifies the doc count exactly plus range invariants "
+        "(every ratio in (0, 1.2]); the signal's direction is pinned by a "
+        "unit test on constructed repetitive vs random text"
+    ),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.corpus import with_compression_ratio
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = with_compression_ratio(d, "text")
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.col("zlib_ratio") > 0.0).alias("all_positive"),
+        F.min(F.col("zlib_ratio") <= 1.2).alias("all_below_cap"),
+    )

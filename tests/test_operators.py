@@ -392,3 +392,24 @@ def test_pq_codes_compress_and_rerank_recall(spark):
         (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r")
     ).collect()[0][0]
     assert recall >= 0.8, recall
+
+
+def test_compression_ratio_direction_and_range(spark):
+    """zlib ratio must rank repetitive < natural-ish < random text, and
+    stay within the gate's (0, 1.2] invariant band."""
+    from strawboat_spark.operators.corpus import with_compression_ratio
+
+    import random
+    import string
+
+    rng = random.Random(7)
+    rand_text = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(4000))
+    rep_text = "spam ham " * 500
+    nat_text = ("the quick brown fox jumps over the lazy dog and then "
+                "naps in the warm afternoon sun near the river ") * 40
+    df = spark.createDataFrame(
+        [(0, rep_text), (1, nat_text), (2, rand_text)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.zlib_ratio for r in with_compression_ratio(df, "text").collect()}
+    assert rows[0] < rows[1] < rows[2], rows
+    assert all(0 < v <= 1.2 for v in rows.values())
