@@ -25,6 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -132,3 +133,61 @@ def encode_bpe(df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str
             "n_chars"
         ),
     )
+
+
+def encode_bpe_pandas(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Arrow-batched twin of encode_bpe for PRODUCTION merge counts:
+    the fold form compiles one nested aggregate per merge (fine at the
+    tens-of-merges the gates use; a 32k-merge vocabulary would blow up
+    the expression tree), while this applies the merge list with a
+    rank dict per batch — same greedy left-first semantics, verified
+    by a parity test. Output schema matches encode_bpe."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _encode_word(word: str) -> list[str]:
+        sym = list(word)
+        # repeatedly apply the lowest-rank applicable merge (Sennrich's
+        # reference order: merge priority = learning order)
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pair = (sym[best_i], sym[best_i + 1])
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    @pandas_udf("struct<n_tokens: int, roundtrip_ok: boolean, n_chars: int>")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        n_toks, oks, n_chars = [], [], []
+        for t in texts:
+            words = (t or "").lower().strip().split()
+            total, ok, chars = 0, True, 0
+            for w in words:
+                sym = _encode_word(w)
+                total += len(sym)
+                ok = ok and ("".join(sym) == w)
+                chars += len(w)
+            n_toks.append(total)
+            oks.append(ok)
+            n_chars.append(chars)
+        return pd.DataFrame({"n_tokens": n_toks, "roundtrip_ok": oks, "n_chars": n_chars})
+
+    e = df.select(F.col(id_col), encode(F.col(text_col)).alias("e"))
+    return e.select(id_col, "e.n_tokens", "e.roundtrip_ok", "e.n_chars")

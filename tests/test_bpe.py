@@ -77,3 +77,20 @@ def test_encode_plan_is_all_jvm(spark):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
     assert "Exchange" not in plan  # encoding is narrow: zero shuffles
+
+
+def test_pandas_encoder_matches_fold_encoder(spark):
+    """The Arrow-batched production encoder and the JVM fold encoder
+    must agree exactly — including on texts where merge ORDER matters
+    (a later merge consuming the output of an earlier one)."""
+    from strawboat_spark.operators.bpe import encode_bpe_pandas
+
+    texts = ["low lower lowest", "newest low wide", "aaaa aaa a",
+             "spark engine strawboat", ""]
+    df = _df(spark, texts)
+    merges = train_bpe(word_counts(df, "text"), 8)
+    fold = {r.doc_id: (r.n_tokens, r.roundtrip_ok, r.n_chars)
+            for r in encode_bpe(df, "doc_id", "text", merges).collect()}
+    arrow = {r.doc_id: (r.n_tokens, r.roundtrip_ok, r.n_chars)
+             for r in encode_bpe_pandas(df, "doc_id", "text", merges).collect()}
+    assert fold == arrow, (fold, arrow)
