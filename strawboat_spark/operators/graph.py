@@ -1,0 +1,87 @@
+"""Iterative graph algorithms over derived edge tables (SURVEY.md §2C
+⊕ — joins operators/dedup.py's connected components).
+
+PageRank here runs in EXACT integer fixed-point arithmetic
+(micro-units of SCALE = 1e12): every per-iteration quantity is a
+bigint produced by integer division, so the distributed computation
+is bit-reproducible and a SQL oracle can replay the iterations as
+chained CTEs — the hash-match treatment usually impossible for
+float iterative algorithms (summation order would drift the
+low bits; integer sums are exact under any order).
+
+Scale shape per iteration: one shuffle (contributions grouped by
+destination) + a 1-row dangling-mass aggregate broadcast; ranks
+persist each round and unpersist the previous (the classic
+distributed PageRank loop). Driver traffic per round is zero rows —
+the dangling scalar stays in the plan as a broadcast cross join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+SCALE = 1_000_000_000_000  # integer micro-units: 1.0 of rank mass
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,  # (node bigint)
+    edges: DataFrame,  # (src bigint, dst bigint), deduplicated
+    n_iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank) after n_iterations of damped PageRank in integer
+    fixed point. rank_0 = SCALE div N; each round:
+
+        share(u)   = rank(u) div outdeg(u)          (u with out-edges)
+        dang       = sum(rank(u) : outdeg(u) = 0) div N
+        rank'(v)   = ((100-d) * (SCALE div N)) div 100
+                   + (d * (sum_in(v) + dang)) div 100
+
+    All divisions are integer `div` on non-negative bigints, so Spark
+    and any SQL engine agree exactly."""
+    n_nodes = nodes.count()  # bounded scalar: the graph's node count
+    base = SCALE // n_nodes
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("rank")).persist()
+    ranks.count()
+    for _ in range(n_iterations):
+        with_deg = ranks.join(outdeg, ranks.node == F.col("od_node"), "left").select(
+            "node", "rank", "outdeg"
+        )
+        dang = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang_total")
+        )
+        contribs = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(edges, F.col("node") == edges.src)
+            .select(
+                F.col("dst").alias("in_node"),
+                F.expr("rank div outdeg").alias("share"),
+            )
+            .groupBy("in_node")
+            .agg(F.sum("share").alias("sum_in"))
+        )
+        nxt = (
+            ranks.select("node")
+            .join(contribs, F.col("node") == F.col("in_node"), "left")
+            .join(broadcast(dang))  # 1-row scalar
+            .select(
+                "node",
+                (
+                    F.lit((100 - damping_pct) * base // 100).cast("bigint")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(sum_in, 0)"
+                        f" + (__dang_total div {n_nodes}))) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    return ranks

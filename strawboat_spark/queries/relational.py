@@ -2055,3 +2055,84 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def _pagerank_oracle(n_iterations: int = 3) -> str:
+    """Chained-CTE replay of the integer fixed-point PageRank — built
+    programmatically so the three iterations can't drift apart."""
+    scale = 1_000_000_000_000
+    parts = [
+        """
+    WITH nodes AS (
+      SELECT 2 * c_custkey AS node FROM customer
+      UNION ALL SELECT 2 * s_suppkey + 1 FROM supplier
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, ({scale} // nn.n) AS rank FROM nodes, nn)
+    """.format(scale=scale)
+    ]
+    for k in range(1, n_iterations + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            """
+    , d{k} AS (
+      SELECT COALESCE(SUM(rank), 0) AS dang
+      FROM {prev} LEFT JOIN outdeg ON {prev}.node = outdeg.src
+      WHERE outdeg.outdeg IS NULL
+    ), c{k} AS (
+      SELECT edges.dst AS node, SUM({prev}.rank // outdeg.outdeg) AS sum_in
+      FROM {prev}
+      JOIN outdeg ON {prev}.node = outdeg.src
+      JOIN edges ON edges.src = {prev}.node
+      GROUP BY edges.dst
+    ), r{k} AS (
+      SELECT {prev}.node,
+             (15 * ({scale} // nn.n)) // 100
+             + (85 * (COALESCE(c{k}.sum_in, 0) + (d{k}.dang // nn.n))) // 100
+               AS rank
+      FROM {prev} LEFT JOIN c{k} ON c{k}.node = {prev}.node, d{k}, nn
+    )""".format(k=k, prev=prev, scale=scale)
+        )
+    parts.append(
+        f"""
+    SELECT node, rank FROM r{n_iterations}
+    ORDER BY rank DESC, node LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(3),
+    description=(
+        "damped PageRank over the customer->supplier purchase graph, 3 "
+        "iterations in EXACT integer fixed point (bigint micro-units, "
+        "integer division everywhere) — summation order can't drift the "
+        "result, so an iterative distributed algorithm hash-matches a "
+        "chained-CTE SQL replay; one shuffle per iteration, dangling "
+        "mass as a 1-row broadcast scalar"
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.graph import pagerank_fixed_point
+
+    c = _t(spark, sf_dir, "customer").select((2 * F.col("c_custkey")).alias("node"))
+    s = _t(spark, sf_dir, "supplier").select((2 * F.col("s_suppkey") + 1).alias("node"))
+    nodes = c.unionAll(s)
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed_point(nodes, edges, n_iterations=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)

@@ -413,3 +413,25 @@ def test_compression_ratio_direction_and_range(spark):
     rows = {r.doc_id: r.zlib_ratio for r in with_compression_ratio(df, "text").collect()}
     assert rows[0] < rows[1] < rows[2], rows
     assert all(0 < v <= 1.2 for v in rows.values())
+
+
+def test_pagerank_fixed_point_mass_and_determinism(spark):
+    """Integer fixed-point PageRank: total rank mass stays within
+    integer-division rounding loss of SCALE, reruns are bit-identical,
+    and a sink-heavy graph concentrates rank on the sink."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.graph import SCALE, pagerank_fixed_point
+
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    # star: 0..4 all point at 5 (5 dangles)
+    edges = spark.range(5).select(F.col("id").alias("src"), F.lit(5).alias("dst"))
+    r = pagerank_fixed_point(nodes, edges, n_iterations=3)
+    rows = {x.node: x.rank for x in r.collect()}
+    total = sum(rows.values())
+    # each div floors: loss bounded by (participants per round) x rounds
+    assert SCALE - 6 * 4 * 3 <= total <= SCALE
+    assert rows[5] == max(rows.values())  # the sink collects the mass
+    again = {x.node: x.rank for x in
+             pagerank_fixed_point(nodes, edges, n_iterations=3).collect()}
+    assert rows == again
