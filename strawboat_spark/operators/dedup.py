@@ -394,3 +394,111 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
             F.lit(1).cast("bigint") * (1 << i) if i < 63 else F.lit(-(1 << 63)),
         ).otherwise(F.lit(0))
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def remove_duplicate_substrings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30
+) -> DataFrame:
+    """Exact-substring deduplication (the Lee-et-al. "Deduplicating
+    Training Data Makes Language Models Better" treatment, char-gram
+    formulation): every length-k character substring that occurs more
+    than once ANYWHERE in the corpus is cut from every document; the
+    overlapping cut spans merge per document (gaps-and-islands) before
+    splicing the survivors back together.
+
+    Returns (id, n_spans, removed_chars, kept_len, kept_hash, kept) —
+    everything downstream of the gram table is exact integer/string
+    algebra a SQL oracle replicates verbatim (kept_hash = md5 of the
+    spliced text).
+
+    Scale shape: the gram explode is |total_chars| rows — the inherent
+    cost of the algorithm (a suffix array pays the same linear space);
+    rows carry (id, pos, gram) and shuffle ONCE on the gram for the
+    duplicate test (at 100 TB you'd shuffle an 8-byte xxhash64 of the
+    gram instead of the k bytes — same plan shape, noted here because
+    the exact-oracle gate needs the literal gram). Span merge is one
+    window over (id, pos); the splice is a JVM sort+fold. No Python
+    anywhere."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    grams = df.select(
+        F.col(id_col),
+        t.alias("__text"),
+        F.explode(
+            # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so
+            # docs shorter than k must short-circuit to no grams
+            F.when(
+                F.length(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"), F.substring(t, i, k).alias("g")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        ).alias("pg"),
+    ).select(id_col, "__text", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") > 1)
+    spans = grams.join(dup.select("g"), "g").select(
+        id_col, "__text", F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
+    )
+    # gaps-and-islands: a new island starts when this span begins after
+    # every previous span has ended (strictly: touching spans merge)
+    w = Window.partitionBy(id_col).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = spans.withColumn(
+        "brk", F.when(F.col("s") > F.coalesce(F.max("e").over(w), F.lit(0)), 1).otherwise(0)
+    )
+    wi = Window.partitionBy(id_col).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("brk").over(wi))
+        .groupBy(id_col, "__text", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # splice: sort islands, emit the text between consecutive islands
+    per_doc = merged.groupBy(id_col, "__text").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("islands")
+    )
+    cut = F.aggregate(
+        F.col("islands"),
+        F.struct(F.lit("").alias("kept"), F.lit(1).alias("cursor")),
+        lambda acc, isl: F.struct(
+            F.concat(
+                acc["kept"],
+                F.substring(
+                    F.col("__text"), acc["cursor"], isl["s"] - acc["cursor"]
+                ),
+            ).alias("kept"),
+            isl["e"].alias("cursor"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"],
+            F.col("__text").substr(acc["cursor"], F.length("__text")),
+        ),
+    )
+    deduped = per_doc.select(
+        id_col,
+        F.size("islands").alias("n_spans"),
+        F.aggregate(
+            "islands", F.lit(0), lambda a, i: a + (i["e"] - i["s"])
+        ).alias("removed_chars"),
+        cut.alias("kept"),
+    )
+    untouched = df.join(per_doc.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(0).alias("n_spans"),
+        F.lit(0).alias("removed_chars"),
+        t.alias("kept"),
+    )
+    return deduped.unionByName(untouched).select(
+        id_col,
+        "n_spans",
+        "removed_chars",
+        F.length("kept").alias("kept_len"),
+        F.md5("kept").alias("kept_hash"),
+        "kept",
+    )

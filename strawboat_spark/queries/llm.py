@@ -1926,3 +1926,79 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("zlib_ratio") > 0.0).alias("all_positive"),
         F.min(F.col("zlib_ratio") <= 1.2).alias("all_below_cap"),
     )
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 29, 0))) AS pos
+      FROM documents
+    ), g2 AS (SELECT doc_id, text, pos, substr(text, pos, 30) AS g FROM grams),
+    dup AS (SELECT g FROM g2 GROUP BY g HAVING COUNT(*) > 1),
+    spans AS (
+      SELECT doc_id, text, pos AS s, pos + 30 AS e FROM g2 JOIN dup USING (g)
+    ), flagged AS (
+      SELECT doc_id, text, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ), islands AS (
+      SELECT doc_id, text, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ), merged AS (
+      SELECT doc_id, text, island, MIN(s) AS s, MAX(e) AS e
+      FROM islands GROUP BY doc_id, text, island
+    ), pieces AS (
+      SELECT doc_id, s,
+             substr(text,
+                    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1),
+                    s - COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1))
+               AS piece
+      FROM merged
+      UNION ALL
+      SELECT doc_id, 2147483647 AS s, substr(text, MAX(e)) AS piece
+      FROM merged GROUP BY doc_id, text
+    ), spliced AS (
+      SELECT doc_id, STRING_AGG(piece, '' ORDER BY s) AS kept FROM pieces
+      GROUP BY doc_id
+    ), stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+             CAST(SUM(e - s) AS INT) AS removed_chars
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(st.n_spans, 0) AS n_spans,
+           COALESCE(st.removed_chars, 0) AS removed_chars,
+           CAST(length(COALESCE(sp.kept, d.text)) AS INT) AS kept_len,
+           md5(COALESCE(sp.kept, d.text)) AS kept_hash
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN spliced sp USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    description=(
+        "exact-substring dedup (Lee et al. treatment, char-30-gram "
+        "formulation): every substring occurring twice anywhere in the "
+        "corpus is cut from every document, overlapping cuts merged "
+        "(gaps-and-islands) before splicing — the spliced text is "
+        "hash-verified per document (md5) against the full SQL replay; "
+        "one corpus shuffle on the gram, one window per doc, JVM fold "
+        "splice, no Python"
+    ),
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import remove_duplicate_substrings
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        remove_duplicate_substrings(d, "doc_id", "text", k=30)
+        .select("doc_id", "n_spans", "removed_chars", "kept_len", "kept_hash")
+        .orderBy("doc_id")
+    )

@@ -435,3 +435,55 @@ def test_pagerank_fixed_point_mass_and_determinism(spark):
     again = {x.node: x.rank for x in
              pagerank_fixed_point(nodes, edges, n_iterations=3).collect()}
     assert rows == again
+
+
+def test_exact_substring_dedup_matches_reference(spark):
+    """remove_duplicate_substrings vs a plain-python Lee-et-al.
+    reference: span counts, removed chars, and the spliced text itself
+    — including overlap merging, a doc shorter than k, and a doc with
+    an internal repeat."""
+    from collections import Counter
+
+    from strawboat_spark.operators.dedup import remove_duplicate_substrings
+
+    docs = {
+        0: "abcdefghij",
+        1: "abcdeXYZabcde",        # cross-doc + internal repeat
+        2: "unique string here",   # untouched
+        3: "tiny",                 # shorter than k
+        4: "XYZab",                # no duplicated 5-gram
+    }
+    k = 5
+
+    def ref():
+        grams = Counter()
+        for t in docs.values():
+            for i in range(len(t) - k + 1):
+                grams[t[i : i + k]] += 1
+        out = {}
+        for d, t in docs.items():
+            spans = [
+                (i, i + k)
+                for i in range(max(len(t) - k + 1, 0))
+                if grams[t[i : i + k]] > 1
+            ]
+            merged = []
+            for s, e in spans:
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            kept, cur = "", 0
+            for s, e in merged:
+                kept += t[cur:s]
+                cur = e
+            kept += t[cur:]
+            out[d] = (len(merged), sum(e - s for s, e in merged), kept)
+        return out
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.removed_chars, r.kept)
+        for r in remove_duplicate_substrings(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == ref(), (got, ref())
