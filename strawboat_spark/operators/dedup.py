@@ -422,9 +422,11 @@ def remove_duplicate_substrings(
     from pyspark.sql import Window
 
     t = F.col(text_col)
+    # grams carry ONLY (id, pos, gram) — the document text must not ride
+    # the per-gram rows (that would shuffle O(len^2) bytes per doc); it
+    # rejoins once per doc after the islands merge.
     grams = df.select(
         F.col(id_col),
-        t.alias("__text"),
         F.explode(
             # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so
             # docs shorter than k must short-circuit to no grams
@@ -438,10 +440,10 @@ def remove_duplicate_substrings(
                 ),
             ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
         ).alias("pg"),
-    ).select(id_col, "__text", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
     dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") > 1)
     spans = grams.join(dup.select("g"), "g").select(
-        id_col, "__text", F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
+        id_col, F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
     )
     # gaps-and-islands: a new island starts when this span begins after
     # every previous span has ended (strictly: touching spans merge)
@@ -456,13 +458,14 @@ def remove_duplicate_substrings(
     )
     merged = (
         flagged.withColumn("island", F.sum("brk").over(wi))
-        .groupBy(id_col, "__text", "island")
+        .groupBy(id_col, "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
     )
-    # splice: sort islands, emit the text between consecutive islands
-    per_doc = merged.groupBy(id_col, "__text").agg(
+    # splice: sort islands, emit the text between consecutive islands;
+    # the text joins back here — once per affected doc
+    per_doc = merged.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("islands")
-    )
+    ).join(df.select(id_col, t.alias("__text")), id_col)
     cut = F.aggregate(
         F.col("islands"),
         F.struct(F.lit("").alias("kept"), F.lit(1).alias("cursor")),

@@ -176,13 +176,16 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _deinterlace(rows: np.ndarray) -> np.ndarray:
-    h = rows.shape[0]
+def _interlace_order(h: int) -> np.ndarray:
     order = []
     for start, step in _INTERLACE_PASSES:
         order.extend(range(start, h, step))
+    return np.asarray(order, dtype=np.int64)
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
     out = np.empty_like(rows)
-    out[np.asarray(order, dtype=np.int64)] = rows
+    out[_interlace_order(rows.shape[0])] = rows
     return out
 
 
@@ -203,10 +206,7 @@ def encode_gif(
     out += palette.astype(np.uint8).tobytes()
     rows = indices
     if interlace:
-        order = []
-        for start, step in _INTERLACE_PASSES:
-            order.extend(range(start, h, step))
-        rows = indices[np.asarray(order, dtype=np.int64)]
+        rows = indices[_interlace_order(h)]
     out += bytes((_IMAGE_SEP,))
     out += struct.pack("<HHHH", 0, 0, w, h)
     out += bytes((0x40 if interlace else 0,))

@@ -43,9 +43,14 @@ def pagerank_fixed_point(
     and any SQL engine agree exactly."""
     n_nodes = nodes.count()  # bounded scalar: the graph's node count
     base = SCALE // n_nodes
+    # edges and outdeg are re-read every iteration (contribs + dangling
+    # test x n_iterations); without persistence the caller's edge
+    # lineage — often a fact-table join + distinct — would re-execute
+    # up to 2 x n_iterations times.
+    edges = edges.persist()
     outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).persist()
     ranks = nodes.select("node", F.lit(base).cast("bigint").alias("rank")).persist()
     ranks.count()
     for _ in range(n_iterations):
@@ -84,4 +89,7 @@ def pagerank_fixed_point(
         nxt.count()
         ranks.unpersist()
         ranks = nxt
+    # ranks is materialized (count above), so the inputs can release
+    edges.unpersist()
+    outdeg.unpersist()
     return ranks
