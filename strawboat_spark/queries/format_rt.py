@@ -676,3 +676,32 @@ def strawboat_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("priority"))
     )
+
+
+@query(
+    "strawboat_metadata_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders
+    FROM lineitem
+    """,
+    description=(
+        "metadata-only COUNT(*): Table.count_rows sums footer num_rows "
+        "per committed file — zero data pages read (the parquet "
+        "metadata-count optimization), hash-checked against SQL COUNT(*)"
+    ),
+)
+def strawboat_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="strawboat_mc_")
+    counts = {}
+    for t in ("lineitem", "orders"):
+        path = f"{base}/{t}"
+        load_table(spark, sf_dir, t).write.format("strawboat").mode("overwrite").save(path)
+        counts[t] = Table(spark, path).count_rows()
+    return spark.createDataFrame(
+        [(counts["lineitem"], counts["orders"])], "n_lineitem long, n_orders long"
+    )

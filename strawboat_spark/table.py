@@ -48,6 +48,17 @@ class Table:
             rd = rd.option("with_file_path", "true")
         return rd.load(self.path)
 
+    def count_rows(self, at_generation: int | None = None) -> int:
+        """Metadata-only COUNT(*): sums each committed file's footer
+        num_rows — no data pages are read (the parquet metadata-count
+        optimization; footers come from the manifest cache when one
+        exists, so a warm count touches no file at all). Exactness is
+        gated by `strawboat_metadata_count` against SQL COUNT(*)."""
+        from strawboat_spark.sources.datasource import _cached_footer, _list_files
+
+        files = _list_files(self.path, at_generation)
+        return sum(_cached_footer(f)[1].num_rows for f in files)
+
     def history(self) -> list[dict]:
         from strawboat_spark.sources.datasource import list_generations
 

@@ -377,3 +377,23 @@ def test_vacuum_and_manifest_ops_on_memory_scheme(registered):
     n_head = read_manifest(root)["entries"]
     assert len(n_head) == 1 and rows in (2, src.count())  # the surviving file's rows
     _MEMORY.clear()
+
+
+def test_count_rows_is_metadata_only_and_generation_aware(spark, tmp_path):
+    """Table.count_rows sums footer num_rows — exact against df.count(),
+    per-generation under time travel, and correct across append/delete."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    t = Table(spark, path)
+    t.overwrite(df)
+    assert t.count_rows() == 100
+    t.append(spark.range(100, 150).select(F.col("id"), (F.col("id") % 7).alias("k")))
+    assert t.count_rows() == 150
+    gens = [g["generation"] for g in t.history()]
+    assert t.count_rows(at_generation=min(gens)) == 100
+    t.delete("k = 0")
+    assert t.count_rows() == t.read().count()
