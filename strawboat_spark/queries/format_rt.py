@@ -705,3 +705,50 @@ def strawboat_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(counts["lineitem"], counts["orders"])], "n_lineitem long, n_orders long"
     )
+
+
+@query(
+    "strawboat_change_feed",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY change_type
+    """,
+    description=(
+        "change data feed gate (Delta CDF analog): seed even orders, "
+        "append odd orders, DELETE even 'F' rows, then changes(gen1) must "
+        "report exactly the appended rows as inserts and the deleted rows "
+        "as deletes — file-pruned via the generation manifests, "
+        "hash-matched against the analytic replay"
+    ),
+)
+def strawboat_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_cf_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, path)
+    t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0))  # generation 1
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))  # generation 2
+    t.delete("o_orderkey % 2 = 0 AND o_orderstatus = 'F'")  # generation 3
+    return (
+        t.changes(1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("change_type")
+    )

@@ -397,3 +397,55 @@ def test_count_rows_is_metadata_only_and_generation_aware(spark, tmp_path):
     assert t.count_rows(at_generation=min(gens)) == 100
     t.delete("k = 0")
     assert t.count_rows() == t.read().count()
+
+
+def test_changes_feed_is_file_pruned_and_net(spark, tmp_path):
+    """Table.changes: net row diffs between generations with EXCEPT ALL
+    semantics — appends show as inserts, deletes as deletes, COW
+    rewrites of untouched rows cancel, compact yields an empty feed,
+    and only the differing files are scanned."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import read_manifest, read_manifest_at
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(20).select(F.col("id"), (F.col("id") % 4).alias("k")))
+    t.append(spark.range(20, 25).select(F.col("id"), (F.col("id") % 4).alias("k")))
+    t.delete("k = 0")
+    ch = t.changes(1)
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == (
+        {(i, "insert") for i in (21, 22, 23)}
+        | {(i, "delete") for i in (0, 4, 8, 12, 16)}
+    )
+    # duplicate rows: EXCEPT ALL keeps multiset counts
+    t2 = Table(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.range(1).select(F.lit(7).alias("v")))
+    t2.append(spark.range(2).select(F.lit(7).alias("v")))  # two more copies
+    counts = t2.changes(1).groupBy("_change_type").count().collect()
+    assert {(r["_change_type"], r["count"]) for r in counts} == {("insert", 2)}
+    # compact: rewrite without row changes -> empty feed
+    pre = t.history()[-1]["generation"]
+    t.compact()
+    assert t.changes(pre).count() == 0
+    # file pruning: the pure-append diff (gen1 -> gen2) scans ONLY the
+    # appended files on the insert side
+    man1 = read_manifest_at(path, 1)
+    man2 = read_manifest_at(path, 2)
+    added = {e["path"] for e in man2["entries"]} - {e["path"] for e in man1["entries"]}
+    feed = t.changes(1, 2)
+    assert feed.filter("_change_type = 'insert'").count() == 5
+    # the insert side reads exactly the added files, nothing else
+    rows = feed.count()
+    per_file = (
+        spark.read.format("strawboat")
+        .option("at_generation", "2")
+        .option("files", json.dumps(sorted(added)))
+        .load(path)
+        .count()
+    )
+    assert rows == per_file == 5
