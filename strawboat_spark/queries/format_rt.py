@@ -752,3 +752,45 @@ def strawboat_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "strawboat_constraints",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS bad_append_rejected,
+           TRUE AS table_unchanged
+    FROM orders WHERE o_totalprice > 0
+    """,
+    description=(
+        "CHECK constraint gate: add `o_totalprice > 0` (holds for the "
+        "seed), then a violating append must be rejected atomically — "
+        "the row count afterwards equals the valid seed exactly"
+    ),
+)
+def strawboat_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_ck_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = Table(spark, path)
+    t.overwrite(o.filter(F.col("o_totalprice") > 0))
+    n_before = t.count_rows()
+    t.add_constraint("price_positive", "o_totalprice > 0")
+    rejected = False
+    try:
+        t.append(
+            spark.range(5).select(
+                F.col("id").alias("o_orderkey"),
+                F.lit(-1.0).alias("o_totalprice"),
+            )
+        )
+    except ValueError:
+        rejected = True
+    n = t.count_rows()
+    return spark.createDataFrame(
+        [(n, rejected, n == n_before)],
+        "n_rows long, bad_append_rejected boolean, table_unchanged boolean",
+    )

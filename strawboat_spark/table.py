@@ -111,8 +111,70 @@ class Table:
 
         return list_generations(self.path)
 
+    # -- constraints -------------------------------------------------------
+    _CONSTRAINTS_FILE = "_strawboat_constraints.json"
+
+    def constraints(self) -> dict[str, str]:
+        """name -> SQL boolean expression, enforced on every facade
+        write (append/overwrite/merge source). Stored beside the
+        manifests through the fileio seam, so object-store tables carry
+        them too. Raw `df.write.format("strawboat")` bypasses the
+        facade and therefore the checks — the same escape hatch as
+        writing files straight into a Delta directory."""
+        import json
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        f = f"{self.path}/{self._CONSTRAINTS_FILE}"
+        if not fs.exists(f):
+            return {}
+        with fs.open_read(f) as fh:
+            return json.loads(fh.read().decode())
+
+    def add_constraint(self, name: str, expression: str) -> None:
+        """CHECK constraint: `expression` must hold for every row of
+        every future facade write. The CURRENT table must satisfy it
+        too (Delta's ADD CONSTRAINT semantics)."""
+        self._check_rows(self.read(), {name: expression})
+        cons = self.constraints()
+        cons[name] = expression
+        self._save_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        self._save_constraints(cons)
+
+    def _save_constraints(self, cons: dict[str, str]) -> None:
+        import json
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        with fs.create(f"{self.path}/{self._CONSTRAINTS_FILE}") as fh:
+            fh.write(json.dumps(cons, sort_keys=True).encode())
+
+    @staticmethod
+    def _check_rows(df: DataFrame, cons: dict[str, str]) -> None:
+        import pyspark.sql.functions as F
+
+        for name, expr in cons.items():
+            # violation = expression NOT satisfied (null counts as a
+            # violation, matching Delta CHECK semantics)
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+            if bad.count() > 0:
+                row = bad.collect()[0]
+                raise ValueError(
+                    f"strawboat: CHECK constraint {name!r} ({expr}) "
+                    f"violated, e.g. by row {row.asDict()!r}"
+                )
+
     # -- writes -----------------------------------------------------------
     def _write(self, df: DataFrame, mode: str, **options) -> None:
+        cons = self.constraints()
+        if cons:
+            self._check_rows(df, cons)
         w = df.write.format("strawboat").mode(mode)
         for k, v in options.items():
             w = w.option(k, v)
@@ -138,6 +200,9 @@ class Table:
     def merge(self, source: DataFrame, on: list[str]) -> dict:
         from strawboat_spark.sources.maintenance import merge_upsert
 
+        cons = self.constraints()
+        if cons:
+            self._check_rows(source, cons)
         return merge_upsert(self.spark, self.path, source, on)
 
     # -- maintenance ------------------------------------------------------

@@ -449,3 +449,44 @@ def test_changes_feed_is_file_pruned_and_net(spark, tmp_path):
         .count()
     )
     assert rows == per_file == 5
+
+
+def test_check_constraints_enforced_on_facade_writes(spark, tmp_path):
+    """CHECK constraints: stored beside the manifests, enforced on
+    append/overwrite/merge (nulls violate, as in Delta); adding a
+    constraint the current data violates is rejected; dropping
+    re-opens the gate."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.add_constraint("v_nonneg", "v >= 0")
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+
+    t.append(spark.range(10, 12).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    bad = spark.range(2).select(F.col("id"), F.lit(-5).cast("bigint").alias("v"))
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.append(bad)
+    assert t.count_rows() == 12  # the rejected write left nothing behind
+
+    # nulls violate CHECK (Delta semantics)
+    nullv = spark.range(1).select(F.col("id"), F.lit(None).cast("bigint").alias("v"))
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.append(nullv)
+
+    # a constraint the CURRENT data violates cannot be added
+    with _pytest.raises(ValueError, match="impossible"):
+        t.add_constraint("impossible", "v > 100")
+    assert "impossible" not in t.constraints()
+
+    # merge sources are checked too
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.merge(bad, on=["id"])
+
+    t.drop_constraint("v_nonneg")
+    t.append(bad)  # allowed once dropped
+    assert t.count_rows() == 14
