@@ -223,6 +223,8 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
     """Decode the first frame to an (h, w, 3) uint8 RGB array."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
     pos = 13

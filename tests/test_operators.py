@@ -226,14 +226,16 @@ def test_image_decoders_pure_numpy():
     gw, gh, mean = _decode_image_bytes(bytes(img), False)
     assert (gw, gh, mean) == (bw, bh, 100.0)
 
-    # unknown format still raises without the fake; a corrupt PNG now
-    # reaches the REAL decoder and must fail loudly, not fake-decode
+    # unknown format still raises without the fake; corrupt PNG/GIF now
+    # reach the REAL decoders and must fail loudly, not fake-decode
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        _decode_image_bytes(b"GIF89a....", deterministic_fake=False)
+        _decode_image_bytes(b"RIFF....WEBP", deterministic_fake=False)
     with _pytest.raises(ValueError):
         _decode_image_bytes(b"\x89PNG....", deterministic_fake=False)
+    with _pytest.raises(ValueError):
+        _decode_image_bytes(b"GIF89a....", deterministic_fake=False)
 
 
 def test_wav_decoder_pure_numpy():
