@@ -794,3 +794,42 @@ def strawboat_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, rejected, n == n_before)],
         "n_rows long, bad_append_rejected boolean, table_unchanged boolean",
     )
+
+
+@query(
+    "strawboat_mor_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 3 = 0 AND o_orderstatus = 'O')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "merge-on-read DELETE gate: deletion vectors recorded in the "
+        "manifest (zero data files rewritten), subtracted at decode time "
+        "— the post-delete aggregate hash-matches the analytic replay"
+    ),
+)
+def strawboat_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_mor_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, path)
+    t.overwrite(o)
+    t.delete("o_orderkey % 3 = 0 AND o_orderstatus = 'O'", mode="mor")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -160,6 +160,11 @@ class _Stripe(InputPartition):
     # mutable reader state (the upstream plan-cache issue in the module
     # docstring makes reader-held state untrustworthy across plans).
     filters: tuple = ()
+    # Merge-on-read deletion vector: PHYSICAL row ordinals (file-wide,
+    # pre-deletion numbering) falling inside this stripe's page range,
+    # sorted. Rows at these ordinals are dropped at decode time.
+    deletes: tuple = ()
+    row_start: int = 0  # file-wide ordinal of the stripe's first row
 
 
 @dataclass
@@ -549,6 +554,11 @@ class StrawboatDataSource(DataSource):
             # This is what lets DELETE/UPDATE find affected files in
             # ONE distributed, stats-pruned scan (maintenance.py).
             schema = schema.add("_strawboat_file", StringType())
+        if self.options.get("with_row_pos", "").lower() == "true":
+            # Physical row ordinal within the file (pre-deletion
+            # numbering — stable across merge-on-read deletes), the
+            # _metadata.row_index analog; what MOR DELETE records.
+            schema = schema.add("_strawboat_pos", LongType())
         # Projection pushdown at the API level: the Python DataSource API
         # (4.1) has no column-pruning hook Catalyst could call, so the
         # projection is an explicit read option — `columns=a,b` narrows
@@ -594,6 +604,24 @@ def _at_generation(options) -> int | None:
     vacuum()/compact() reclaim them)."""
     v = options.get("at_generation", "").strip() if hasattr(options, "get") else ""
     return int(v) if v else None
+
+
+def _deletes_by_rel(root: str, at_generation: int | None) -> dict:
+    """Per-file merge-on-read deletion vectors from the generation's
+    manifest: {relative path: sorted tuple of physical row ordinals}.
+    Tables without a manifest (legacy directories) have none."""
+    man = (
+        read_manifest_at(root, at_generation)
+        if at_generation is not None
+        else read_manifest(root)
+    )
+    if man is None:
+        return {}
+    return {
+        os.path.join(root, e["path"]): tuple(e["deletes"])
+        for e in man.get("entries", ())
+        if e.get("deletes")
+    }
 
 
 def _files_option(options) -> list[str] | None:
@@ -658,41 +686,53 @@ class StrawboatReaderImpl(DataSourceReader):
                 survivors.append((file, pvals))
 
         def _plan(file: str):
-            """(n_pages, per-page compressed bytes, keep) for one file.
-            keep=False when the file's AGGREGATED column stats prove no
-            page can match a pushed filter — the whole file is dropped
-            at planning, so no task is ever scheduled for it (at 100 TB
-            the saved scheduling dwarfs the per-stripe page skip that
-            would otherwise reject the same pages one task at a time)."""
+            """(n_pages, per-page compressed bytes, per-page rows, keep)
+            for one file. keep=False when the file's AGGREGATED column
+            stats prove no page can match a pushed filter — the whole
+            file is dropped at planning, so no task is ever scheduled
+            for it (at 100 TB the saved scheduling dwarfs the
+            per-stripe page skip that would otherwise reject the same
+            pages one task at a time)."""
             _, meta = _cached_footer(file)
             if not meta.leaves:
-                return 0, [], True
+                return 0, [], [], True
             n_pages = len(meta.leaves[0].pages)
             pages_by_leaf = {lf.name: lf.pages for lf in meta.leaves}
             for f in self._filters:
                 pages = pages_by_leaf.get(f.attribute[0])
                 if pages and not _page_may_match(f, _aggregate_page_stats(pages)):
-                    return n_pages, [], False
+                    return n_pages, [], [], False
             per_page = [
                 sum(lf.pages[i].length for lf in meta.leaves if i < len(lf.pages))
                 for i in range(n_pages)
             ]
-            return n_pages, per_page, True
+            rows_per_page = [p.num_values for p in meta.leaves[0].pages]
+            return n_pages, per_page, rows_per_page, True
 
         # Footer reads are independent ranged reads — overlap them
         # (matters against object stores where each is a round-trip).
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(survivors)))) as ex:
             plans = list(ex.map(_plan, [f for f, _ in survivors]))
 
+        dmap = _deletes_by_rel(self.path, self.at_generation)
+        import bisect
+
         parts: list[_Stripe] = []
-        for (file, pvals), (n_pages, per_page, keep) in zip(survivors, plans):
+        for (file, pvals), (n_pages, per_page, rows_per_page, keep) in zip(
+            survivors, plans
+        ):
             pv = tuple(sorted(pvals.items()))
             if not keep:
                 continue
+            fdel = dmap.get(file, ())
             fsnap = tuple(self._filters)
             if n_pages == 0:
                 parts.append(_Stripe(file, 0, 0, pv, fsnap))
                 continue
+            # file-wide row ordinal at the start of each page
+            offsets = [0]
+            for r in rows_per_page:
+                offsets.append(offsets[-1] + r)
             # Stripes are capped by BOTH page count and compressed
             # bytes: the page cap keeps slim-row files fanning out as
             # before; the byte cap splits fat-page files (wide rows,
@@ -708,7 +748,18 @@ class StrawboatReaderImpl(DataSourceReader):
                 ):
                     acc += per_page[e]
                     e += 1
-                parts.append(_Stripe(file, s, e, pv, fsnap))
+                sdel = (
+                    tuple(
+                        fdel[
+                            bisect.bisect_left(fdel, offsets[s]) : bisect.bisect_left(
+                                fdel, offsets[e]
+                            )
+                        ]
+                    )
+                    if fdel
+                    else ()
+                )
+                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s]))
                 s = e
         return parts
 
@@ -720,55 +771,88 @@ class StrawboatReaderImpl(DataSourceReader):
         if partition is None:
             # planning pruned every file: Spark still runs one task
             return iter(())
+        import numpy as np
+
         want = to_arrow_schema(self.schema)
         pvals = dict(partition.part_values)
         if "_strawboat_file" in want.names:
             pvals["_strawboat_file"] = partition.file
+        want_pos = "_strawboat_pos" in want.names
+        dels = np.asarray(partition.deletes, dtype=np.int64)
         fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             keep = self._page_mask(reader.meta, partition)
             if not any(keep):
                 return
+            # file-wide ordinal at the start of every page (deletion
+            # vectors and _strawboat_pos both number PHYSICAL rows)
+            pages0 = reader.meta.leaves[0].pages if reader.meta.leaves else []
+            offsets = [0]
+            for pg in pages0:
+                offsets.append(offsets[-1] + pg.num_values)
+
+            def _pos_and_mask(page_i: int, n: int):
+                """(physical positions, keep-mask) for page page_i —
+                mask is None when the page has no deleted rows."""
+                pos = np.arange(offsets[page_i], offsets[page_i] + n, dtype=np.int64)
+                if not len(dels):
+                    return pos, None
+                lo = np.searchsorted(dels, offsets[page_i])
+                hi = np.searchsorted(dels, offsets[page_i] + n)
+                if lo == hi:
+                    return pos, None
+                mask = np.ones(n, dtype=bool)
+                mask[dels[lo:hi] - offsets[page_i]] = False
+                return pos[mask], mask
+
             avail = set(reader.schema.names)
             stored = [c for c in want.names if c not in pvals and c in avail]
             # Schema evolution: columns this file predates are
-            # null-filled (parquet-source convention).
-            missing = [c for c in want.names if c not in pvals and c not in avail]
+            # null-filled (parquet-source convention). _strawboat_pos is
+            # synthesized below, never null-filled.
+            missing = [
+                c
+                for c in want.names
+                if c not in pvals and c not in avail and c != "_strawboat_pos"
+            ]
 
             def page_filter(leaf_pages, n_pages):
                 return keep
 
+            def _assemble(page_i: int, n: int, byname: dict):
+                pos, mask = _pos_and_mask(page_i, n)
+                arrays = []
+                for fld in want:
+                    if fld.name == "_strawboat_pos":
+                        arrays.append(pa.array(pos, type=fld.type))
+                    elif fld.name in pvals:
+                        arrays.append(_const_array(pvals[fld.name], len(pos), fld.type))
+                    elif fld.name in byname:
+                        col = byname[fld.name]
+                        if mask is not None:
+                            col = col.filter(pa.array(mask))
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(len(pos), fld.type))
+                return pa.RecordBatch.from_arrays(arrays, schema=want)
+
             if not stored:
-                # No overlap with the requested schema: emit all-null
-                # batches sized by the kept pages' row counts.
-                pages = reader.meta.leaves[0].pages if reader.meta.leaves else []
+                # No overlap with the stored columns: emit constant/null
+                # batches sized by the kept pages' surviving row counts.
                 for i, k in enumerate(keep):
-                    if not k or i >= len(pages):
+                    if not k or i >= len(pages0):
                         continue
-                    n = pages[i].num_values
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            _const_array(pvals.get(fld.name), n, fld.type)
-                            if fld.name in pvals
-                            else pa.nulls(n, fld.type)
-                            for fld in want
-                        ],
-                        schema=want,
-                    )
+                    yield _assemble(i, pages0[i].num_values, {})
                 return
 
-            for batch in reader.iter_batches(columns=stored, page_filter=page_filter):
-                if pvals or missing:
-                    arrays, byname = [], {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
-                    for fld in want:
-                        if fld.name in pvals:
-                            arrays.append(_const_array(pvals[fld.name], batch.num_rows, fld.type))
-                        elif fld.name in byname:
-                            arrays.append(byname[fld.name])
-                        else:
-                            arrays.append(pa.nulls(batch.num_rows, fld.type))
-                    batch = pa.RecordBatch.from_arrays(arrays, schema=want)
+            kept_ids = [i for i, k in enumerate(keep) if k]
+            for page_i, batch in zip(
+                kept_ids, reader.iter_batches(columns=stored, page_filter=page_filter)
+            ):
+                if pvals or missing or want_pos or len(dels):
+                    byname = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+                    batch = _assemble(page_i, batch.num_rows, byname)
                 # Align arrow types with what Spark expects (e.g. tz).
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
 

@@ -287,7 +287,7 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
     return {"removed": removed, "kept": kept}
 
 
-def delete_where(spark, path: str, condition: str) -> dict:
+def delete_where(spark, path: str, condition: str, mode: str = "cow") -> dict:
     """Copy-on-write DELETE: rows matching `condition` are removed by
     rewriting ONLY the files that contain them, then flipping the
     manifest generation. Concurrent readers and time travel keep the
@@ -300,8 +300,62 @@ def delete_where(spark, path: str, condition: str) -> dict:
     footer-only for the untouched bulk; the rewrite is ONE scan per
     affected leaf pinned to the candidate files via the `files` read
     option. No per-file driver jobs, no per-file plan legs, no
-    full-table rewrite."""
+    full-table rewrite.
+
+    mode="mor" (merge-on-read): instead of rewriting, record the
+    matched rows' PHYSICAL ordinals as per-file deletion vectors in
+    the next manifest generation — no data file is touched at all, so
+    deleting 10 rows from a 1 GB file costs one scan + one manifest
+    PUT. Readers subtract the vectors at decode time; any later COW
+    rewrite of a file (update/merge/compact/optimize) materializes and
+    clears its vector."""
+    if mode == "mor":
+        return _delete_mor(spark, path, condition)
+    if mode != "cow":
+        raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
     return _mutate_where(spark, path, condition, None)
+
+
+def _delete_mor(spark, path: str, condition: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    # ONE stats-pruned scan: matched (file, physical ordinal) pairs,
+    # aggregated to a sorted vector per file. The per-file vector is
+    # bounded by that file's row count; at production scale the JSON
+    # int list would be a roaring bitmap — same plan, denser encoding.
+    df = (
+        spark.read.format("strawboat")
+        .option("with_file_path", "true")
+        .option("with_row_pos", "true")
+        .load(path)
+    )
+    hit = (
+        df.filter(F.expr(condition))
+        .groupBy("_strawboat_file")
+        .agg(
+            F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not hit:
+        return {"files_marked": 0, "rows_deleted": 0}
+    per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+    man = read_manifest(path) or {"entries": []}
+    by_rel = {e["path"]: e for e in man["entries"]}
+    updated = []
+    for rel, pos in per_rel.items():
+        e = dict(by_rel[rel])
+        merged = sorted(set(e.get("deletes", ())) | set(pos))
+        e["deletes"] = merged
+        updated.append(e)
+    _flip_generation(path, set(per_rel), updated, "delete-mor")
+    return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
 
 
 def update_where(spark, path: str, condition: str, assignments: dict[str, str]) -> dict:

@@ -54,10 +54,17 @@ class Table:
         optimization; footers come from the manifest cache when one
         exists, so a warm count touches no file at all). Exactness is
         gated by `strawboat_metadata_count` against SQL COUNT(*)."""
-        from strawboat_spark.sources.datasource import _cached_footer, _list_files
+        from strawboat_spark.sources.datasource import (
+            _cached_footer,
+            _deletes_by_rel,
+            _list_files,
+        )
 
         files = _list_files(self.path, at_generation)
-        return sum(_cached_footer(f)[1].num_rows for f in files)
+        dmap = _deletes_by_rel(self.path, at_generation)
+        return sum(
+            _cached_footer(f)[1].num_rows - len(dmap.get(f, ())) for f in files
+        )
 
     def changes(self, from_generation: int, to_generation: int | None = None) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF analog,
@@ -83,10 +90,12 @@ class Table:
             man_b = read_manifest(self.path)
         else:
             man_b = read_manifest_at(self.path, to_generation)
-        files_a = {e["path"] for e in man_a["entries"]}
-        files_b = {e["path"] for e in man_b["entries"]}
-        removed = sorted(files_a - files_b)
-        added = sorted(files_b - files_a)
+        # a file "differs" when its path OR its deletion vector does —
+        # a merge-on-read DELETE changes rows without changing file sets
+        ent_a = {e["path"]: tuple(e.get("deletes", ())) for e in man_a["entries"]}
+        ent_b = {e["path"]: tuple(e.get("deletes", ())) for e in man_b["entries"]}
+        removed = sorted(p for p, d in ent_a.items() if ent_b.get(p, None) != d)
+        added = sorted(p for p, d in ent_b.items() if ent_a.get(p, None) != d)
 
         def _scan(files: list[str], gen: int) -> DataFrame:
             return (
@@ -187,10 +196,13 @@ class Table:
         self._write(df, "append", **options)
 
     # -- mutations --------------------------------------------------------
-    def delete(self, condition: str) -> dict:
+    def delete(self, condition: str, mode: str = "cow") -> dict:
+        """mode='cow' rewrites affected files; mode='mor' records
+        deletion vectors in the manifest instead (merge-on-read — no
+        data file touched; see maintenance.delete_where)."""
         from strawboat_spark.sources.maintenance import delete_where
 
-        return delete_where(self.spark, self.path, condition)
+        return delete_where(self.spark, self.path, condition, mode=mode)
 
     def update(self, condition: str, assignments: dict[str, str]) -> dict:
         from strawboat_spark.sources.maintenance import update_where

@@ -490,3 +490,90 @@ def test_check_constraints_enforced_on_facade_writes(spark, tmp_path):
     t.drop_constraint("v_nonneg")
     t.append(bad)  # allowed once dropped
     assert t.count_rows() == 14
+
+
+def test_mor_delete_vectors_full_lifecycle(spark, tmp_path):
+    """Merge-on-read DELETE: vectors recorded in the manifest (no data
+    file touched), reads subtract them, metadata count and CDC see
+    them, vectors merge across deletes, COW verbs and compact
+    materialize them away, and time travel resurrects pre-delete rows."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("k")))
+    data_files = set(
+        p for p in __import__("os").listdir(path) if p.endswith(".strawboat")
+    )
+    res = t.delete("k = 3", mode="mor")
+    assert res["rows_deleted"] == 10 and res["files_marked"] >= 1
+    # no data file added or removed: the delete was manifest-only
+    assert (
+        set(p for p in __import__("os").listdir(path) if p.endswith(".strawboat"))
+        == data_files
+    )
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(100) if i % 10 != 3
+    ]
+    assert t.count_rows() == 90
+    assert t.read(at_generation=1).count() == 100
+    assert t.count_rows(at_generation=1) == 100
+
+    # vectors merge across deletes; filters work over DV tables
+    t.delete("k = 5", mode="mor")
+    assert t.read().count() == 80
+    assert t.read().filter("id < 50").count() == 40
+
+    # CDC reports MOR deletes even though the file set is unchanged
+    ch = {(r.id, r._change_type) for r in t.changes(1).collect()}
+    assert ch == {(i, "delete") for i in range(100) if i % 10 in (3, 5)}
+
+    # compact materializes: vectors drop out of the manifest
+    t.compact()
+    assert t.read().count() == 80 and t.count_rows() == 80
+    assert not any(e.get("deletes") for e in read_manifest(path)["entries"])
+
+    # COW update over a fresh DV table honors the vectors
+    t2 = Table(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.range(20).select(F.col("id"), (F.col("id") % 4).alias("k")))
+    t2.delete("k = 0", mode="mor")
+    t2.update("k = 1", {"k": "99"})
+    got = {(r.id, r.k) for r in t2.read().collect()}
+    assert got == {
+        (i, 99 if i % 4 == 1 else i % 4) for i in range(20) if i % 4 != 0
+    }
+
+
+def test_row_pos_column_is_physical_and_stable(spark, tmp_path):
+    """_strawboat_pos numbers physical rows per file and stays stable
+    across merge-on-read deletes (the property DV ordinals rely on)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(
+        spark.range(50).repartition(1).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    )
+    before = {
+        r.id: r._strawboat_pos
+        for r in t.read().sparkSession.read.format("strawboat")
+        .option("with_row_pos", "true")
+        .load(path)
+        .collect()
+    }
+    assert sorted(before.values()) == list(range(50))
+    t.delete("k = 2", mode="mor")
+    after = {
+        r.id: r._strawboat_pos
+        for r in spark.read.format("strawboat")
+        .option("with_row_pos", "true")
+        .load(path)
+        .collect()
+    }
+    # surviving rows keep their pre-delete ordinals
+    assert after == {i: p for i, p in before.items() if i % 5 != 2}
