@@ -833,3 +833,45 @@ def strawboat_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_mor_update",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderkey % 5 = 0
+                          THEN o_totalprice + 1000 ELSE o_totalprice END), 2)
+             AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "merge-on-read UPDATE gate: deletion vectors mask the old row "
+        "versions, updated versions land as new files, one generation "
+        "flip — the post-update aggregate hash-matches the analytic "
+        "replay"
+    ),
+)
+def strawboat_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_moru_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, path)
+    t.overwrite(o)
+    t.update(
+        "o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice + 1000"}, mode="mor"
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

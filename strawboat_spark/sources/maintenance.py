@@ -358,12 +358,90 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
 
 
-def update_where(spark, path: str, condition: str, assignments: dict[str, str]) -> dict:
+def update_where(
+    spark, path: str, condition: str, assignments: dict[str, str], mode: str = "cow"
+) -> dict:
     """Copy-on-write UPDATE ... SET: `assignments` maps column name to
     a SQL expression applied to rows matching `condition`; same
     file-pruned rewrite shape as delete_where. Returns
-    {"files_rewritten", "rows_updated"}."""
+    {"files_rewritten", "rows_updated"}.
+
+    mode="mor": the Delta deletion-vector UPDATE — matched rows' old
+    versions are masked by per-file deletion vectors and their updated
+    versions land as NEW files, all in one generation flip; the
+    untouched bulk of every affected file is never rewritten. Flat
+    layouts only (a hive MOR update would need per-leaf landing like
+    MERGE's; use mode="cow" there)."""
+    if mode == "mor":
+        return _update_mor(spark, path, condition, assignments)
+    if mode != "cow":
+        raise ValueError(f"update_where mode must be 'cow' or 'mor', got {mode!r}")
     return _mutate_where(spark, path, condition, assignments)
+
+
+def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -> dict:
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    if _part_layout(path):
+        raise ValueError(
+            "update_where(mode='mor') supports flat layouts only; "
+            "hive-partitioned tables use mode='cow' (per-leaf COW)"
+        )
+    df = (
+        spark.read.format("strawboat")
+        .option("with_file_path", "true")
+        .option("with_row_pos", "true")
+        .load(path)
+    )
+    matched = df.filter(F.expr(condition)).persist()
+    try:
+        hit = (
+            matched.groupBy("_strawboat_file")
+            .agg(
+                F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        if not hit:
+            return {"files_marked": 0, "rows_updated": 0}
+        data_cols = [c for c in df.columns if not c.startswith("_strawboat_")]
+        updated_rows = matched.select(
+            *[
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in data_cols
+            ]
+        )
+        # land the replacement rows as committed files in a tmp table,
+        # then adopt them — invisible until the single CAS flip below
+        tmp = tempfile.mkdtemp(prefix="strawboat_morupd_") + "/t"
+        updated_rows.write.format("strawboat").mode("overwrite").save(tmp)
+        new_entries = _adopt_tmp(path, tmp)
+
+        per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+        man = read_manifest(path) or {"entries": []}
+        by_rel = {e["path"]: e for e in man["entries"]}
+        updated_entries = []
+        for rel, pos in per_rel.items():
+            e = dict(by_rel[rel])
+            e["deletes"] = sorted(set(e.get("deletes", ())) | set(pos))
+            updated_entries.append(e)
+        _flip_generation(
+            path, set(per_rel), updated_entries + new_entries, "update-mor"
+        )
+        return {
+            "files_marked": len(per_rel),
+            "rows_updated": int(sum(r["n"] for r in hit)),
+        }
+    finally:
+        matched.unpersist()
 
 
 def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] | None) -> dict:

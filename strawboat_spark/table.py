@@ -204,10 +204,14 @@ class Table:
 
         return delete_where(self.spark, self.path, condition, mode=mode)
 
-    def update(self, condition: str, assignments: dict[str, str]) -> dict:
+    def update(
+        self, condition: str, assignments: dict[str, str], mode: str = "cow"
+    ) -> dict:
+        """mode='mor': deletion vectors mask the old versions, updated
+        rows land as new files, one generation flip (flat layouts)."""
         from strawboat_spark.sources.maintenance import update_where
 
-        return update_where(self.spark, self.path, condition, assignments)
+        return update_where(self.spark, self.path, condition, assignments, mode=mode)
 
     def merge(self, source: DataFrame, on: list[str]) -> dict:
         from strawboat_spark.sources.maintenance import merge_upsert

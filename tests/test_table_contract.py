@@ -577,3 +577,40 @@ def test_row_pos_column_is_physical_and_stable(spark, tmp_path):
     }
     # surviving rows keep their pre-delete ordinals
     assert after == {i: p for i, p in before.items() if i % 5 != 2}
+
+
+def test_mor_update_masks_and_lands_in_one_flip(spark, tmp_path):
+    """MOR UPDATE: old versions masked by deletion vectors, new
+    versions landed as fresh files, atomically one generation; time
+    travel, metadata count, and the change feed all agree; hive
+    layouts are rejected toward the COW path."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("k")))
+    gens_before = len(t.history())
+    res = t.update("k = 3", {"k": "k + 100"}, mode="mor")
+    assert res["rows_updated"] == 10
+    assert len(t.history()) == gens_before + 1  # exactly ONE flip
+    got = {(r.id, r.k) for r in t.read().collect()}
+    assert got == {(i, 103 if i % 10 == 3 else i % 10) for i in range(100)}
+    assert t.count_rows() == 100
+    assert t.read(at_generation=1).filter("k > 99").count() == 0
+    man = read_manifest(path)
+    assert any(e.get("deletes") for e in man["entries"])  # vectors present
+    ch = t.changes(1)
+    assert ch.filter("_change_type = 'delete'").count() == 10
+    assert ch.filter("_change_type = 'insert'").count() == 10
+
+    hive = Table(spark, str(tmp_path / "h"))
+    hive.overwrite(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    with _pytest.raises(ValueError, match="flat layouts"):
+        hive.update("id = 1", {"id": "id + 10"}, mode="mor")
