@@ -515,7 +515,7 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     return {"files_rewritten": len(candidates), key: n_rows}
 
 
-def merge_upsert(spark, path: str, source, on: list[str]) -> dict:
+def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> dict:
     """MERGE (upsert): target rows whose `on` key appears in `source`
     are replaced by the source row; unmatched source rows are
     inserted. One atomic manifest flip covers both, so readers see
@@ -537,7 +537,16 @@ def merge_upsert(spark, path: str, source, on: list[str]) -> dict:
     {"files_rewritten", "rows_updated", "rows_inserted"} —
     rows_updated counts replaced TARGET rows, rows_inserted counts
     SOURCE rows whose key had no target match (correct under
-    duplicate keys on either side)."""
+    duplicate keys on either side).
+
+    mode="mor": matched target rows are masked by deletion vectors
+    instead of rewritten (no candidate file touched) and the source
+    lands as new files — one flip, like update_where's MOR mode.
+    Flat layouts only."""
+    if mode == "mor":
+        return _merge_mor(spark, path, source, on)
+    if mode != "cow":
+        raise ValueError(f"merge_upsert mode must be 'cow' or 'mor', got {mode!r}")
     import pyspark.sql.functions as F
 
     from strawboat_spark.sources.datasource import publish_manifest, read_manifest
@@ -617,6 +626,88 @@ def merge_upsert(spark, path: str, source, on: list[str]) -> dict:
         "rows_updated": rows_updated,
         "rows_inserted": n_source - matched_src,
     }
+
+
+def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
+    """Deletion-vector MERGE: the target side of every matched key is
+    masked per file (physical ordinals from one bounds-pre-filtered
+    semi-join scan), the full source lands as new files, and one CAS
+    flip publishes both. Same size-gated key broadcast and BETWEEN
+    stats pre-filter as the COW path."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    if _part_layout(path):
+        raise ValueError(
+            "merge_upsert(mode='mor') supports flat layouts only; "
+            "hive-partitioned tables use mode='cow' (per-leaf COW)"
+        )
+    source = source.cache()
+    n_source = source.count()
+    if n_source == 0:
+        source.unpersist()
+        return {"files_marked": 0, "rows_updated": 0, "rows_inserted": 0}
+    df = (
+        spark.read.format("strawboat")
+        .option("with_file_path", "true")
+        .option("with_row_pos", "true")
+        .load(path)
+    )
+    out_cols = [c for c in df.columns if not c.startswith("_strawboat_")]
+    missing = [c for c in out_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: source is missing target columns {missing}")
+    bounds = source.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
+    ).collect()[0]
+    keys = source.select(*on).distinct().cache()
+    jkeys = F.broadcast(keys) if keys.count() <= _merge_broadcast_max_keys() else keys
+    for c in on:
+        df = df.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
+    matched = df.join(jkeys, on=on, how="leftsemi").persist()
+    try:
+        hit = (
+            matched.groupBy("_strawboat_file")
+            .agg(
+                F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        rows_updated = int(sum(r["n"] for r in hit))
+        matched_src = 0
+        if hit:
+            tgt_keys = matched.select(*on).distinct()
+            matched_src = source.join(tgt_keys, on=on, how="leftsemi").count()
+
+        tmp = tempfile.mkdtemp(prefix="strawboat_mormrg_") + "/t"
+        source.select(*out_cols).write.format("strawboat").mode("overwrite").save(tmp)
+        new_entries = _adopt_tmp(path, tmp)
+
+        per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+        man = read_manifest(path) or {"entries": []}
+        by_rel = {e["path"]: e for e in man["entries"]}
+        updated_entries = []
+        for rel, pos in per_rel.items():
+            e = dict(by_rel[rel])
+            e["deletes"] = sorted(set(e.get("deletes", ())) | set(pos))
+            updated_entries.append(e)
+        _flip_generation(path, set(per_rel), updated_entries + new_entries, "merge-mor")
+        return {
+            "files_marked": len(per_rel),
+            "rows_updated": rows_updated,
+            "rows_inserted": n_source - matched_src,
+        }
+    finally:
+        matched.unpersist()
+        keys.unpersist()
+        source.unpersist()
 
 
 def optimize(

@@ -213,13 +213,16 @@ class Table:
 
         return update_where(self.spark, self.path, condition, assignments, mode=mode)
 
-    def merge(self, source: DataFrame, on: list[str]) -> dict:
+    def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:
+        """mode='mor': matched target rows are masked by deletion
+        vectors, the source lands as new files, one flip (flat
+        layouts)."""
         from strawboat_spark.sources.maintenance import merge_upsert
 
         cons = self.constraints()
         if cons:
             self._check_rows(source, cons)
-        return merge_upsert(self.spark, self.path, source, on)
+        return merge_upsert(self.spark, self.path, source, on, mode=mode)
 
     # -- maintenance ------------------------------------------------------
     def compact(self, target_files: int = 1) -> dict:

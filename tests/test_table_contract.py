@@ -614,3 +614,50 @@ def test_mor_update_masks_and_lands_in_one_flip(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="flat layouts"):
         hive.update("id = 1", {"id": "id + 10"}, mode="mor")
+
+
+def test_mor_merge_masks_matches_and_lands_source(spark, tmp_path):
+    """MOR MERGE: matched target rows masked by vectors, full source
+    landed, one flip; dup-key-safe stats; gates match the existing
+    merge contract; hive rejected toward COW."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(20).select(F.col("id"), (F.col("id") * 10).alias("v")))
+    gens = len(t.history())
+    src = spark.createDataFrame([(5, 555), (7, 777), (100, 1000)], "id long, v long")
+    res = t.merge(src, on=["id"], mode="mor")
+    assert (res["rows_updated"], res["rows_inserted"]) == (2, 1)
+    assert len(t.history()) == gens + 1  # one flip
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(i, i * 10) for i in range(20) if i not in (5, 7)} | {
+        (5, 555), (7, 777), (100, 1000)
+    }
+    assert t.count_rows() == 21
+    assert t.read(at_generation=1).count() == 20
+    ch = t.changes(1)
+    assert ch.filter("_change_type = 'delete'").count() == 2
+    assert ch.filter("_change_type = 'insert'").count() == 3
+
+    # duplicate source keys: updates counted per TARGET row, inserts
+    # per source-key-absent row (the ADVICE r5 dup-key contract)
+    t2 = Table(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.range(4).select(F.col("id"), F.lit(0).cast("long").alias("v")))
+    dup_src = spark.createDataFrame(
+        [(1, 11), (1, 12), (9, 99)], "id long, v long"
+    )
+    r2 = t2.merge(dup_src, on=["id"], mode="mor")
+    assert r2["rows_updated"] == 1 and r2["rows_inserted"] == 1
+    assert t2.read().filter("id = 1").count() == 2  # both source copies land
+
+    hive = Table(spark, str(tmp_path / "h"))
+    hive.overwrite(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    with _pytest.raises(ValueError, match="flat layouts"):
+        hive.merge(spark.createDataFrame([(1, 0)], "id long, p long"), on=["id"], mode="mor")
