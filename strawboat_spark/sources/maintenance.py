@@ -316,6 +316,27 @@ def delete_where(spark, path: str, condition: str, mode: str = "cow") -> dict:
     return _mutate_where(spark, path, condition, None)
 
 
+def _dv_entries(path: str, per_rel: dict) -> list[dict]:
+    """Current manifest entries for `per_rel`'s files with the new
+    ordinals merged into their deletion vectors (compact dv1 varint
+    encoding; legacy JSON-list vectors decode transparently)."""
+    from strawboat_spark.sources.datasource import (
+        decode_deletes,
+        encode_deletes,
+        read_manifest,
+    )
+
+    man = read_manifest(path) or {"entries": []}
+    by_rel = {e["path"]: e for e in man["entries"]}
+    out = []
+    for rel, pos in per_rel.items():
+        e = dict(by_rel[rel])
+        merged = sorted(set(decode_deletes(e.get("deletes"))) | set(pos))
+        e["deletes"] = encode_deletes(merged)
+        out.append(e)
+    return out
+
+
 def _delete_mor(spark, path: str, condition: str) -> dict:
     import pyspark.sql.functions as F
 
@@ -346,14 +367,7 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     if not hit:
         return {"files_marked": 0, "rows_deleted": 0}
     per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-    man = read_manifest(path) or {"entries": []}
-    by_rel = {e["path"]: e for e in man["entries"]}
-    updated = []
-    for rel, pos in per_rel.items():
-        e = dict(by_rel[rel])
-        merged = sorted(set(e.get("deletes", ())) | set(pos))
-        e["deletes"] = merged
-        updated.append(e)
+    updated = _dv_entries(path, per_rel)
     _flip_generation(path, set(per_rel), updated, "delete-mor")
     return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
 
@@ -426,16 +440,8 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-        man = read_manifest(path) or {"entries": []}
-        by_rel = {e["path"]: e for e in man["entries"]}
-        updated_entries = []
-        for rel, pos in per_rel.items():
-            e = dict(by_rel[rel])
-            e["deletes"] = sorted(set(e.get("deletes", ())) | set(pos))
-            updated_entries.append(e)
-        _flip_generation(
-            path, set(per_rel), updated_entries + new_entries, "update-mor"
-        )
+        updated_entries = _dv_entries(path, per_rel)
+        _flip_generation(path, set(per_rel), updated_entries + new_entries, "update-mor")
         return {
             "files_marked": len(per_rel),
             "rows_updated": int(sum(r["n"] for r in hit)),
@@ -691,13 +697,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-        man = read_manifest(path) or {"entries": []}
-        by_rel = {e["path"]: e for e in man["entries"]}
-        updated_entries = []
-        for rel, pos in per_rel.items():
-            e = dict(by_rel[rel])
-            e["deletes"] = sorted(set(e.get("deletes", ())) | set(pos))
-            updated_entries.append(e)
+        updated_entries = _dv_entries(path, per_rel)
         _flip_generation(path, set(per_rel), updated_entries + new_entries, "merge-mor")
         return {
             "files_marked": len(per_rel),

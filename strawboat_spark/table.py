@@ -92,8 +92,12 @@ class Table:
             man_b = read_manifest_at(self.path, to_generation)
         # a file "differs" when its path OR its deletion vector does —
         # a merge-on-read DELETE changes rows without changing file sets
-        ent_a = {e["path"]: tuple(e.get("deletes", ())) for e in man_a["entries"]}
-        ent_b = {e["path"]: tuple(e.get("deletes", ())) for e in man_b["entries"]}
+        # (vectors compare DECODED, so legacy-list and dv1 encodings of
+        # the same ordinals are equal)
+        from strawboat_spark.sources.datasource import decode_deletes
+
+        ent_a = {e["path"]: decode_deletes(e.get("deletes")) for e in man_a["entries"]}
+        ent_b = {e["path"]: decode_deletes(e.get("deletes")) for e in man_b["entries"]}
         removed = sorted(p for p, d in ent_a.items() if ent_b.get(p, None) != d)
         added = sorted(p for p, d in ent_b.items() if ent_a.get(p, None) != d)
 

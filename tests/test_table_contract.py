@@ -661,3 +661,30 @@ def test_mor_merge_masks_matches_and_lands_source(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="flat layouts"):
         hive.merge(spark.createDataFrame([(1, 0)], "id long, p long"), on=["id"], mode="mor")
+
+
+def test_deletion_vector_codec_roundtrip_and_compat():
+    """dv1 varint codec: exact roundtrip on boundary shapes, legacy
+    JSON-list passthrough, and a real size win over JSON ints."""
+    import json
+    import random
+
+    from strawboat_spark.sources.datasource import decode_deletes, encode_deletes
+
+    rng = random.Random(1)
+    cases = [
+        [],
+        [0],
+        [2**40],
+        list(range(1000)),
+        sorted(rng.sample(range(10**8), 5000)),
+    ]
+    for c in cases:
+        assert decode_deletes(encode_deletes(c)) == tuple(c)
+        assert decode_deletes(c) == tuple(c)  # legacy list form
+    big = sorted(rng.sample(range(100_000_000), 50_000))
+    assert len(encode_deletes(big)) < len(json.dumps(big)) / 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="encoding"):
+        decode_deletes("not-a-vector")
