@@ -383,9 +383,10 @@ def update_where(
     mode="mor": the Delta deletion-vector UPDATE — matched rows' old
     versions are masked by per-file deletion vectors and their updated
     versions land as NEW files, all in one generation flip; the
-    untouched bulk of every affected file is never rewritten. Flat
-    layouts only (a hive MOR update would need per-leaf landing like
-    MERGE's; use mode="cow" there)."""
+    untouched bulk of every affected file is never rewritten. Works on
+    hive layouts too, and unlike COW it may assign PARTITION columns:
+    the old version is masked in its leaf while the new one lands in
+    the leaf its new values choose."""
     if mode == "mor":
         return _update_mor(spark, path, condition, assignments)
     if mode != "cow":
@@ -403,11 +404,7 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
-    if _part_layout(path):
-        raise ValueError(
-            "update_where(mode='mor') supports flat layouts only; "
-            "hive-partitioned tables use mode='cow' (per-leaf COW)"
-        )
+    part_cols = list(_part_layout(path))
     df = (
         spark.read.format("strawboat")
         .option("with_file_path", "true")
@@ -436,7 +433,14 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         # land the replacement rows as committed files in a tmp table,
         # then adopt them — invisible until the single CAS flip below
         tmp = tempfile.mkdtemp(prefix="strawboat_morupd_") + "/t"
-        updated_rows.write.format("strawboat").mode("overwrite").save(tmp)
+        w = updated_rows.write.format("strawboat").mode("overwrite")
+        if part_cols:
+            # hive layouts: replacement rows land in their (possibly
+            # NEW) leaves — unlike COW, a MOR update may assign
+            # partition columns, because the old version is masked
+            # wherever it lives and the new one lands where it belongs
+            w = w.option("partition_by", ",".join(part_cols))
+        w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
@@ -547,8 +551,8 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
 
     mode="mor": matched target rows are masked by deletion vectors
     instead of rewritten (no candidate file touched) and the source
-    lands as new files — one flip, like update_where's MOR mode.
-    Flat layouts only."""
+    lands as new files (partitioned by the hive layout when present)
+    — one flip, like update_where's MOR mode."""
     if mode == "mor":
         return _merge_mor(spark, path, source, on)
     if mode != "cow":
@@ -649,11 +653,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
-    if _part_layout(path):
-        raise ValueError(
-            "merge_upsert(mode='mor') supports flat layouts only; "
-            "hive-partitioned tables use mode='cow' (per-leaf COW)"
-        )
+    part_cols = list(_part_layout(path))
     source = source.cache()
     n_source = source.count()
     if n_source == 0:
@@ -693,7 +693,10 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
             matched_src = source.join(tgt_keys, on=on, how="leftsemi").count()
 
         tmp = tempfile.mkdtemp(prefix="strawboat_mormrg_") + "/t"
-        source.select(*out_cols).write.format("strawboat").mode("overwrite").save(tmp)
+        w = source.select(*out_cols).write.format("strawboat").mode("overwrite")
+        if part_cols:
+            w = w.option("partition_by", ",".join(part_cols))
+        w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}

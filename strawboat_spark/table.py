@@ -212,15 +212,16 @@ class Table:
         self, condition: str, assignments: dict[str, str], mode: str = "cow"
     ) -> dict:
         """mode='mor': deletion vectors mask the old versions, updated
-        rows land as new files, one generation flip (flat layouts)."""
+        rows land as new files, one generation flip. On hive layouts
+        MOR may even assign partition columns (rows move leaves)."""
         from strawboat_spark.sources.maintenance import update_where
 
         return update_where(self.spark, self.path, condition, assignments, mode=mode)
 
     def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:
         """mode='mor': matched target rows are masked by deletion
-        vectors, the source lands as new files, one flip (flat
-        layouts)."""
+        vectors, the source lands as new files (partitioned by the
+        hive layout when present), one flip."""
         from strawboat_spark.sources.maintenance import merge_upsert
 
         cons = self.constraints()

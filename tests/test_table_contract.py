@@ -607,13 +607,17 @@ def test_mor_update_masks_and_lands_in_one_flip(spark, tmp_path):
     assert ch.filter("_change_type = 'delete'").count() == 10
     assert ch.filter("_change_type = 'insert'").count() == 10
 
+    # hive layouts: MOR update works AND may reassign partition
+    # columns (COW can't — rows would have to move between leaves; MOR
+    # masks the old leaf's row and lands the new one where it belongs)
     hive = Table(spark, str(tmp_path / "h"))
     hive.overwrite(
         spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
         partition_by="p",
     )
-    with _pytest.raises(ValueError, match="flat layouts"):
-        hive.update("id = 1", {"id": "id + 10"}, mode="mor")
+    hive.update("id < 2", {"p": "1 - p"}, mode="mor")
+    got_h = {(r.id, r.p) for r in hive.read().collect()}
+    assert got_h == {(i, (1 - i % 2) if i < 2 else i % 2) for i in range(10)}
 
 
 def test_mor_merge_masks_matches_and_lands_source(spark, tmp_path):
@@ -654,13 +658,25 @@ def test_mor_merge_masks_matches_and_lands_source(spark, tmp_path):
     assert r2["rows_updated"] == 1 and r2["rows_inserted"] == 1
     assert t2.read().filter("id = 1").count() == 2  # both source copies land
 
+    # hive layouts: MOR merge lands the source partitioned by the
+    # table's layout; the matched row's old leaf copy is masked
     hive = Table(spark, str(tmp_path / "h"))
     hive.overwrite(
         spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
         partition_by="p",
     )
-    with _pytest.raises(ValueError, match="flat layouts"):
-        hive.merge(spark.createDataFrame([(1, 0)], "id long, p long"), on=["id"], mode="mor")
+    hive.merge(
+        spark.createDataFrame([(3, 0), (50, 1)], "id long, p long"),
+        on=["id"],
+        mode="mor",
+    )
+    got_h = {(r.id, r.p) for r in hive.read().collect()}
+    assert got_h == {(i, i % 2) for i in range(10) if i != 3} | {(3, 0), (50, 1)}
+    # MOR delete on hive: vectors per leaf file, pruning intact
+    hive.delete("p = 0 AND id >= 6", mode="mor")
+    assert hive.read().filter("p = 0").count() == len(
+        [1 for i, p in got_h if p == 0 and not (i >= 6 and p == 0)]
+    )
 
 
 def test_deletion_vector_codec_roundtrip_and_compat():
