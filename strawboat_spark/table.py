@@ -21,6 +21,8 @@ them through every call.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -118,6 +120,38 @@ class Table:
         inserts = new_rows.exceptAll(old_rows).withColumn("_change_type", F.lit("insert"))
         deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
+
+    def files(self, at_generation: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg `.files` analog): one row per
+        committed data file — path, footer row count, deletion-vector
+        size, live rows, and size signature — built driver-side from
+        the generation manifest (footers come from its embedded cache;
+        no data pages read). Bounded by the file count."""
+        from strawboat_spark.sources.datasource import (
+            _cached_footer,
+            _deletes_by_rel,
+            _list_files,
+        )
+
+        files = _list_files(self.path, at_generation)
+        dmap = _deletes_by_rel(self.path, at_generation)
+        rows = []
+        for f in sorted(files):
+            meta = _cached_footer(f)[1]
+            n_del = len(dmap.get(f, ()))
+            rows.append(
+                (
+                    os.path.relpath(f, self.path),
+                    int(meta.num_rows),
+                    n_del,
+                    int(meta.num_rows) - n_del,
+                    len(meta.leaves[0].pages) if meta.leaves else 0,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, n_rows long, n_deleted int, n_live long, n_pages int",
+        )
 
     def history(self) -> list[dict]:
         from strawboat_spark.sources.datasource import list_generations

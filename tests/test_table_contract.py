@@ -704,3 +704,21 @@ def test_deletion_vector_codec_roundtrip_and_compat():
 
     with _pytest.raises(ValueError, match="encoding"):
         decode_deletes("not-a-vector")
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """Table.files(): per-file rows/deletes/live counts from manifest
+    metadata only, generation-aware."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("k")))
+    t.delete("k = 3", mode="mor")
+    agg = t.files().agg(
+        F.sum("n_rows").alias("r"), F.sum("n_deleted").alias("d"), F.sum("n_live").alias("l")
+    ).collect()[0]
+    assert (agg.r, agg.d, agg.l) == (100, 10, 90)
+    assert t.files(at_generation=1).agg(F.sum("n_deleted")).collect()[0][0] == 0
+    assert t.files().count() == t.history()[-1]["n_files"]
