@@ -1098,6 +1098,16 @@ def _page_may_match(f: Filter, p) -> bool:
 # --------------------------------------------------------------------------
 # Stream read path: the directory as an unbounded table — each new file
 # is a micro-batch increment (file-source semantics for the format).
+#
+# APPEND-ONLY CONTRACT (same as Spark's file source over a Delta
+# directory): increments are whole committed files, replayed
+# immutably from checkpoints. Mutation verbs are NOT reflected —
+# merge-on-read deletion vectors never retro-apply to files already
+# streamed (a replay must be deterministic), and a COW rewrite or
+# compact lands NEW files whose rows would re-emit as if appended.
+# Stream from append-only tables; for mutation-aware streaming,
+# consume Table.changes() feeds between generations (batch CDF)
+# until a streaming CDF source exists.
 # --------------------------------------------------------------------------
 
 
