@@ -124,3 +124,73 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@query(
+    "strawboat_stream_cdf",
+    oracle="""
+    SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS generation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS generation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    ORDER BY change_type, generation
+    """,
+    description=(
+        "streaming change data feed gate: generation-tailing readStream "
+        "(change_feed=true) over a seed + MOR delete emits exactly the "
+        "seed as generation-1 inserts and the masked rows as "
+        "generation-2 deletes — hash-matched against the analytic replay"
+    ),
+)
+def strawboat_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the CDF stream to completion (availableNow) over a table
+    given one overwrite + one merge-on-read delete, then aggregates the
+    feed per (change_type, generation). MOR changes stream EXACTLY
+    (row-level deletes from the deletion-vector delta), which is what
+    makes an exact oracle possible for a streaming source."""
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_scdf_')}/orders"
+    t = Table(spark, path)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.overwrite(o)  # generation 1
+    t.delete("o_orderkey % 4 = 2 AND o_orderstatus = 'F'", mode="mor")  # gen 2
+    name = f"scdf_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_generation").alias("generation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("change_type", "generation")
+    )

@@ -554,6 +554,12 @@ class StrawboatDataSource(DataSource):
             # This is what lets DELETE/UPDATE find affected files in
             # ONE distributed, stats-pruned scan (maintenance.py).
             schema = schema.add("_strawboat_file", StringType())
+        if self.options.get("change_feed", "").lower() == "true":
+            # streaming change-feed schema: the table's columns plus the
+            # change metadata (Delta CDF column analogs)
+            schema = schema.add("_change_type", StringType()).add(
+                "_generation", LongType()
+            )
         if self.options.get("with_row_pos", "").lower() == "true":
             # Physical row ordinal within the file (pre-deletion
             # numbering — stable across merge-on-read deletes), the
@@ -579,6 +585,11 @@ class StrawboatDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> "StrawboatReaderImpl":
+        if self.options.get("change_feed", "").lower() == "true":
+            raise ValueError(
+                "strawboat: change_feed=true is a STREAM option "
+                "(spark.readStream); batch diffs come from Table.changes()"
+            )
         return StrawboatReaderImpl(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "StrawboatWriterImpl":
@@ -588,6 +599,8 @@ class StrawboatDataSource(DataSource):
         return StrawboatStreamWriterImpl(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType):  # noqa: N802
+        if self.options.get("change_feed", "").lower() == "true":
+            return StrawboatCDFStreamReaderImpl(self.options, schema)
         return StrawboatStreamReaderImpl(self.options, schema)
 
 
@@ -1199,6 +1212,151 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             for batch in reader.iter_batches(columns=list(want.names)):
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
+@dataclass
+class _CDFPart(InputPartition):
+    kind: str  # "insert" (new file) | "delete" (removed file) | "delete_rows"
+    file: str
+    generation: int
+    part_values: tuple = ()
+    skip: tuple = ()  # ordinals to EXCLUDE (the file's DV at `generation`)
+    only: tuple = ()  # delete_rows: ordinals to EMIT (the DV delta)
+
+
+class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
+    """Streaming change data feed: offsets are manifest GENERATIONS,
+    each micro-batch emits the row-level changes of the generations in
+    (start, end] — the streaming twin of Table.changes().
+
+    Per-generation increments are per-file, so every partition is
+    independently computable from immutable manifests (deterministic
+    checkpoint replay, like the file stream source):
+      - a file added at generation g -> its live rows as 'insert'
+      - a file removed at g          -> its prior live rows as 'delete'
+      - a surviving file whose deletion vector GREW at g -> exactly the
+        newly-masked ordinals as 'delete' rows (merge-on-read verbs
+        stream EXACTLY)
+    Copy-on-write rewrites and compaction are remove+add pairs, so they
+    re-emit surviving rows as delete+insert (the documented Delta
+    ignoreChanges-style over-report; MOR verbs avoid it entirely).
+    Replay reaches only generations vacuum() still retains — the same
+    retention horizon as time travel."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        self.schema = schema
+        self.start_gen = int(options.get("starting_generation", 0) or 0)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        if self.start_gen > 0:
+            return {"gen": self.start_gen - 1}
+        man = read_manifest(self.path)
+        return {"gen": man.get("generation", 0) if man else 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        man = read_manifest(self.path)
+        return {"gen": man.get("generation", 0) if man else 0}
+
+    def partitions(self, start: dict, end: dict):
+        all_files = _list_files(self.path)
+        part_types = dict(_infer_partition_fields(self.path, all_files))
+
+        def _pv(file: str) -> tuple:
+            return tuple(
+                sorted(
+                    (k, _cast_partition_value(v, part_types[k]))
+                    for k, v in _partition_values(file, self.path).items()
+                )
+            )
+
+        parts: list[_CDFPart] = []
+        for g in range(start.get("gen", 0) + 1, end.get("gen", 0) + 1):
+            prev = (
+                read_manifest_at(self.path, g - 1)
+                if g > 1
+                else {"entries": []}
+            )
+            cur = read_manifest_at(self.path, g)
+            ent_prev = {
+                e["path"]: decode_deletes(e.get("deletes")) for e in prev["entries"]
+            }
+            ent_cur = {
+                e["path"]: decode_deletes(e.get("deletes")) for e in cur["entries"]
+            }
+            for rel, dv in sorted(ent_cur.items()):
+                file = os.path.join(self.path, rel)
+                pv = _pv(file)
+                if rel not in ent_prev:
+                    parts.append(_CDFPart("insert", file, g, pv, skip=dv))
+                elif dv != ent_prev[rel]:
+                    delta = tuple(sorted(set(dv) - set(ent_prev[rel])))
+                    if delta:
+                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta))
+            for rel, dv in sorted(ent_prev.items()):
+                if rel not in ent_cur:
+                    file = os.path.join(self.path, rel)
+                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv))
+        return parts
+
+    def read(self, partition: _CDFPart):
+        import numpy as np
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from strawboat_spark.sources.pagefile import StrawboatReader
+
+        if partition is None:
+            return
+        want = to_arrow_schema(self.schema)
+        change_type = "insert" if partition.kind == "insert" else "delete"
+        pvals = dict(partition.part_values)
+        consts = {
+            "_change_type": change_type,
+            "_generation": partition.generation,
+            **pvals,
+        }
+        skip = np.asarray(partition.skip, dtype=np.int64)
+        only = np.asarray(partition.only, dtype=np.int64)
+        fschema, fmeta = _cached_footer(partition.file)
+        with get_fs(partition.file).open_read(partition.file) as f:
+            reader = StrawboatReader(f, schema=fschema, meta=fmeta)
+            avail = set(reader.schema.names)
+            stored = [c for c in want.names if c not in consts and c in avail]
+            pages = reader.meta.leaves[0].pages if reader.meta.leaves else []
+            offsets = [0]
+            for pg in pages:
+                offsets.append(offsets[-1] + pg.num_values)
+            for page_i, batch in enumerate(reader.iter_batches(columns=stored)):
+                lo, hi = offsets[page_i], offsets[page_i] + batch.num_rows
+                if partition.kind == "delete_rows":
+                    sel = only[(only >= lo) & (only < hi)] - lo
+                    if not len(sel):
+                        continue
+                    mask = np.zeros(batch.num_rows, dtype=bool)
+                    mask[sel] = True
+                else:
+                    mask = np.ones(batch.num_rows, dtype=bool)
+                    if len(skip):
+                        drop = skip[(skip >= lo) & (skip < hi)] - lo
+                        mask[drop] = False
+                    if not mask.any():
+                        continue
+                n = int(mask.sum())
+                byname = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
+                arrays = []
+                for fld in want:
+                    if fld.name in consts:
+                        arrays.append(_const_array(consts[fld.name], n, fld.type))
+                    elif fld.name in byname:
+                        arrays.append(byname[fld.name].filter(pa.array(mask)))
+                    else:
+                        arrays.append(pa.nulls(n, fld.type))
+                out = pa.RecordBatch.from_arrays(arrays, schema=want)
+                yield out.cast(want, safe=False) if out.schema != want else out
 
     def commit(self, end: dict) -> None:
         return None

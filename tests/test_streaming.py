@@ -317,3 +317,85 @@ def test_transform_with_state_topk(spark, events_dir):
         .collect()
     )
     assert sorted(map(tuple, latest)) == sorted(map(tuple, batch))
+
+
+def test_stream_change_feed_exact_for_mor(spark, tmp_path):
+    """Streaming CDF: generation-tailing offsets, exact row-level
+    inserts/deletes for append + MOR verbs, checkpoint-incremental
+    across restarts, hive partition constants attached."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 10).alias("v")))
+    t.delete("id % 4 = 1", mode="mor")
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        q = (
+            spark.readStream.format("strawboat")
+            .option("change_feed", "true")
+            .option("starting_generation", "1")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    first = {
+        (r._generation, r._change_type, r.id, r.v)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first == {(1, "insert", i, i * 10) for i in range(10)} | {
+        (2, "delete", i, i * 10) for i in (1, 5, 9)
+    }
+
+    # new generations between runs stream INCREMENTALLY from the
+    # checkpoint (no re-emission of generations 1-2)
+    t.update("id = 2", {"v": "222"}, mode="mor")
+    run()
+    second = {
+        (r._generation, r._change_type, r.id, r.v)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert second - first == {(3, "delete", 2, 20), (3, "insert", 2, 222)}
+    assert len(second) == len(first) + 2  # nothing re-emitted
+
+    # hive layouts: partition constants ride the feed
+    h = Table(spark, str(tmp_path / "h"))
+    h.overwrite(
+        spark.range(6).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    h.delete("p = 1 AND id = 3", mode="mor")
+    q = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .load(str(tmp_path / "h"))
+        .writeStream.format("memory")
+        .queryName("h_cdf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    hr = {(r._generation, r._change_type, r.id, r.p) for r in spark.table("h_cdf").collect()}
+    assert hr == {(1, "insert", i, i % 2) for i in range(6)} | {(2, "delete", 3, 1)}
+
+    # batch reads reject the stream-only option with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="STREAM option"):
+        spark.read.format("strawboat").option("change_feed", "true").load(path).collect()
