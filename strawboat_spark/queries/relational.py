@@ -2136,3 +2136,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(nodes, edges, n_iterations=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+           TRUE AS approx_within_rank_bound
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description=(
+        "approximate percentiles via percentile_approx (the mergeable "
+        "quantile sketch: partial sketches combine map-side, one shuffle "
+        "regardless of accuracy): exact p50/p95 hash-verified, and the "
+        "sketch's answers gated by its documented rank-error bound "
+        "(rank distance <= n/accuracy, checked against the exact "
+        "rank inside Spark — the invariant-gate pattern)"
+    ),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    accuracy = 1000
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
+        F.expr(f"percentile_approx(o_totalprice, 0.5, {accuracy})").alias("a50"),
+        F.expr(f"percentile_approx(o_totalprice, 0.95, {accuracy})").alias("a95"),
+    )
+    # rank-error check WITHOUT buffering group values: re-aggregate the
+    # fact side counting rows <= each approx answer (the per-group agg
+    # result is tiny, so the join back is broadcast-sized) — the rank
+    # of the sketch's answer must lie within n/accuracy of the target
+    # rank, percentile_approx's documented guarantee.
+    ranks = (
+        o.join(broadcast(agg.select("o_orderpriority", "a50", "a95")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("a95"), 1).otherwise(0)).alias("r95"),
+        )
+    )
+    tol = F.greatest((F.col("n") / accuracy) + 1, F.lit(2.0))
+    ok = (
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol)
+        & (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol)
+    )
+    return (
+        agg.join(ranks, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            "exact_p50",
+            "exact_p95",
+            ok.alias("approx_within_rank_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )
