@@ -2196,3 +2196,30 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    description=(
+        "equi-width histogram (10 fixed 60k-wide buckets, top bucket "
+        "open-ended): a single partial+final count aggregation — the "
+        "classic profile/data-quality scan shape"
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000).cast("bigint"), F.lit(9))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
