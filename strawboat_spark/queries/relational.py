@@ -2081,20 +2081,21 @@ def _pagerank_oracle(n_iterations: int = 3) -> str:
         parts.append(
             """
     , d{k} AS (
-      SELECT COALESCE(SUM(rank), 0) AS dang
+      SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
       FROM {prev} LEFT JOIN outdeg ON {prev}.node = outdeg.src
       WHERE outdeg.outdeg IS NULL
     ), c{k} AS (
-      SELECT edges.dst AS node, SUM({prev}.rank // outdeg.outdeg) AS sum_in
+      SELECT edges.dst AS node,
+             CAST(SUM({prev}.rank // outdeg.outdeg) AS BIGINT) AS sum_in
       FROM {prev}
       JOIN outdeg ON {prev}.node = outdeg.src
       JOIN edges ON edges.src = {prev}.node
       GROUP BY edges.dst
     ), r{k} AS (
       SELECT {prev}.node,
-             (15 * ({scale} // nn.n)) // 100
+             CAST((15 * ({scale} // nn.n)) // 100
              + (85 * (COALESCE(c{k}.sum_in, 0) + (d{k}.dang // nn.n))) // 100
-               AS rank
+               AS BIGINT) AS rank
       FROM {prev} LEFT JOIN c{k} ON c{k}.node = {prev}.node, d{k}, nn
     )""".format(k=k, prev=prev, scale=scale)
         )

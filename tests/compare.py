@@ -1,9 +1,15 @@
 """Driver-style Spark-vs-DuckDB comparison: row count, column names,
-order-insensitive value multiset. Values normalized (floats rounded to
-9 sig places, dates/timestamps stringified) before comparison so we
-catch real semantic drift, not representation noise — the actual
-driver hashes raw values, which is why every query rounds its float
-aggregates explicitly.
+order-insensitive value multiset, and result-column TYPE families.
+
+Values are normalized (floats rounded to 9 sig places, dates/timestamps
+stringified) before the multiset comparison so we catch real semantic
+drift, not representation noise.  The actual driver, however, hashes
+RAW values — Decimal(123) != int(123) — so on top of the normalized
+compare we check that each oracle column's DuckDB type lands in the
+same representation family as the Spark column (r6 post-mortem: the
+graph_pagerank oracle's un-CAST SUM came back HUGEINT → arrow decimal
+→ driver hash mismatch while values were identical; this module is the
+local gate that would have caught it).
 """
 
 from __future__ import annotations
@@ -34,6 +40,81 @@ def _norm(v):
     return v
 
 
+# Representation families as the driver's raw-value hash sees them.
+# DuckDB type name -> family; Spark simpleString -> family.  A
+# mismatch means identical values would still hash differently
+# (e.g. HUGEINT fetches as Decimal, BIGINT as int).
+_DUCK_FAMILY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int",
+    "HUGEINT": "decimal",
+    "UHUGEINT": "decimal",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "bytes",
+}
+
+_SPARK_FAMILY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "bytes",
+}
+
+
+def _duck_family(type_str: str) -> str | None:
+    t = str(type_str).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_FAMILY.get(t)
+
+
+def _spark_family(simple: str) -> str | None:
+    if simple.startswith("decimal"):
+        return "decimal"
+    return _SPARK_FAMILY.get(simple)
+
+
+def type_mismatches(spark_df, duck_rel) -> list[str]:
+    """Column-type-family mismatches that would survive a value-equal
+    comparison but fail the driver's raw-value hash."""
+    out: list[str] = []
+    duck_types = {c[0]: t for c, t in zip(duck_rel.description, duck_rel.types)}
+    for field in spark_df.schema.fields:
+        if field.name not in duck_types:
+            continue
+        sf = _spark_family(field.dataType.simpleString())
+        df_ = _duck_family(duck_types[field.name])
+        if sf is None or df_ is None:
+            continue  # nested/exotic types: multiset compare covers them
+        if sf != df_:
+            out.append(
+                f"column {field.name!r}: spark {field.dataType.simpleString()} "
+                f"({sf}) vs duckdb {duck_types[field.name]} ({df_}) — "
+                f"driver raw-value hash would mismatch even on equal values"
+            )
+    return out
+
+
 def compare_frames(spark_df, duck_rel) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -42,6 +123,8 @@ def compare_frames(spark_df, duck_rel) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+
+    problems.extend(type_mismatches(spark_df, duck_rel))
 
     order = sorted(s_cols)
     s_idx = [s_cols.index(c) for c in order]
