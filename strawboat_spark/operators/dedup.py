@@ -238,15 +238,18 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
     )
-    from pyspark.sql import Window
-
-    sh = (
-        sh.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+    # df as groupBy+join, NOT a per-shingle window: a window partition
+    # cannot be split, so a boilerplate trigram shared by 1M docs would
+    # serialize its whole posting list through one task. The groupBy is
+    # map-side-combined and the join back is skew-splittable by AQE —
+    # same shape (and rationale) as ranking.py's tfidf df computation.
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_doc_freq)
-        .drop("__df")
+        .select("shingle")
     )
+    sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -252,6 +252,14 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         pos += 8
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            # compositing a sub-rectangle frame onto the logical-screen
+            # canvas is out of scope, like the other declared variants —
+            # raise rather than return a frame with wrong dimensions
+            raise ValueError(
+                f"GIF frame at ({left},{top}) size {w}x{h} does not cover "
+                f"the {sw}x{sh} logical screen (compositing unsupported)"
+            )
         ipacked = payload[pos]
         pos += 1
         pal = global_pal

@@ -1486,7 +1486,14 @@ def shards_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no type hints: llm.py uses postponed annotations, and pyspark
     # cannot resolve the stringified `pd.Series` hint for a UDF defined
     # inside a function (pd is not in module globals)
-    byte_sum = F.pandas_udf(lambda b: b.map(lambda x: sum(bytearray(x))), "long")
+    def _byte_sum(b):
+        import numpy as np
+
+        return b.map(
+            lambda x: int(np.frombuffer(x, dtype=np.uint8).sum(dtype=np.int64))
+        )
+
+    byte_sum = F.pandas_udf(_byte_sum, "long")
 
     return members.select(
         "shard_id",

@@ -632,6 +632,12 @@ def encode_deletes(ordinals) -> str:
     out = bytearray()
     prev = -1
     for v in ordinals:
+        if v <= prev or v < 0:
+            # a non-positive gap would never terminate the varint loop
+            raise ValueError(
+                f"encode_deletes: ordinals must be sorted, unique and "
+                f"non-negative (got {v} after {prev})"
+            )
         gap = v - prev - 1 if prev >= 0 else v
         prev = v
         while True:

@@ -115,12 +115,21 @@ def _adopt_tmp(table_root: str, tmp: str, dest_dir: str | None = None) -> list[d
     return moved
 
 
-def _flip_generation(path: str, drop_rel: set[str], add_entries: list[dict], verb: str) -> None:
+def _flip_generation(path: str, drop_rel: set[str], add_entries, verb: str) -> None:
     """CAS generation flip: current entries minus `drop_rel` plus
     `add_entries`, retried against concurrent committers (whose files
     are neither dropped nor ours, so both commits land). Superseded
     data files are NOT deleted here — older generation manifests still
-    list them; vacuum() reclaims them once those generations age out."""
+    list them; vacuum() reclaims them once those generations age out.
+
+    `add_entries` is either a static list (brand-new files, safe to
+    replay verbatim) or a callable `(manifest|None) -> list[dict]`
+    re-invoked on the freshly-read manifest EACH attempt. The callable
+    form is required whenever the added entries are derived from
+    current entries — MOR deletion-vector merges — otherwise a
+    conflict retry would republish a vector merged against the
+    pre-race manifest and silently drop a concurrent committer's
+    deletes for the same file."""
     from strawboat_spark.sources.datasource import (
         ManifestConflictError,
         read_manifest,
@@ -129,10 +138,11 @@ def _flip_generation(path: str, drop_rel: set[str], add_entries: list[dict], ver
 
     for _attempt in range(50):
         man = read_manifest(path)
+        adds = add_entries(man) if callable(add_entries) else add_entries
         entries = [e for e in (man["entries"] if man else []) if e["path"] not in drop_rel]
         gen = (man.get("generation", 0) + 1) if man else 1
         try:
-            write_manifest(path, entries + add_entries, generation=gen)
+            write_manifest(path, entries + adds, generation=gen)
             return
         except ManifestConflictError:
             continue
@@ -316,18 +326,16 @@ def delete_where(spark, path: str, condition: str, mode: str = "cow") -> dict:
     return _mutate_where(spark, path, condition, None)
 
 
-def _dv_entries(path: str, per_rel: dict) -> list[dict]:
-    """Current manifest entries for `per_rel`'s files with the new
-    ordinals merged into their deletion vectors (compact dv1 varint
-    encoding; legacy JSON-list vectors decode transparently)."""
-    from strawboat_spark.sources.datasource import (
-        decode_deletes,
-        encode_deletes,
-        read_manifest,
-    )
+def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
+    """`man`'s entries for `per_rel`'s files with the new ordinals
+    merged into their deletion vectors (compact dv1 varint encoding;
+    legacy JSON-list vectors decode transparently). Takes the manifest
+    as an argument — callers inside _flip_generation's CAS loop must
+    re-merge against each freshly-read manifest, never a pre-race
+    snapshot."""
+    from strawboat_spark.sources.datasource import decode_deletes, encode_deletes
 
-    man = read_manifest(path) or {"entries": []}
-    by_rel = {e["path"]: e for e in man["entries"]}
+    by_rel = {e["path"]: e for e in (man or {"entries": []})["entries"]}
     out = []
     for rel, pos in per_rel.items():
         e = dict(by_rel[rel])
@@ -367,8 +375,9 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     if not hit:
         return {"files_marked": 0, "rows_deleted": 0}
     per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-    updated = _dv_entries(path, per_rel)
-    _flip_generation(path, set(per_rel), updated, "delete-mor")
+    _flip_generation(
+        path, set(per_rel), lambda man: _dv_entries(man, per_rel), "delete-mor"
+    )
     return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
 
 
@@ -444,8 +453,12 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-        updated_entries = _dv_entries(path, per_rel)
-        _flip_generation(path, set(per_rel), updated_entries + new_entries, "update-mor")
+        _flip_generation(
+            path,
+            set(per_rel),
+            lambda man: _dv_entries(man, per_rel) + new_entries,
+            "update-mor",
+        )
         return {
             "files_marked": len(per_rel),
             "rows_updated": int(sum(r["n"] for r in hit)),
@@ -700,8 +713,12 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         new_entries = _adopt_tmp(path, tmp)
 
         per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
-        updated_entries = _dv_entries(path, per_rel)
-        _flip_generation(path, set(per_rel), updated_entries + new_entries, "merge-mor")
+        _flip_generation(
+            path,
+            set(per_rel),
+            lambda man: _dv_entries(man, per_rel) + new_entries,
+            "merge-mor",
+        )
         return {
             "files_marked": len(per_rel),
             "rows_updated": rows_updated,

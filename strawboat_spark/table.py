@@ -208,13 +208,16 @@ class Table:
 
         for name, expr in cons.items():
             # violation = expression NOT satisfied (null counts as a
-            # violation, matching Delta CHECK semantics)
-            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
-            if bad.count() > 0:
-                row = bad.collect()[0]
+            # violation, matching Delta CHECK semantics). ONE take(1)
+            # evaluation — a count-then-collect pair can disagree with
+            # itself on a non-deterministic source. The write that
+            # follows is still a separate evaluation; callers with
+            # non-deterministic inputs should persist first.
+            rows = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).take(1)
+            if rows:
                 raise ValueError(
                     f"strawboat: CHECK constraint {name!r} ({expr}) "
-                    f"violated, e.g. by row {row.asDict()!r}"
+                    f"violated, e.g. by row {rows[0].asDict()!r}"
                 )
 
     # -- writes -----------------------------------------------------------
@@ -247,9 +250,24 @@ class Table:
     ) -> dict:
         """mode='mor': deletion vectors mask the old versions, updated
         rows land as new files, one generation flip. On hive layouts
-        MOR may even assign partition columns (rows move leaves)."""
+        MOR may even assign partition columns (rows move leaves).
+
+        CHECK constraints validate the POST-assignment rows (Delta's
+        UPDATE semantics) before any file or manifest is touched."""
+        import pyspark.sql.functions as F
+
         from strawboat_spark.sources.maintenance import update_where
 
+        cons = self.constraints()
+        if cons:
+            df = self.read().filter(F.expr(condition))
+            updated = df.select(
+                *[
+                    F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            self._check_rows(updated, cons)
         return update_where(self.spark, self.path, condition, assignments, mode=mode)
 
     def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:

@@ -722,3 +722,65 @@ def test_files_metadata_table(spark, tmp_path):
     assert (agg.r, agg.d, agg.l) == (100, 10, 90)
     assert t.files(at_generation=1).agg(F.sum("n_deleted")).collect()[0][0] == 0
     assert t.files().count() == t.history()[-1]["n_files"]
+
+
+def test_mor_delete_cas_retry_remerges_concurrent_vectors(spark, tmp_path, monkeypatch):
+    """Two concurrent MOR deletes on the SAME file: the CAS loser must
+    re-merge its deletion vector against the winner's manifest, not
+    replay a pre-race snapshot (which would silently resurrect the
+    winner's deleted rows). Simulated by letting a concurrent delete
+    land inside the loser's first write attempt, then forcing a
+    conflict so the loser retries."""
+    import strawboat_spark.sources.datasource as ds
+    from strawboat_spark.sources import maintenance
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).selectExpr("id", "id as k").coalesce(1))
+
+    real_write = ds.write_manifest
+    state = {"interleaved": False}
+
+    def racy_write(root, entries, generation=None):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # the concurrent committer lands first (uses real_write via
+            # the flag), then our attempt loses the CAS race
+            maintenance.delete_where(spark, path, "id IN (4, 5)", mode="mor")
+            raise ds.ManifestConflictError("simulated lost race")
+        return real_write(root, entries, generation=generation)
+
+    monkeypatch.setattr(ds, "write_manifest", racy_write)
+    t.delete("id IN (2, 3)", mode="mor")
+    monkeypatch.setattr(ds, "write_manifest", real_write)
+
+    # BOTH deletes must survive: {2,3} from the retrier AND {4,5} from
+    # the concurrent winner it raced against
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 6, 7, 8, 9]
+    assert t.count_rows() == 6
+
+
+def test_check_constraints_enforced_on_update(spark, tmp_path):
+    """UPDATE validates the POST-assignment rows against CHECK
+    constraints (Delta semantics), in both COW and MOR modes; a
+    rejected update leaves the table untouched."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.add_constraint("v_nonneg", "v >= 0")
+
+    for mode in ("cow", "mor"):
+        with _pytest.raises(ValueError, match="v_nonneg"):
+            t.update("id < 3", {"v": "-5"}, mode=mode)
+        assert t.read().filter("v < 0").count() == 0
+
+    # an update whose RESULT satisfies the constraint goes through,
+    # even though the assigned expression mentions negative numbers
+    t.update("id < 3", {"v": "v + (-1) * 0"}, mode="cow")
+    assert t.count_rows() == 10
