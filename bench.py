@@ -39,6 +39,10 @@ HEADLINE = [
     "strawboat_roundtrip_agg",
     "q18_large_orders",
     "similarity_topk_vectorized",
+    # r7: mutation-path headline — write + MOR delete (deletion vectors,
+    # zero files rewritten) + DV-subtracting read, so table-layer
+    # regressions show up in BENCH_rN and not only in pytest timings
+    "strawboat_mor_delete",
 ]
 
 

@@ -29,6 +29,12 @@ def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> Spa
     """Build (or fetch) a SparkSession with engine defaults applied."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # transformWithStateInPandas needs a protobuf runtime in every
+    # Python worker; vendor the minimal stub when none is installed.
+    # Must run BEFORE the JVM launches so workers inherit PYTHONPATH.
+    from strawboat_spark.streaming.protostub import install as _install_protostub
+
+    _install_protostub()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

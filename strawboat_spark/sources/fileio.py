@@ -313,21 +313,55 @@ class MemoryFileSystem:
 
 _TOCTOU_WARNED: set[str] = set()
 
+# Conditional-PUT kwargs per backend protocol, passed to fsspec
+# open(path, "wb", **kw): the store rejects the commit server-side if
+# the key already exists, making create_exclusive a TRUE CAS (no
+# TOCTOU window). Probed with a TypeError catch so older library
+# builds that don't accept the kwarg fall back to the documented
+# exists()+create path.
+_CONDITIONAL_PUT_KWARGS: dict[str, dict] = {
+    # S3 PUT with If-None-Match:* (supported by AWS since 2024-11)
+    "s3": {"if_none_match": "*"},
+    "s3a": {"if_none_match": "*"},
+    # GCS generation-match 0 = "only if the object does not exist"
+    "gs": {"if_generation_match": 0},
+    "gcs": {"if_generation_match": 0},
+    # Azure blob If-None-Match:*
+    "az": {"if_none_match": "*"},
+    "abfs": {"if_none_match": "*"},
+}
+
+_PRECONDITION_MARKERS = (
+    "412",
+    "precondition",
+    "if-none-match",
+    "ifnonematch",
+    "generation",
+    "conditionnotmet",
+    "already exists",
+)
+
+
+def _is_precondition_failure(exc: BaseException) -> bool:
+    s = str(exc).lower().replace(" ", "")
+    return any(m.replace(" ", "") in s for m in _PRECONDITION_MARKERS)
+
 
 class _FsspecFileSystem:
     """Adapter over an fsspec filesystem for any other scheme."""
 
-    def __init__(self, scheme: str):
-        import fsspec
+    def __init__(self, scheme: str, fs=None):
+        if fs is None:
+            import fsspec
 
-        self._fs = fsspec.filesystem(scheme)
+            fs = fsspec.filesystem(scheme)
+        self._fs = fs
         self._scheme = scheme
 
     def open_read(self, path: str):
         return self._fs.open(path, "rb")
 
-    def create(self, path: str):
-        f = self._fs.open(path, "wb")
+    def _attach_abort(self, f, path: str):
         if not hasattr(f, "abort"):
             # fsspec close() FLUSHES AND COMMITS the upload, so it must
             # never stand in for abort: a failed write would publish a
@@ -335,7 +369,7 @@ class _FsspecFileSystem:
             # Prefer discard() (drops the multipart upload); otherwise
             # commit-then-delete so no partial file stays visible.
             discard = getattr(f, "discard", None)
-            fs, scheme = self._fs, self._scheme
+            fs = self._fs
 
             def _abort(_f=f, _discard=discard):
                 if _discard is not None:
@@ -352,18 +386,50 @@ class _FsspecFileSystem:
             f.abort = _abort
         return f
 
+    def create(self, path: str):
+        return self._attach_abort(self._fs.open(path, "wb"), path)
+
     def create_exclusive(self, path: str):
-        """Best-effort create-if-absent: the generic fsspec API has no
-        conditional PUT, so this is an exists() check followed by a
-        plain create — a TOCTOU window, NOT a true CAS. Two racing
-        committers can both pass the exists() check and one commit is
-        silently lost. Single-writer tables are safe; for concurrent
-        committers a real object-store backend must override with the
-        store's native conditional PUT (S3 If-None-Match:*, GCS
-        ifGenerationMatch=0, Azure If-None-Match:*) via
-        register_filesystem. A loud once-per-scheme warning marks the
-        weakened guarantee."""
+        """Create-if-absent. On backends with a conditional PUT (S3
+        If-None-Match:*, GCS ifGenerationMatch=0, Azure) the store
+        enforces exclusivity server-side at commit time — a TRUE CAS;
+        a lost race surfaces as FileExistsError from close(). Anywhere
+        else this degrades to exists()+create — a TOCTOU window, NOT a
+        CAS: two racing committers can both pass the exists() check and
+        one commit is silently lost. Single-writer tables are safe on
+        the fallback; the once-per-scheme warning marks the weakened
+        guarantee (register_filesystem can always override)."""
         import warnings
+
+        kw = _CONDITIONAL_PUT_KWARGS.get(self._scheme)
+        if kw is not None:
+            try:
+                f = self._fs.open(path, "wb", **kw)
+            except TypeError:
+                f = None  # this library build doesn't take the kwarg
+            except Exception as e:
+                if _is_precondition_failure(e):
+                    raise FileExistsError(path) from e
+                raise
+            if f is not None:
+                self._attach_abort(f, path)
+                real_close = f.close
+
+                def _close(_rc=real_close, _path=path):
+                    try:
+                        _rc()
+                    except FileExistsError:
+                        raise
+                    except Exception as e:
+                        # the conditional commit happens at close(); a
+                        # precondition failure means a concurrent
+                        # committer won and NOTHING was published
+                        if _is_precondition_failure(e):
+                            raise FileExistsError(_path) from e
+                        raise
+
+                f.close = _close
+                return f
 
         if self._scheme not in _TOCTOU_WARNED:
             _TOCTOU_WARNED.add(self._scheme)

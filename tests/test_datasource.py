@@ -1562,3 +1562,108 @@ def test_optimize_zorder_rejects_hive_layout(registered, tmp_path):
     ).save(path)
     with _pytest.raises(ValueError, match="hive-partitioned"):
         optimize(spark, path, zorder_by=["r_name"])
+
+
+def test_fsspec_conditional_put_is_true_cas():
+    """On backends with a conditional PUT (s3/gs/az), create_exclusive
+    passes the store's only-if-absent kwarg and a lost race surfaces as
+    FileExistsError from close() — with NOTHING published by the loser
+    and no TOCTOU warning. Simulated with a fake conditional store
+    where a second committer lands between the loser's open and close."""
+    import io
+    import warnings
+
+    import pytest as _pytest
+
+    from strawboat_spark.sources.fileio import _FsspecFileSystem
+
+    class CondFile(io.BytesIO):
+        def __init__(self, fs, path, if_none_match):
+            super().__init__()
+            self._fs, self._path, self._cond = fs, path, if_none_match
+
+        def close(self):
+            if self._cond == "*" and self._path in self._fs.published:
+                super().close()
+                raise OSError(
+                    "PreconditionFailed: At least one of the pre-conditions "
+                    "you specified did not hold (status 412)"
+                )
+            self._fs.published[self._path] = self.getvalue()
+            super().close()
+
+    class CondFs:
+        def __init__(self):
+            self.published = {}
+
+        def open(self, path, mode, if_none_match=None):
+            return CondFile(self, path, if_none_match)
+
+        def rm(self, path):
+            self.published.pop(path, None)
+
+        def exists(self, path):
+            raise AssertionError("conditional path must not probe exists()")
+
+    ad = _FsspecFileSystem("s3", fs=CondFs())
+
+    # no race: the commit lands, with no TOCTOU warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with ad.create_exclusive("bucket/_gen.1.json") as h:
+            h.write(b"winner")
+    assert ad._fs.published["bucket/_gen.1.json"] == b"winner"
+
+    # lost race: another committer publishes between open and close
+    loser = ad.create_exclusive("bucket/_gen.2.json")
+    loser.write(b"loser")
+    ad._fs.published["bucket/_gen.2.json"] = b"concurrent-winner"
+    with _pytest.raises(FileExistsError):
+        loser.close()
+    assert ad._fs.published["bucket/_gen.2.json"] == b"concurrent-winner"
+
+
+def test_fsspec_conditional_put_falls_back_on_old_library():
+    """A backend build whose open() does not accept the conditional
+    kwarg (TypeError) degrades to the documented exists()+create path,
+    including its once-per-scheme TOCTOU warning."""
+    import io
+    import warnings
+
+    from strawboat_spark.sources import fileio as fio
+
+    class PlainFile(io.BytesIO):
+        def __init__(self, fs, path):
+            super().__init__()
+            self._fs, self._path = fs, path
+
+        def close(self):
+            self._fs.published[self._path] = self.getvalue()
+            super().close()
+
+    class OldFs:
+        def __init__(self):
+            self.published = {}
+
+        def open(self, path, mode):  # no conditional kwarg
+            return PlainFile(self, path)
+
+        def exists(self, path):
+            return path in self.published
+
+        def rm(self, path):
+            self.published.pop(path, None)
+
+    ad = fio._FsspecFileSystem("s3", fs=OldFs())
+    fio._TOCTOU_WARNED.discard("s3")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with ad.create_exclusive("b/_gen.1.json") as h:
+            h.write(b"x")
+    assert any("conditional PUT" in str(x.message) for x in w)
+    assert ad._fs.published["b/_gen.1.json"] == b"x"
+    try:
+        ad.create_exclusive("b/_gen.1.json")
+        raise AssertionError("expected FileExistsError")
+    except FileExistsError:
+        pass

@@ -294,20 +294,40 @@ def test_transform_with_state_topk(spark, events_dir):
     desc, event_id asc). Needs google.protobuf (the transformWithState
     state protocol) — absent in this container, present on real
     clusters; applyInPandasWithState covers the stateful path here."""
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip("google.protobuf")  # satisfied by the vendored stub
     from pyspark.sql import Window
 
     from strawboat_spark.streaming.pipelines import top_events_per_user
 
-    stream = read_events_stream(spark, events_dir, max_files=2)
-    got = _run_to_memory(spark, top_events_per_user(stream, k=3), "t_twstate",
-                         output_mode="update")
-    final_stamp = got.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
-    latest = (
-        got.join(final_stamp, ["user_id", "n_seen"])
-        .select("user_id", "rank", "value", "event_id")
-        .collect()
+    # transformWithState needs a multi-column-family state store: the
+    # default HDFSBacked provider rejects it, RocksDB (bundled with
+    # Spark) supports it
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        stream = read_events_stream(spark, events_dir, max_files=2)
+        got = _run_to_memory(spark, top_events_per_user(stream, k=3), "t_twstate",
+                             output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # driver-side final-emission pick (a self-join of the memory sink
+    # with its own aggregate trips Spark's conflicting-reference check)
+    rows = got.collect()
+    max_seen: dict = {}
+    for r in rows:
+        max_seen[r.user_id] = max(max_seen.get(r.user_id, -1), r.n_seen)
+    latest = [
+        (r.user_id, r.rank, r.value, r.event_id)
+        for r in rows
+        if r.n_seen == max_seen[r.user_id]
+    ]
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
     batch = (
         spark.read.parquet(events_dir)
