@@ -323,9 +323,10 @@ def decode_wav(payload: bytes):
     """RIFF/WAVE parse, pure numpy: walks chunks (fmt /data, any
     order, extension-tolerant), returns (sample_rate, n_samples,
     duration_sec, rms). Mono or interleaved multi-channel (RMS over
-    all channels). Sample codings: PCM16 (format tag 1) plus the G.711
+    all channels). Sample codings: PCM16 (format tag 1), the G.711
     telephony laws — A-law (tag 6) and μ-law (tag 7), decoded through
-    operators/g711.py's exact integer arithmetic."""
+    operators/g711.py's exact integer arithmetic — and IMA ADPCM
+    (tag 0x11) through operators/adpcm.py's block decoder."""
     import struct as _struct
 
     import numpy as np
@@ -357,9 +358,14 @@ def decode_wav(payload: bytes):
         from strawboat_spark.operators.g711 import ulaw_to_linear
 
         samples = ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 0x11 and bits == 4:
+        from strawboat_spark.operators.adpcm import decode_ima_wav
+
+        _, samples = decode_ima_wav(payload)
     else:
         raise ValueError(
-            f"only PCM16/A-law/mu-law supported (format={audio_format}, bits={bits})"
+            f"only PCM16/A-law/mu-law/IMA-ADPCM supported "
+            f"(format={audio_format}, bits={bits})"
         )
     n_frames = len(samples) // max(n_channels, 1)
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0

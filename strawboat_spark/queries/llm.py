@@ -2009,3 +2009,129 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_spans", "removed_chars", "kept_len", "kept_hash")
         .orderBy("doc_id")
     )
+
+
+def _adpcm_oracle() -> str:
+    from strawboat_spark.operators.adpcm import ima_oracle_sql_fragment
+
+    frag = ima_oracle_sql_fragment(64)
+    return f"""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(65 AS BIGINT) AS n_samples,
+           ROUND((({frag}).s + ({frag}).p) / 65.0, 4) AS mean_sample
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query(
+    "multimodal_adpcm_decode",
+    oracle=_adpcm_oracle(),
+    description=(
+        "REAL IMA ADPCM decode (4:1 compressed audio, WAV format tag "
+        "0x11): the oracle replays the 89-step predictor state machine "
+        "in SQL via list_reduce — exact to the LSB"
+    ),
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM gate: executors synthesize one-block fmt-0x11 WAVs
+    (code k = (k*7 + doc_id) % 16, predictor/index 0), decode them with
+    operators/adpcm.py's block decoder (dispatched through decode_wav's
+    format-tag switch like G.711), and DuckDB replays the identical
+    quantizer state machine with a list_reduce struct fold — the codec
+    is pure integer arithmetic, so the oracle is exact. IMA blocks are
+    self-contained (every block header carries predictor+index), which
+    is the 100 TB story: a corpus of ADPCM audio decodes block-parallel
+    inside Arrow batches with no cross-block or cross-row state."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from strawboat_spark.operators.adpcm import (
+        decode_ima_wav,
+        synthesize_ima_wav_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                rate, samples = decode_ima_wav(synthesize_ima_wav_bytes(did, 64))
+                mean = round(float(samples.astype(np.int64).sum()) / len(samples), 4)
+                rows.append((did, rate, len(samples), mean))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "mean_sample"]
+            )
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, sample_rate int, n_samples long, mean_sample double",
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+             CAST(4 + doc_id % 3 AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(k AS INT) AS frame_idx, width, height,
+           ROUND(list_avg(list_transform(
+             generate_series(0, CAST((width // 8) * (height // 8) - 1 AS BIGINT)),
+             j -> CAST((j * 41 + doc_id + 13 * k) % 256 AS DOUBLE))), 4) AS mean_intensity
+    FROM dims, UNNEST(generate_series(0, n_frames - 1, 2)) AS t(k)
+    ORDER BY doc_id, frame_idx
+    """,
+    description=(
+        "REAL compressed-video frame sampling: AVI/RIFF container walk "
+        "+ MJPEG (per-frame baseline JPEG) decode of every 2nd frame, "
+        "exact analytic oracle"
+    ),
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG gate: executors synthesize an AVI per doc (frame k's 8x8
+    block j constant at (j*41 + doc_id + 13k) % 256 — DC-only JPEGs,
+    bit-exact through the T.81 decoder), walk the RIFF tree
+    (operators/avi.py), and decode every 2nd frame. Complements the
+    Y4M (uncompressed) frame-sampling gate with a real compressed
+    container + codec; frames are independent JPEGs so the extraction
+    is batch-parallel with no inter-frame state (the H.264 seam's
+    documented alternative)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.avi import (
+        decode_avi_frames,
+        synthesize_avi_mjpeg_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                payload = synthesize_avi_mjpeg_bytes(
+                    did, 8 * (1 + did % 3), 8 * (1 + did % 2), 4 + did % 3
+                )
+                for k, w, h, mean in decode_avi_frames(payload, every_n=2):
+                    rows.append((did, k, w, h, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_intensity"],
+            )
+
+    return d.mapInPandas(
+        synth_decode,
+        schema="doc_id long, frame_idx int, width int, height int, mean_intensity double",
+    ).orderBy("doc_id", "frame_idx")
