@@ -194,3 +194,85 @@ def strawboat_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "generation")
     )
+
+
+@query(
+    "stream_topk_state",
+    oracle="""
+    SELECT user_id, rank, ROUND(value, 4) AS value, event_id FROM (
+      SELECT user_id, value, event_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS INT) AS rank
+      FROM events
+    ) WHERE rank <= 3 ORDER BY user_id, rank
+    """,
+    description=(
+        "transformWithStateInPandas gate: typed ListState/ValueState "
+        "incremental top-k over a 2-microbatch stream; the drained "
+        "final emissions hash-match the batch window oracle"
+    ),
+)
+def stream_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 arbitrary-state operator, driver-verifiable: events
+    stream in two microbatches (state must survive the batch boundary)
+    through streaming/pipelines.top_events_per_user, whose per-user
+    ListState holds the running top-3 (bounded state regardless of
+    stream length). The state-server protocol needs a protobuf runtime
+    in every Python worker: protostub.install(spark) ships the
+    vendored wire-format stub via addPyFile when the real package is
+    absent, so this runs under ANY session, not just ones whose JVM
+    inherited our PYTHONPATH. RocksDB state store (multi-column-family
+    support) is set for the run and restored after."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from strawboat_spark.streaming.pipelines import top_events_per_user
+    from strawboat_spark.streaming.protostub import install
+
+    install(spark)
+    src = f"{tempfile.mkdtemp(prefix='strawboat_twstate_')}/events"
+    e = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    # two files -> two microbatches: state must carry across the boundary
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"twstate_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = (
+            top_events_per_user(stream, k=3)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        got.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select(
+            "user_id", "rank", F.round("value", 4).alias("value"), "event_id"
+        )
+        .orderBy("user_id", "rank")
+    )

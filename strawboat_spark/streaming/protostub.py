@@ -19,9 +19,16 @@ import sys
 _VENDOR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor", "protostub")
 
 
-def install() -> bool:
+def install(spark=None) -> bool:
     """Returns True if the stub was installed, False if the real
-    google.protobuf is present (stub never shadows it)."""
+    google.protobuf is present (stub never shadows it).
+
+    Pass the active SparkSession to ALSO ship the stub to executors
+    via addPyFile — required when the JVM was launched by a harness
+    that never saw our PYTHONPATH (the env route only works before
+    JVM start). Worker sys.path picks the zip up before UDF
+    deserialization, so a mid-session install still reaches the
+    transformWithState worker imports."""
     try:
         real = importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:
@@ -42,4 +49,40 @@ def install() -> bool:
         m = sys.modules.get(mod)
         if m is not None and not getattr(m, "__file__", "").startswith(_VENDOR):
             del sys.modules[mod]
+    if spark is not None:
+        sc = spark.sparkContext
+        # ships with every pickled python function: the JVM's
+        # PythonWorkerFactory merges these into the spawned worker's
+        # env, which is the only route that reaches the DRIVER-side
+        # transformWithState schema worker (spawned from the JVM env,
+        # after JVM launch — addPyFile alone can't touch it)
+        env_pp = sc.environment.get("PYTHONPATH", "")
+        if _VENDOR not in env_pp.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                _VENDOR + (os.pathsep + env_pp if env_pp else "")
+            )
+        sc.addPyFile(_stub_zip())
     return True
+
+
+_ZIP_PATH: list[str] = []
+
+
+def _stub_zip() -> str:
+    """Zip the vendored google/ package once per process (zip roots at
+    the vendor dir so workers unpack `google/protobuf/...` onto their
+    sys.path)."""
+    if _ZIP_PATH:
+        return _ZIP_PATH[0]
+    import tempfile
+    import zipfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="strawboat_protostub_"), "protostub.zip")
+    with zipfile.ZipFile(path, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(_VENDOR, "google")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _VENDOR))
+    _ZIP_PATH.append(path)
+    return path
