@@ -784,3 +784,36 @@ def test_check_constraints_enforced_on_update(spark, tmp_path):
     # even though the assigned expression mentions negative numbers
     t.update("id < 3", {"v": "v + (-1) * 0"}, mode="cow")
     assert t.count_rows() == 10
+
+
+def test_mor_delete_concurrent_threads_all_survive(spark, tmp_path):
+    """Four genuinely concurrent MOR deletes of disjoint key ranges on
+    the SAME single-file table: whatever the CAS interleaving, every
+    committer's deletion vector must survive the retries (the r7
+    re-merge contract under real races, not a scripted one)."""
+    import threading
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(400).selectExpr("id", "id % 4 as k").coalesce(1))
+
+    errs = []
+
+    def worker(k):
+        try:
+            # each thread masks its own residue class' low ids
+            t.delete(f"k = {k} AND id < 200", mode="mor")
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append((k, e))
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    remaining = sorted(r.id for r in t.read().collect())
+    assert remaining == list(range(200, 400))
+    assert t.count_rows() == 200
