@@ -103,3 +103,40 @@ def test_sql_fragment_matches_decoder_exactly():
             f"SELECT (({frag}).s + ({frag}).p) AS s FROM (SELECT {doc}::BIGINT AS doc_id)"
         ).fetchall()[0][0]
         assert got == int(samples.astype(np.int64).sum())
+
+
+def test_property_sql_replay_equals_decoder():
+    """Hypothesis: ANY code stream decodes identically in numpy and in
+    the DuckDB list_reduce replay (same clamps, same saturation)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from strawboat_spark.operators.adpcm import STEP_TABLE, INDEX_TABLE
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=120))
+    def check(codes):
+        ref = decode_ima_codes(np.array(codes, dtype=np.uint8))
+        steps = "[" + ", ".join(str(int(s)) for s in STEP_TABLE) + "]"
+        idxt = "[" + ", ".join(str(int(i)) for i in INDEX_TABLE) + "]"
+        step = f"({steps}[acc.i + 1])"
+        diff = (
+            f"({step} // 8"
+            f" + CASE WHEN x.p % 2 = 1 THEN {step} // 4 ELSE 0 END"
+            f" + CASE WHEN (x.p // 2) % 2 = 1 THEN {step} // 2 ELSE 0 END"
+            f" + CASE WHEN (x.p // 4) % 2 = 1 THEN {step} ELSE 0 END)"
+        )
+        sdiff = f"(CASE WHEN x.p >= 8 THEN -{diff} ELSE {diff} END)"
+        newp = f"GREATEST(-32768, LEAST(32767, acc.p + {sdiff}))"
+        newi = f"GREATEST(0, LEAST(88, acc.i + ({idxt}[(x.p % 8) + 1])))"
+        lit = ", ".join(f"{{'s': 0, 'p': {c}, 'i': 0}}" for c in codes)
+        q = (
+            f"SELECT list_reduce(list_prepend({{'s': 0, 'p': 0, 'i': 0}}, [{lit}]), "
+            f"(acc, x) -> {{'s': acc.s + acc.p, 'p': {newp}, 'i': {newi}}}) AS r"
+        )
+        r = duckdb.sql(q).fetchall()[0][0]
+        assert r["s"] + r["p"] == int(ref.astype(np.int64).sum())
+        assert r["p"] == int(ref[-1])
+
+    check()

@@ -146,3 +146,49 @@ def test_stub_never_shadows_real_protobuf(monkeypatch):
 
         if "vendor/protostub" not in (getattr(google, "__file__", "") or ""):
             assert install() is False
+
+
+def test_property_random_messages_roundtrip():
+    """Hypothesis: random values over a mixed-type message survive
+    serialize->parse bit-exactly (within float32 rounding for T_FLOAT)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fields = [
+        mp.FieldDef("a", 1, mp.T_INT64, False),
+        mp.FieldDef("b", 2, mp.T_UINT64, False),
+        mp.FieldDef("c", 3, mp.T_SINT64, False),
+        mp.FieldDef("d", 4, mp.T_DOUBLE, False),
+        mp.FieldDef("e", 5, mp.T_STRING, False),
+        mp.FieldDef("f", 6, mp.T_BYTES, False),
+        mp.FieldDef("g", 7, mp.T_BOOL, False),
+        mp.FieldDef("h", 8, mp.T_INT64, True),
+        mp.FieldDef("i", 9, mp.T_FIXED64, False),
+        mp.FieldDef("j", 10, mp.T_SFIXED32, False),
+    ]
+    M = _msg_cls(fields)
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=i64,
+        b=st.integers(min_value=0, max_value=2**64 - 1),
+        c=i64,
+        d=st.floats(allow_nan=False),
+        e=st.text(max_size=40),
+        f=st.binary(max_size=40),
+        g=st.booleans(),
+        h=st.lists(i64, max_size=8),
+        i=st.integers(min_value=0, max_value=2**64 - 1),
+        j=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    )
+    def check(a, b, c, d, e, f, g, h, i, j):
+        m = M(a=a, b=b, c=c, d=d, e=e, f=f, g=g, h=h, i=i, j=j)
+        out = M()
+        out.ParseFromString(m.SerializeToString())
+        assert (out.a, out.b, out.c, out.d) == (a, b, c, d)
+        assert (out.e, out.f, out.g) == (e, f, g)
+        assert out.h == h
+        assert (out.i, out.j) == (i, j)
+
+    check()
