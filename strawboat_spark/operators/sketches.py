@@ -1,0 +1,88 @@
+"""Frequency-sketch operators: exact two-pass heavy hitters.
+
+Misra-Gries (1982) per-partition summaries -> guaranteed candidate
+superset -> exact broadcast recount. The classic shape for "which
+tokens/domains/urls dominate this 100 TB corpus":
+
+- Pass 1 (mapInPandas, one state per input partition): an MG summary
+  with k counters per partition. Guarantee: any item whose PARTITION
+  count exceeds n_p/k survives that partition's summary, so by the
+  averaging argument any item with GLOBAL count > N/k survives in at
+  least one partition — the union of summaries is a certified
+  candidate superset for every threshold >= N/k. Output is bounded at
+  k rows per partition regardless of input cardinality: the full
+  groupBy(col).count() shuffle an exact one-pass answer would need —
+  quadrillions of distinct URLs — never happens.
+- Pass 2: exact counts for candidates only (broadcast semi-join, size
+  bounded by partitions * k), integer threshold filter. The output is
+  therefore EXACT — deterministic counts, no estimation error — which
+  is what makes a value-hash oracle possible for a sketch-based plan.
+
+The per-partition total rides along as a sentinel row (item NULL), so
+the operator reads the source ONCE for the sketch and once for the
+recount — no separate count() job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _mg_partition(col: str, k: int):
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            n_p += int(vc.sum())
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # MG decrement: subtract the (k+1)-largest count from
+                # everyone and drop the non-positive — one vectorized
+                # step per batch instead of per-item decrements
+                s = sorted(counters.values(), reverse=True)
+                cut = s[k]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        rows = [(i, int(c)) for i, c in counters.items()]
+        rows.append((None, n_p))  # sentinel: this partition's total
+        yield pd.DataFrame(rows, columns=[col, "c"])
+
+    return gen
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_frac_num: int = 1, min_frac_den: int = 100
+) -> DataFrame:
+    """Items of `df[col]` occurring at least (min_frac_num /
+    min_frac_den) of the time, with EXACT counts. Integer-rational
+    threshold (default 1/100) keeps both engines' filters identical —
+    no float comparison at the boundary.
+
+    k is 2x the information-theoretic minimum (den/num) so the
+    candidate set comfortably covers the threshold even with skewed
+    partition splits."""
+    k = 2 * ((min_frac_den + min_frac_num - 1) // min_frac_num)
+    sketch = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        _mg_partition(col, k), schema=f"{col} string, c long"
+    )
+    sketch = sketch.localCheckpoint(eager=True)  # one sketch pass, reused twice
+    total = sketch.filter(F.col(col).isNull()).agg(F.sum("c").alias("n"))
+    cands = sketch.filter(F.col(col).isNotNull()).select(col).distinct()
+    exact = (
+        df.select(F.col(col).cast("string").alias(col))
+        .join(F.broadcast(cands), col, "leftsemi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * min_frac_den >= F.col("n") * min_frac_num)
+        .select(col, "cnt")
+        .orderBy(F.desc("cnt"), col)
+    )

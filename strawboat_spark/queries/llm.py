@@ -2135,3 +2135,38 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         schema="doc_id long, frame_idx int, width int, height int, mean_intensity double",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "text_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS token
+      FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * 100 >= tot.n
+    ORDER BY cnt DESC, token
+    """,
+    description=(
+        "exact two-pass heavy hitters (Misra-Gries candidates -> "
+        "broadcast recount): tokens covering >= 1% of all occurrences"
+    ),
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via operators/sketches.py: per-partition
+    Misra-Gries summaries (bounded k rows/partition — the full
+    token-cardinality shuffle never happens), certified candidate
+    superset, exact broadcast recount with an integer-rational
+    threshold. The result is EXACT, so a sketch-based plan still
+    hash-matches the plain GROUP BY/HAVING oracle."""
+    from strawboat_spark.functions.text import tokens
+    from strawboat_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return heavy_hitters(toks, "token", 1, 100)
