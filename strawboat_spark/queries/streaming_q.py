@@ -276,3 +276,173 @@ def stream_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rank")
     )
+
+
+def _two_file_stream_src(spark, sf_dir: str, cols, dup: bool = False) -> str:
+    """Batch-write events columns as two parquet files (two
+    microbatches — state must survive the boundary). value is
+    FLOOR(value*100): an integer-valued double, so per-batch float
+    accumulation is order-independent and exact against a SQL SUM.
+    dup=True appends a duplicate copy of every row to each file (for
+    the dedup gate)."""
+    import tempfile
+
+    src = f"{tempfile.mkdtemp(prefix='strawboat_stream_')}/events"
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    ).select(*cols)
+    for name, flt in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        part = e.filter(flt)
+        if dup:
+            part = part.unionAll(part)
+        part.coalesce(1).write.parquet(f"{src}/{name}")
+    return f"{src}/*"
+
+
+def _drain(spark, stream_df, name: str, output_mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(FLOOR(value * 100)), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    description=(
+        "applyInPandasWithState gate: running per-user count+total "
+        "across 2 microbatches; drained final state equals the batch "
+        "aggregate exactly (integer-valued doubles -> order-free sums)"
+    ),
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState stateful operator, driver-verified:
+    GroupState carries (n, total) per user across the microbatch
+    boundary; the final emission per user must equal the batch GROUP
+    BY. value is floored to integer cents so per-batch accumulation
+    order cannot move the hash."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from strawboat_spark.streaming.pipelines import running_user_totals
+
+    path = _two_file_stream_src(spark, sf_dir, ["user_id", "event_id", "value"])
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    got = _drain(
+        spark, running_user_totals(stream), f"rt_{uuid.uuid4().hex[:8]}", "update"
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        got.withColumn("__mx", F.max("n_events").over(w))
+        .filter(F.col("n_events") == F.col("__mx"))
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "dropDuplicatesWithinWatermark gate: every row duplicated in "
+        "BOTH microbatches; the drained stream equals DISTINCT exactly "
+        "(full-retention watermark keeps all keys live)"
+    ),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: each file carries every row twice and
+    batch 2 repeats keys from batch 1's horizon — state must both
+    dedup within a batch and across the boundary. The 3650-day
+    watermark keeps all keys retained so the result is exactly
+    DISTINCT; the production trade-off (bounded state vs horizon) is
+    the watermark parameter."""
+    import uuid
+
+    from strawboat_spark.streaming.pipelines import dedup_within_watermark
+
+    path = _two_file_stream_src(
+        spark, sf_dir, ["user_id", "event_id", "ts", "event_type"], dup=True
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    deduped = dedup_within_watermark(stream, keys=["event_id"], watermark="3650 days")
+    got = _drain(spark, deduped, f"dw_{uuid.uuid4().hex[:8]}", "append")
+    return (
+        got.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_stream_band_join",
+    oracle="""
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    description=(
+        "stream-stream band join gate: two watermarked streams of the "
+        "events table inner-join within a 1-hour band across 2 "
+        "microbatches; pair counts equal the batch band self-join"
+    ),
+)
+def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scale pattern for stream joins: both sides
+    watermarked, band condition bounds the join state. The
+    full-retention watermark makes the drained result complete (equal
+    to the batch band self-join) even though pairs straddle the
+    microbatch boundary in both directions."""
+    import uuid
+
+    from strawboat_spark.streaming.pipelines import enrich_stream_stream_join
+
+    path = _two_file_stream_src(
+        spark, sf_dir, ["user_id", "event_id", "ts", "event_type"]
+    )
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def rd():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    joined = enrich_stream_stream_join(
+        rd(), rd(), horizon="1 hour", watermark="3650 days"
+    )
+    got = _drain(spark, joined, f"ssj_{uuid.uuid4().hex[:8]}", "append")
+    return (
+        got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
