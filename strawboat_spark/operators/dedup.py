@@ -508,3 +508,66 @@ def remove_duplicate_substrings(
         F.md5("kept").alias("kept_hash"),
         "kept",
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_len: int = 32,
+    block_len: int = 6,
+    length_band: int = 2,
+    max_distance: int = 4,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Blocked exact edit-distance near-dup pairs: document keys are the
+    first `key_len` chars of whitespace-normalized lowercased text;
+    candidates share a `block_len`-char prefix AND differ in key length
+    by at most `length_band` (a true Levenshtein lower bound — equal
+    prefixes can't rescue a length gap). Distance is Spark's built-in
+    levenshtein (JVM codegen, no Python), computed ONLY on blocked
+    candidates — never all pairs.
+
+    Scale guard: a prefix shared by B docs yields B^2/2 candidate
+    pairs, so blocks larger than `max_block_size` (boilerplate
+    prefixes: license headers, templates) are cut from the candidate
+    universe BEFORE the self-join — the same audited-cut contract as
+    ngram_jaccard_pairs' df-cut and lsh_candidate_pairs' bucket cap,
+    and the same groupBy+join shape (a per-block window would
+    serialize the hot block on one core).
+
+    Complements the MinHash/SimHash/ngram family with character-level
+    (typo/OCR) similarity the token-level signatures miss.
+    Output: (id_a, id_b, distance), id_a < id_b."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, key_len
+    )
+    k = df.select(F.col(id_col), key.alias("__key")).select(
+        id_col,
+        "__key",
+        F.substring("__key", 1, block_len).alias("__blk"),
+        F.length("__key").alias("__l"),
+    )
+    keep = (
+        k.groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_block_size)
+        .select("__blk")
+    )
+    k = k.join(keep, "__blk")
+    a, b = k.alias("a"), k.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.abs(F.col("a.__l") - F.col("b.__l")) <= length_band),
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col("a.__key"), F.col("b.__key")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy("id_a", "id_b")
+    )

@@ -2170,3 +2170,33 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     return heavy_hitters(toks, "token", 1, 100)
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 32) AS key
+      FROM documents
+    ), b AS (
+      SELECT doc_id, key, substring(key, 1, 6) AS blk, len(key) AS l FROM k
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.key, c.key) AS INT) AS distance
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.l - c.l) <= 2
+    WHERE levenshtein(a.key, c.key) <= 4
+    ORDER BY id_a, id_b
+    """,
+    description=(
+        "character-level near-dup: prefix-blocked + length-banded "
+        "exact Levenshtein pairs (JVM builtin, candidates only) — the "
+        "typo/OCR similarity the token-level signatures miss"
+    ),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import edit_distance_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(d, "doc_id", "text")
