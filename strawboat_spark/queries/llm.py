@@ -2200,3 +2200,68 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(d, "doc_id", "text")
+
+
+@query(
+    "timeseries_resample_linear",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS k, epoch_us(ts) AS t, value AS v
+      FROM events WHERE user_id < 5
+    ), b AS (
+      SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k,
+             unnest(generate_series(
+               CAST(FLOOR(lo / 3600000000) * 3600000000 AS BIGINT),
+               hi, 3600000000)) AS t
+      FROM b
+    ), u AS (
+      SELECT k, t, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT k, t, NULL AS v, 0 AS is_obs FROM grid
+    ), f AS (
+      SELECT k, t, is_obs,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
+      FROM u
+      WINDOW
+        w_prev AS (PARTITION BY k ORDER BY t, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY k ORDER BY t, is_obs DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k AS user_id,
+           strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           ROUND(CASE
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN nt = pt THEN pv
+             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END, 4) AS value
+    FROM f WHERE is_obs = 0
+    ORDER BY user_id, grid_ts
+    """,
+    description=(
+        "time-series gap filling: per-key hourly grid with linear "
+        "interpolation (one window partition per key, no join) — exact "
+        "per-row oracle, identical IEEE expression both engines"
+    ),
+)
+def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample_linear over the events of 5 users: regular hourly grid
+    from floor(min ts) to max ts per user, values linearly interpolated
+    on integer microseconds with one final double division — the same
+    expression tree as the oracle, so every grid row hash-matches
+    without aggregation."""
+    from strawboat_spark.operators.timeseries import resample_linear
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    out = resample_linear(e, "user_id", "ts", "value", step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        "value",
+    ).orderBy("user_id", "grid_ts")

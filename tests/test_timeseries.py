@@ -1,0 +1,58 @@
+"""resample_linear unit tests: exact interpolation on a hand-built
+series, hold extrapolation, observation-on-grid ties, single window
+shuffle plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts timestamp, v double")
+
+
+def test_linear_values_exact(spark):
+    from strawboat_spark.operators.timeseries import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                                # 00:30 -> 10
+        (1, t0 + dt.timedelta(hours=2), 30.0),        # 02:30 -> 30
+    ]
+    out = resample_linear(_df(spark, rows), "k", "ts", "v", step="1 hour")
+    got = {r["grid_ts"].strftime("%H:%M"): r["value"] for r in out.collect()}
+    # grid 00:00..02:00; 00:00 holds the first obs, others interpolate
+    assert got == {"00:00": 10.0, "01:00": 15.0, "02:00": 25.0}
+
+
+def test_observation_exactly_on_grid_wins(spark):
+    from strawboat_spark.operators.timeseries import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1, 1, 0)
+    rows = [(1, t0, 7.0), (1, t0 + dt.timedelta(hours=1), 9.0)]
+    out = resample_linear(_df(spark, rows), "k", "ts", "v", step="1 hour")
+    got = {r["grid_ts"].strftime("%H:%M"): r["value"] for r in out.collect()}
+    assert got == {"01:00": 7.0, "02:00": 9.0}
+
+
+def test_single_observation_holds(spark):
+    from strawboat_spark.operators.timeseries import resample_linear
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 20), 5.0)]
+    out = resample_linear(_df(spark, rows), "k", "ts", "v", step="1 hour")
+    got = [(r["grid_ts"].strftime("%H:%M"), r["value"]) for r in out.collect()]
+    assert got == [("00:00", 5.0)]
+
+
+def test_one_shuffle_no_join(spark):
+    from strawboat_spark.operators.timeseries import resample_linear
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 20), 5.0),
+            (2, dt.datetime(2024, 1, 1, 3, 0), 6.0)]
+    plan = (
+        resample_linear(_df(spark, rows), "k", "ts", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # grid union + windows, never a join
