@@ -99,3 +99,47 @@ def resample_linear(
         F.timestamp_micros(F.col("t")).alias("grid_ts"),
         F.round(interp, round_digits).alias("value"),
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the recurrence
+    y_i = alpha*x_i + (1-alpha)*y_(i-1) that window frames cannot
+    express (every output depends on the entire prefix). Spark-first:
+    ONE groupBy(key) collecting the (ts, value) series sorted by time,
+    then a JVM F.aggregate fold — no Python, no per-row UDF calls, one
+    shuffle on the same key downstream feature jobs use. Per-key
+    series must fit an aggregation buffer (same contract as the funnel
+    fold in queries/relational.py); beyond that, chunk by time range.
+
+    Returns (key, n_points, ewma) with the fold's final value. The
+    fold multiplies in a fixed written order (alpha*x + beta*y), so a
+    SQL oracle replaying the same expression matches bit-for-bit."""
+    beta = 1.0 - alpha
+    series = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("t"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("tv"),
+        )
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("tv")).alias("s"))
+    )
+    fold = F.aggregate(
+        F.expr("slice(s, 2, size(s) - 1)"),
+        F.element_at(F.col("s"), 1)["v"],
+        lambda acc, x: F.lit(alpha) * x["v"] + F.lit(beta) * acc,
+    )
+    return series.select(
+        F.col("k").alias(key_col),
+        F.size("s").cast("long").alias("n_points"),
+        F.round(fold, round_digits).alias("ewma"),
+    )

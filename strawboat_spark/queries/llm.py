@@ -2265,3 +2265,32 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         "value",
     ).orderBy("user_id", "grid_ts")
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, value) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_points,
+           ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+    FROM s ORDER BY user_id
+    """,
+    description=(
+        "per-key EWMA via JVM F.aggregate fold — the full-prefix "
+        "recurrence window frames can't express; bit-identical SQL "
+        "replay (same written multiply-add order)"
+    ),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(alpha=0.3) of each user's event values in time order.
+    Tie-break note: events sharing a microsecond timestamp order by
+    value on both sides (sort_array orders the (t, v) struct
+    lexicographically; the oracle's list() ORDER BY ts, value)."""
+    from strawboat_spark.operators.timeseries import ewma_last
+
+    e = load_table(spark, sf_dir, "events")
+    return ewma_last(e, "user_id", "ts", "value", alpha=0.3).orderBy("user_id")

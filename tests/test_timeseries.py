@@ -56,3 +56,29 @@ def test_one_shuffle_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan  # grid union + windows, never a join
+
+
+def test_ewma_exact_fold(spark):
+    from strawboat_spark.operators.timeseries import ewma_last
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        (1, dt.datetime(2024, 1, 1, 1, 0), 20.0),
+        (1, dt.datetime(2024, 1, 1, 2, 0), 30.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0), 4.0),
+    ]
+    out = {r["k"]: (r["n_points"], r["ewma"])
+           for r in ewma_last(_df(spark, rows), "k", "ts", "v", alpha=0.5).collect()}
+    # user 1: y=10 -> .5*20+.5*10=15 -> .5*30+.5*15=22.5 ; user 2: single point
+    assert out == {1: (3, 22.5), 2: (1, 4.0)}
+
+
+def test_ewma_no_python_in_plan(spark):
+    from strawboat_spark.operators.timeseries import ewma_last
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0), 1.0)]
+    plan = (
+        ewma_last(_df(spark, rows), "k", "ts", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan  # JVM fold, not a UDF
