@@ -93,3 +93,63 @@ def pagerank_fixed_point(
     edges.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def cooccurrence_edges(
+    df, group_col: str, item_col: str, min_weight: int = 1, max_group_size: int = 256
+):
+    """Undirected co-occurrence edges: items sharing a group, weighted
+    by the number of shared groups, edge kept if weight >= min_weight.
+
+    Spark-first: ONE shuffle — groupBy(group) collects each group's
+    distinct sorted items and expands ordered pairs with higher-order
+    functions inside the aggregation row (the lsh_candidate_pairs
+    shape), instead of the naive self-join that shuffles the fact
+    table twice. Groups larger than max_group_size are truncated to
+    the smallest ids (deterministic) — a group of B items yields B^2/2
+    pairs, and a degenerate mega-group (viral order, boilerplate doc)
+    must not quadratically explode the expansion. Output: (src, dst,
+    weight), src < dst."""
+    import pyspark.sql.functions as F
+
+    members = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.slice(F.array_sort(F.collect_set(item_col)), 1, max_group_size).alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.src", "p.dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_counts(edges):
+    """Per-node triangle participation counts from an (src, dst)
+    edge list with src < dst. The id-oriented edge-join algorithm:
+    triangles (a,b,c), a<b<c, found as E(a,b) JOIN E(b,c) JOIN E(a,c)
+    — two shuffles over the edge list, never touching the original
+    fact table. (The degree-ordered orientation that bounds join
+    fan-out by arboricity is a drop-in replacement of the sort key at
+    scale; id order keeps the oracle trivially replayable.)
+    Output: (node, n_triangles) for nodes in >= 1 triangle."""
+    import pyspark.sql.functions as F
+
+    e = edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

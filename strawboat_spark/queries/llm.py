@@ -2294,3 +2294,48 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return ewma_last(e, "user_id", "ts", "value", alpha=0.3).orderBy("user_id")
+
+
+@query(
+    "graph_triangle_counts",
+    oracle="""
+    WITH po AS (
+      -- set semantics: one pair per order, regardless of how many
+      -- lineitems each supplier has in it
+      SELECT DISTINCT a.l_orderkey AS o, a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), p AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM po GROUP BY 1, 2
+    ), e AS (SELECT src, dst FROM p WHERE weight >= 30),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e ab JOIN e bc ON ab.dst = bc.src
+      JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node ORDER BY node
+    """,
+    description=(
+        "triangle counting on the supplier co-occurrence graph "
+        "(edge = >= 30 shared orders): single-shuffle bounded pair "
+        "expansion + id-oriented edge-join — exact oracle"
+    ),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation in the >= 30-shared-orders
+    co-occurrence graph. Edge building expands pairs inside each
+    order's collected item array (one shuffle, group size bounded) —
+    NOT a lineitem self-join; the triangle join then runs entirely on
+    the thin edge list. Complements pagerank + connected components
+    with the clustering-structure metric."""
+    from strawboat_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_weight=30)
+    return triangle_counts(edges).withColumnRenamed("node", "node").orderBy("node")
