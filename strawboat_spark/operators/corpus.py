@@ -244,3 +244,25 @@ def with_compression_ratio(df: DataFrame, text_col: str, out_col: str = "zlib_ra
         return pd.Series(out)
 
     return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def stratified_sample_k(
+    df: DataFrame, stratum_col: str, id_col: str, k: int, seed: str = "s1"
+) -> DataFrame:
+    """Deterministic uniform k-sample per stratum: rank rows inside
+    each stratum by md5(seed || id) and keep the k smallest. With the
+    hash as a random oracle this IS uniform sampling without
+    replacement per stratum, but reproducible across runs, engines and
+    retries — the property rand()-based sampling loses the moment a
+    task retries. The balanced-eval-set / per-source-budget primitive.
+
+    One window per stratum (the stratum key bounds every sort) and
+    Spark pushes rank<=k into the window sort (WindowGroupLimit) —
+    losers are never fully materialized. Output adds sample_rank
+    (1-based within the stratum)."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )

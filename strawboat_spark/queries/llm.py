@@ -2339,3 +2339,37 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_weight=30)
     return triangle_counts(edges).withColumnRenamed("node", "node").orderBy("node")
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 10
+    ORDER BY lang, sample_rank
+    """,
+    description=(
+        "deterministic stratified sampling: uniform 10-per-language "
+        "sample via md5 ranking — reproducible across runs/engines/"
+        "task retries, exact oracle"
+    ),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k=10 sample per language, hash-ranked (random-oracle
+    uniform, but deterministic — no rand(), so task retries and
+    re-runs select identical rows). WindowGroupLimit pushes the
+    rank<=k cut into the per-stratum sort."""
+    from strawboat_spark.operators.corpus import stratified_sample_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample_k(d, "lang", "doc_id", 10)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
