@@ -2373,3 +2373,44 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    description=(
+        "behavioral transition matrix: per-user consecutive event-type "
+        "bigram counts (one lag window per user, deterministic "
+        "(ts, event_id) ordering) — exact oracle"
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition counts over per-user event sequences:
+    one lag window partitioned by user (the sessionize/funnel shuffle
+    key, reusable), then a global bigram aggregation. Deterministic
+    within-timestamp ordering via the event_id tiebreak on both
+    engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
