@@ -2414,3 +2414,45 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+                         t -> t != '') AS l
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                    i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+      FROM toks WHERE len(l) >= 2
+    ), b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+    u AS (SELECT unnest(l) AS w1 FROM toks),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM u GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM uc)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    description=(
+        "corpus-LM perplexity quality signal: per-doc mean log P(w2|w1) "
+        "under the corpus's own Laplace-smoothed bigram model (count "
+        "tables as DataFrames, AQE-splittable joins) — exact oracle"
+    ),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: train the bigram model
+    on the corpus itself (two groupBy count tables + a vocab scalar),
+    score every doc by mean log-prob through skew-splittable joins —
+    no driver-side model object at any scale."""
+    from strawboat_spark.operators.lm import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
