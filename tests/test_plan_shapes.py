@@ -335,3 +335,21 @@ def test_ngram_df_cut_is_join_not_shingle_window(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(shingle" not in plan
     assert "Window [" not in plan, plan[:2000]
+
+
+def test_lm_perplexity_no_window_no_python(spark, registry):
+    """Counts are groupBy tables joined back (skew-splittable), the
+    vocab scalar rides a broadcast — no Window, no Python eval."""
+    df = registry["text_lm_perplexity"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+    assert "BroadcastExchange" in plan  # the 1-row vocab scalar
+
+
+def test_edit_distance_block_cut_is_join_not_window(spark, registry):
+    df = registry["dedup_edit_distance"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__blk" not in plan
+    assert "Window" not in plan
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
