@@ -922,3 +922,44 @@ def strawboat_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           MIN(o_orderstatus),
+           MAX(o_orderstatus)
+    FROM orders
+    ORDER BY col_name
+    """,
+    description=(
+        "metadata-only column profile: per-column rows/nulls/min/max "
+        "aggregated from page stats without reading a data page — the "
+        "drift-check primitive (profile(g1) vs profile(g2) at manifest "
+        "cost)"
+    ),
+)
+def strawboat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders into the format, then profile from page metadata
+    only: counts/nulls from page headers, min/max as the fold of page
+    stats — hash-matched against SQL MIN/MAX/COUNT over the source."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_prof_')}/orders"
+    t = Table(spark, path)
+    t.overwrite(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    )
+    return t.profile().withColumnRenamed("column", "col_name").orderBy("col_name")

@@ -153,6 +153,61 @@ class Table:
             "path string, n_rows long, n_deleted int, n_live long, n_pages int",
         )
 
+    def profile(self, at_generation: int | None = None) -> DataFrame:
+        """Metadata-only column profile: per top-level column (name,
+        n_rows, n_nulls, min_str, max_str) aggregated from the
+        generation's page stats — no data pages read (footers come
+        from the manifest's embedded cache). min/max/null counts are
+        FILE-LEVEL stats: on merge-on-read tables they ignore deletion
+        vectors (conservative bounds, like Iceberg's column metrics on
+        files with delete files), while n_rows subtracts them. Values
+        stringified via Python str() — exact for ints/strings/bools;
+        floats are bounds, compare numerically. Drives drift checks
+        between generations (profile(g1) vs profile(g2)) at manifest
+        cost, not scan cost."""
+        from strawboat_spark.sources.datasource import (
+            _cached_footer,
+            _deletes_by_rel,
+            _list_files,
+        )
+
+        files = _list_files(self.path, at_generation)
+        dmap = _deletes_by_rel(self.path, at_generation)
+        agg: dict[str, list] = {}  # name -> [n_rows, n_nulls, min, max]
+        order: list[str] = []
+        for f in sorted(files):
+            meta = _cached_footer(f)[1]
+            n_del = len(dmap.get(f, ()))
+            for lf in meta.leaves:
+                if "." in lf.name:
+                    continue  # nested leaves: out of profile scope
+                name = lf.name
+                if name not in agg:
+                    agg[name] = [0, 0, None, None]
+                    order.append(name)
+                a = agg[name]
+                a[0] += sum(p.num_values for p in lf.pages) - n_del
+                a[1] += sum(p.null_count for p in lf.pages)
+                mins = [p.min for p in lf.pages if p.min is not None]
+                maxs = [p.max for p in lf.pages if p.max is not None]
+                if mins:
+                    a[2] = min(mins) if a[2] is None else min(a[2], min(mins))
+                if maxs:
+                    a[3] = max(maxs) if a[3] is None else max(a[3], max(maxs))
+        rows = [
+            (
+                n,
+                int(agg[n][0]),
+                int(agg[n][1]),
+                None if agg[n][2] is None else str(agg[n][2]),
+                None if agg[n][3] is None else str(agg[n][3]),
+            )
+            for n in order
+        ]
+        return self.spark.createDataFrame(
+            rows, "column string, n_rows long, n_nulls long, min_str string, max_str string"
+        )
+
     def history(self) -> list[dict]:
         from strawboat_spark.sources.datasource import list_generations
 

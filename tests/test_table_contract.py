@@ -817,3 +817,42 @@ def test_mor_delete_concurrent_threads_all_survive(spark, tmp_path):
     remaining = sorted(r.id for r in t.read().collect())
     assert remaining == list(range(200, 400))
     assert t.count_rows() == 200
+
+
+def test_profile_metadata_only_and_generation_aware(spark, tmp_path):
+    """profile(): counts/nulls/min/max from page stats only; doubles
+    profile as numeric bounds; MOR deletes shrink n_rows but leave the
+    (conservative) bounds; drift is visible between generations."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") * 1.5).alias("x"),
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("nv"),
+        )
+    )
+    p1 = {r["column"]: r for r in t.profile().collect()}
+    assert p1["id"]["n_rows"] == 100 and p1["id"]["n_nulls"] == 0
+    assert (p1["id"]["min_str"], p1["id"]["max_str"]) == ("0", "99")
+    assert float(p1["x"]["min_str"]) == 0.0 and float(p1["x"]["max_str"]) == 148.5
+    assert p1["nv"]["n_nulls"] == 10
+
+    # generation 2: append shifts max; drift visible, gen 1 unchanged
+    t.append(spark.range(100, 150).select(
+        F.col("id"), (F.col("id") * 1.5).alias("x"), F.col("id").alias("nv")))
+    p2 = {r["column"]: r for r in t.profile().collect()}
+    assert p2["id"]["max_str"] == "149" and p2["id"]["n_rows"] == 150
+    assert {r["column"]: r["max_str"] for r in t.profile(at_generation=1).collect()}[
+        "id"
+    ] == "99"
+
+    # MOR delete: n_rows subtracts vectors, bounds stay conservative
+    t.delete("id >= 140", mode="mor")
+    p3 = {r["column"]: r for r in t.profile().collect()}
+    assert p3["id"]["n_rows"] == 140
+    assert p3["id"]["max_str"] == "149"  # file-level bound, documented
