@@ -172,9 +172,13 @@ def _decode_image_bytes(payload: bytes, deterministic_fake: bool):
         from strawboat_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"qoif":
+        from strawboat_spark.operators.qoi import decode_qoi
+
+        return decode_qoi(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG/GIF/TIFF decode natively; "
+            "only PPM(P6)/BMP(24bpp)/baseline-JPEG/PNG/GIF/TIFF/QOI decode natively; "
             "other formats need an imaging library (PIL/opencv) not "
             "present in this environment; pass deterministic_fake=True "
             "to exercise the pipeline with stable fake features"

@@ -2456,3 +2456,56 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "multimodal_qoi_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(6 + doc_id % 11 AS INT) AS width,
+             CAST(4 + doc_id % 7 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           ROUND(list_avg(flatten(list_transform(
+             generate_series(0, CAST(width * height - 1 AS BIGINT)),
+             i -> [CAST((3 * i + doc_id) % 256 AS DOUBLE),
+                   CAST((5 * i + doc_id) % 256 AS DOUBLE),
+                   CAST((7 * i + doc_id) % 256 AS DOUBLE)]))), 4) AS mean_intensity
+    FROM dims ORDER BY doc_id
+    """,
+    description=(
+        "REAL QOI decode (qoiformat.org public-domain spec: hash-cache "
+        "index, diff/luma/run ops), exact oracle (lossless)"
+    ),
+)
+def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI gate: executors synthesize an RGB QOI per doc (channel
+    ramps exercising DIFF/LUMA/RGB/INDEX/RUN ops) and decode with the
+    pure-numpy parser (operators/qoi.py). Lossless, so the oracle is
+    the plain analytic per-channel mean."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import extract_image_features
+    from strawboat_spark.operators.qoi import synthesize_qoi_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                synthesize_qoi_bytes(int(i), 6 + int(i) % 11, 4 + int(i) % 7)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        extract_image_features(with_payload, "doc_id", "payload")
+        .select("doc_id", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    )
