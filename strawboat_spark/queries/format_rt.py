@@ -963,3 +963,58 @@ def strawboat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     )
     return t.profile().withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+@query(
+    "strawboat_incremental_view",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(FLOOR(o_totalprice * 100)), 2) AS sum_value
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'O')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "incrementally maintained aggregate view: CDF generations fold "
+        "into a (group, count, sum) view without rescanning the base "
+        "table — after an overwrite + MOR delete the view hash-matches "
+        "the batch replay"
+    ),
+)
+def strawboat_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed orders (generation 1), MOR-delete a slice (generation 2),
+    then run one availableNow maintenance cycle: the view folds the
+    insert and delete feeds additively (value pre-floored to integer
+    cents so fold order can't move the hash) and must equal the
+    final-state GROUP BY. The base table is scanned only through its
+    change feed."""
+    import tempfile
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.streaming.views import maintain_count_sum_view
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_mv_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("double").alias("cents"),
+    )
+    t.overwrite(o)
+    t.delete("o_orderkey % 5 = 0 AND o_orderstatus = 'O'", mode="mor")
+    view = maintain_count_sum_view(
+        spark,
+        f"{root}/orders",
+        f"{root}/view",
+        "o_orderstatus",
+        "cents",
+        checkpoint=f"{root}/ckpt",
+    )
+    return view.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("o_orderstatus")

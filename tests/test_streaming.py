@@ -419,3 +419,47 @@ def test_stream_change_feed_exact_for_mor(spark, tmp_path):
 
     with _pytest.raises(Exception, match="STREAM option"):
         spark.read.format("strawboat").option("change_feed", "true").load(path).collect()
+
+
+def test_incremental_view_folds_only_new_generations(spark, tmp_path):
+    """Two maintenance cycles over one checkpoint: cycle 2 must fold
+    ONLY the generations committed after cycle 1 (CDF offsets are
+    checkpointed) and still converge to the batch aggregate after
+    append + MOR delete + MOR update."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.streaming.views import maintain_count_sum_view
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    args = (spark, f"{root}/t", f"{root}/view", "g", "v")
+    view1 = maintain_count_sum_view(*args, checkpoint=f"{root}/ckpt")
+    got1 = {r["g"]: (r["n_rows"], r["sum_value"]) for r in view1.collect()}
+    assert got1[0] == (25, sum(float(i) for i in range(0, 100, 4)))
+
+    # more generations: append, MOR delete, MOR update
+    t.append(spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") * 1.0).alias("v")))
+    t.delete("id < 8", mode="mor")
+    t.update("id >= 116", {"v": "v + 1000"}, mode="mor")
+
+    view2 = maintain_count_sum_view(*args, checkpoint=f"{root}/ckpt")
+    expect = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value"))
+        .collect()
+    }
+    got2 = {r["g"]: (r["n_rows"], r["sum_value"]) for r in view2.collect()}
+    assert got2 == expect
+    # the view is itself a table with history: cycle 1's state is gen 1
+    assert Table(spark, f"{root}/view").read(at_generation=1).count() == 4
