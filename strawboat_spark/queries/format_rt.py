@@ -1018,3 +1018,48 @@ def strawboat_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "strawboat_restore",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "RESTORE gate: after a MOR delete, restore(1) commits a new "
+        "generation equal to the pre-delete snapshot — the aggregate "
+        "hash-matches the untouched source while history stays intact"
+    ),
+)
+def strawboat_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE semantics: seed (gen 1), MOR-delete a third of
+    open orders (gen 2), restore(1) (gen 3 = gen 1's entries). The
+    post-restore read must equal the original table exactly, and the
+    history must show three generations (restore is a commit, not a
+    rollback-by-deletion)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_restore_')}/orders"
+    t = Table(spark, path)
+    t.overwrite(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    t.delete("o_orderkey % 3 = 0 AND o_orderstatus = 'O'", mode="mor")
+    t.restore(1)
+    assert len(t.history()) == 3  # restore commits, never rewrites history
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -207,7 +207,7 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
     return {"before": before, "after": after}
 
 
-def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
+def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> dict:
     """The table layer's ONLY deleter of data files. Reclaims, after
     `grace_seconds`:
 
@@ -223,6 +223,11 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
     keeps vacuum from racing an active writer (a file exists before
     its commit publishes it) and keeps just-superseded generations
     briefly time-travel-able. Returns {"removed": n, "kept": n}.
+
+    dry_run=True mutates NOTHING (not even the cache-pointer pin) and
+    adds "planned": the sorted paths a real run would reclaim now —
+    the Delta `VACUUM ... DRY RUN` affordance for auditing retention
+    before deleting.
     """
     import json
 
@@ -235,23 +240,28 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
 
     man = read_manifest(path)
     if man is None:
-        return {"removed": 0, "kept": 0}
+        return {"removed": 0, "kept": 0, "planned": []} if dry_run else {"removed": 0, "kept": 0}
     removed = kept = 0
+    planned: list[str] = []
     fs = get_fs(path)
     head = man.get("generation", 0)
     # 1. Pin the cache pointer at the head (readers then never need the
     #    old generation files for probing), then retire superseded
     #    generation files past the grace window. Doing this FIRST means
     #    step 2's keep-set only has to honor generations that survive.
-    with fs.create(_manifest_path(path)) as h:
-        h.write(json.dumps(man).encode())
+    if not dry_run:
+        with fs.create(_manifest_path(path)) as h:
+            h.write(json.dumps(man).encode())
     retained = [man]
     for gen in range(1, head):
         gp = _gen_path(path, gen)
         try:
             if fs.exists(gp):
                 if _age_seconds(fs, gp) > grace_seconds:
-                    fs.remove(gp)
+                    if dry_run:
+                        planned.append(gp)
+                    else:
+                        fs.remove(gp)
                     removed += 1
                 else:
                     old = _read_manifest_file(fs, gp)
@@ -285,15 +295,23 @@ def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
             continue
         try:
             if _age_seconds(fs, f) > grace_seconds:
-                fs.remove(f)
+                if dry_run:
+                    planned.append(f)
+                else:
+                    fs.remove(f)
                 removed += 1
             else:
                 kept += 1  # too young: may belong to an uncommitted write
         except (OSError, KeyError):
             kept += 1
     for d in sorted(scratch_roots):
-        fs.remove_tree(d)
+        if dry_run:
+            planned.append(d)
+        else:
+            fs.remove_tree(d)
         removed += 1
+    if dry_run:
+        return {"removed": removed, "kept": kept, "planned": sorted(planned)}
     return {"removed": removed, "kept": kept}
 
 

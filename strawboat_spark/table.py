@@ -347,7 +347,34 @@ class Table:
 
         return optimize(self.spark, self.path, zorder_by=zorder_by, target_files=target_files)
 
-    def vacuum(self, grace_seconds: float = 3600.0) -> dict:
+    def vacuum(self, grace_seconds: float = 3600.0, dry_run: bool = False) -> dict:
         from strawboat_spark.sources.maintenance import vacuum
 
-        return vacuum(self.path, grace_seconds=grace_seconds)
+        return vacuum(self.path, grace_seconds=grace_seconds, dry_run=dry_run)
+
+    def restore(self, generation: int) -> None:
+        """Delta RESTORE: commit a NEW generation whose entries equal
+        the target generation's — the table's current state snaps back
+        (including that generation's deletion-vector state) while the
+        full history, time travel, and the change feed stay intact; no
+        data file is touched. Requires the target generation retained
+        (vacuum() retires the horizon)."""
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            read_manifest,
+            read_manifest_at,
+            write_manifest,
+        )
+
+        target = read_manifest_at(self.path, generation)
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            gen = (man.get("generation", 0) + 1) if man else 1
+            try:
+                write_manifest(self.path, target["entries"], generation=gen)
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"restore({self.path}, {generation}): lost the generation race"
+        )

@@ -856,3 +856,60 @@ def test_profile_metadata_only_and_generation_aware(spark, tmp_path):
     p3 = {r["column"]: r for r in t.profile().collect()}
     assert p3["id"]["n_rows"] == 140
     assert p3["id"]["max_str"] == "149"  # file-level bound, documented
+
+
+def test_vacuum_dry_run_mutates_nothing(spark, tmp_path):
+    """dry_run reports exactly what a real vacuum would reclaim and
+    touches nothing: same file set before/after, and the subsequent
+    real run removes precisely the planned paths."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.overwrite(spark.range(60).select(F.col("id"), (F.col("id") * 3).alias("v")))
+    t.delete("id < 5")  # third generation, rewrites a file
+
+    def snapshot():
+        return sorted(
+            _os.path.join(r, f)
+            for r, _d, fs in _os.walk(path)
+            for f in fs
+        )
+
+    before = snapshot()
+    plan = t.vacuum(grace_seconds=0.0, dry_run=True)
+    assert snapshot() == before, "dry run modified the table"
+    assert plan["removed"] == len(plan["planned"]) > 0
+
+    real = t.vacuum(grace_seconds=0.0)
+    assert real["removed"] == plan["removed"]
+    gone = set(before) - set(snapshot())
+    assert gone == {p for p in plan["planned"]}
+
+
+def test_restore_snaps_back_and_keeps_history(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.update("id < 3", {"v": "v + 100"}, mode="mor")
+    t.delete("id >= 8", mode="mor")
+    assert t.read().count() == 8
+
+    t.restore(1)
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+    assert t.read().filter("v >= 100").count() == 0
+    # history preserved: 4 generations; gen 3 still time-travels
+    assert len(t.history()) == 4
+    assert t.read(at_generation=3).count() == 8
+    # restoring a mid-state works too
+    t.restore(2)
+    assert t.read().filter("v >= 100").count() == 3
