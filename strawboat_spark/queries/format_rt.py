@@ -1063,3 +1063,46 @@ def strawboat_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_tag_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "named tag gate: tag('v1') pins the seed generation; after an "
+        "overwrite AND a zero-grace vacuum the tag still reads the "
+        "full seed exactly (tagged generations survive vacuum)"
+    ),
+)
+def strawboat_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags + retention interaction: seed (gen 1, tagged v1),
+    overwrite with a fragment (gen 2), vacuum(grace 0) — which retires
+    every untagged non-head generation — and the tag must still
+    aggregate to the untouched source."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_tag_')}/orders"
+    t = Table(spark, path)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.overwrite(o)
+    t.tag("v1")
+    t.overwrite(o.filter("o_orderkey % 7 = 0"))
+    t.vacuum(grace_seconds=0.0)
+    return (
+        t.read_tag("v1")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -252,12 +252,28 @@ def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> d
     if not dry_run:
         with fs.create(_manifest_path(path)) as h:
             h.write(json.dumps(man).encode())
+    # Tagged generations are PINNED: a tag (table.py Table.tag) names a
+    # generation that must stay readable regardless of age, so both its
+    # manifest file and (via `retained`) its data files survive vacuum
+    # until the tag is dropped (Iceberg tag-retention semantics).
+    pinned: set[int] = set()
+    tags_file = f"{path}/_strawboat_tags.json"
+    try:
+        if fs.exists(tags_file):
+            with fs.open_read(tags_file) as th:
+                pinned = set(json.loads(th.read().decode()).values())
+    except (OSError, ValueError):
+        pass
     retained = [man]
     for gen in range(1, head):
         gp = _gen_path(path, gen)
         try:
             if fs.exists(gp):
-                if _age_seconds(fs, gp) > grace_seconds:
+                if gen in pinned:
+                    old = _read_manifest_file(fs, gp)
+                    if old is not None:
+                        retained.append(old)
+                elif _age_seconds(fs, gp) > grace_seconds:
                     if dry_run:
                         planned.append(gp)
                     else:

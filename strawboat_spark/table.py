@@ -213,6 +213,63 @@ class Table:
 
         return list_generations(self.path)
 
+    # -- tags --------------------------------------------------------------
+    _TAGS_FILE = "_strawboat_tags.json"
+
+    def tags(self) -> dict[str, int]:
+        """name -> generation. Tagged generations are PINNED from
+        vacuum retirement (Iceberg tag-retention semantics): vacuum
+        keeps a tagged generation's manifest and files no matter how
+        old, so a `v1.0` tag stays readable forever until the tag is
+        dropped."""
+        import json
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        f = f"{self.path}/{self._TAGS_FILE}"
+        if not fs.exists(f):
+            return {}
+        with fs.open_read(f) as fh:
+            return json.loads(fh.read().decode())
+
+    def tag(self, name: str, generation: int | None = None) -> int:
+        """Tag `generation` (default: the current head) with `name`.
+        Returns the tagged generation."""
+        from strawboat_spark.sources.datasource import read_manifest, read_manifest_at
+
+        if generation is None:
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(f"tag({name!r}): table has no committed generation")
+            generation = man.get("generation", 0)
+        else:
+            read_manifest_at(self.path, generation)  # must be retained
+        tags = self.tags()
+        tags[name] = int(generation)
+        self._save_tags(tags)
+        return int(generation)
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        self._save_tags(tags)
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
+        return self.read(at_generation=tags[name])
+
+    def _save_tags(self, tags: dict[str, int]) -> None:
+        import json
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        with fs.create(f"{self.path}/{self._TAGS_FILE}") as fh:
+            fh.write(json.dumps(tags, sort_keys=True).encode())
+
     # -- constraints -------------------------------------------------------
     _CONSTRAINTS_FILE = "_strawboat_constraints.json"
 

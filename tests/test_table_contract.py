@@ -913,3 +913,40 @@ def test_restore_snaps_back_and_keeps_history(spark, tmp_path):
     # restoring a mid-state works too
     t.restore(2)
     assert t.read().filter("v >= 100").count() == 3
+
+
+def test_tags_pin_generations_from_vacuum(spark, tmp_path):
+    """A tagged generation survives vacuum (manifest + data files)
+    regardless of age; dropping the tag releases it; read_tag resolves
+    the pinned snapshot."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    assert t.tag("v1") == 1
+    t.overwrite(spark.range(20).select(F.col("id"), (F.col("id") * 3).alias("v")))
+    t.overwrite(spark.range(5).select(F.col("id"), (F.col("id") * 4).alias("v")))
+
+    t.vacuum(grace_seconds=0.0)
+    # untagged gen 2 is retired, tagged gen 1 still reads
+    assert t.read_tag("v1").count() == 10
+    assert t.read(at_generation=1).count() == 10
+    # (reads surface the retirement ValueError wrapped in Spark's
+    # AnalysisException; the message is the contract)
+    with _pytest.raises(Exception, match="not available"):
+        t.read(at_generation=2).count()
+
+    # tagging an already-retired generation is rejected (driver-side,
+    # so the raw ValueError)
+    with _pytest.raises(ValueError, match="not available"):
+        t.tag("too_late", generation=2)
+
+    t.drop_tag("v1")
+    t.vacuum(grace_seconds=0.0)
+    with _pytest.raises(Exception, match="not available"):
+        t.read(at_generation=1).count()
+    assert t.read().count() == 5  # head unaffected throughout
