@@ -88,3 +88,112 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+def hilbert_index_np(ranks, bits: int):
+    """Vectorized Skilling transform (public-domain 'Programming the
+    Hilbert curve', AIP 2004): n-dim integer coordinates in [0, 2^bits)
+    -> Hilbert curve distance. Unlike Z-order, consecutive curve
+    positions are ALWAYS grid-adjacent, so equal-size pages cut from
+    the sorted order cover more compact (tighter min/max) regions —
+    the clustering used by lakehouse 'liquid' layouts.
+
+    ranks: (rows, n) integer array. Returns uint64 distances (n * bits
+    must be <= 63)."""
+    import numpy as np
+
+    X = np.ascontiguousarray(ranks, dtype=np.uint64).copy()
+    rows, n = X.shape
+    if n * bits > 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds 63 bits")
+    M = np.uint64(1 << (bits - 1))
+    # inverse undo excess work
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            hot = (X[:, i] & Q) != 0
+            X[hot, 0] ^= P  # invert low bits of axis 0
+            t = (X[~hot, 0] ^ X[~hot, i]) & P  # exchange with axis i
+            X[~hot, 0] ^= t
+            X[~hot, i] ^= t
+        Q >>= np.uint64(1)
+    # Gray encode
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(rows, dtype=np.uint64)
+    Q = M
+    while Q > np.uint64(1):
+        hot = (X[:, n - 1] & Q) != 0
+        t[hot] ^= Q - np.uint64(1)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[:, i] ^= t
+    # interleave the transpose: bit q of axis i lands at output bit
+    # position q*n + (n-1-i) (axis 0 most significant within each level)
+    out = np.zeros(rows, dtype=np.uint64)
+    for q in range(bits):
+        for i in range(n):
+            bit = (X[:, i] >> np.uint64(q)) & np.uint64(1)
+            out |= bit << np.uint64(q * n + (n - 1 - i))
+    return out
+
+
+def with_hilbert_key(df: DataFrame, cols: list[str], out_col: str = "__hkey") -> DataFrame:
+    """Attach the Hilbert-curve key over `cols`. Ranks are computed
+    JVM-side exactly like the Z-order path; the curve transform runs
+    once per row at WRITE time in an Arrow-batched pandas UDF (the
+    data-dependent axis swaps of the Skilling transform would explode
+    whole-stage codegen as Column expressions — a write-time UDF
+    amortized over every later pruned scan is the right trade)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    if len(cols) < 2:
+        raise ValueError("hilbert clustering needs at least 2 columns")
+    bits = min(_ZBITS, 62 // len(cols))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    mm = df.agg(*aggs).collect()[0]
+    ranks = [
+        _rank_scale(F.col(c), mm[2 * i], mm[2 * i + 1], bits) for i, c in enumerate(cols)
+    ]
+    n = len(cols)
+
+    def _curve(*rank_cols):
+        import numpy as np
+
+        stacked = np.stack([r.to_numpy(dtype="int64") for r in rank_cols], axis=1)
+        return pd.Series(hilbert_index_np(stacked, bits).astype("int64"))
+
+    curve = pandas_udf(_curve, "bigint")
+    tmp = [f"__r{i}" for i in range(n)]
+    keyed = df
+    for name, r in zip(tmp, ranks):
+        keyed = keyed.withColumn(name, r)
+    return keyed.withColumn(out_col, curve(*[F.col(t) for t in tmp])).drop(*tmp)
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *more_cols: str,
+    n_files: int = 4,
+    page_size: int = 1024,
+) -> None:
+    """Write `df` Hilbert-clustered on the given columns: same ONE
+    repartitionByRange + sortWithinPartitions shuffle as the Z-order
+    writer, tighter page min/max on average (curve adjacency)."""
+    keyed = with_hilbert_key(df, [col_a, col_b, *more_cols])
+    (
+        keyed.repartitionByRange(n_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.format("strawboat")
+        .option("page_size", str(page_size))
+        .mode("overwrite")
+        .save(path)
+    )

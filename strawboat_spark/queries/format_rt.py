@@ -1106,3 +1106,45 @@ def strawboat_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_hilbert_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey > 1000 AND o_totalprice > 50000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description=(
+        "Hilbert-clustered layout scan: curve adjacency gives tighter "
+        "page bounding boxes than Z-order's bit interleave; same "
+        "2-predicate pruning gate"
+    ),
+)
+def strawboat_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column pruning through a HILBERT-clustered layout
+    (operators/layout.py hilbert_index_np — Skilling's public-domain
+    transform, validated by the bijection + unit-step property test).
+    Consecutive curve positions are always grid-adjacent, so pages cut
+    from the sorted order cover compact regions — the 'liquid
+    clustering' layout, exercised end-to-end through write, page
+    stats, pushdown and the exact aggregate oracle."""
+    from strawboat_spark.operators.layout import write_hilbert_clustered
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_hc_')}/orders_h"
+    write_hilbert_clustered(
+        load_table(spark, sf_dir, "orders"), path, "o_custkey", "o_totalprice", n_files=4
+    )
+    back = spark.read.format("strawboat").load(path)
+    return (
+        back.filter((F.col("o_custkey") > 1000) & (F.col("o_totalprice") > 50000))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1667,3 +1667,67 @@ def test_fsspec_conditional_put_falls_back_on_old_library():
         raise AssertionError("expected FileExistsError")
     except FileExistsError:
         pass
+
+
+def test_hilbert_curve_defining_property():
+    """Forward Skilling transform: bijection over the full grid and
+    consecutive curve positions grid-adjacent (THE Hilbert property —
+    what gives tighter page bounding boxes than Z-order)."""
+    import numpy as np
+
+    from strawboat_spark.operators.layout import hilbert_index_np
+
+    for n, bits in ((2, 4), (3, 2)):
+        side = 1 << bits
+        grid = np.stack(
+            np.meshgrid(*([np.arange(side)] * n), indexing="ij"), axis=-1
+        ).reshape(-1, n)
+        h = hilbert_index_np(grid, bits)
+        assert sorted(h) == list(range(side**n))
+        order = grid[np.argsort(h)]
+        assert (np.abs(np.diff(order, axis=0)).sum(axis=1) == 1).all()
+
+
+def test_hilbert_layout_prunes_both_columns(registered, tmp_path):
+    """Hilbert clustering must prune both clustered columns at least
+    as well as the Z-order bar (same harness as the zorder test)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from strawboat_spark.operators.layout import write_hilbert_clustered
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl, _list_files
+    from strawboat_spark.sources.pagefile import read_footer
+    from tests.conftest import SF_CORRECT
+
+    spark = registered
+    src = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+
+    def kept_fraction(path, col, cutoff):
+        schema = spark.read.format("strawboat").load(path).schema
+        r = StrawboatReaderImpl({"path": path}, schema)
+        r.pushFilters([GreaterThan((col,), cutoff)])
+        stripes = r.partitions()
+        kept = total = 0
+        for f in _list_files(path):
+            with open(f, "rb") as fh:
+                _, meta = read_footer(fh)
+            total += len(meta.leaves[0].pages)
+            for s in (st for st in stripes if st.file == f):
+                kept += sum(r._page_mask(meta, s))
+        return kept / max(total, 1)
+
+    cut_key = src.approxQuantile("o_custkey", [0.9], 0.01)[0]
+    cut_price = src.approxQuantile("o_totalprice", [0.9], 0.01)[0]
+    h_path = str(tmp_path / "orders_hilbert")
+    write_hilbert_clustered(
+        src, h_path, "o_custkey", "o_totalprice", n_files=4, page_size=1024
+    )
+    h_a = kept_fraction(h_path, "o_custkey", cut_key)
+    h_b = kept_fraction(h_path, "o_totalprice", cut_price)
+    assert h_a < 0.65, f"hilbert failed to prune col_a: kept {h_a}"
+    assert h_b < 0.65, f"hilbert failed to prune col_b: kept {h_b}"
+
+    got = (
+        spark.read.format("strawboat").load(h_path)
+        .filter(F.col("o_totalprice") > cut_price).count()
+    )
+    assert got == src.filter(F.col("o_totalprice") > cut_price).count()
