@@ -126,3 +126,26 @@ def repetition_ratio(toks_col, n: int = 3) -> Column:
         F.size(grams) > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def token_chunks(toks_col, chunk_size: int = 64, overlap: int = 16) -> Column:
+    """Overlapping token windows from an ALREADY-PROJECTED token array
+    (the RAG chunking primitive): chunk k starts at 1 + k*(chunk_size -
+    overlap) (1-based), length chunk_size, last chunk truncated. Pure
+    JVM higher-order functions — chunking a 100 TB corpus is a map-only
+    stage, no Python, no shuffle. Returns array<struct<chunk_idx int,
+    chunk array<string>>>; explode downstream."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    c = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    n_chunks = F.when(
+        F.size(c) <= 0, F.lit(0)
+    ).otherwise(F.floor((F.size(c) - 1) / step) + 1)
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.slice(c, k * step + 1, chunk_size).alias("chunk"),
+        ),
+    )

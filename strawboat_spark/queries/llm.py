@@ -2509,3 +2509,54 @@ def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "mean_intensity")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_rag_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+                         t -> t != '') AS l
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(FLOOR((len(l) - 1) / 48) AS BIGINT)),
+               k -> {'chunk_idx': CAST(k AS INT),
+                     'chunk': list_slice(l, k * 48 + 1, k * 48 + 64)}
+             )) AS c
+      FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id, c.chunk_idx AS chunk_idx,
+           CAST(len(c.chunk) AS INT) AS n_tokens,
+           md5(array_to_string(c.chunk, ' ')) AS chunk_fp
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    description=(
+        "RAG chunking: overlapping 64-token windows (stride 48), "
+        "map-only JVM HOFs, md5 chunk fingerprints — exact oracle"
+    ),
+)
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into overlapping 64-token windows with a
+    16-token overlap (functions/text.py token_chunks — pure HOFs, a
+    map-only stage at any scale) and fingerprint each chunk for
+    downstream chunk-level dedup. Every chunk row hash-matches the SQL
+    replay."""
+    from strawboat_spark.functions.text import token_chunks, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    return (
+        toked.select("doc_id", F.explode(token_chunks("__toks", 64, 16)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("c.chunk"))).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
