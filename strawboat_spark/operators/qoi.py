@@ -81,7 +81,11 @@ def decode_qoi_pixels(payload: bytes) -> np.ndarray:
     """QOI bytes -> (h, w, channels) uint8."""
     if payload[:4] != b"qoif":
         raise ValueError("not a QOI payload (bad magic)")
+    if len(payload) < 14 + 8:  # header + end marker minimum
+        raise ValueError("truncated QOI header")
     w, h, ch, _cs = struct.unpack_from(">IIBB", payload, 4)
+    if w * h > 100_000_000:
+        raise ValueError(f"implausible QOI dimensions {w}x{h}")
     if ch not in (3, 4):
         raise ValueError(f"QOI channels must be 3 or 4, got {ch}")
     n = w * h

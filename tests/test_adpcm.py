@@ -140,3 +140,31 @@ def test_property_sql_replay_equals_decoder():
         assert r["p"] == int(ref[-1])
 
     check()
+
+
+def test_fuzz_wav_truncation_and_byteflips_never_hang():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = synthesize_ima_wav_bytes(9, 32)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=1, max_value=255),
+        mode=st.sampled_from(["truncate", "flip"]),
+    )
+    def check(pos, val, mode):
+        data = base[:pos] if mode == "truncate" else bytes(
+            bytearray(base[:pos]) + bytes([base[pos] ^ val]) + bytearray(base[pos + 1:])
+        )
+        try:
+            decode_ima_wav(data)
+        except (ValueError, IndexError, KeyError) as _:
+            pass
+        except Exception as e:  # struct.error etc. are acceptable clean raises
+            import struct as _struct
+
+            assert isinstance(e, _struct.error), e
+
+    check()

@@ -67,3 +67,28 @@ def test_idx1_count_mismatch_detected():
     p2 = p2[:4] + struct.pack("<I", len(p2) - 8) + p2[8:]
     with pytest.raises(ValueError, match="idx1"):
         parse_avi(p2)
+
+
+def test_fuzz_truncation_and_byteflips_never_hang():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = synthesize_avi_mjpeg_bytes(3, 8, 8, 2)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=1, max_value=255),
+        mode=st.sampled_from(["truncate", "flip"]),
+    )
+    def check(pos, val, mode):
+        data = base[:pos] if mode == "truncate" else bytes(
+            bytearray(base[:pos]) + bytes([base[pos] ^ val]) + bytearray(base[pos + 1:])
+        )
+        try:
+            frames = decode_avi_frames(data)
+            assert isinstance(frames, list)
+        except (ValueError, IndexError, struct.error, KeyError):
+            pass
+
+    check()

@@ -73,3 +73,36 @@ def test_multimodal_dispatch():
 
     payload = synthesize_qoi_bytes(7, 8, 5)
     assert _decode_image_bytes(payload, False) == decode_qoi(payload)
+
+
+def test_fuzz_truncation_and_byteflips_never_hang_or_misdecode():
+    """Adversarial inputs: every truncation raises cleanly; random
+    byte flips either raise or decode to SOME image — never hang,
+    never crash the interpreter (the page-file fuzz contract, applied
+    to the media parser)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = synthesize_qoi_bytes(5, 8, 6)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        cut=st.integers(min_value=0, max_value=len(base) - 1),
+        flip_at=st.integers(min_value=0, max_value=len(base) - 1),
+        flip_val=st.integers(min_value=1, max_value=255),
+        mode=st.sampled_from(["truncate", "flip"]),
+    )
+    def check(cut, flip_at, flip_val, mode):
+        if mode == "truncate":
+            data = base[:cut]
+        else:
+            b = bytearray(base)
+            b[flip_at] ^= flip_val
+            data = bytes(b)
+        try:
+            px = decode_qoi_pixels(data)
+            assert px.dtype == np.uint8  # decoded: fine, bits were benign
+        except (ValueError, IndexError):
+            pass  # clean rejection
+
+    check()
