@@ -571,3 +571,38 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= max_distance)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_survivors(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    comp_col: str = "component",
+) -> DataFrame:
+    """Survivor selection policy for duplicate clusters: keep the
+    HIGHEST-scoring member of each connected component (ties -> lowest
+    id) instead of the arbitrary min-id — real pipelines keep the
+    longest / highest-quality copy, not the first one crawled.
+
+    Skew-safe by construction: the per-cluster argmax is a groupBy
+    max_by (struct-ordered, map-side combined), never a per-component
+    window — a boilerplate mega-cluster with a million members
+    aggregates in parallel instead of serializing through one task.
+    Output: (id, component, survivor_id, is_survivor)."""
+    joined = components.join(scores, id_col)
+    best = joined.groupBy(comp_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).cast("long").alias("tie"),
+            ),
+        ).alias("survivor_id")
+    )
+    return joined.join(best, comp_col).select(
+        F.col(id_col),
+        F.col(comp_col),
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+    )

@@ -2560,3 +2560,71 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "dedup_survivor_policy",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    ), walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+      FROM walk GROUP BY node
+    ), ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id)
+    ), best AS (
+      SELECT component, doc_id AS survivor_id FROM ranked WHERE rk = 1
+    )
+    SELECT r.doc_id, r.component, b.survivor_id,
+           r.doc_id = b.survivor_id AS is_survivor
+    FROM ranked r JOIN best b USING (component)
+    ORDER BY r.doc_id
+    """,
+    description=(
+        "survivor policy over duplicate clusters: keep the longest "
+        "(n_chars) member per connected component via skew-safe "
+        "groupBy max_by, never a per-cluster window — exact oracle"
+    ),
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return dedup_survivors(
+        comp, d.select("doc_id", "n_chars"), "doc_id", "n_chars"
+    ).orderBy("doc_id")
