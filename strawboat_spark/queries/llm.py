@@ -2628,3 +2628,86 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(
         comp, d.select("doc_id", "n_chars"), "doc_id", "n_chars"
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_rag_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+                         t -> t != '') AS l
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                    i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+      FROM toks WHERE len(l) >= 2
+    ), b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+    u AS (SELECT unnest(l) AS w1 FROM toks),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM u GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM uc),
+    lm AS (
+      SELECT doc_id,
+             ROUND(AVG(LN(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))), 4)
+               AS avg_logprob
+      FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+      GROUP BY doc_id
+    ), kept AS (
+      SELECT t.doc_id, t.l, d.lang
+      FROM toks t JOIN lm USING (doc_id) JOIN documents d USING (doc_id)
+      WHERE lm.avg_logprob >= -7.0
+    ), chunks AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(0, CAST(FLOOR((len(l) - 1) / 48) AS BIGINT)),
+               k -> md5(array_to_string(list_slice(l, k * 48 + 1, k * 48 + 64), ' '))
+             )) AS chunk_fp
+      FROM kept WHERE len(l) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_unique_chunks
+    FROM chunks GROUP BY lang ORDER BY lang
+    """,
+    description=(
+        "end-to-end RAG prep composition: corpus-LM perplexity filter "
+        "-> overlapping chunking -> chunk-fingerprint dedup stats, all "
+        "from the proven building blocks — exact oracle over the whole "
+        "composition"
+    ),
+)
+def llm_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate: documents scored by the corpus's own bigram
+    LM (operators/lm.py), the atypical tail dropped (avg_logprob >=
+    -7.0 on the rounded score — identical doubles both engines),
+    survivors chunked into overlapping 64/16 windows
+    (functions/text.py) and fingerprinted, then per-language corpus
+    stats with chunk-level dedup counts. Each stage is individually
+    gated; this pins the COMPOSITION."""
+    from strawboat_spark.functions.text import token_chunks, tokens
+    from strawboat_spark.operators.lm import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(d, "doc_id", "text").filter(F.col("avg_logprob") >= -7.0)
+    kept = d.join(lm.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", F.filter(tokens("text"), lambda t: t != "").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    chunks = kept.select(
+        "doc_id",
+        "lang",
+        F.explode(token_chunks("__toks", 64, 16)).alias("c"),
+    ).select(
+        "doc_id", "lang", F.md5(F.concat_ws(" ", F.col("c.chunk"))).alias("chunk_fp")
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_fp").alias("n_unique_chunks"),
+        )
+        .orderBy("lang")
+    )
