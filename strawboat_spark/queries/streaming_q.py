@@ -446,3 +446,58 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "strawboat_stream_source",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "plain strawboat stream source gate (non-CDF): two appended "
+        "generations drain through readStream and aggregate to the "
+        "full source exactly"
+    ),
+)
+def strawboat_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format's file-tailing stream source: a table built by two
+    appends drains with availableNow and must aggregate to the whole
+    source — offsets tail committed files, so both generations' files
+    arrive exactly once."""
+    import tempfile
+    import uuid
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_ss_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, path)
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))
+    t.append(o.filter("o_orderkey % 2 = 1"))
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("strawboat")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
