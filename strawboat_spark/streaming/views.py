@@ -47,14 +47,19 @@ def maintain_count_sum_view(
             F.sum(sign).alias("d_n"),
             F.sum(sign * F.col(value_col)).alias("d_sum"),
         )
-        try:
+        from strawboat_spark.sources.datasource import read_manifest
+
+        # explicit first-fold detection: a read failure on an EXISTING
+        # view must propagate (masking it would silently reset the
+        # view to this batch's deltas and corrupt every later total)
+        if read_manifest(view_path) is None:
+            cur = None
+        else:
             cur = view.read().select(
                 F.col(group_col).alias("g"),
                 F.col("n_rows").alias("cur_n"),
                 F.col("sum_value").alias("cur_sum"),
             )
-        except Exception:  # first fold: no view committed yet
-            cur = None
         if cur is not None:
             merged = cur.join(delta, "g", "full_outer").select(
                 "g",
