@@ -139,13 +139,16 @@ def token_chunks(toks_col, chunk_size: int = 64, overlap: int = 16) -> Column:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
     c = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    n_chunks = F.when(
-        F.size(c) <= 0, F.lit(0)
-    ).otherwise(F.floor((F.size(c) - 1) / step) + 1)
-    return F.transform(
+    n_chunks = F.floor((F.size(c) - 1) / step) + 1
+    chunks = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
         lambda k: F.struct(
             k.cast("int").alias("chunk_idx"),
             F.slice(c, k * step + 1, chunk_size).alias("chunk"),
         ),
+    )
+    # empty input -> empty output, guarded BEFORE sequence():
+    # sequence(0, -1) DESCENDS in Spark and would fabricate chunks
+    return F.when(F.size(c) > 0, chunks).otherwise(
+        F.array().cast(f"array<struct<chunk_idx:int,chunk:array<string>>>")
     )

@@ -489,3 +489,23 @@ def test_exact_substring_dedup_matches_reference(spark):
         for r in remove_duplicate_substrings(df, "doc_id", "text", k=k).collect()
     }
     assert got == ref(), (got, ref())
+
+
+def test_token_chunks_empty_and_single(spark):
+    """sequence(0, -1) DESCENDS in Spark — empty token arrays must
+    yield NO chunks (guarded before sequence), single tokens one."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.functions.text import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, ["a"] * 70), (2, []), (3, ["x"])], "id int, t array<string>"
+    )
+    out = df.select("id", F.explode_outer(token_chunks("t", 64, 16)).alias("c")).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.c)
+    assert [c.chunk_idx for c in by_id[1]] == [0, 1]
+    assert len(by_id[1][1].chunk) == 22  # truncated tail chunk
+    assert by_id[2] == [None]
+    assert by_id[3][0].chunk == ["x"]
