@@ -43,6 +43,11 @@ HEADLINE = [
     # zero files rewritten) + DV-subtracting read, so table-layer
     # regressions show up in BENCH_rN and not only in pytest timings
     "strawboat_mor_delete",
+    # r7: LLM-pipeline headliners — sketch-candidates + exact recount,
+    # and the corpus-LM scoring joins (the pipeline ops' plan shapes
+    # get perf tracking, not only correctness gates)
+    "text_heavy_hitter_tokens",
+    "text_lm_perplexity",
 ]
 
 
