@@ -162,9 +162,12 @@ class Table:
         vectors (conservative bounds, like Iceberg's column metrics on
         files with delete files), while n_rows subtracts them. Values
         stringified via Python str() — exact for ints/strings/bools;
-        floats are bounds, compare numerically. Drives drift checks
-        between generations (profile(g1) vs profile(g2)) at manifest
-        cost, not scan cost."""
+        floats are bounds, compare numerically. Hive partition columns
+        live in directory names, not footers, so they do not appear
+        (their values are exact from the layout already); nested
+        columns are out of scope. Drives drift checks between
+        generations (profile(g1) vs profile(g2)) at manifest cost,
+        not scan cost."""
         from strawboat_spark.sources.datasource import (
             _cached_footer,
             _deletes_by_rel,
