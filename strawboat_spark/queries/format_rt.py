@@ -1148,3 +1148,83 @@ def strawboat_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "strawboat_merge_when",
+    oracle="""
+    WITH src_m AS (
+      SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice) % 100 AS DOUBLE) AS delta
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), tgt AS (
+      SELECT o.o_orderstatus,
+             CASE WHEN s.k IS NULL THEN o.o_totalprice
+                  WHEN s.delta >= 50 THEN NULL              -- DELETE clause
+                  WHEN s.delta < 40 THEN ROUND(o.o_totalprice + s.delta, 2)
+                  ELSE o.o_totalprice END AS price          -- no clause: keep
+      FROM orders o LEFT JOIN src_m s ON o.o_orderkey = s.k
+    ), kept AS (
+      SELECT o_orderstatus, price FROM tgt WHERE price IS NOT NULL
+    ), ins AS (
+      SELECT o_orderstatus, ROUND(o_totalprice / 2, 2) AS price
+      FROM orders
+      WHERE o_orderkey % 10 = 5 AND ROUND(o_totalprice / 2, 2) > 10000
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(price), 2) AS total
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "conditional MERGE gate (full Delta clause surface): WHEN "
+        "MATCHED AND delta>=50 DELETE / AND delta<40 UPDATE SET / "
+        "neither keeps, WHEN NOT MATCHED AND price>10000 INSERT — one "
+        "flip, exact oracle over the composed result"
+    ),
+)
+def strawboat_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_when end-to-end: matched rows split three ways by the
+    source's delta (delete / update / keep-unchanged), inserts gated
+    by their own condition, everything in one generation flip — the
+    post-merge aggregate hash-matches the SQL replay of the clause
+    semantics."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_mw_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, path)
+    t.overwrite(o)
+    src = (
+        o.filter("o_orderkey % 10 = 0")
+        .withColumn("delta", F.floor("o_totalprice").cast("long") % 100)
+        .withColumn("delta", F.col("delta").cast("double"))
+        .unionByName(
+            o.filter("o_orderkey % 10 = 5").select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") / 2, 2).alias("o_totalprice"),
+                F.lit(0.0).alias("delta"),
+            )
+        )
+    )
+    t.merge_when(
+        src,
+        ["o_orderkey"],
+        matched_delete="src_delta >= 50",
+        matched_update=("src_delta < 40", {"o_totalprice": "ROUND(o_totalprice + src_delta, 2)"}),
+        not_matched_insert="o_totalprice > 10000",
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

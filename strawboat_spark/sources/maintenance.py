@@ -809,3 +809,166 @@ def optimize(
     moved = _adopt_tmp(path, tmp)
     _flip_generation(path, originals_rel, moved, "optimize")
     return {"before": len(originals_rel), "after": len(moved)}
+
+
+def merge_when(
+    spark,
+    path: str,
+    source,
+    on: list[str],
+    matched_update: tuple[str | None, dict[str, str]] | None = None,
+    matched_delete: str | None = None,
+    not_matched_insert: str | None = None,
+) -> dict:
+    """Conditional MERGE — the full Delta clause surface:
+
+      WHEN MATCHED AND <matched_delete>            THEN DELETE
+      WHEN MATCHED AND <matched_update[0]>         THEN UPDATE SET ...
+      WHEN NOT MATCHED [BY TARGET] AND <not_matched_insert> THEN INSERT
+
+    Clause conditions and UPDATE expressions see the target row's
+    columns under their own names and the source row's columns as
+    `src_<col>`. Clause order is Delta's: DELETE wins over UPDATE for
+    a row matching both; a matched row satisfying neither clause is
+    kept unchanged. `not_matched_insert=None` inserts nothing;
+    pass "true" for unconditional inserts.
+
+    Delta's determinism guard is enforced: a target row matched by
+    MORE THAN ONE source row raises (the merge would otherwise be
+    order-dependent).
+
+    Scale shape: same machinery as merge_upsert — source-key bounds
+    pre-filter the candidate scan, the key broadcast is size-gated,
+    candidate files rewrite as ONE `files`-pinned scan per leaf, and
+    everything publishes in ONE generation flip. Assignments to hive
+    partition columns are rejected (rows may not move leaves under
+    COW; use update(mode='mor') for that)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import publish_manifest, read_manifest
+
+    if matched_update is None and matched_delete is None and not_matched_insert is None:
+        raise ValueError("merge_when: at least one WHEN clause is required")
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    part_cols = list(_part_layout(path))
+    if matched_update:
+        bad = [c for c in matched_update[1] if c in part_cols]
+        if bad:
+            raise ValueError(
+                f"merge_when: COW cannot assign partition columns {bad} "
+                f"(rows may not move leaves); use update(mode='mor')"
+            )
+    source = source.cache()
+    n_source = source.count()
+    if n_source == 0:
+        source.unpersist()
+        return {"files_rewritten": 0, "rows_deleted": 0, "rows_updated": 0, "rows_inserted": 0}
+    src = source.select([F.col(c).alias(f"src_{c}") for c in source.columns])
+    src_on = [f"src_{c}" for c in on]
+
+    df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
+    out_cols = [c for c in df.columns if c != "_strawboat_file"]
+    bounds = source.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
+    ).collect()[0]
+    keys = source.select(*on).distinct().cache()
+    jkeys = F.broadcast(keys) if keys.count() <= _merge_broadcast_max_keys() else keys
+    pre = df
+    for c in on:
+        pre = pre.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
+    hit = (
+        pre.join(jkeys, on=on, how="leftsemi")
+        .groupBy("_strawboat_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cand_rel = sorted(_rel(r["_strawboat_file"], path) for r in hit)
+    stored_cols = [c for c in out_cols if c not in part_cols]
+
+    jsrc = F.broadcast(src) if n_source <= _merge_broadcast_max_keys() else src
+    rows_deleted = rows_updated = 0
+    moved = []
+    if cand_rel:
+        # Delta determinism guard: >1 source match for one target row
+        dup = (
+            source.groupBy(*on).agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") > 1)
+            .join(pre.select(*on).distinct(), on=on, how="leftsemi")
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                f"merge_when: multiple source rows match one target row "
+                f"(e.g. key {tuple(dup[0][c] for c in on)!r}); the merge "
+                f"would be nondeterministic (Delta raises here too)"
+            )
+        del_cond = F.expr(matched_delete) if matched_delete else F.lit(False)
+        upd_cond = (
+            F.expr(matched_update[0]) if matched_update and matched_update[0] else F.lit(True)
+        ) if matched_update else F.lit(False)
+        by_leaf: dict[str, list[str]] = {}
+        for rel in cand_rel:
+            by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
+        for reldir, rels in sorted(by_leaf.items()):
+            leaf = os.path.join(path, reldir) if reldir else path
+            tmp = leaf.rstrip("/") + ".__merge__"
+            get_fs(tmp).remove_tree(tmp)
+            joined = _read_files(spark, path, rels).join(
+                jsrc, on=[F.col(a) == F.col(b) for a, b in zip(on, src_on)], how="left"
+            )
+            matched = F.col(src_on[0]).isNotNull()
+            counts = joined.agg(
+                F.sum((matched & del_cond).cast("long")).alias("d"),
+                F.sum((matched & ~del_cond & upd_cond).cast("long")).alias("u"),
+            ).collect()[0]
+            rows_deleted += int(counts["d"] or 0)
+            rows_updated += int(counts["u"] or 0)
+            kept = joined.filter(~(matched & del_cond))
+            outs = [
+                F.when(
+                    matched & upd_cond, F.expr(matched_update[1][c])
+                ).otherwise(F.col(c)).alias(c)
+                if matched_update and c in matched_update[1]
+                else F.col(c)
+                for c in stored_cols
+            ]
+            kept.select(*outs).write.format("strawboat").mode("overwrite").save(tmp)
+            moved += _adopt_tmp(path, tmp, dest_dir=leaf)
+
+    rows_inserted = 0
+    if not_matched_insert is not None:
+        tgt_keys = (
+            _read_files(spark, path, cand_rel).select(*on).distinct()
+            if cand_rel
+            else None
+        )
+        ins = source
+        if tgt_keys is not None:
+            ins = ins.join(tgt_keys, on=on, how="left_anti")
+        # the insert clause sees plain source column names (there is no
+        # target row to alias against)
+        ins = ins.filter(F.expr(not_matched_insert))
+        missing = [c for c in out_cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge_when: source is missing insert columns {missing}")
+        rows_inserted = ins.count()
+        if rows_inserted:
+            tmp_src = path.rstrip("/") + ".__merge_src__"
+            get_fs(tmp_src).remove_tree(tmp_src)
+            w = ins.select(*out_cols).write.format("strawboat").mode("overwrite")
+            if part_cols:
+                w = w.option("partition_by", ",".join(part_cols))
+            w.save(tmp_src)
+            moved += _adopt_tmp(path, tmp_src)
+
+    _flip_generation(path, set(cand_rel), moved, "merge_when")
+    keys.unpersist()
+    source.unpersist()
+    return {
+        "files_rewritten": len(cand_rel),
+        "rows_deleted": rows_deleted,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+    }

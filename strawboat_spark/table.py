@@ -385,6 +385,35 @@ class Table:
             self._check_rows(updated, cons)
         return update_where(self.spark, self.path, condition, assignments, mode=mode)
 
+    def merge_when(
+        self,
+        source: DataFrame,
+        on: list[str],
+        matched_update: tuple[str | None, dict[str, str]] | None = None,
+        matched_delete: str | None = None,
+        not_matched_insert: str | None = None,
+    ) -> dict:
+        """Conditional MERGE (the full Delta clause surface): DELETE /
+        UPDATE SET on matched rows gated by SQL conditions seeing the
+        target columns plainly and the source's as src_<col>; INSERT of
+        unmatched source rows gated by a condition over source columns.
+        See maintenance.merge_when for semantics (clause precedence,
+        multi-match determinism guard, one-flip atomicity)."""
+        from strawboat_spark.sources.maintenance import merge_when
+
+        cons = self.constraints()
+        if cons and not_matched_insert is not None:
+            self._check_rows(source, cons)
+        return merge_when(
+            self.spark,
+            self.path,
+            source,
+            on,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+        )
+
     def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:
         """mode='mor': matched target rows are masked by deletion
         vectors, the source lands as new files (partitioned by the

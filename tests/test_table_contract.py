@@ -950,3 +950,74 @@ def test_tags_pin_generations_from_vacuum(spark, tmp_path):
     with _pytest.raises(Exception, match="not available"):
         t.read(at_generation=1).count()
     assert t.read().count() == 5  # head unaffected throughout
+
+
+def test_merge_when_clause_semantics(spark, tmp_path):
+    """Conditional MERGE: DELETE wins over UPDATE, a matched row
+    satisfying neither clause is kept unchanged, inserts are gated,
+    multi-match raises (Delta's determinism guard), hive partition
+    assignment rejected, and time travel sees the pre-merge state."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 10.0).alias("v")))
+    src = spark.createDataFrame(
+        [
+            (2, 5.0, False, 0.0),   # update (+5)
+            (3, 7.0, True, 0.0),    # delete (del wins even though update matches)
+            (4, -1.0, False, 0.0),  # matched, neither clause -> kept
+            (11, 1.0, False, 111.0),   # unmatched, insert cond false
+            (12, 99.0, False, 120.0),  # unmatched, inserted
+        ],
+        "id long, delta double, del boolean, v double",
+    )
+    res = t.merge_when(
+        src,
+        ["id"],
+        matched_update=("src_delta > 0", {"v": "v + src_delta"}),
+        matched_delete="src_del",
+        not_matched_insert="delta > 50",
+    )
+    assert (res["rows_deleted"], res["rows_updated"], res["rows_inserted"]) == (1, 1, 1)
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[2] == 25.0 and 3 not in rows and rows[4] == 40.0
+    assert 11 not in rows and rows[12] == 120.0
+    assert t.read(at_generation=1).count() == 10  # pre-merge snapshot intact
+
+    # determinism guard: two source rows for one target key
+    dup = spark.createDataFrame(
+        [(5, 1.0, False, 0.0), (5, 2.0, False, 0.0)],
+        "id long, delta double, del boolean, v double",
+    )
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_when(dup, ["id"], matched_update=(None, {"v": "src_delta"}))
+
+    # update-only merge (no insert clause): unmatched source ignored
+    upd = spark.createDataFrame(
+        [(6, 4.0, False, 0.0), (77, 4.0, False, 0.0)],
+        "id long, delta double, del boolean, v double",
+    )
+    r2 = t.merge_when(upd, ["id"], matched_update=(None, {"v": "v + src_delta"}))
+    assert r2["rows_updated"] == 1 and r2["rows_inserted"] == 0
+    assert {r.id: r.v for r in t.read().collect()}[6] == 64.0
+
+
+def test_merge_when_rejects_partition_assignment(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "h")
+    t = Table(spark, path)
+    t.overwrite(
+        spark.range(8).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    src = spark.range(2).select(F.col("id"), (F.col("id") % 2).alias("p"))
+    with _pytest.raises(ValueError, match="partition columns"):
+        t.merge_when(src, ["id"], matched_update=(None, {"p": "1 - p"}))
