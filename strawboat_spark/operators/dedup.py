@@ -262,11 +262,23 @@ def ngram_jaccard_pairs(
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
+        # threshold on the RAW ratio (mirrors the SQL replays, which all
+        # filter the unrounded ratio); the output column is quantized via
+        # scale-0 ROUND — 2-arg ROUND(x, 4) is engine-unstable when the
+        # double's shortest repr lands on a half at digit 5, while halves
+        # of x*10000 are exactly representable so scale-0 rounding agrees
+        # across engines (see the strawboat_merge_when r7 post-mortem)
+        .filter(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= threshold
+        )
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+            F.round(
+                F.col("n_common") * 10000.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long")
+            / 10000.0,
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -122,6 +122,13 @@ def decode_qoi_pixels(payload: bytes) -> np.ndarray:
                 b = (b + dg + (b2 & 0x0F) - 8) & 255
             else:  # run
                 run = (byte & 0x3F) + 1
+                if i + run > n:
+                    # without this, the numpy slice silently clips, i
+                    # jumps past n, and a corrupt stream surfaces later
+                    # as a misleading 'missing QOI end marker'
+                    raise ValueError(
+                        f"QOI run of {run} at pixel {i} overruns pixel count {n}"
+                    )
                 out[i : i + run] = (r, g, b, a)
                 i += run
                 index[_hash(r, g, b, a)] = (r, g, b, a)

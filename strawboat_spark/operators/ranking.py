@@ -60,7 +60,11 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+            # scale-0 quantization: 2-arg ROUND(x, 4) diverges across
+            # engines when x's shortest repr sits on a half at digit 5;
+            # halves of x*10000 are exactly representable, so scale-0
+            # rounding agrees (strawboat_merge_when r7 post-mortem)
+            (F.round(F.col("tf") * idf * 10000).cast("long") / 10000.0).alias("tfidf"),
         )
     )
 

@@ -74,9 +74,15 @@ def heavy_hitters(
     sketch = sketch.localCheckpoint(eager=True)  # one sketch pass, reused twice
     total = sketch.filter(F.col(col).isNull()).agg(F.sum("c").alias("n"))
     cands = sketch.filter(F.col(col).isNotNull()).select(col).distinct()
+    # No forced broadcast on the candidate side: the superset is bounded
+    # by partitions * k, which at 100 TB (~800k input splits, k=200) is
+    # ~1.6e8 strings — far past safe broadcast.  A plain leftsemi lets
+    # AQE broadcast when the candidate set is actually small and fall
+    # back to a shuffled semi-join when it isn't; exactness is
+    # unaffected (the recount is a full second pass either way).
     exact = (
         df.select(F.col(col).cast("string").alias(col))
-        .join(F.broadcast(cands), col, "leftsemi")
+        .join(cands, col, "leftsemi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

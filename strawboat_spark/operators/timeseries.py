@@ -94,10 +94,17 @@ def resample_linear(
             * ((F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")))
         )
     )
+    # scale-0 quantization (cent convention): ROUND(x, n) is
+    # engine-unstable when x's shortest repr lands on a half at digit
+    # n+1 — and midpoint interpolation of fixed-decimal inputs
+    # CONCENTRATES on such halves (the strawboat_merge_when r7 class).
+    # Halves of x*10^n are exactly representable, so scale-0 rounding
+    # agrees across engines.
+    scale = float(10**round_digits)
     return filled.select(
         F.col("k").alias(key_col),
         F.timestamp_micros(F.col("t")).alias("grid_ts"),
-        F.round(interp, round_digits).alias("value"),
+        (F.round(interp * scale).cast("long") / scale).alias("value"),
     )
 
 
@@ -138,8 +145,11 @@ def ewma_last(
         F.element_at(F.col("s"), 1)["v"],
         lambda acc, x: F.lit(alpha) * x["v"] + F.lit(beta) * acc,
     )
+    # scale-0 quantization — same cross-engine ROUND rationale as
+    # resample_linear above
+    scale = float(10**round_digits)
     return series.select(
         F.col("k").alias(key_col),
         F.size("s").cast("long").alias("n_points"),
-        F.round(fold, round_digits).alias("ewma"),
+        (F.round(fold * scale).cast("long") / scale).alias("ewma"),
     )

@@ -1166,9 +1166,13 @@ def strawboat_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT o_orderstatus, price FROM tgt WHERE price IS NOT NULL
     ), ins AS (
-      SELECT o_orderstatus, ROUND(o_totalprice / 2, 2) AS price
+      -- cent-quantized half price: ROUND(x/2, 2) diverges between engines on
+      -- half-cents (x/2 = y.835 stored y.83499..), so both sides derive the
+      -- value as integer cents (repo convention, see strawboat_incremental_view)
+      SELECT o_orderstatus, CAST(ROUND(o_totalprice * 50) AS BIGINT) / 100.0 AS price
       FROM orders
-      WHERE o_orderkey % 10 = 5 AND ROUND(o_totalprice / 2, 2) > 10000
+      WHERE o_orderkey % 10 = 5
+        AND CAST(ROUND(o_totalprice * 50) AS BIGINT) / 100.0 > 10000
     )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1207,7 +1211,11 @@ def strawboat_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter("o_orderkey % 10 = 5").select(
                 (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
                 "o_orderstatus",
-                F.round(F.col("o_totalprice") / 2, 2).alias("o_totalprice"),
+                # cent-quantized half price (matches the oracle ins CTE):
+                # ROUND(x/2, 2) is half-cent-unstable across engines
+                (F.round(F.col("o_totalprice") * 50).cast("long") / 100.0).alias(
+                    "o_totalprice"
+                ),
                 F.lit(0.0).alias("delta"),
             )
         )

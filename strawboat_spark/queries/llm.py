@@ -80,7 +80,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+           -- scale-0 quantization (cent convention): ROUND(x, 4) is
+           -- engine-unstable on repr-halves; halves of x*10000 are exact
+           CAST(ROUND(n_common * 10000.0 / (sa.n + sb.n - n_common)) AS BIGINT)
+             / 10000.0 AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -1629,8 +1632,9 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             ROUND(tf.tf * (LN((n.n + 1.0) / (docfreq.df + 1.0)) + 1.0), 4)
-               AS tfidf
+             -- scale-0 quantization (cross-engine ROUND stability)
+             CAST(ROUND(tf.tf * (LN((n.n + 1.0) / (docfreq.df + 1.0)) + 1.0)
+                        * 10000) AS BIGINT) / 10000.0 AS tfidf
       FROM tf, docfreq, n WHERE tf.term = docfreq.term
     ), ranked AS (
       SELECT doc_id, term, tfidf,
@@ -2235,12 +2239,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS user_id,
            strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS grid_ts,
-           ROUND(CASE
+           -- scale-0 quantization: midpoint interpolation concentrates
+           -- on repr-halves where 2-arg ROUND diverges across engines
+           CAST(ROUND((CASE
              WHEN pv IS NULL THEN nv
              WHEN nv IS NULL THEN pv
              WHEN nt = pt THEN pv
              ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-           END, 4) AS value
+           END) * 10000) AS BIGINT) / 10000.0 AS value
     FROM f WHERE is_obs = 0
     ORDER BY user_id, grid_ts
     """,
@@ -2276,7 +2282,9 @@ def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(len(vs) AS BIGINT) AS n_points,
-           ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+           -- scale-0 quantization (same cross-engine ROUND rationale)
+           CAST(ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000)
+                AS BIGINT) / 10000.0 AS ewma
     FROM s ORDER BY user_id
     """,
     description=(
@@ -2324,7 +2332,9 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "triangle counting on the supplier co-occurrence graph "
         "(edge = >= 30 shared orders): single-shuffle bounded pair "
-        "expansion + id-oriented edge-join — exact oracle"
+        "expansion + degree-ordered orientation (wedge fan-out bounded "
+        "by arboricity, not hub degree) — exact oracle replays the "
+        "orientation-invariant counts id-oriented"
     ),
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

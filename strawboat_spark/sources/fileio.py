@@ -316,9 +316,11 @@ _TOCTOU_WARNED: set[str] = set()
 # Conditional-PUT kwargs per backend protocol, passed to fsspec
 # open(path, "wb", **kw): the store rejects the commit server-side if
 # the key already exists, making create_exclusive a TRUE CAS (no
-# TOCTOU window). Probed with a TypeError catch so older library
-# builds that don't accept the kwarg fall back to the documented
-# exists()+create path.
+# TOCTOU window).  Enforcement is POSITIVELY verified by a one-time
+# probe (see _conditional_put_enforced) — merely accepting the kwarg
+# proves nothing on **kwargs-swallowing backends — and anything
+# unverified falls back to the documented exists()+create path with
+# the TOCTOU warning.
 _CONDITIONAL_PUT_KWARGS: dict[str, dict] = {
     # S3 PUT with If-None-Match:* (supported by AWS since 2024-11)
     "s3": {"if_none_match": "*"},
@@ -389,6 +391,49 @@ class _FsspecFileSystem:
     def create(self, path: str):
         return self._attach_abort(self._fs.open(path, "wb"), path)
 
+    def _conditional_put_enforced(self, near_path: str) -> bool:
+        """Positive verification that this backend actually ENFORCES the
+        conditional-PUT kwarg, probed once per adapter: several fsspec
+        backends (gcsfs-style ``**kwargs`` in _open) silently swallow
+        unknown kwargs, so 'open accepted the kwarg' proves nothing —
+        taking the CAS path on such a store silently overwrites a lost
+        race AND suppresses the TOCTOU warning, strictly worse than the
+        documented fallback.  The probe writes a uuid key next to
+        `near_path` twice with the conditional kwarg; enforcement is
+        verified only if the second PUT fails with a precondition
+        error.  Cost: 2 PUTs + 1 DELETE once per process per scheme."""
+        cached = getattr(self, "_cas_enforced", None)
+        if cached is not None:
+            return cached
+        import uuid
+
+        kw = _CONDITIONAL_PUT_KWARGS[self._scheme]
+        probe = f"{near_path.rsplit('/', 1)[0]}/.strawboat-cas-probe-{uuid.uuid4().hex}"
+        enforced = False
+        try:
+            with self._fs.open(probe, "wb", **kw) as f:
+                f.write(b"p")
+            try:
+                f2 = self._fs.open(probe, "wb", **kw)
+                f2.write(b"q")
+                f2.close()
+                enforced = False  # overwrite accepted: kwarg was swallowed
+            except TypeError:
+                enforced = False
+            except Exception as e:
+                enforced = _is_precondition_failure(e)
+        except TypeError:
+            enforced = False  # library build doesn't take the kwarg
+        except Exception:
+            enforced = False  # can't verify -> treat as unenforced
+        finally:
+            try:
+                self._fs.rm(probe)
+            except Exception:
+                pass
+        self._cas_enforced = enforced
+        return enforced
+
     def create_exclusive(self, path: str):
         """Create-if-absent. On backends with a conditional PUT (S3
         If-None-Match:*, GCS ifGenerationMatch=0, Azure) the store
@@ -402,7 +447,10 @@ class _FsspecFileSystem:
         import warnings
 
         kw = _CONDITIONAL_PUT_KWARGS.get(self._scheme)
-        if kw is not None:
+        # gate the CAS path on POSITIVE verification, not on "open
+        # accepted the kwarg": backends with **kwargs swallow unknown
+        # kwargs and would publish unconditionally at close
+        if kw is not None and self._conditional_put_enforced(path):
             try:
                 f = self._fs.open(path, "wb", **kw)
             except TypeError:
@@ -435,9 +483,10 @@ class _FsspecFileSystem:
             _TOCTOU_WARNED.add(self._scheme)
             warnings.warn(
                 f"strawboat: manifest commits on {self._scheme}:// go through "
-                f"fsspec's exists()+create (no conditional PUT) — concurrent "
-                f"committers can silently lose a commit. Register a filesystem "
-                f"with a native CAS create_exclusive for multi-writer tables.",
+                f"fsspec's exists()+create (conditional-PUT enforcement absent "
+                f"or unverified by the probe) — concurrent committers can "
+                f"silently lose a commit. Register a filesystem with a native "
+                f"CAS create_exclusive for multi-writer tables.",
                 RuntimeWarning,
                 stacklevel=2,
             )

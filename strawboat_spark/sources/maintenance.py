@@ -369,9 +369,21 @@ def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
     snapshot."""
     from strawboat_spark.sources.datasource import decode_deletes, encode_deletes
 
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
     by_rel = {e["path"]: e for e in (man or {"entries": []})["entries"]}
     out = []
     for rel, pos in per_rel.items():
+        if rel not in by_rel:
+            # a concurrent optimize/compact/COW rewrite removed this
+            # marked file between our scan and the flip — the pending
+            # row ordinals are stale by construction, so surface a
+            # conflict, not an internal KeyError
+            raise ManifestConflictError(
+                f"DV-marked file {rel!r} no longer in the manifest "
+                "(concurrent rewrite of a file with pending deletion "
+                "vectors); re-run the mutation against the new generation"
+            )
         e = dict(by_rel[rel])
         merged = sorted(set(decode_deletes(e.get("deletes"))) | set(pos))
         e["deletes"] = encode_deletes(merged)

@@ -1,9 +1,10 @@
 """Driver-style Spark-vs-DuckDB comparison: row count, column names,
 order-insensitive value multiset, and result-column TYPE families.
 
-Values are normalized (floats rounded to 9 sig places, dates/timestamps
-stringified) before the multiset comparison so we catch real semantic
-drift, not representation noise.  The actual driver, however, hashes
+Values are normalized (floats compared on BOTH 9 significant digits and
+6 absolute decimal places, dates/timestamps stringified) before the
+multiset comparison so we catch real semantic drift — including
+sub-unit drift at large magnitudes — not representation noise.  The actual driver, however, hashes
 RAW values — Decimal(123) != int(123) — so on top of the normalized
 compare we check that each oracle column's DuckDB type lands in the
 same representation family as the Spark column (r6 post-mortem: the
@@ -28,7 +29,18 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # Magnitude-independent normalization (r7 post-mortem): a pure
+        # 9-sig-digit rule equated values a CENT apart at 1e9 magnitude
+        # (1223725771.54 ≡ 1223725771.44 under %.9g), so the
+        # strawboat_merge_when half-cent drift passed locally while the
+        # driver's raw-value hash failed it.  We now require BOTH a
+        # relative match (9 significant digits — catches drift in
+        # small-magnitude scores) AND an absolute match (6 decimal
+        # places — catches sub-unit drift at any magnitude the test
+        # tables produce).  Either axis differing fails the compare.
+        return f"{v:.9g}|{v:.6f}"
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):

@@ -1660,7 +1660,7 @@ def test_fsspec_conditional_put_falls_back_on_old_library():
         warnings.simplefilter("always")
         with ad.create_exclusive("b/_gen.1.json") as h:
             h.write(b"x")
-    assert any("conditional PUT" in str(x.message) for x in w)
+    assert any("exists()+create" in str(x.message) for x in w)
     assert ad._fs.published["b/_gen.1.json"] == b"x"
     try:
         ad.create_exclusive("b/_gen.1.json")
@@ -1731,3 +1731,139 @@ def test_hilbert_layout_prunes_both_columns(registered, tmp_path):
         .filter(F.col("o_totalprice") > cut_price).count()
     )
     assert got == src.filter(F.col("o_totalprice") > cut_price).count()
+
+
+def test_fsspec_conditional_put_swallowed_kwarg_is_detected():
+    """gcsfs-style backends declare **kwargs and silently IGNORE an
+    unknown conditional kwarg: open succeeds, close publishes
+    unconditionally.  The positive-verification probe must detect the
+    missing enforcement (second probe PUT overwrites instead of
+    failing), keep the TOCTOU warning, and use exists()+create — the
+    old accept-the-kwarg detection took the 'TRUE CAS' path here and
+    silently overwrote lost races with the warning suppressed."""
+    import io
+    import warnings
+
+    import pytest as _pytest
+
+    from strawboat_spark.sources import fileio as fio
+
+    class SwallowFile(io.BytesIO):
+        def __init__(self, fs, path):
+            super().__init__()
+            self._fs, self._path = fs, path
+
+        def close(self):
+            self._fs.published[self._path] = self.getvalue()
+            super().close()
+
+    class SwallowFs:
+        """Accepts and ignores arbitrary kwargs, like gcsfs _open."""
+
+        def __init__(self):
+            self.published = {}
+
+        def open(self, path, mode, **kwargs):  # kwargs silently dropped
+            return SwallowFile(self, path)
+
+        def exists(self, path):
+            return path in self.published
+
+        def rm(self, path):
+            self.published.pop(path, None)
+
+    ad = fio._FsspecFileSystem("gs", fs=SwallowFs())
+    fio._TOCTOU_WARNED.discard("gs")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with ad.create_exclusive("b/_gen.1.json") as h:
+            h.write(b"x")
+    assert any("exists()+create" in str(x.message) for x in w), (
+        "unverified enforcement must keep the TOCTOU warning"
+    )
+    assert ad._fs.published["b/_gen.1.json"] == b"x"
+    # probe keys are cleaned up
+    assert list(ad._fs.published) == ["b/_gen.1.json"]
+    with _pytest.raises(FileExistsError):
+        ad.create_exclusive("b/_gen.1.json")
+
+
+def test_cas_lost_race_retry_merges_winner_entries():
+    """End-to-end lost race through the VERIFIED conditional-PUT
+    branch: the loser's first flip fails server-side at close (412),
+    _flip_generation re-reads the winner's generation and re-derives
+    its adds, and the merged commit carries BOTH committers' entries —
+    the Delta-style retry-merge contract."""
+    import io
+    import warnings
+
+    from strawboat_spark.sources import fileio as fio
+    from strawboat_spark.sources.datasource import read_manifest, write_manifest
+    from strawboat_spark.sources.maintenance import _flip_generation
+
+    class CondFile(io.BytesIO):
+        def __init__(self, fs, path, cond):
+            super().__init__()
+            self._fs, self._path, self._cond = fs, path, cond
+
+        def close(self):
+            if self._cond == "*" and self._path in self._fs.published:
+                super().close()
+                self._fs.cond_failures += 1
+                raise OSError("PreconditionFailed (status 412)")
+            self._fs.published[self._path] = self.getvalue()
+            super().close()
+
+    class CondFs:
+        def __init__(self):
+            self.published = {}
+            self.cond_failures = 0
+
+        def open(self, path, mode, if_none_match=None):
+            if mode == "rb":
+                if path not in self.published:
+                    raise FileNotFoundError(path)
+                return io.BytesIO(self.published[path])
+            return CondFile(self, path, if_none_match)
+
+        def exists(self, path):
+            return path in self.published
+
+        def rm(self, path):
+            self.published.pop(path, None)
+
+    root = "cas://bucket/t"
+    adapter = fio._FsspecFileSystem("s3", fs=CondFs())  # s3 kwargs table
+    fio._REGISTRY["cas"] = adapter
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no TOCTOU warning on the CAS path
+            write_manifest(root, [{"path": "base.sb"}], generation=1)
+
+            raced = {"done": False}
+
+            def adds(man):
+                if not raced["done"]:
+                    raced["done"] = True
+                    # concurrent winner lands between our read and write
+                    write_manifest(
+                        root,
+                        (man["entries"] if man else []) + [{"path": "winner.sb"}],
+                        generation=(man.get("generation", 0) + 1) if man else 1,
+                    )
+                return [{"path": "loser.sb"}]
+
+            _flip_generation(root, set(), adds, "race-test")
+
+        man = read_manifest(root)
+        assert man["generation"] == 3
+        assert {e["path"] for e in man["entries"]} == {
+            "base.sb",
+            "winner.sb",
+            "loser.sb",
+        }
+        assert adapter._fs.cond_failures >= 1  # the 412 branch actually fired
+        # probe verified enforcement exactly once
+        assert adapter._cas_enforced is True
+    finally:
+        fio._REGISTRY.pop("cas", None)

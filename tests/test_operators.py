@@ -509,3 +509,58 @@ def test_token_chunks_empty_and_single(spark):
     assert len(by_id[1][1].chunk) == 22  # truncated tail chunk
     assert by_id[2] == [None]
     assert by_id[3][0].chunk == ["x"]
+
+
+def test_triangle_counts_degree_orientation_bounds_star_hub(spark):
+    """Star graph with the hub in the MIDDLE of the id range: id-order
+    orientation would give the hub out-edges to every higher-id leaf
+    (O(deg^2) wedge candidates); degree orientation points every edge
+    leaf -> hub, so each leaf has out-degree 1, the hub 0 — wedge
+    fan-out bounded regardless of hub degree.  Plus correctness on a
+    star + one attached triangle."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.graph import degree_oriented_edges, triangle_counts
+
+    n = 40
+    hub = n // 2
+    star = [(min(hub, i), max(hub, i)) for i in range(n + 1) if i != hub]
+    edges = spark.createDataFrame(star, "src long, dst long")
+
+    oe = degree_oriented_edges(edges)
+    out_deg = oe.groupBy("u").agg(F.count(F.lit(1)).alias("d")).collect()
+    assert max(r.d for r in out_deg) == 1  # every edge orients leaf -> hub
+    assert triangle_counts(edges).count() == 0  # stars have no triangles
+
+    # attach a triangle between hub and two leaves: exactly 1 triangle,
+    # all three nodes participate once
+    tri_edges = star + [(1, 2)]
+    edges2 = spark.createDataFrame(tri_edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges2).collect()}
+    assert got == {1: 1, 2: 1, hub: 1}
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    """Degree-oriented enumeration equals the brute-force count on a
+    deterministic pseudo-random graph (every pair hashed)."""
+    from itertools import combinations
+
+    from strawboat_spark.operators.graph import triangle_counts
+
+    nodes = list(range(18))
+    pairs = [
+        (a, b) for a, b in combinations(nodes, 2) if (a * 31 + b * 17 + a * b) % 4 == 0
+    ]
+    eset = set(pairs)
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for x in (a, b, c):
+                expect[x] = expect.get(x, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(pairs, "src long, dst long")
+        ).collect()
+    }
+    assert got == expect

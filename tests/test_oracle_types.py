@@ -48,6 +48,27 @@ def test_uncast_sum_oracle_fails_locally(spark, duck):
     assert type_mismatches(sdf, rel2)
 
 
+def test_cent_drift_at_1e9_fails_locally(spark, duck):
+    """r7 post-mortem: %.9g normalization equated values a CENT apart
+    at 1e9 magnitude, so the strawboat_merge_when half-cent drift
+    passed locally while the driver's raw-value hash failed.  A
+    deliberately injected ROUND(x/2, 2)-style drift must now fail."""
+    sdf = spark.createDataFrame([(1223725771.54,)], "total double")
+    rel = duck.sql("SELECT 1223725771.44::DOUBLE AS total")
+    problems = compare_frames(sdf, rel)
+    assert any("values differ" in p for p in problems), (
+        "cent-level drift at 1e9 magnitude must fail the local compare"
+    )
+
+
+def test_ulp_noise_still_passes(spark, duck):
+    """The hardened normalization must still collapse representation
+    noise: 0.1 + 0.2 vs 0.3 are the same value for our purposes."""
+    sdf = spark.createDataFrame([(0.1 + 0.2,)], "x double")
+    rel = duck.sql("SELECT 0.3::DOUBLE AS x")
+    assert compare_frames(sdf, rel) == []
+
+
 def test_cast_sum_oracle_passes(spark, duck):
     sdf = spark.createDataFrame([(3,)], "x bigint")
     rel = duck.sql(

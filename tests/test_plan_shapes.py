@@ -347,6 +347,20 @@ def test_lm_perplexity_no_window_no_python(spark, registry):
     assert "BroadcastExchange" in plan  # the 1-row vocab scalar
 
 
+def test_heavy_hitters_no_forced_candidate_broadcast(spark, registry):
+    """The MG candidate superset is bounded by partitions * k — fine at
+    sf0.1, ~1.6e8 strings at 100 TB — so the exact-recount semi-join
+    must NOT pin a broadcast hint on it (AQE decides).  The only
+    allowed hint is the 1-row total scalar on the threshold filter."""
+    df = registry["text_heavy_hitter_tokens"].fn(spark, SF_CORRECT)
+    assert _n_broadcast_hints(df) == 1  # the 1-row total only
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the hint must sit directly over the 1-row total aggregate (its
+    # subtree starts with the sum(c) Aggregate), not a candidate set
+    hint_idx = analyzed.index("ResolvedHint")
+    assert "sum(c" in analyzed[hint_idx : hint_idx + 300]
+
+
 def test_edit_distance_block_cut_is_join_not_window(spark, registry):
     df = registry["dedup_edit_distance"].fn(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()

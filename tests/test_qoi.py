@@ -46,6 +46,19 @@ def test_error_paths():
         decode_qoi_pixels(bytes(wire))
 
 
+def test_run_overrun_is_diagnosed_not_clipped():
+    """A corrupt RUN op past the pixel count must raise the overrun
+    diagnostic, not be silently clipped by the numpy slice and surface
+    later as a misleading 'missing end marker'."""
+    import struct
+
+    # header for a 2x2 RGB image, then a RUN of 62 pixels (0xC0 | 61)
+    hdr = b"qoif" + struct.pack(">IIBB", 2, 2, 3, 0)
+    wire = hdr + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="overruns pixel count"):
+        decode_qoi_pixels(wire)
+
+
 def test_property_random_roundtrip():
     from hypothesis import given, settings
     from hypothesis import strategies as st

@@ -1021,3 +1021,18 @@ def test_merge_when_rejects_partition_assignment(spark, tmp_path):
     src = spark.range(2).select(F.col("id"), (F.col("id") % 2).alias("p"))
     with _pytest.raises(ValueError, match="partition columns"):
         t.merge_when(src, ["id"], matched_update=(None, {"p": "1 - p"}))
+
+
+def test_dv_entries_concurrent_rewrite_raises_conflict():
+    """A concurrent optimize/compact removing a DV-marked file between
+    the mutation scan and the CAS flip must surface as a descriptive
+    ManifestConflictError, not an internal KeyError (the pending row
+    ordinals are stale by construction)."""
+    import pytest as _pytest
+
+    from strawboat_spark.sources.datasource import ManifestConflictError
+    from strawboat_spark.sources.maintenance import _dv_entries
+
+    man = {"entries": [{"path": "part-0.sb", "deletes": None}]}
+    with _pytest.raises(ManifestConflictError, match="concurrent rewrite"):
+        _dv_entries(man, {"part-gone.sb": [1, 2]})
