@@ -1,0 +1,123 @@
+"""Generate a larger scale factor from the driver testdata by
+deterministic replication — the sf1 measurement input for BASELINE.md's
+scaling table (VERDICT r7 item: convert the 100x design arguments into
+measured scaling).
+
+Each replica r offsets every key column by (max_key + 1) * r, so key
+cardinalities, join fan-outs and group counts scale linearly with the
+replication factor, like a larger TPC-H scale factor (customers, parts
+and suppliers grow with SF; nation/region stay fixed).  Document text
+gets a per-replica token appended so near-dup pipelines see 10x the
+corpus, not 10 identical copies of it (which would degenerate every
+minhash bucket); embeddings keep their values (ANN cost is
+row-count-bound, value-independent).
+
+Usage:  python gen_scale_sf.py [--src /root/testdata/sf0.1] \
+            [--dst /tmp/strawboat_sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def generate(src: str, dst: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def copy(sql: str, name: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{dst}/{name}.parquet' (FORMAT PARQUET, "
+            f"COMPRESSION ZSTD)"
+        )
+        n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    def mx(table: str, col: str) -> int:
+        return con.sql(
+            f"SELECT MAX({col}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+
+    rep = f"(SELECT UNNEST(RANGE({factor})) AS r) reps"
+    ok, ck, pk, sk = (
+        mx("orders", "o_orderkey"),
+        mx("customer", "c_custkey"),
+        mx("part", "p_partkey"),
+        mx("supplier", "s_suppkey"),
+    )
+
+    # fixed dimensions: nation/region do not grow with SF in TPC-H
+    for t in ("nation", "region"):
+        copy(f"SELECT * FROM '{src}/{t}.parquet'", t)
+
+    copy(
+        f"SELECT c_custkey + r * {ck} AS c_custkey, c_name, c_nationkey, "
+        f"c_acctbal, c_mktsegment FROM '{src}/customer.parquet', {rep}",
+        "customer",
+    )
+    copy(
+        f"SELECT s_suppkey + r * {sk} AS s_suppkey, s_name, s_nationkey, "
+        f"s_acctbal FROM '{src}/supplier.parquet', {rep}",
+        "supplier",
+    )
+    copy(
+        f"SELECT p_partkey + r * {pk} AS p_partkey, p_name, p_brand, p_type, "
+        f"p_size, p_retailprice "
+        f"FROM '{src}/part.parquet', {rep}",
+        "part",
+    )
+    copy(
+        f"SELECT o_orderkey + r * {ok} AS o_orderkey, "
+        f"o_custkey + r * {ck} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority FROM '{src}/orders.parquet', {rep}",
+        "orders",
+    )
+    copy(
+        f"SELECT l_orderkey + r * {ok} AS l_orderkey, "
+        f"l_partkey + r * {pk} AS l_partkey, "
+        f"l_suppkey + r * {sk} AS l_suppkey, l_linenumber, l_quantity, "
+        f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        f"l_shipdate FROM '{src}/lineitem.parquet', {rep}",
+        "lineitem",
+    )
+
+    ek, uk = mx("events", "event_id"), mx("events", "user_id")
+    copy(
+        f"SELECT event_id + r * {ek} AS event_id, ts, "
+        f"user_id + r * {uk} AS user_id, event_type, value, props "
+        f"FROM '{src}/events.parquet', {rep}",
+        "events",
+    )
+
+    dk = mx("documents", "doc_id")
+    copy(
+        f"SELECT doc_id + r * {dk} AS doc_id, "
+        f"CASE WHEN r = 0 THEN text "
+        f"     ELSE text || ' replica' || r || 'tok' || (doc_id % 97) END AS text, "
+        f"lang, source, "
+        f"CAST(CASE WHEN r = 0 THEN n_chars "
+        f"     ELSE n_chars + LENGTH(' replica' || r || 'tok' || (doc_id % 97)) "
+        f"END AS BIGINT) AS n_chars "
+        f"FROM '{src}/documents.parquet', {rep}",
+        "documents",
+    )
+
+    vk = mx("embeddings", "vec_id")
+    copy(
+        f"SELECT vec_id + r * {vk} AS vec_id, embedding, label "
+        f"FROM '{src}/embeddings.parquet', {rep}",
+        "embeddings",
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/strawboat_sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    a = ap.parse_args()
+    generate(a.src, a.dst, a.factor)

@@ -1,7 +1,8 @@
 """Pure-numpy/stdlib FLAC decoder (xiph.org format spec) — closes the
 compressed-audio seam the way operators/png.py closed images: WAV
 covers uncompressed PCM, FLAC covers the lossless compressed format
-real audio corpora ship, MP3 stays an honest NotImplementedError.
+real audio corpora ship; MP3's deterministic frame-level surface is
+operators/mp3.py, its PCM path decided out (COVERAGE.md).
 
 Scope: STREAMINFO parse, frame decode with CONSTANT / VERBATIM /
 FIXED (orders 0-4) / LPC subframes, 4- and 5-bit Rice partitions with

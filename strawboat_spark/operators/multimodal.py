@@ -12,11 +12,15 @@ RIFF/PCM16 WAV audio, and YUV4MPEG2 (Y4M) video,
 each gated by an exact analytic DuckDB oracle
 (`multimodal_image_decode`, `multimodal_jpeg_decode`,
 `multimodal_png_decode`, `multimodal_gif_decode`,
-`multimodal_wav_decode`, `multimodal_video_frames`). Remaining compressed formats
-(MP3/H.264/...) need codec libraries this container doesn't ship:
-those paths raise a declared NotImplementedError (or a deterministic
-fake under `deterministic_fake=True`), and swapping in ffmpeg later
-touches only the `_decode_*` seams.
+`multimodal_wav_decode`, `multimodal_video_frames`). MP3's
+deterministic surface (ID3 + frame walk + duration/bitrate stats) is
+REAL and exactly gated (operators/mp3.py, `multimodal_mp3_frames`);
+MP3/H.264 PCM/pixel decode is DECIDED OUT (COVERAGE.md: float
+IMDCT/inter-frame paths cannot be exactly oracled in SQL and no
+conformance vectors ship here) — those sample paths raise a declared
+NotImplementedError (or a deterministic fake under
+`deterministic_fake=True`), and swapping in ffmpeg later touches only
+the `_decode_*` seams.
 
 Scale notes: payload columns dominate bytes, so every stage keeps
 them in Arrow batches (no per-row Python), prunes the payload as early

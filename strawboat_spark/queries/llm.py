@@ -1429,6 +1429,90 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(20 + doc_id % 30 AS BIGINT) AS nf,
+             [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sr
+      FROM documents
+    ), per AS (
+      SELECT doc_id, nf, sr,
+        list_transform(generate_series(0, nf - 1),
+          i -> [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+               [CAST(1 + (doc_id * 7 + i * 13) % 14 AS INT) + 1]) AS kbps,
+        list_transform(generate_series(0, nf - 1),
+          i -> (doc_id + i) % 2) AS pads
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(sr AS INT) AS sample_rate,
+           nf AS n_frames,
+           CAST(nf * 1152 AS BIGINT) AS n_samples,
+           -- scale-0 quantization at 1e-6 (cross-engine ROUND convention)
+           CAST(ROUND(CAST(nf * 1152 AS DOUBLE) * 1000000 / sr) AS BIGINT)
+             / 1000000.0 AS duration_sec,
+           CAST(ROUND(CAST(list_sum(kbps) * 1000 AS DOUBLE) / nf) AS BIGINT)
+             / 1000.0 AS mean_kbps,
+           -- frame_size = 144000*kbps//sr + pad INCLUDES the 4-byte header
+           CAST(list_sum(list_transform(generate_series(0, CAST(nf AS INT) - 1),
+                  i -> (144000 * kbps[i + 1]) // sr + pads[i + 1]))
+                + CASE WHEN doc_id % 4 = 0 THEN 47 ELSE 0 END
+             AS BIGINT) AS n_bytes
+    FROM per ORDER BY doc_id
+    """,
+    description=(
+        "REAL MP3 frame-level parse: synthesized spec-valid MPEG-1 "
+        "Layer III VBR streams (ID3v2 on every 4th doc) through the "
+        "sync-walk parser — frame count, duration and VBR mean bitrate "
+        "replayed analytically. PCM decode stays the documented seam "
+        "(COVERAGE.md: float IMDCT is not exactly oracle-able)"
+    ),
+)
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MP3 seam, closed at its deterministic surface: executors
+    synthesize valid Layer III VBR streams (frame i bitrate index
+    1 + (doc_id*7 + i*13) % 14, padding (doc_id+i) % 2, rate table by
+    doc_id % 3) and the sync-walking parser (operators/mp3.py) recovers
+    rate/frames/duration/mean-bitrate/bytes, which DuckDB reproduces
+    from the same closed-form parameters.  Malformed-stream rejection
+    is pinned by tests/test_mp3.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.mp3 import parse_mp3, synthesize_mp3_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                wire = synthesize_mp3_bytes(
+                    did, 20 + did % 30, with_id3=(did % 4 == 0)
+                )
+                rate, nf, ns, dur, kbps, nb = parse_mp3(wire)
+                rows.append((did, rate, nf, ns, dur, kbps, nb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames", "n_samples",
+                    "duration_sec", "mean_kbps", "n_bytes",
+                ],
+            )
+
+    return d.mapInPandas(
+        synth_parse,
+        schema=(
+            "doc_id long, sample_rate int, n_frames long, n_samples long, "
+            "duration_sec double, mean_kbps double, n_bytes long"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "shards_tar_members",
     oracle="""
     WITH shards AS (

@@ -278,25 +278,42 @@ def list_generations(root: str) -> list[dict]:
     return out
 
 
-def write_manifest(root: str, entries: list[dict], generation: int | None = None) -> None:
+def write_manifest(
+    root: str,
+    entries: list[dict],
+    generation: int | None = None,
+    properties: dict | None = None,
+) -> None:
     """Publish `entries` as the next manifest generation via CAS: the
     generation file is create-if-absent, so of two racing committers
     exactly one wins and the loser gets ManifestConflictError (with the
     winner's entries durable and readable for a retry-merge). `entries`:
-    [{path: rel, sig: [..]|None, meta: dict|None, schema_b64: str|None}]."""
+    [{path: rel, sig: [..]|None, meta: dict|None, schema_b64: str|None}].
+
+    `properties` is a free-form table-level dict riding the manifest
+    (Delta TBLPROPERTIES analog; carries e.g. the incremental-view txn
+    horizon).  None means CARRY FORWARD the current head's properties —
+    an unrelated commit must not drop them; pass an explicit dict
+    (possibly {}) to replace."""
     import json
 
     fs = get_fs(root)
+    prev = None
     if generation is None:
         prev = read_manifest(root)
         generation = (prev.get("generation", 0) + 1) if prev else 1
-    payload = json.dumps(
-        {
-            "version": 1,
-            "generation": generation,
-            "entries": sorted(entries, key=lambda e: e["path"]),
-        }
-    ).encode()
+    if properties is None:
+        if prev is None:
+            prev = read_manifest(root)
+        properties = (prev or {}).get("properties") or {}
+    doc = {
+        "version": 1,
+        "generation": generation,
+        "entries": sorted(entries, key=lambda e: e["path"]),
+    }
+    if properties:
+        doc["properties"] = properties
+    payload = json.dumps(doc).encode()
     try:
         with fs.create_exclusive(_gen_path(root, generation)) as h:
             h.write(payload)
@@ -373,7 +390,9 @@ def _manifest_entry(root: str, file: str, meta=None, schema_b64: str | None = No
     return {"path": rel, "sig": sig, "meta": meta_dict, "schema_b64": schema_b64}
 
 
-def publish_manifest(root: str, messages=None, replace: bool = False) -> None:
+def publish_manifest(
+    root: str, messages=None, replace: bool = False, properties: dict | None = None
+) -> None:
     """Commit-time manifest refresh: prior entries still on disk plus
     the just-committed files (with executor-provided footer meta).
 
@@ -442,7 +461,19 @@ def publish_manifest(root: str, messages=None, replace: bool = False) -> None:
                     entries[key] = _manifest_entry(root, f)
         gen = (prev.get("generation", 0) + 1) if prev else 1
         try:
-            write_manifest(root, list(entries.values()), generation=gen)
+            # explicit properties (e.g. an incremental-view txn marker)
+            # land atomically with this commit; otherwise carry the
+            # freshly-read head's properties forward
+            write_manifest(
+                root,
+                list(entries.values()),
+                generation=gen,
+                properties=(
+                    properties
+                    if properties is not None
+                    else (prev or {}).get("properties") or {}
+                ),
+            )
             return
         except ManifestConflictError:
             continue  # winner's entries are durable; re-read and merge
@@ -1394,6 +1425,13 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         for c in self.partition_by:
             if c not in schema.fieldNames():
                 raise ValueError(f"strawboat: partition_by column {c!r} not in schema")
+        # Optional JSON dict committed as the new manifest's table
+        # properties ATOMICALLY with this write (same generation flip)
+        # — the txn-marker hook for idempotent foreachBatch folds.
+        import json
+
+        mp = options.get("manifest_properties")
+        self.manifest_properties = json.loads(mp) if mp else None
         # Runs on the driver: prepare the output directory.
         self.overwrite = overwrite
         fs = get_fs(self.path)
@@ -1540,7 +1578,12 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
         )
 
     def commit(self, messages):
-        publish_manifest(self.path, messages, replace=self.overwrite)
+        publish_manifest(
+            self.path,
+            messages,
+            replace=self.overwrite,
+            properties=self.manifest_properties,
+        )
         return None
 
     def abort(self, messages):

@@ -142,7 +142,13 @@ def _flip_generation(path: str, drop_rel: set[str], add_entries, verb: str) -> N
         entries = [e for e in (man["entries"] if man else []) if e["path"] not in drop_rel]
         gen = (man.get("generation", 0) + 1) if man else 1
         try:
-            write_manifest(path, entries + adds, generation=gen)
+            # carry table properties forward from the freshly-read head
+            write_manifest(
+                path,
+                entries + adds,
+                generation=gen,
+                properties=(man or {}).get("properties") or {},
+            )
             return
         except ManifestConflictError:
             continue

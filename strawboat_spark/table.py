@@ -276,6 +276,18 @@ class Table:
     # -- constraints -------------------------------------------------------
     _CONSTRAINTS_FILE = "_strawboat_constraints.json"
 
+    def properties(self) -> dict:
+        """Free-form table properties riding the current manifest
+        (Delta TBLPROPERTIES analog).  Carried forward by every commit
+        path; replaced atomically by a write that passes the
+        ``manifest_properties`` option (JSON dict) — the txn-marker
+        hook that makes incremental-view folds idempotent
+        (streaming/views.py)."""
+        from strawboat_spark.sources.datasource import read_manifest
+
+        man = read_manifest(self.path)
+        return dict((man or {}).get("properties") or {})
+
     def constraints(self) -> dict[str, str]:
         """name -> SQL boolean expression, enforced on every facade
         write (append/overwrite/merge source). Stored beside the
@@ -401,9 +413,46 @@ class Table:
         multi-match determinism guard, one-flip atomicity)."""
         from strawboat_spark.sources.maintenance import merge_when
 
+        import pyspark.sql.functions as F
+
         cons = self.constraints()
-        if cons and not_matched_insert is not None:
-            self._check_rows(source, cons)
+        if cons:
+            # Validate the rows that will actually be WRITTEN (Delta's
+            # CHECK semantics), not the whole source: rows destined for
+            # delete/keep or filtered out by the insert condition must
+            # not spuriously fail, and post-assignment updated rows
+            # must be checked (mirroring Table.update).
+            tgt = self.read()
+            if not_matched_insert is not None:
+                ins = source.join(
+                    tgt.select(*on).distinct(), on=on, how="left_anti"
+                ).filter(F.expr(not_matched_insert))
+                self._check_rows(ins, cons)
+            if matched_update is not None:
+                src = source.select(
+                    [F.col(c).alias(f"src_{c}") for c in source.columns]
+                )
+                src_on = [f"src_{c}" for c in on]
+                joined = tgt.join(
+                    src,
+                    on=[F.col(a) == F.col(b) for a, b in zip(on, src_on)],
+                    how="inner",
+                )
+                del_cond = (
+                    F.expr(matched_delete) if matched_delete else F.lit(False)
+                )
+                upd_cond = (
+                    F.expr(matched_update[0]) if matched_update[0] else F.lit(True)
+                )
+                updated = joined.filter(~del_cond & upd_cond).select(
+                    *[
+                        F.expr(matched_update[1][c]).alias(c)
+                        if c in matched_update[1]
+                        else F.col(c)
+                        for c in tgt.columns
+                    ]
+                )
+                self._check_rows(updated, cons)
         return merge_when(
             self.spark,
             self.path,

@@ -463,3 +463,79 @@ def test_incremental_view_folds_only_new_generations(spark, tmp_path):
     assert got2 == expect
     # the view is itself a table with history: cycle 1's state is gen 1
     assert Table(spark, f"{root}/view").read(at_generation=1).count() == 4
+
+
+def test_incremental_view_fold_is_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the view overwrite
+    but before the checkpoint commit replays the batch.  The fold
+    commits a {app, batch} txn marker atomically with the result, so a
+    replayed batch id must be a no-op instead of double-applying its
+    deltas — and a NEW batch id must still apply."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.streaming.views import _fold_batch
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = str(tmp_path)
+    view = Table(spark, f"{root}/view")
+
+    batch = spark.range(8).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("insert").alias("_change_type"),
+    )
+    args = (view, f"{root}/view", "g", "v", "incremental_view:ckptA")
+    _fold_batch(*args, batch, 0)
+    once = {r["g"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
+    assert once == {0: (4, 0.0 + 2 + 4 + 6), 1: (4, 1.0 + 3 + 5 + 7)}
+    gen_after_first = view.history()[-1]["generation"]
+
+    # replay of the SAME batch id: no state change, no new generation
+    _fold_batch(*args, batch, 0)
+    assert {
+        r["g"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()
+    } == once
+    assert view.history()[-1]["generation"] == gen_after_first
+    assert view.properties()["txn"] == {"app": "incremental_view:ckptA", "batch": 0}
+
+    # a NEW batch id applies its deltas
+    batch2 = spark.range(2).select(
+        F.lit(0).alias("g"), F.lit(100.0).alias("v"), F.lit("insert").alias("_change_type")
+    )
+    _fold_batch(*args, batch2, 1)
+    got = {r["g"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
+    assert got[0] == (6, 12.0 + 200.0)
+    assert view.properties()["txn"]["batch"] == 1
+
+
+def test_manifest_properties_survive_unrelated_commits(spark, tmp_path):
+    """Table properties (the txn-horizon carrier) must be carried
+    forward by every commit path — append, MOR delete, compaction-style
+    generation flips — not silently dropped by the next writer."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(
+        spark.range(50).select(F.col("id"), (F.col("id") * 1.0).alias("v")),
+        manifest_properties=json.dumps({"txn": {"app": "a", "batch": 7}, "owner": "x"}),
+    )
+    assert t.properties() == {"txn": {"app": "a", "batch": 7}, "owner": "x"}
+
+    t.append(spark.range(50, 60).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    assert t.properties()["txn"]["batch"] == 7  # append carries forward
+
+    t.delete("id < 5", mode="mor")
+    assert t.properties()["owner"] == "x"  # _flip_generation carries forward
+
+    # an overwrite WITHOUT explicit properties also carries forward
+    t.overwrite(spark.range(3).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    assert t.properties()["txn"] == {"app": "a", "batch": 7}

@@ -742,14 +742,14 @@ def test_mor_delete_cas_retry_remerges_concurrent_vectors(spark, tmp_path, monke
     real_write = ds.write_manifest
     state = {"interleaved": False}
 
-    def racy_write(root, entries, generation=None):
+    def racy_write(root, entries, generation=None, properties=None):
         if not state["interleaved"]:
             state["interleaved"] = True
             # the concurrent committer lands first (uses real_write via
             # the flag), then our attempt loses the CAS race
             maintenance.delete_where(spark, path, "id IN (4, 5)", mode="mor")
             raise ds.ManifestConflictError("simulated lost race")
-        return real_write(root, entries, generation=generation)
+        return real_write(root, entries, generation=generation, properties=properties)
 
     monkeypatch.setattr(ds, "write_manifest", racy_write)
     t.delete("id IN (2, 3)", mode="mor")
@@ -1036,3 +1036,55 @@ def test_dv_entries_concurrent_rewrite_raises_conflict():
     man = {"entries": [{"path": "part-0.sb", "deletes": None}]}
     with _pytest.raises(ManifestConflictError, match="concurrent rewrite"):
         _dv_entries(man, {"part-gone.sb": [1, 2]})
+
+
+def test_merge_when_checks_constraints_on_written_rows_only(spark, tmp_path):
+    """CHECK constraints validate the rows actually WRITTEN by the
+    merge: source rows destined for delete/keep or filtered out by the
+    insert condition must not spuriously fail, while a violating
+    insert-subset row or a violating POST-assignment updated row must
+    (mirroring Table.update and Delta)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") * 10.0).alias("v")))
+    t.add_constraint("v_nonneg", "v >= 0")
+
+    # a NEGATIVE-v source row that is (a) deleted and (b) insert-gated
+    # out: the old all-source check raised here; now it must succeed
+    ok_src = spark.createDataFrame(
+        [
+            (3, True, -5.0),    # matched -> DELETE (v violates, never written)
+            (11, False, -7.0),  # unmatched, insert cond (v > 100) false
+            (12, False, 200.0), # unmatched, inserted, valid
+        ],
+        "id long, del boolean, v double",
+    )
+    res = t.merge_when(
+        ok_src,
+        ["id"],
+        matched_delete="src_del",
+        not_matched_insert="v > 100",
+    )
+    assert (res["rows_deleted"], res["rows_inserted"]) == (1, 1)
+
+    # violating insert-subset row fails BEFORE anything is written
+    gen = t.history()[-1]["generation"]
+    bad_ins = spark.createDataFrame(
+        [(13, False, -1.0)], "id long, del boolean, v double"
+    )
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.merge_when(bad_ins, ["id"], not_matched_insert="true")
+    assert t.history()[-1]["generation"] == gen  # nothing committed
+
+    # POST-assignment update violation fails (old code never checked it)
+    bad_upd = spark.createDataFrame(
+        [(2, False, 0.0)], "id long, del boolean, v double"
+    )
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.merge_when(bad_upd, ["id"], matched_update=(None, {"v": "v - 1000"}))
+    assert t.history()[-1]["generation"] == gen
