@@ -53,16 +53,34 @@ def bigram_lm_scores(
     unigram vocabulary size. Output: (id, n_bigrams, avg_logprob) for
     docs with >= 1 bigram; ascending avg_logprob ranks docs most
     atypical first."""
+    # Plan shape (the r8 rework): the regex tokenize + explode is the
+    # dominant map-side cost, and the naive formulation (instance
+    # stream consumed by both the count build AND the score join) runs
+    # it FOUR times with zero ReusedExchange (verified on the executed
+    # plan). Pre-aggregating to per-doc bigram counts makes every
+    # downstream consumer read the SAME exchange subtree, so Spark
+    # dedups it (ReusedExchange) and each explode executes once; the
+    # score join also shrinks from bigram INSTANCES to distinct
+    # (doc, w1, w2) triples — strictly smaller on any corpus with
+    # repetition.
     bi = _doc_bigrams(df, id_col, text_col)
-    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    doc_bi = bi.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     uni = df.select(
         F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("w1")
     )
+    # The vocab scalar's branch re-runs the unigram explode (the
+    # optimizer specializes its aggregate shape, defeating exchange
+    # reuse; a localCheckpoint that would share one materialization was
+    # MEASURED SLOWER at sf1 — 10.3 s vs 9.0 s — because the
+    # materialization barrier costs more than the duplicated map-side
+    # explode). The duplicated pass is map-only over the distinct-token
+    # stream; accepted.
     uni_counts = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni_counts.agg(F.count(F.lit(1)).alias("V"))
 
     scored = (
-        bi.join(bi_counts, ["w1", "w2"])
+        doc_bi.join(bi_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
@@ -73,10 +91,15 @@ def bigram_lm_scores(
             ),
         )
     )
+    # weighted mean == instance mean (each distinct doc-bigram carries
+    # its in-doc multiplicity k); fold-order float epsilon is absorbed
+    # by the rounding, as before
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("logp"), round_digits).alias("avg_logprob"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.col("logp")) / F.sum("k"), round_digits
+            ).alias("avg_logprob"),
         )
     )

@@ -347,6 +347,18 @@ def test_lm_perplexity_no_window_no_python(spark, registry):
     assert "BroadcastExchange" in plan  # the 1-row vocab scalar
 
 
+def test_lm_perplexity_reuses_bigram_exchange(spark, registry):
+    """The doc-bigram pre-aggregation exists so the corpus-wide count
+    table and the score join read the SAME exchange — AQE must dedupe
+    it (one regex tokenize+explode for bigrams, not two).  Reuse only
+    appears in the FINAL adaptive plan, so execute first."""
+    df = registry["text_lm_perplexity"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") + plan.count("ReusedQueryStage") >= 1
+
+
 def test_heavy_hitters_no_forced_candidate_broadcast(spark, registry):
     """The MG candidate superset is bounded by partitions * k — fine at
     sf0.1, ~1.6e8 strings at 100 TB — so the exact-recount semi-join
