@@ -1236,3 +1236,64 @@ def strawboat_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_clone",
+    oracle="""
+    SELECT 'clone' AS side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_totalprice < 100000)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'src', o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    ORDER BY side, o_orderstatus
+    """,
+    description=(
+        "zero-copy SHALLOW CLONE (Delta CLONE analog): clone references "
+        "the source's files by absolute path in its own manifest, then a "
+        "MOR delete on the clone diverges it while the source snapshot "
+        "stays untouched — both sides aggregated under one exact oracle"
+    ),
+)
+def strawboat_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py Table.clone: O(manifest) clone creation (no data files
+    under the clone root — asserted), independent evolution via a
+    deletion-vector delete on the clone, source unchanged.  Extends
+    the reference's format layer the way RESTORE/tags do; reference
+    scope per src/lib.rs:20-29 has no table layer."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_cl_")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, f"{root}/src")
+    t.overwrite(o)
+    c = t.clone(f"{root}/clone")
+    from strawboat_spark.sources.fileio import get_fs
+
+    assert not get_fs(f"{root}/clone").list_files(f"{root}/clone", ".strb"), (
+        "shallow clone must copy zero data files"
+    )
+    c.delete("o_totalprice < 100000", mode="mor")
+
+    def agg(tbl, side):
+        return (
+            tbl.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(side).alias("side"), "o_orderstatus", "n", "total")
+        )
+
+    return agg(c, "clone").unionByName(agg(t, "src")).orderBy("side", "o_orderstatus")

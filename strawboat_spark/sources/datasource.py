@@ -78,6 +78,22 @@ _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
+def entry_abs(root: str, p: str) -> str:
+    """Manifest entry -> absolute file path.  Entries are root-relative
+    EXCEPT shallow-clone external references (Table.clone), which carry
+    a scheme or an absolute backend path: scheme'd entries return
+    verbatim; os.path.join already yields plain absolutes unchanged."""
+    if split_scheme(p)[0]:
+        return p
+    return os.path.join(root, p)
+
+
+def is_external_entry(p: str) -> bool:
+    """True when a manifest entry references a file OUTSIDE its table
+    root (a shallow-clone reference)."""
+    return bool(split_scheme(p)[0]) or os.path.isabs(p)
+
+
 def _list_files(path: str, at_generation: int | None = None) -> list[str]:
     fs = get_fs(path)
     if fs.isdir(path):
@@ -91,7 +107,7 @@ def _list_files(path: str, at_generation: int | None = None) -> list[str]:
             # generation (snapshot isolation for compact/appends), and
             # its embedded footers pre-warm planning.
             _seed_footer_cache(path, man)
-            return sorted(os.path.join(path, e["path"]) for e in man["entries"])
+            return sorted(entry_abs(path, e["path"]) for e in man["entries"])
         if at_generation is not None:
             raise ValueError(
                 f"strawboat: at_generation={at_generation} but {path} has no manifest"
@@ -436,8 +452,14 @@ def publish_manifest(
         entries: dict[str, dict] = {}
         if prev and not replace:
             for e in prev["entries"]:
-                key = _norm(os.path.join(root, e["path"]))
-                if key in on_disk:
+                key = _norm(entry_abs(root, e["path"]))
+                if is_external_entry(e["path"]):
+                    # shallow-clone references live OUTSIDE this root:
+                    # the clone's manifest vouches for them, not the
+                    # listing (they would otherwise be dropped by the
+                    # orphan guard on the clone's first append)
+                    entries[key] = e
+                elif key in on_disk:
                     entries[key] = e
         if messages:
             for m in messages:
@@ -494,7 +516,7 @@ def _seed_footer_cache(root: str, man: dict) -> None:
         sig, meta, sch = e.get("sig"), e.get("meta"), e.get("schema_b64")
         if sig is None or meta is None or sch is None:
             continue
-        absf = os.path.join(root, e["path"])
+        absf = entry_abs(root, e["path"])
         if absf in _FOOTER_CACHE:
             continue
         try:
@@ -537,7 +559,7 @@ class StrawboatDataSource(DataSource):
         files_opt = _files_option(self.options)
         all_files = files  # partition-column inference always sees the full table
         if files_opt is not None:
-            files = [os.path.join(path, rel) for rel in files_opt]
+            files = [entry_abs(path, rel) for rel in files_opt]
             if not files:
                 raise ValueError("strawboat: 'files' option names no files")
         arrow_schema, _ = _cached_footer(files[0])
@@ -722,7 +744,7 @@ def _deletes_by_rel(root: str, at_generation: int | None) -> dict:
     if man is None:
         return {}
     return {
-        os.path.join(root, e["path"]): decode_deletes(e["deletes"])
+        entry_abs(root, e["path"]): decode_deletes(e["deletes"])
         for e in man.get("entries", ())
         if e.get("deletes")
     }
@@ -776,7 +798,7 @@ class StrawboatReaderImpl(DataSourceReader):
         files = _list_files(self.path, self.at_generation)
         part_types = dict(_infer_partition_fields(self.path, files))
         if self.files_opt is not None:
-            files = [os.path.join(self.path, rel) for rel in self.files_opt]
+            files = [entry_abs(self.path, rel) for rel in self.files_opt]
         survivors: list[tuple[str, dict]] = []
         for file in files:
             pvals = {
@@ -1221,7 +1243,7 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         if "seen" in start or "seen" in end:  # legacy offset format
             new = sorted(set(end.get("seen", end.get("recent", []))) - set(start.get("seen", start.get("recent", []))))
-            return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in new]
+            return [_Stripe(entry_abs(self.path, rel), 0, -1) for rel in new]
         new = set(end.get("recent", [])) - set(start.get("recent", []))
         if start.get("w", 0) == 0 and not start.get("recent"):
             # First batch: also pick up pre-existing files older than the
@@ -1233,7 +1255,7 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
             for rel, m in self._listing():
                 if m < w - self.lookback_ns:
                     new.add(rel)
-        return [_Stripe(os.path.join(self.path, rel), 0, -1) for rel in sorted(new)]
+        return [_Stripe(entry_abs(self.path, rel), 0, -1) for rel in sorted(new)]
 
     def read(self, partition: _Stripe):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1325,7 +1347,7 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 e["path"]: decode_deletes(e.get("deletes")) for e in cur["entries"]
             }
             for rel, dv in sorted(ent_cur.items()):
-                file = os.path.join(self.path, rel)
+                file = entry_abs(self.path, rel)
                 pv = _pv(file)
                 if rel not in ent_prev:
                     parts.append(_CDFPart("insert", file, g, pv, skip=dv))
@@ -1335,7 +1357,7 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                         parts.append(_CDFPart("delete_rows", file, g, pv, only=delta))
             for rel, dv in sorted(ent_prev.items()):
                 if rel not in ent_cur:
-                    file = os.path.join(self.path, rel)
+                    file = entry_abs(self.path, rel)
                     parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv))
         return parts
 

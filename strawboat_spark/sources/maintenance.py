@@ -32,8 +32,8 @@ from __future__ import annotations
 
 import os
 
-from strawboat_spark.sources.datasource import FILE_EXT, register
-from strawboat_spark.sources.fileio import backend_path, get_fs
+from strawboat_spark.sources.datasource import FILE_EXT, entry_abs, register
+from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
 
 _SCRATCH_SUFFIXES = (
     ".__compact__",
@@ -59,7 +59,17 @@ def _norm(p: str) -> str:
 
 
 def _rel(p: str, root: str) -> str:
-    return os.path.relpath(_norm(p), _norm(root))
+    """Manifest entry key for file `p` of the table at `root`:
+    root-relative normally; for a file OUTSIDE the root (a
+    shallow-clone external reference) the key is the entry's stored
+    absolute form — full URL on scheme'd backends, normalized backend
+    path otherwise — so mutation verbs address clone references the
+    same way the manifest lists them."""
+    np_, nr = _norm(p), _norm(root)
+    rp = os.path.relpath(np_, nr)
+    if rp.startswith(".."):
+        return p if split_scheme(p)[0] else np_
+    return rp
 
 
 def _age_seconds(fs, path: str) -> float:
@@ -295,7 +305,7 @@ def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> d
     #    `at_generation` snapshot reads keep working for every
     #    generation that still has a manifest file.
     listed = {
-        _norm(os.path.join(path, e["path"])) for m in retained for e in m["entries"]
+        _norm(entry_abs(path, e["path"])) for m in retained for e in m["entries"]
     }
     scratch_roots: set[str] = {
         d

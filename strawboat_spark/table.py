@@ -490,6 +490,102 @@ class Table:
 
         return vacuum(self.path, grace_seconds=grace_seconds, dry_run=dry_run)
 
+    def clone(self, dest: str, deep: bool = False) -> "Table":
+        """Delta-CLONE analog.
+
+        SHALLOW (default): publish a new table at `dest` whose first
+        generation references THIS table's current data files by their
+        absolute path (full URL on scheme'd backends) — zero data
+        copied, O(manifest) cost at ANY table size.  The clone then
+        evolves independently: appends, MOR deletes/updates, compaction
+        and optimize land under its own root, and external references
+        drop out naturally as rewrites supersede them; the source's
+        history is untouched.  CAVEAT (identical to Delta shallow
+        clones): `vacuum()` on the SOURCE can reclaim files a shallow
+        clone still references — use deep=True for clones that must
+        outlive the source's retention.
+
+        DEEP: server-side byte copies of the current data files into
+        `dest` (no decode/recompress), fully independent thereafter.
+
+        Constraints are copied (Delta semantics); tags are not (they
+        pin SOURCE generation numbers).  Hive-partitioned sources are
+        refused for shallow clones — partition values derive from the
+        root-relative layout, which external references do not have.
+        """
+        from strawboat_spark.sources.datasource import (
+            entry_abs,
+            is_external_entry,
+            publish_manifest,
+            read_manifest,
+            write_manifest,
+        )
+        from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
+        from strawboat_spark.sources.maintenance import _part_layout
+
+        if read_manifest(self.path) is None:
+            publish_manifest(self.path)
+        man = read_manifest(self.path)
+        if man is None:
+            raise ValueError(f"clone: {self.path} has no committed data")
+        dfs = get_fs(dest)
+        if read_manifest(dest) is not None or (
+            dfs.isdir(dest) and dfs.list_files(dest, ".strb")
+        ):
+            raise ValueError(f"clone: destination {dest} is not empty")
+        if not deep and _part_layout(self.path):
+            raise ValueError(
+                "clone: shallow clone of a hive-partitioned table is not "
+                "supported (partition values derive from the root-relative "
+                "layout); use deep=True"
+            )
+        dfs.makedirs(dest)
+        entries = []
+        if deep:
+            for i, e in enumerate(man["entries"]):
+                src_abs = entry_abs(self.path, e["path"])
+                # external refs (source itself a shallow clone) land as
+                # index-prefixed basenames; normal entries keep layout
+                rel = (
+                    f"clone-{i:06d}-{os.path.basename(backend_path(e['path']))}"
+                    if is_external_entry(e["path"])
+                    else e["path"]
+                )
+                dst = os.path.join(dest, rel)
+                d = os.path.dirname(dst)
+                if d:
+                    get_fs(dst).makedirs(d)
+                with get_fs(src_abs).open_read(src_abs) as r, get_fs(dst).create(
+                    dst
+                ) as w:
+                    w.write(r.read())
+                entries.append({**e, "path": rel})
+        else:
+            for e in man["entries"]:
+                absf = entry_abs(self.path, e["path"])
+                stored = (
+                    absf
+                    if split_scheme(absf)[0]
+                    else os.path.normpath(os.path.abspath(backend_path(absf)))
+                )
+                entries.append({**e, "path": stored})
+        props = dict(man.get("properties") or {})
+        props["cloned_from"] = {
+            "path": self.path,
+            "generation": man.get("generation", 0),
+            "deep": deep,
+        }
+        write_manifest(dest, entries, generation=1, properties=props)
+        # constraints travel with the clone (Delta CLONE semantics)
+        sfs = get_fs(self.path)
+        cf = f"{self.path}/{self._CONSTRAINTS_FILE}"
+        if sfs.exists(cf):
+            with sfs.open_read(cf) as r:
+                body = r.read()
+            with dfs.create(f"{dest}/{self._CONSTRAINTS_FILE}") as w:
+                w.write(body)
+        return Table(self.spark, dest)
+
     def restore(self, generation: int) -> None:
         """Delta RESTORE: commit a NEW generation whose entries equal
         the target generation's — the table's current state snaps back

@@ -1088,3 +1088,89 @@ def test_merge_when_checks_constraints_on_written_rows_only(spark, tmp_path):
     with _pytest.raises(ValueError, match="v_nonneg"):
         t.merge_when(bad_upd, ["id"], matched_update=(None, {"v": "v - 1000"}))
     assert t.history()[-1]["generation"] == gen
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone: zero data files copied, reads equal the source,
+    and both sides mutate independently — the clone pins the source's
+    files at clone time (snapshot semantics), compaction materializes
+    it locally, and vacuum on the clone never touches source files."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/src")
+    t.overwrite(spark.range(120).select(F.col("id"), (F.col("id") * 2.0).alias("v")))
+    c = t.clone(f"{root}/c1")
+
+    assert c.read().count() == 120
+    assert glob.glob(f"{root}/c1/**/*.strb", recursive=True) == []  # zero-copy
+    assert c.properties()["cloned_from"]["path"] == f"{root}/src"
+
+    # clone mutates; source unmoved (append exercises the external-
+    # entry survival branch of publish_manifest)
+    c.delete("id < 10", mode="mor")
+    c.append(spark.range(200, 205).select(F.col("id"), (F.col("id") * 2.0).alias("v")))
+    assert c.read().count() == 115 and t.read().count() == 120
+
+    # source mutates; clone pinned at clone-time snapshot
+    t.delete("id >= 100", mode="mor")
+    assert c.read().count() == 115 and t.read().count() == 100
+
+    # compact materializes external refs under the clone root
+    c.compact()
+    assert c.read().count() == 115
+    assert len(glob.glob(f"{root}/c1/**/*.strb", recursive=True)) > 0
+
+    # vacuum on the CLONE must never reclaim SOURCE files
+    c.vacuum(grace_seconds=0.0)
+    assert t.read().count() == 100
+
+
+def test_deep_clone_copies_bytes_and_survives_source_vacuum(spark, tmp_path):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/src")
+    t.overwrite(spark.range(60).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.delete("id < 5", mode="mor")  # deep clone must carry the DV state
+
+    d = t.clone(f"{root}/d1", deep=True)
+    assert d.read().count() == 55
+    assert len(glob.glob(f"{root}/d1/**/*.strb", recursive=True)) > 0
+    assert d.constraints() == {"v_nonneg": "v >= 0"}  # constraints travel
+
+    # fully independent: rewrite source history and vacuum everything
+    t.overwrite(spark.range(3).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    t.vacuum(grace_seconds=0.0)
+    assert d.read().count() == 55
+
+
+def test_clone_refusals(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/src")
+    t.overwrite(spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")))
+    t.clone(f"{root}/c1")
+    with _pytest.raises(ValueError, match="not empty"):
+        t.clone(f"{root}/c1")
+
+    h = Table(spark, f"{root}/hive")
+    h.overwrite(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        h.clone(f"{root}/c2")
