@@ -1297,3 +1297,62 @@ def strawboat_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(c, "clone").unionByName(agg(t, "src")).orderBy("side", "o_orderstatus")
+
+
+@query(
+    "strawboat_optimize_where",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F' AND o_custkey > 500
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description=(
+        "partition-scoped OPTIMIZE WHERE + per-leaf ZORDER (Delta "
+        "semantics): only the selected hive partition rewrites, "
+        "clustered within the leaf on (o_custkey, o_totalprice); the "
+        "pruned + stats-skipped scan aggregates exactly"
+    ),
+)
+def strawboat_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance.optimize(where=..., zorder_by=...): leaf-local
+    clustering preserves the hive layout (closes the r7 flat-table
+    refusal), one generation flip for all selected leaves.  The gate
+    asserts scope: unselected leaves' manifest entries are untouched."""
+    from strawboat_spark.sources.datasource import read_manifest, register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_ow_")
+    t = Table(spark, f"{root}/orders")
+    src = load_table(spark, sf_dir, "orders").repartition(
+        12, F.col("o_orderstatus"), F.pmod(F.col("o_orderkey"), F.lit(4))
+    )
+    t.overwrite(src, partition_by="o_orderstatus")
+    before = {
+        e["path"]
+        for e in read_manifest(f"{root}/orders")["entries"]
+        if not e["path"].startswith("o_orderstatus=F/")
+    }
+    t.optimize(
+        zorder_by=["o_custkey", "o_totalprice"],
+        target_files=2,
+        where="o_orderstatus = 'F'",
+    )
+    after = {
+        e["path"]
+        for e in read_manifest(f"{root}/orders")["entries"]
+        if not e["path"].startswith("o_orderstatus=F/")
+    }
+    assert before == after, "optimize(where=) must not touch unselected leaves"
+    return (
+        t.read()
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_custkey") > 500))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -480,10 +480,24 @@ class Table:
 
         return compact(self.spark, self.path, target_files)
 
-    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 4) -> dict:
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_files: int = 4,
+        where: str | None = None,
+    ) -> dict:
+        """OPTIMIZE [WHERE partition-predicate] [ZORDER BY cols]: per-
+        leaf clustering/compaction scoped to the partitions `where`
+        selects (see maintenance.optimize)."""
         from strawboat_spark.sources.maintenance import optimize
 
-        return optimize(self.spark, self.path, zorder_by=zorder_by, target_files=target_files)
+        return optimize(
+            self.spark,
+            self.path,
+            zorder_by=zorder_by,
+            target_files=target_files,
+            where=where,
+        )
 
     def vacuum(self, grace_seconds: float = 3600.0, dry_run: bool = False) -> dict:
         from strawboat_spark.sources.maintenance import vacuum

@@ -875,7 +875,7 @@ def test_optimize_zorder_rewrites_table(registered, tmp_path):
     gen0 = ds.read_manifest(path)["generation"]
 
     stats = optimize(spark, path, zorder_by=["o_custkey", "o_totalprice"], target_files=2)
-    assert stats == {"before": 6, "after": 2}
+    assert stats == {"before": 6, "after": 2, "leaves": 1}
     man = ds.read_manifest(path)
     assert man["generation"] > gen0 and len(man["entries"]) == 2
     back = spark.read.format("strawboat").load(path)
@@ -1547,11 +1547,11 @@ def test_push_filters_reset_between_passes(registered, tmp_path):
     assert r._filters[0].value == 3
 
 
-def test_optimize_zorder_rejects_hive_layout(registered, tmp_path):
-    """optimize(zorder_by=...) would flatten a hive layout; it must
-    raise and point at compact() (ADVICE round-4 low)."""
-    import pytest as _pytest
-
+def test_optimize_zorder_on_hive_layout_clusters_per_leaf(registered, tmp_path):
+    """optimize(zorder_by=...) on a hive layout clusters WITHIN each
+    leaf, preserving the partition directories (the round-4 flatten
+    hazard is now closed by per-leaf rewriting, not a refusal)."""
+    from strawboat_spark.sources.datasource import read_manifest
     from strawboat_spark.sources.maintenance import optimize
 
     spark = registered
@@ -1560,8 +1560,11 @@ def test_optimize_zorder_rejects_hive_layout(registered, tmp_path):
     src.write.format("strawboat").option("partition_by", "r_regionkey").mode(
         "overwrite"
     ).save(path)
-    with _pytest.raises(ValueError, match="hive-partitioned"):
-        optimize(spark, path, zorder_by=["r_name"])
+    n = _rd_count = spark.read.format("strawboat").load(path).count()
+    optimize(spark, path, zorder_by=["r_name"], target_files=1)
+    man = read_manifest(path)
+    assert all(e["path"].startswith("r_regionkey=") for e in man["entries"])
+    assert spark.read.format("strawboat").load(path).count() == n
 
 
 def test_fsspec_conditional_put_is_true_cas():

@@ -1174,3 +1174,57 @@ def test_clone_refusals(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="hive-partitioned"):
         h.clone(f"{root}/c2")
+
+
+def test_optimize_where_scopes_and_zorders_per_leaf(spark, tmp_path):
+    """OPTIMIZE WHERE rewrites ONLY the selected partitions, Z-ORDER
+    clusters WITHIN each leaf (layout preserved — the r7 hive refusal
+    is closed), unselected leaves keep their exact files, and the swap
+    is one generation flip with time travel intact."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.sources.datasource import read_manifest, register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    src = spark.range(3000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 7 % 100).alias("x"),
+        (F.col("id") * 13 % 100).alias("y"),
+    )
+    t.overwrite(src.repartition(6), partition_by="p")
+    man1 = read_manifest(f"{root}/t")
+    p0_before = sorted(e["path"] for e in man1["entries"] if e["path"].startswith("p=0/"))
+
+    res = t.optimize(zorder_by=["x", "y"], target_files=2, where="p = 1")
+    assert res["leaves"] == 1 and res["after"] == 2
+    man2 = read_manifest(f"{root}/t")
+    assert sorted(
+        e["path"] for e in man2["entries"] if e["path"].startswith("p=0/")
+    ) == p0_before  # unselected leaves byte-identical entries
+    assert len([e for e in man2["entries"] if e["path"].startswith("p=1/")]) == 2
+    assert man2["generation"] == man1["generation"] + 1  # ONE flip
+    assert t.read().count() == 3000
+    assert t.read(at_generation=man1["generation"]).count() == 3000
+
+    # hive-wide per-leaf zorder now works (layout preserved)
+    res2 = t.optimize(zorder_by=["x", "y"], target_files=1)
+    assert res2["leaves"] == 3
+    assert t.read().filter("p = 2").count() == 1000
+    assert {e["path"].split("/")[0] for e in read_manifest(f"{root}/t")["entries"]} == {
+        "p=0", "p=1", "p=2",
+    }
+
+    # refusals: partition zorder column, non-partition where, flat where
+    with _pytest.raises(ValueError, match="partition columns"):
+        t.optimize(zorder_by=["p"])
+    with _pytest.raises(ValueError, match="partition columns only"):
+        t.optimize(zorder_by=["x"], where="x > 5")
+    flat = Table(spark, f"{root}/flat")
+    flat.overwrite(spark.range(10).select("id"))
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        flat.optimize(where="id > 1")
