@@ -1356,3 +1356,52 @@ def strawboat_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "strawboat_generated_cols",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE YEAR(o_orderdate) IN (1994, 1995)
+    GROUP BY 1 ORDER BY 1
+    """,
+    description=(
+        "generated columns (Delta analog): o_year = YEAR(o_orderdate) "
+        "computed at write time and driving the hive layout (the "
+        "date-partition pattern) — writers never mention it, the "
+        "year filter prunes directories, the aggregate is exact"
+    ),
+)
+def strawboat_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py generated_columns/_apply_generated: the column is
+    computed on write (missing in the source df), stored physically,
+    partitions the layout, and supplied-value writes are validated
+    (tests/test_table_contract.py pins the mutation invariants)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_gc_")
+    t = Table(spark, f"{root}/orders")
+    t.add_generated_column("o_year", "CAST(YEAR(o_orderdate) AS BIGINT)")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    # partition-aligned shuffle (same rationale as strawboat_partitioned_scan)
+    src = src.repartition(
+        14, F.year("o_orderdate"), F.pmod(F.col("o_orderkey"), F.lit(2))
+    )
+    t.overwrite(src, partition_by="o_year")
+    return (
+        t.read()
+        .filter(F.col("o_year").isin(1994, 1995))
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_year")
+    )

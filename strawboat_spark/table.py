@@ -306,6 +306,84 @@ class Table:
         with fs.open_read(f) as fh:
             return json.loads(fh.read().decode())
 
+    _GENERATED_FILE = "_strawboat_generated.json"
+
+    def generated_columns(self) -> dict[str, str]:
+        """column -> SQL generation expression (Delta generated-column
+        analog).  On every facade write a missing generated column is
+        COMPUTED from its expression; an explicitly-supplied one must
+        SATISFY it (null-safe equality) or the write is rejected —
+        Delta's exact contract.  Mutations enforce the invariant on
+        post-assignment rows, so an UPDATE that changes a source column
+        must assign the generated column consistently too (no silent
+        recompute — the rejection message says what to assign).
+        Physically the column is stored like any other, so partitioning
+        by a generated column (the date_trunc pattern) gives partition
+        pruning on writes that never mention it."""
+        import json
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        f = f"{self.path}/{self._GENERATED_FILE}"
+        if not fs.exists(f):
+            return {}
+        with fs.open_read(f) as fh:
+            return json.loads(fh.read().decode())
+
+    def add_generated_column(self, name: str, expression: str) -> None:
+        """Declare `name` as generated by `expression`.  If the table
+        already has data, the column must exist AND satisfy the
+        expression (no backfill — Delta declares generated columns at
+        creation; declaring late is allowed only when consistent)."""
+        import json
+
+        from strawboat_spark.sources.datasource import read_manifest
+        from strawboat_spark.sources.fileio import get_fs
+
+        if read_manifest(self.path) is not None:
+            cur = self.read()
+            if name not in cur.columns:
+                raise ValueError(
+                    f"add_generated_column: table has data but no column "
+                    f"{name!r}; generated columns are not backfilled"
+                )
+            self._check_rows(cur, {f"generated:{name}": f"{name} <=> ({expression})"})
+        gens = self.generated_columns()
+        gens[name] = expression
+        fs = get_fs(self.path)
+        fs.makedirs(self.path)  # declarable before the first write
+        with fs.create(f"{self.path}/{self._GENERATED_FILE}") as fh:
+            fh.write(json.dumps(gens, sort_keys=True).encode())
+
+    def _generated_invariants(self) -> dict[str, str]:
+        """Generated-column definitions as CHECK-style invariants
+        (null-safe equality), merged into mutation validations."""
+        return {
+            f"generated:{n}": f"{n} <=> ({e})"
+            for n, e in self.generated_columns().items()
+        }
+
+    def _apply_generated(self, df: DataFrame, validate: bool = True) -> DataFrame:
+        """Compute missing generated columns; with validate=True also
+        reject supplied values that break the generation expression
+        (callers whose rows are only PARTIALLY written — merge_when —
+        pass validate=False and validate the written subsets)."""
+        import pyspark.sql.functions as F
+
+        gens = self.generated_columns()
+        if not gens:
+            return df
+        supplied = {}
+        for name, expr in gens.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                supplied[f"generated:{name}"] = f"{name} <=> ({expr})"
+        if validate and supplied:
+            self._check_rows(df, supplied)
+        return df
+
     def add_constraint(self, name: str, expression: str) -> None:
         """CHECK constraint: `expression` must hold for every row of
         every future facade write. The CURRENT table must satisfy it
@@ -349,6 +427,7 @@ class Table:
 
     # -- writes -----------------------------------------------------------
     def _write(self, df: DataFrame, mode: str, **options) -> None:
+        df = self._apply_generated(df)
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
@@ -379,13 +458,16 @@ class Table:
         rows land as new files, one generation flip. On hive layouts
         MOR may even assign partition columns (rows move leaves).
 
-        CHECK constraints validate the POST-assignment rows (Delta's
-        UPDATE semantics) before any file or manifest is touched."""
+        CHECK constraints AND generated-column invariants validate the
+        POST-assignment rows (Delta's UPDATE semantics) before any file
+        or manifest is touched — an update changing a generated
+        column's source must assign the generated column consistently
+        (no silent recompute)."""
         import pyspark.sql.functions as F
 
         from strawboat_spark.sources.maintenance import update_where
 
-        cons = self.constraints()
+        cons = {**self.constraints(), **self._generated_invariants()}
         if cons:
             df = self.read().filter(F.expr(condition))
             updated = df.select(
@@ -415,7 +497,12 @@ class Table:
 
         import pyspark.sql.functions as F
 
-        cons = self.constraints()
+        # generated columns: compute missing ones on the source (the
+        # insert leg writes source rows verbatim), validate only on the
+        # subsets actually written via the invariants below
+        if self.generated_columns() and not_matched_insert is not None:
+            source = self._apply_generated(source, validate=False)
+        cons = {**self.constraints(), **self._generated_invariants()}
         if cons:
             # Validate the rows that will actually be WRITTEN (Delta's
             # CHECK semantics), not the whole source: rows destined for
@@ -469,6 +556,9 @@ class Table:
         hive layout when present), one flip."""
         from strawboat_spark.sources.maintenance import merge_upsert
 
+        # every source row is written (replacement or insert), so
+        # generated columns compute+validate over the whole source
+        source = self._apply_generated(source)
         cons = self.constraints()
         if cons:
             self._check_rows(source, cons)
@@ -590,14 +680,16 @@ class Table:
             "deep": deep,
         }
         write_manifest(dest, entries, generation=1, properties=props)
-        # constraints travel with the clone (Delta CLONE semantics)
+        # constraints + generated-column defs travel with the clone
+        # (Delta CLONE semantics)
         sfs = get_fs(self.path)
-        cf = f"{self.path}/{self._CONSTRAINTS_FILE}"
-        if sfs.exists(cf):
-            with sfs.open_read(cf) as r:
-                body = r.read()
-            with dfs.create(f"{dest}/{self._CONSTRAINTS_FILE}") as w:
-                w.write(body)
+        for side in (self._CONSTRAINTS_FILE, self._GENERATED_FILE):
+            cf = f"{self.path}/{side}"
+            if sfs.exists(cf):
+                with sfs.open_read(cf) as r:
+                    body = r.read()
+                with dfs.create(f"{dest}/{side}") as w:
+                    w.write(body)
         return Table(self.spark, dest)
 
     def restore(self, generation: int) -> None:

@@ -1228,3 +1228,82 @@ def test_optimize_where_scopes_and_zorders_per_leaf(spark, tmp_path):
     flat.overwrite(spark.range(10).select("id"))
     with _pytest.raises(ValueError, match="hive-partitioned"):
         flat.optimize(where="id > 1")
+
+
+def test_generated_columns_contract(spark, tmp_path):
+    """Delta generated-column semantics: missing -> computed on write;
+    supplied -> must satisfy the expression; mutations validate the
+    invariant on post-assignment rows (no silent recompute); merge
+    legs compute for inserted source rows; late declaration on
+    populated tables requires a consistent existing column; defs
+    travel with clones."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.add_generated_column("y2", "id * 2")
+    t.overwrite(spark.range(10).select("id"))
+    assert t.read().filter("y2 <=> id * 2").count() == 10
+
+    # explicit-consistent append OK; inconsistent rejected pre-commit
+    t.append(spark.range(10, 12).select(F.col("id"), (F.col("id") * 2).alias("y2")))
+    assert t.read().count() == 12
+    gen = t.history()[-1]["generation"]
+    with _pytest.raises(ValueError, match="generated:y2"):
+        t.append(spark.range(20, 21).select(F.col("id"), F.lit(0).alias("y2")))
+    assert t.history()[-1]["generation"] == gen
+
+    # UPDATE must keep the invariant; consistent assignment passes
+    with _pytest.raises(ValueError, match="generated:y2"):
+        t.update("id = 5", {"id": "id + 100"})
+    t.update("id = 5", {"id": "id + 100", "y2": "(id + 100) * 2"})
+    assert t.read().filter("id = 105 AND y2 = 210").count() == 1
+
+    # merge + merge_when insert legs compute the generated column
+    t.merge(spark.range(30, 32).select("id"), ["id"])
+    t.merge_when(spark.range(40, 42).select("id"), ["id"], not_matched_insert="true")
+    assert t.read().filter("NOT (y2 <=> id * 2)").count() == 0
+
+    # merge_when UPDATE breaking the invariant is rejected
+    with _pytest.raises(ValueError, match="generated:y2"):
+        t.merge_when(
+            spark.range(0, 2).select("id"),
+            ["id"],
+            matched_update=(None, {"id": "id + 7"}),
+        )
+
+    # late declaration: needs the column present and consistent
+    t2 = Table(spark, f"{root}/t2")
+    t2.overwrite(spark.range(5).select("id"))
+    with _pytest.raises(ValueError, match="not backfilled"):
+        t2.add_generated_column("z", "id + 1")
+    t3 = Table(spark, f"{root}/t3")
+    t3.overwrite(spark.range(5).select(F.col("id"), (F.col("id") + 1).alias("z")))
+    t3.add_generated_column("z", "id + 1")  # consistent: accepted
+    t3.append(spark.range(5, 8).select("id"))
+    assert t3.read().filter("z <=> id + 1").count() == 8
+
+    # defs travel with clones
+    c = t.clone(f"{root}/tc")
+    assert c.generated_columns() == {"y2": "id * 2"}
+    c.append(spark.range(50, 52).select("id"))
+    assert c.read().filter("id IN (50, 51) AND y2 <=> id * 2").count() == 2
+
+
+def test_generated_column_drives_hive_partitioning(spark, tmp_path):
+    """Partitioning by a generated column (the date_trunc pattern):
+    writers never mention it, the layout still prunes."""
+    import glob
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.add_generated_column("p", "id % 3")
+    t.overwrite(spark.range(30).select("id"), partition_by="p")
+    dirs = sorted({d.split("/")[-2] for d in glob.glob(f"{root}/t/p=*/*.strb")})
+    assert dirs == ["p=0", "p=1", "p=2"]
+    assert t.read().filter("p = 1").count() == 10
