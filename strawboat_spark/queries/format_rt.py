@@ -1405,3 +1405,57 @@ def strawboat_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "strawboat_timestamp_travel",
+    oracle="""
+    SELECT 'asof' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'head', CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice >= 150000
+    ORDER BY side
+    """,
+    description=(
+        "TIMESTAMP AS OF time travel: commit stamps live in the "
+        "manifest; a wall-clock instant between two commits resolves "
+        "to the earlier generation (pre-delete snapshot) while the "
+        "head reads post-delete — both aggregated under one oracle"
+    ),
+)
+def strawboat_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.read(at_timestamp=...) + generation_at_timestamp: resolve
+    by the manifest's own committed_at_us (robust to fs mtime quirks);
+    Delta TIMESTAMP AS OF semantics incl. the too-early error
+    (tests/test_table_contract.py::test_timestamp_time_travel_and_restore)."""
+    import time
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_tt_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 5 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o)                       # gen 1
+    time.sleep(0.25)
+    mid = time.time()
+    time.sleep(0.25)
+    t.delete("o_totalprice < 150000", mode="mor")  # gen 2
+
+    def agg(df, side):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(side).alias("side"), "n", "total")
+
+    return (
+        agg(t.read(at_timestamp=mid), "asof")
+        .unionByName(agg(t.read(), "head"))
+        .orderBy("side")
+    )

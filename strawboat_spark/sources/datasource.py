@@ -289,9 +289,51 @@ def list_generations(root: str) -> list[dict]:
             man = cur
         if man is not None:
             out.append(
-                {"generation": gen, "n_files": len(man["entries"]), "current": gen == head}
+                {
+                    "generation": gen,
+                    "n_files": len(man["entries"]),
+                    "current": gen == head,
+                    "committed_at_us": man.get("committed_at_us"),
+                }
             )
     return out
+
+
+def generation_at_timestamp(root: str, ts_us: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest generation whose commit
+    time is <= ts_us (µs since epoch).  Commit times come from the
+    manifest's own `committed_at_us` stamp; pre-stamp (legacy)
+    generation files fall back to their file mtime.  Raises when the
+    timestamp predates the first retained generation — same contract
+    as Delta (vacuum retires the horizon)."""
+    fs = get_fs(root)
+    cur = read_manifest(root)
+    if cur is None:
+        raise ValueError(f"strawboat: {root} has no manifest (no commits to travel to)")
+    head = cur.get("generation", 0)
+    best = None
+    for gen in range(1, head + 1):
+        man = _read_manifest_file(fs, _gen_path(root, gen))
+        if man is None:
+            if gen == head:
+                man = cur
+            else:
+                continue  # retired by vacuum
+        at = man.get("committed_at_us")
+        if at is None:
+            try:
+                at = fs.mtime_ns(_gen_path(root, gen)) // 1000
+            except (OSError, KeyError):
+                continue
+        if at <= ts_us:
+            best = gen
+    if best is None:
+        raise ValueError(
+            f"strawboat: no generation of {root} committed at or before "
+            f"timestamp {ts_us} µs (earliest retained generation is newer, "
+            f"or older generations were vacuumed)"
+        )
+    return best
 
 
 def write_manifest(
@@ -322,9 +364,15 @@ def write_manifest(
         if prev is None:
             prev = read_manifest(root)
         properties = (prev or {}).get("properties") or {}
+    import time
+
     doc = {
         "version": 1,
         "generation": generation,
+        # commit wall-clock (µs) — the TIMESTAMP AS OF resolution key;
+        # stored in the manifest itself so it survives file copies and
+        # object-store mtime quirks
+        "committed_at_us": int(time.time() * 1_000_000),
         "entries": sorted(entries, key=lambda e: e["path"]),
     }
     if properties:

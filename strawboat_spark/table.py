@@ -40,7 +40,16 @@ class Table:
         at_generation: int | None = None,
         columns: list[str] | None = None,
         with_file_path: bool = False,
+        at_timestamp=None,
     ) -> DataFrame:
+        """Snapshot read.  `at_generation` = VERSION AS OF;
+        `at_timestamp` = TIMESTAMP AS OF (datetime, ISO string, or unix
+        seconds — resolved to the newest generation committed at or
+        before it via the manifest's own commit stamp)."""
+        if at_timestamp is not None:
+            if at_generation is not None:
+                raise ValueError("read: pass at_generation OR at_timestamp, not both")
+            at_generation = self._resolve_timestamp(at_timestamp)
         rd = self.spark.read.format("strawboat")
         if at_generation is not None:
             rd = rd.option("at_generation", str(at_generation))
@@ -215,6 +224,27 @@ class Table:
         from strawboat_spark.sources.datasource import list_generations
 
         return list_generations(self.path)
+
+    @staticmethod
+    def _ts_us(ts) -> int:
+        """datetime / ISO string / unix seconds -> µs since epoch."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            return int(ts.timestamp() * 1_000_000)
+        if isinstance(ts, str):
+            d = _dt.datetime.fromisoformat(ts)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            return int(d.timestamp() * 1_000_000)
+        return int(float(ts) * 1_000_000)
+
+    def _resolve_timestamp(self, ts) -> int:
+        from strawboat_spark.sources.datasource import generation_at_timestamp
+
+        return generation_at_timestamp(self.path, self._ts_us(ts))
 
     # -- tags --------------------------------------------------------------
     _TAGS_FILE = "_strawboat_tags.json"
@@ -692,13 +722,20 @@ class Table:
                     w.write(body)
         return Table(self.spark, dest)
 
-    def restore(self, generation: int) -> None:
-        """Delta RESTORE: commit a NEW generation whose entries equal
-        the target generation's — the table's current state snaps back
-        (including that generation's deletion-vector state) while the
-        full history, time travel, and the change feed stay intact; no
-        data file is touched. Requires the target generation retained
-        (vacuum() retires the horizon)."""
+    def restore(self, generation: int | None = None, timestamp=None) -> None:
+        """Delta RESTORE (by VERSION or TIMESTAMP): commit a NEW
+        generation whose entries equal the target generation's — the
+        table's current state snaps back (including that generation's
+        deletion-vector state) while the full history, time travel,
+        and the change feed stay intact; no data file is touched.
+        Requires the target generation retained (vacuum() retires the
+        horizon)."""
+        if timestamp is not None:
+            if generation is not None:
+                raise ValueError("restore: pass generation OR timestamp, not both")
+            generation = self._resolve_timestamp(timestamp)
+        if generation is None:
+            raise ValueError("restore: a generation or timestamp is required")
         from strawboat_spark.sources.datasource import (
             ManifestConflictError,
             read_manifest,

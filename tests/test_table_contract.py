@@ -1307,3 +1307,45 @@ def test_generated_column_drives_hive_partitioning(spark, tmp_path):
     dirs = sorted({d.split("/")[-2] for d in glob.glob(f"{root}/t/p=*/*.strb")})
     assert dirs == ["p=0", "p=1", "p=2"]
     assert t.read().filter("p = 1").count() == 10
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_path):
+    """TIMESTAMP AS OF: reads and RESTORE resolve a wall-clock instant
+    to the newest generation committed at or before it (commit stamp
+    lives IN the manifest); timestamps before the first retained
+    generation raise."""
+    import datetime as dt
+    import time
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    before_any = time.time()
+    t.overwrite(spark.range(10).select("id"))            # gen 1
+    time.sleep(0.25)
+    mid = time.time()
+    time.sleep(0.25)
+    t.append(spark.range(10, 30).select("id"))           # gen 2
+
+    assert t.read(at_timestamp=mid).count() == 10
+    assert t.read(at_timestamp=time.time()).count() == 30
+    # datetime and ISO-string forms resolve identically
+    assert t.read(at_timestamp=dt.datetime.fromtimestamp(
+        mid, tz=dt.timezone.utc)).count() == 10
+    assert t.read(
+        at_timestamp=dt.datetime.fromtimestamp(mid, tz=dt.timezone.utc).isoformat()
+    ).count() == 10
+    with _pytest.raises(ValueError, match="at or before"):
+        t.read(at_timestamp=before_any - 60).count()
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(at_generation=1, at_timestamp=mid)
+
+    # RESTORE TIMESTAMP AS OF
+    t.restore(timestamp=mid)
+    assert t.read().count() == 10
+    assert t.read(at_generation=2).count() == 30  # history intact
+    assert [g["generation"] for g in t.history()][-1] == 3
+    assert all(g["committed_at_us"] for g in t.history())
