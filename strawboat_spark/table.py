@@ -148,9 +148,12 @@ class Table:
         for f in sorted(files):
             meta = _cached_footer(f)[1]
             n_del = len(dmap.get(f, ()))
+            rel = os.path.relpath(f, self.path)
             rows.append(
                 (
-                    os.path.relpath(f, self.path),
+                    # external (shallow-clone) references display by
+                    # their stored absolute path, not a ../ relpath
+                    f if rel.startswith("..") else rel,
                     int(meta.num_rows),
                     n_del,
                     int(meta.num_rows) - n_del,
