@@ -2511,6 +2511,52 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+      FROM events WHERE user_id < 30
+    ), flagged AS (
+      SELECT user_id, t, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), starts AS (
+      SELECT user_id, t, event_id, event_type
+      FROM flagged
+      WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev_type)
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS ver,
+           event_type,
+           t AS valid_from_us,
+           LEAD(t) OVER w2 AS valid_to_us,
+           LEAD(t) OVER w2 IS NULL AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+    ORDER BY user_id, ver
+    """,
+    description=(
+        "SCD type-2 dimension history from the event stream: per-user "
+        "attribute runs become versioned validity intervals "
+        "[valid_from, valid_to) with is_current — one key shuffle, "
+        "change-detect lag + interval-close lead over change rows only"
+    ),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/scd.py scd2_history over the events of 30 users:
+    null-safe change detection, deterministic (ts, event_id) tiebreak,
+    integer-microsecond validity bounds (exact across engines)."""
+    from strawboat_spark.operators.scd import scd2_history
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return scd2_history(e, "user_id", "ts", "event_type", tiebreak_col="event_id").orderBy(
+        "user_id", "ver"
+    )
+
+
+@query(
     "text_lm_perplexity",
     oracle="""
     WITH toks AS (

@@ -379,3 +379,22 @@ def test_edit_distance_block_cut_is_join_not_window(spark, registry):
     assert "windowspecdefinition(__blk" not in plan
     assert "Window" not in plan
     assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+
+
+def test_scd2_single_shuffle_single_sort(spark, registry):
+    """SCD2 history: both window passes ride ONE key shuffle and ONE
+    sort (change-detect lag, then interval-close lead over the
+    filtered change rows) — no join, no Python, no second exchange."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.scd import scd2_history
+    from strawboat_spark.tables import load_table
+
+    e = load_table(spark, SF_CORRECT, "events").filter(F.col("user_id") < 30)
+    out = scd2_history(e, "user_id", "ts", "event_type", tiebreak_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Sort ") == 1
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0

@@ -82,3 +82,50 @@ def test_ewma_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan  # JVM fold, not a UDF
+
+
+def test_scd2_history_runs_nulls_and_ties(spark):
+    """SCD2 version table: runs of equal values collapse to one
+    version, null runs are versions too (null-safe change detection),
+    single observations yield one open version, same-timestamp rows
+    order by the tiebreak, and intervals chain exactly."""
+    import datetime as dt
+
+    from strawboat_spark.operators.scd import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # key 1: A A B B A  -> versions A, B, A
+        (1, ts(0), 0, "A"), (1, ts(1), 1, "A"), (1, ts(2), 2, "B"),
+        (1, ts(3), 3, "B"), (1, ts(4), 4, "A"),
+        # key 2: NULL NULL X NULL -> versions NULL, X, NULL
+        (2, ts(0), 0, None), (2, ts(1), 1, None), (2, ts(2), 2, "X"),
+        (2, ts(3), 3, None),
+        # key 3: single observation -> one open version
+        (3, ts(5), 0, "Z"),
+        # key 4: same timestamp, tiebreak by event_id -> P then Q
+        (4, ts(7), 1, "P"), (4, ts(7), 2, "Q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = scd2_history(df, "user_id", "ts", "event_type", tiebreak_col="event_id")
+    got = {
+        (r.user_id, r.ver): (r.event_type, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in out.collect()
+    }
+    us = lambda s: int(ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got[(1, 1)] == ("A", us(0), us(2), False)
+    assert got[(1, 2)] == ("B", us(2), us(4), False)
+    assert got[(1, 3)] == ("A", us(4), None, True)
+    assert got[(2, 1)] == (None, us(0), us(2), False)
+    assert got[(2, 2)] == ("X", us(2), us(3), False)
+    assert got[(2, 3)] == (None, us(3), None, True)
+    assert got[(3, 1)] == ("Z", us(5), None, True)
+    assert got[(4, 1)] == ("P", us(7), us(7), False)
+    assert got[(4, 2)] == ("Q", us(7), None, True)
+    assert len(got) == 9
