@@ -1459,3 +1459,50 @@ def strawboat_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(t.read(), "head"))
         .orderBy("side")
     )
+
+
+@query(
+    "strawboat_rename_column",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "metadata-only column RENAME (Delta column-mapping analog): "
+        "o_totalprice -> revenue without touching a data file; "
+        "pre-rename files resolve by alias, a post-rename append "
+        "stores the logical name, the mixed-epoch aggregate is exact"
+    ),
+)
+def strawboat_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py rename_column + datasource column_mapping: alias
+    resolution covers schema(), stats/page pruning and assembly; the
+    gate splits orders across the rename so BOTH file epochs feed the
+    result (contract details in
+    tests/test_table_contract.py::test_rename_column_metadata_only_mapping)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_rn_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))       # epoch 1: stores o_totalprice
+    t.rename_column("o_totalprice", "revenue")
+    t.append(                                          # epoch 2: stores revenue
+        o.filter("o_orderkey % 2 = 1").withColumnRenamed("o_totalprice", "revenue")
+    )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .orderBy("status")
+    )

@@ -78,6 +78,43 @@ _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
+def column_mapping(root: str, at_generation: int | None = None) -> dict[str, list[str]]:
+    """logical column -> historical physical names (newest first), from
+    the manifest's `column_mapping` property (metadata-only RENAME —
+    Delta column-mapping analog).  Files written before a rename store
+    an alias; files written after store the logical name.  Time-travel
+    reads resolve against the PINNED generation's mapping, so a
+    snapshot renders the names it had then (Delta semantics)."""
+    man = (
+        read_manifest_at(root, at_generation)
+        if at_generation is not None
+        else read_manifest(root)
+    )
+    cm = ((man or {}).get("properties") or {}).get("column_mapping") or {}
+    return {k: list(v) for k, v in cm.items()}
+
+
+def _file_side_name(file_names, logical: str, cmap) -> str | None:
+    """The name `logical` is stored under in a file with `file_names`
+    (logical itself for post-rename files, an alias for older ones)."""
+    if logical in file_names:
+        return logical
+    for alias in dict(cmap).get(logical, ()):
+        if alias in file_names:
+            return alias
+    return None
+
+
+def _to_logical_schema(arrow_schema, cmap):
+    """Rename a footer schema's alias fields to their logical names."""
+    if not cmap:
+        return arrow_schema
+    inv = {a: lg for lg, aliases in dict(cmap).items() for a in aliases}
+    if not any(f.name in inv for f in arrow_schema):
+        return arrow_schema
+    return pa.schema([f.with_name(inv.get(f.name, f.name)) for f in arrow_schema])
+
+
 def entry_abs(root: str, p: str) -> str:
     """Manifest entry -> absolute file path.  Entries are root-relative
     EXCEPT shallow-clone external references (Table.clone), which carry
@@ -181,6 +218,11 @@ class _Stripe(InputPartition):
     # sorted. Rows at these ordinals are dropped at decode time.
     deletes: tuple = ()
     row_start: int = 0  # file-wide ordinal of the stripe's first row
+    # Column mapping (metadata-only RENAME): ((logical, (alias, ...)),
+    # ...) — files written before a rename store an alias; lookup is
+    # logical first, then aliases in recency order. Rides the partition
+    # so executors never read the manifest.
+    colmap: tuple = ()
 
 
 @dataclass
@@ -610,7 +652,9 @@ class StrawboatDataSource(DataSource):
             files = [entry_abs(path, rel) for rel in files_opt]
             if not files:
                 raise ValueError("strawboat: 'files' option names no files")
+        cmap = column_mapping(path, _at_generation(self.options))
         arrow_schema, _ = _cached_footer(files[0])
+        arrow_schema = _to_logical_schema(arrow_schema, cmap)
         # Force nullable like Spark's parquet source does for file-based
         # schemas: other files in the directory may predate a column
         # (read-side null-fills it), and a footer that recorded a
@@ -627,6 +671,7 @@ class StrawboatDataSource(DataSource):
             order = list(arrow_schema.names)
             for file in files[1:]:
                 sch, _ = _cached_footer(file)
+                sch = _to_logical_schema(sch, cmap)
                 for fld in sch:
                     have = fields.get(fld.name)
                     if have is None:
@@ -845,6 +890,10 @@ class StrawboatReaderImpl(DataSourceReader):
 
         files = _list_files(self.path, self.at_generation)
         part_types = dict(_infer_partition_fields(self.path, files))
+        cmap = tuple(
+            (lg, tuple(aliases))
+            for lg, aliases in column_mapping(self.path, self.at_generation).items()
+        )
         if self.files_opt is not None:
             files = [entry_abs(self.path, rel) for rel in self.files_opt]
         survivors: list[tuple[str, dict]] = []
@@ -873,7 +922,8 @@ class StrawboatReaderImpl(DataSourceReader):
             n_pages = len(meta.leaves[0].pages)
             pages_by_leaf = {lf.name: lf.pages for lf in meta.leaves}
             for f in self._filters:
-                pages = pages_by_leaf.get(f.attribute[0])
+                side = _file_side_name(pages_by_leaf, f.attribute[0], cmap)
+                pages = pages_by_leaf.get(side) if side else None
                 if pages and not _page_may_match(f, _aggregate_page_stats(pages)):
                     return n_pages, [], [], False
             per_page = [
@@ -901,7 +951,7 @@ class StrawboatReaderImpl(DataSourceReader):
             fdel = dmap.get(file, ())
             fsnap = tuple(self._filters)
             if n_pages == 0:
-                parts.append(_Stripe(file, 0, 0, pv, fsnap))
+                parts.append(_Stripe(file, 0, 0, pv, fsnap, colmap=cmap))
                 continue
             # file-wide row ordinal at the start of each page
             offsets = [0]
@@ -933,7 +983,7 @@ class StrawboatReaderImpl(DataSourceReader):
                     if fdel
                     else ()
                 )
-                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s]))
+                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s], cmap))
                 s = e
         return parts
 
@@ -981,14 +1031,22 @@ class StrawboatReaderImpl(DataSourceReader):
                 return pos[mask], mask
 
             avail = set(reader.schema.names)
-            stored = [c for c in want.names if c not in pvals and c in avail]
+            # column mapping: the name each wanted logical column is
+            # stored under in THIS file (itself post-rename, an alias
+            # pre-rename, absent if the file predates the column)
+            side = {
+                c: _file_side_name(avail, c, partition.colmap)
+                for c in want.names
+                if c not in pvals
+            }
+            stored = [side[c] for c in want.names if c not in pvals and side.get(c)]
             # Schema evolution: columns this file predates are
             # null-filled (parquet-source convention). _strawboat_pos is
             # synthesized below, never null-filled.
             missing = [
                 c
                 for c in want.names
-                if c not in pvals and c not in avail and c != "_strawboat_pos"
+                if c not in pvals and side.get(c) is None and c != "_strawboat_pos"
             ]
 
             def page_filter(leaf_pages, n_pages):
@@ -1002,8 +1060,8 @@ class StrawboatReaderImpl(DataSourceReader):
                         arrays.append(pa.array(pos, type=fld.type))
                     elif fld.name in pvals:
                         arrays.append(_const_array(pvals[fld.name], len(pos), fld.type))
-                    elif fld.name in byname:
-                        col = byname[fld.name]
+                    elif side.get(fld.name) in byname:
+                        col = byname[side[fld.name]]
                         if mask is not None:
                             col = col.filter(pa.array(mask))
                         arrays.append(col)
@@ -1027,6 +1085,12 @@ class StrawboatReaderImpl(DataSourceReader):
                 if pvals or missing or want_pos or len(dels):
                     byname = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
                     batch = _assemble(page_i, batch.num_rows, byname)
+                elif list(batch.schema.names) != list(want.names):
+                    # column mapping: this file stores aliases; columns
+                    # arrive in want order, so rename positionally
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns), names=list(want.names)
+                    )
                 # Align arrow types with what Spark expects (e.g. tz).
                 yield batch.cast(want, safe=False) if batch.schema != want else batch
 
@@ -1035,8 +1099,8 @@ class StrawboatReaderImpl(DataSourceReader):
         keep = [partition.page_start <= i < partition.page_end for i in range(n_pages)]
         pages_by_leaf = {lf.name: lf.pages for lf in meta.leaves}
         for f in partition.filters:
-            col = f.attribute[0]
-            pages = pages_by_leaf.get(col)
+            col = _file_side_name(pages_by_leaf, f.attribute[0], partition.colmap)
+            pages = pages_by_leaf.get(col) if col else None
             if pages is None:
                 continue
             for i in range(n_pages):
@@ -1332,6 +1396,7 @@ class _CDFPart(InputPartition):
     part_values: tuple = ()
     skip: tuple = ()  # ordinals to EXCLUDE (the file's DV at `generation`)
     only: tuple = ()  # delete_rows: ordinals to EMIT (the DV delta)
+    colmap: tuple = ()  # column-mapping aliases (see _Stripe.colmap)
 
 
 class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
@@ -1381,6 +1446,9 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
             )
 
         parts: list[_CDFPart] = []
+        cmap = tuple(
+            (lg, tuple(aliases)) for lg, aliases in column_mapping(self.path).items()
+        )
         for g in range(start.get("gen", 0) + 1, end.get("gen", 0) + 1):
             prev = (
                 read_manifest_at(self.path, g - 1)
@@ -1398,15 +1466,15 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 file = entry_abs(self.path, rel)
                 pv = _pv(file)
                 if rel not in ent_prev:
-                    parts.append(_CDFPart("insert", file, g, pv, skip=dv))
+                    parts.append(_CDFPart("insert", file, g, pv, skip=dv, colmap=cmap))
                 elif dv != ent_prev[rel]:
                     delta = tuple(sorted(set(dv) - set(ent_prev[rel])))
                     if delta:
-                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta))
+                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta, colmap=cmap))
             for rel, dv in sorted(ent_prev.items()):
                 if rel not in ent_cur:
                     file = entry_abs(self.path, rel)
-                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv))
+                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv, colmap=cmap))
         return parts
 
     def read(self, partition: _CDFPart):
@@ -1432,7 +1500,12 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             avail = set(reader.schema.names)
-            stored = [c for c in want.names if c not in consts and c in avail]
+            side = {
+                c: _file_side_name(avail, c, partition.colmap)
+                for c in want.names
+                if c not in consts
+            }
+            stored = [side[c] for c in want.names if c not in consts and side.get(c)]
             pages = reader.meta.leaves[0].pages if reader.meta.leaves else []
             offsets = [0]
             for pg in pages:
@@ -1458,8 +1531,8 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 for fld in want:
                     if fld.name in consts:
                         arrays.append(_const_array(consts[fld.name], n, fld.type))
-                    elif fld.name in byname:
-                        arrays.append(byname[fld.name].filter(pa.array(mask)))
+                    elif side.get(fld.name) in byname:
+                        arrays.append(byname[side[fld.name]].filter(pa.array(mask)))
                     else:
                         arrays.append(pa.nulls(n, fld.type))
                 out = pa.RecordBatch.from_arrays(arrays, schema=want)
@@ -1534,6 +1607,9 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 from pyspark.sql.pandas.types import from_arrow_schema
 
                 have, _ = _cached_footer(existing[0])
+                # column mapping: compare under LOGICAL names (an old
+                # file's footer may store pre-rename aliases)
+                have = _to_logical_schema(have, column_mapping(self.path))
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
                 incoming = StructType(
                     [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]

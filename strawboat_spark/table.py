@@ -725,6 +725,83 @@ class Table:
                     w.write(body)
         return Table(self.spark, dest)
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column RENAME (Delta column-mapping analog):
+        NO data file is touched — one new manifest generation records
+        `old` as an alias of `new`.  The read path resolves each file
+        by the name it actually stores (old files by the alias, files
+        written after the rename by the logical name), stats/page
+        pruning follows the alias, time travel renders each snapshot
+        under ITS generation's names, and renames chain (a->b->c keeps
+        every epoch's files readable).
+
+        Refused when `old` is a hive partition column (directory names
+        are physical), or when a CHECK constraint or generated-column
+        expression references it (rename the expression first — a
+        silent rewrite of user SQL is worse than an error)."""
+        import re as _re
+
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            read_manifest,
+            write_manifest,
+        )
+        from strawboat_spark.sources.maintenance import _part_layout
+
+        cols = self.read().columns
+        if old not in cols:
+            raise ValueError(f"rename_column: no column {old!r} (have {cols})")
+        if new in cols:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        parts = _part_layout(self.path)
+        if old in parts or new in parts:
+            raise ValueError(
+                "rename_column: hive partition columns are physical directory "
+                "names and cannot be renamed in place"
+            )
+        refs = {f"constraint {n!r}": e for n, e in self.constraints().items()}
+        refs.update(
+            {f"generated column {n!r}": e for n, e in self.generated_columns().items()}
+        )
+        for what, expr in refs.items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"rename_column: {what} references {old!r} ({expr}); "
+                    f"drop/re-declare it against the new name first"
+                )
+        if old in self.generated_columns():
+            raise ValueError(
+                f"rename_column: {old!r} is a generated column; re-declare "
+                f"the generation under the new name instead"
+            )
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(f"rename_column: {self.path} has no committed data")
+            props = dict(man.get("properties") or {})
+            cm = {k: list(v) for k, v in (props.get("column_mapping") or {}).items()}
+            aliases = {a for v in cm.values() for a in v}
+            if new in aliases:
+                raise ValueError(
+                    f"rename_column: {new!r} is a historical name of another "
+                    f"column (mapping {cm}); pick a fresh name"
+                )
+            cm[new] = [old] + cm.pop(old, [])
+            props["column_mapping"] = cm
+            try:
+                write_manifest(
+                    self.path,
+                    man["entries"],
+                    generation=man.get("generation", 0) + 1,
+                    properties=props,
+                )
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"rename_column({self.path}): lost the generation race 50 times"
+        )
+
     def restore(self, generation: int | None = None, timestamp=None) -> None:
         """Delta RESTORE (by VERSION or TIMESTAMP): commit a NEW
         generation whose entries equal the target generation's — the

@@ -1349,3 +1349,66 @@ def test_timestamp_time_travel_and_restore(spark, tmp_path):
     assert t.read(at_generation=2).count() == 30  # history intact
     assert [g["generation"] for g in t.history()][-1] == 3
     assert all(g["committed_at_us"] for g in t.history())
+
+
+def test_rename_column_metadata_only_mapping(spark, tmp_path):
+    """Delta-column-mapping RENAME: no data file touched, old files
+    resolve by alias (reads, filters, stats pruning), new writes store
+    the logical name, renames chain across epochs, time travel renders
+    each generation under ITS names, and the refusals hold."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") * 2.0).alias("val")))
+    files_before = sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True))
+
+    t.rename_column("val", "price")  # gen 2, metadata-only
+    assert sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True)) == files_before
+    assert t.read().columns == ["id", "price"]
+    assert t.read().agg(F.sum("price")).collect()[0][0] == 9900.0
+    assert t.read().filter("price > 100").count() == 49  # filters resolve aliases
+
+    # mixed-epoch table: post-rename files store the logical name
+    t.append(spark.range(100, 110).select(F.col("id"), (F.col("id") * 2.0).alias("price")))
+    assert t.read().count() == 110
+
+    # chained rename: both epochs stay readable
+    t.rename_column("price", "amount")
+    assert t.read().agg(F.sum("amount")).collect()[0][0] == 9900.0 + sum(
+        i * 2.0 for i in range(100, 110)
+    )
+
+    # time travel renders the names each generation had
+    assert t.read(at_generation=1).columns == ["id", "val"]
+    assert t.read(at_generation=3).columns == ["id", "price"]
+
+    # mutations address the renamed column
+    t.delete("amount < 20", mode="mor")
+    t.update("id = 50", {"amount": "amount + 1000"})
+    assert t.read().filter("id = 50").collect()[0]["amount"] == 1100.0
+
+    # refusals
+    with _pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("amount", "id")
+    with _pytest.raises(ValueError, match="historical name"):
+        t.rename_column("amount", "price")
+    t.add_constraint("amount_pos", "amount >= 0")
+    with _pytest.raises(ValueError, match="constraint"):
+        t.rename_column("amount", "money")
+
+    # hive partition columns are physical: refused
+    h = Table(spark, f"{root}/h")
+    h.overwrite(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by="p",
+    )
+    with _pytest.raises(ValueError, match="partition columns"):
+        h.rename_column("p", "bucket")
