@@ -1506,3 +1506,49 @@ def strawboat_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "strawboat_drop_column",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "metadata-only DROP COLUMN: o_totalprice tombstoned in one "
+        "manifest flip (no file touched), reads render the remaining "
+        "columns across pre- and post-drop file epochs exactly"
+    ),
+)
+def strawboat_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py drop_column: tombstone mapping owns the dropped
+    column's stored names (re-add refused on append, freed by
+    overwrite; time travel renders pre-drop schemas) — contract in
+    tests/test_table_contract.py::test_drop_column_metadata_only_tombstone."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_dc_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))   # epoch 1: has o_totalprice
+    t.drop_column("o_totalprice")
+    t.append(                                      # epoch 2: written without it
+        o.filter("o_orderkey % 2 = 1").drop("o_totalprice")
+    )
+    assert t.read().columns == ["o_orderkey", "o_orderstatus"]
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("status")
+    )

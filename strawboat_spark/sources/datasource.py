@@ -94,25 +94,39 @@ def column_mapping(root: str, at_generation: int | None = None) -> dict[str, lis
     return {k: list(v) for k, v in cm.items()}
 
 
+# Logical-name prefix marking a DROPPED column's tombstone: the
+# tombstone owns the dropped column's stored names, so a LATER column
+# re-added under the same name can never resurrect the old data.
+_DROPPED_PREFIX = "__strawboat_dropped_"
+
+
 def _file_side_name(file_names, logical: str, cmap) -> str | None:
-    """The name `logical` is stored under in a file with `file_names`
-    (logical itself for post-rename files, an alias for older ones)."""
-    if logical in file_names:
+    """The name `logical` is stored under in a file with `file_names`.
+
+    Ownership rule: a file-side name n belongs to the logical column
+    inv.get(n, n) — so a name CLAIMED as some other column's alias
+    (after a rename or drop) never resolves directly, even if a newer
+    column reuses it (no data resurrection)."""
+    cmap = dict(cmap)
+    inv = {a: lg for lg, aliases in cmap.items() for a in aliases}
+    if logical in file_names and inv.get(logical, logical) == logical:
         return logical
-    for alias in dict(cmap).get(logical, ()):
+    for alias in cmap.get(logical, ()):
         if alias in file_names:
             return alias
     return None
 
 
 def _to_logical_schema(arrow_schema, cmap):
-    """Rename a footer schema's alias fields to their logical names."""
+    """Rename a footer schema's alias fields to their logical names and
+    remove fields owned by a drop tombstone."""
     if not cmap:
         return arrow_schema
     inv = {a: lg for lg, aliases in dict(cmap).items() for a in aliases}
     if not any(f.name in inv for f in arrow_schema):
         return arrow_schema
-    return pa.schema([f.with_name(inv.get(f.name, f.name)) for f in arrow_schema])
+    fields = [f.with_name(inv.get(f.name, f.name)) for f in arrow_schema]
+    return pa.schema([f for f in fields if not f.name.startswith(_DROPPED_PREFIX)])
 
 
 def entry_abs(root: str, p: str) -> str:
@@ -572,19 +586,24 @@ def publish_manifest(
                 if key not in entries:
                     entries[key] = _manifest_entry(root, f)
         gen = (prev.get("generation", 0) + 1) if prev else 1
+        if properties is not None:
+            props = properties
+        else:
+            # carry the freshly-read head's properties forward — except
+            # that an OVERWRITE resets column_mapping: every old file is
+            # superseded, so the new epoch starts with clean names
+            # (older generations keep their own mapping for time travel)
+            props = dict((prev or {}).get("properties") or {})
+            if replace:
+                props.pop("column_mapping", None)
         try:
             # explicit properties (e.g. an incremental-view txn marker)
-            # land atomically with this commit; otherwise carry the
-            # freshly-read head's properties forward
+            # land atomically with this commit
             write_manifest(
                 root,
                 list(entries.values()),
                 generation=gen,
-                properties=(
-                    properties
-                    if properties is not None
-                    else (prev or {}).get("properties") or {}
-                ),
+                properties=props,
             )
             return
         except ManifestConflictError:
@@ -1606,10 +1625,25 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             if existing:
                 from pyspark.sql.pandas.types import from_arrow_schema
 
+                cmap = column_mapping(self.path)
+                # a DROPPED or RENAMED-AWAY name cannot be re-introduced
+                # by append: old files still store data under it, and
+                # name-based resolution would ambiguously claim the new
+                # column's values for the tombstone (or vice versa).
+                # Overwrite resets the mapping and frees the name.
+                claimed = {a for aliases in cmap.values() for a in aliases}
+                bad = [f.name for f in schema.fields if f.name in claimed]
+                if bad:
+                    raise ValueError(
+                        f"strawboat: append reintroduces historical column "
+                        f"name(s) {bad} (renamed away or dropped; old files "
+                        f"still store data under them). Pick fresh names or "
+                        f"overwrite the table."
+                    )
                 have, _ = _cached_footer(existing[0])
                 # column mapping: compare under LOGICAL names (an old
                 # file's footer may store pre-rename aliases)
-                have = _to_logical_schema(have, column_mapping(self.path))
+                have = _to_logical_schema(have, cmap)
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
                 incoming = StructType(
                     [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]

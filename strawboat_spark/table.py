@@ -802,6 +802,76 @@ class Table:
             f"rename_column({self.path}): lost the generation race 50 times"
         )
 
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN (requires the column-mapping
+        machinery): one manifest flip retargets the column's stored
+        names onto a unique tombstone — no data file touched, reads
+        stop rendering the column, time travel still shows it in
+        pre-drop generations, and a LATER column re-added under the
+        same name starts fresh (old files null-fill it; the tombstone
+        owns their stored values, so nothing resurrects — Delta's
+        column-mapping drop semantics).  The bytes remain until the
+        owning files are rewritten or vacuumed.  Same refusals as
+        rename_column (partition columns, constraint / generated
+        references)."""
+        import re as _re
+
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            read_manifest,
+            write_manifest,
+        )
+        from strawboat_spark.sources.maintenance import _part_layout
+
+        cols = self.read().columns
+        if name not in cols:
+            raise ValueError(f"drop_column: no column {name!r} (have {cols})")
+        if len(cols) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        if name in _part_layout(self.path):
+            raise ValueError(
+                "drop_column: hive partition columns are physical directory "
+                "names and cannot be dropped in place"
+            )
+        refs = {f"constraint {n!r}": e for n, e in self.constraints().items()}
+        refs.update(
+            {f"generated column {n!r}": e for n, e in self.generated_columns().items()}
+        )
+        for what, expr in refs.items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"drop_column: {what} references {name!r} ({expr}); "
+                    f"drop it first"
+                )
+        gens = self.generated_columns()
+        if name in gens:
+            raise ValueError(
+                f"drop_column: {name!r} is a generated column; drop its "
+                f"declaration first"
+            )
+        from strawboat_spark.sources.datasource import _DROPPED_PREFIX
+
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(f"drop_column: {self.path} has no committed data")
+            gen = man.get("generation", 0)
+            props = dict(man.get("properties") or {})
+            cm = {k: list(v) for k, v in (props.get("column_mapping") or {}).items()}
+            tomb = f"{_DROPPED_PREFIX}{gen + 1}__{name}"
+            cm[tomb] = [name] + cm.pop(name, [])
+            props["column_mapping"] = cm
+            try:
+                write_manifest(
+                    self.path, man["entries"], generation=gen + 1, properties=props
+                )
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"drop_column({self.path}): lost the generation race 50 times"
+        )
+
     def restore(self, generation: int | None = None, timestamp=None) -> None:
         """Delta RESTORE (by VERSION or TIMESTAMP): commit a NEW
         generation whose entries equal the target generation's — the

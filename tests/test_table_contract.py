@@ -1412,3 +1412,55 @@ def test_rename_column_metadata_only_mapping(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="partition columns"):
         h.rename_column("p", "bucket")
+
+
+def test_drop_column_metadata_only_tombstone(spark, tmp_path):
+    """Metadata-only DROP COLUMN: no file touched, reads stop showing
+    the column, time travel still renders it pre-drop, re-introducing
+    the name on append is refused (no data resurrection under
+    name-based mapping), and an overwrite resets the mapping and frees
+    the name while old generations keep theirs."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(
+        spark.range(50).select(
+            F.col("id"), (F.col("id") * 2.0).alias("v"), (F.col("id") % 5).alias("g")
+        )
+    )
+    files_before = sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True))
+    t.drop_column("v")
+    assert sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True)) == files_before
+    assert t.read().columns == ["id", "g"]
+    assert t.read().count() == 50
+    assert t.read(at_generation=1).columns == ["id", "v", "g"]  # pre-drop snapshot
+
+    t.append(spark.range(50, 60).select(F.col("id"), (F.col("id") % 5).alias("g")))
+    assert t.read().count() == 60
+    with _pytest.raises(Exception, match="reintroduces historical"):
+        t.append(
+            spark.range(60, 61).select(
+                F.col("id"), (F.col("id") % 5).alias("g"), F.lit(1.0).alias("v")
+            ),
+            merge_schema="true",
+        )
+
+    # overwrite resets the mapping: the name is fresh again
+    t.overwrite(spark.range(5).select(F.col("id"), F.lit(7.0).alias("v")))
+    assert t.read().columns == ["id", "v"]
+    assert t.read(at_generation=1).filter("v = 2.0").count() == 1  # old mapping pinned
+
+    # rename -> drop chains; guards
+    t3 = Table(spark, f"{root}/t3")
+    t3.overwrite(spark.range(5).select(F.col("id"), (F.col("id") * 1.0).alias("a")))
+    t3.rename_column("a", "b")
+    t3.drop_column("b")
+    assert t3.read().columns == ["id"]
+    with _pytest.raises(ValueError, match="only column"):
+        t3.drop_column("id")
