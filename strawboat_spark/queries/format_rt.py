@@ -1552,3 +1552,49 @@ def strawboat_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "strawboat_add_column_default",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'standard' ELSE 'express' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 11 = 0
+    GROUP BY 1 ORDER BY tier
+    """,
+    description=(
+        "metadata-only ADD COLUMN DEFAULT (Delta existingDefault): "
+        "tier declared with default 'standard' after epoch-1 files "
+        "exist (read-time fill, no rewrite), epoch-2 appended with "
+        "explicit 'express' — the mixed-epoch group-by is exact"
+    ),
+)
+def strawboat_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py add_column + datasource declared_columns: pre-
+    declaration files render the default, post-declaration writes
+    store real values (contract in
+    tests/test_table_contract.py::test_add_column_with_read_time_default)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_ad_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 11 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))     # epoch 1: no tier column
+    t.add_column("tier", "string", default="standard")
+    t.append(                                        # epoch 2: explicit values
+        o.filter("o_orderkey % 2 = 1").withColumn("tier", F.lit("express"))
+    )
+    return (
+        t.read()
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("tier")
+    )

@@ -129,6 +129,63 @@ def _to_logical_schema(arrow_schema, cmap):
     return pa.schema([f for f in fields if not f.name.startswith(_DROPPED_PREFIX)])
 
 
+def _scalar_type(ddl: str):
+    """Spark type for an add_column DDL string, resolved WITHOUT an
+    active session (schema() runs in the planning worker, where
+    DataType.fromDDL cannot).  Declared columns are scalar by
+    contract (their defaults are JSON scalars)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    types = {
+        "tinyint": ShortType(),
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "integer": IntegerType(),
+        "bigint": LongType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+        "string": StringType(),
+        "boolean": BooleanType(),
+        "date": DateType(),
+        "timestamp": TimestampType(),
+        "timestamp_ntz": TimestampNTZType(),
+    }
+    t = types.get(ddl.strip().lower())
+    if t is None:
+        raise ValueError(
+            f"strawboat: add_column supports scalar types only, got {ddl!r} "
+            f"(supported: {sorted(types)})"
+        )
+    return t
+
+
+def declared_columns(root: str, at_generation: int | None = None) -> dict[str, dict]:
+    """Columns declared via Table.add_column: name -> {"type": spark
+    DDL type, "default": JSON scalar}.  They are part of the LOGICAL
+    schema even before any file stores them; files that predate the
+    declaration render the default at read time (Delta's
+    existingDefault) — the add-a-column-to-100TB-without-rewriting
+    operation.  Generation-pinned like column_mapping."""
+    man = (
+        read_manifest_at(root, at_generation)
+        if at_generation is not None
+        else read_manifest(root)
+    )
+    return dict(((man or {}).get("properties") or {}).get("column_defaults") or {})
+
+
 def entry_abs(root: str, p: str) -> str:
     """Manifest entry -> absolute file path.  Entries are root-relative
     EXCEPT shallow-clone external references (Table.clone), which carry
@@ -237,6 +294,9 @@ class _Stripe(InputPartition):
     # logical first, then aliases in recency order. Rides the partition
     # so executors never read the manifest.
     colmap: tuple = ()
+    # Declared-column read-time defaults: ((name, json_value), ...) —
+    # files predating a Table.add_column render the default, not null.
+    defaults: tuple = ()
 
 
 @dataclass
@@ -705,6 +765,12 @@ class StrawboatDataSource(DataSource):
         # tz-less arrow timestamps -> TimestampNTZ (what Spark's parquet
         # reader infers); tz-aware ones still map to TimestampType.
         schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+        # Declared columns (Table.add_column) are part of the logical
+        # schema even before any file stores them; pre-declaration
+        # files fill the default (or null) at read time.
+        for dname, dspec in declared_columns(path, _at_generation(self.options)).items():
+            if dname not in schema.fieldNames():
+                schema = schema.add(dname, _scalar_type(dspec["type"]))
         # Hive-style partition columns discovered from the layout are
         # appended after the stored columns (parquet-source convention).
         from pyspark.sql.types import DoubleType, LongType, StringType
@@ -913,6 +979,11 @@ class StrawboatReaderImpl(DataSourceReader):
             (lg, tuple(aliases))
             for lg, aliases in column_mapping(self.path, self.at_generation).items()
         )
+        defaults = tuple(
+            (n, d.get("default"))
+            for n, d in declared_columns(self.path, self.at_generation).items()
+            if d.get("default") is not None
+        )
         if self.files_opt is not None:
             files = [entry_abs(self.path, rel) for rel in self.files_opt]
         survivors: list[tuple[str, dict]] = []
@@ -970,7 +1041,7 @@ class StrawboatReaderImpl(DataSourceReader):
             fdel = dmap.get(file, ())
             fsnap = tuple(self._filters)
             if n_pages == 0:
-                parts.append(_Stripe(file, 0, 0, pv, fsnap, colmap=cmap))
+                parts.append(_Stripe(file, 0, 0, pv, fsnap, colmap=cmap, defaults=defaults))
                 continue
             # file-wide row ordinal at the start of each page
             offsets = [0]
@@ -1002,7 +1073,7 @@ class StrawboatReaderImpl(DataSourceReader):
                     if fdel
                     else ()
                 )
-                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s], cmap))
+                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s], cmap, defaults))
                 s = e
         return parts
 
@@ -1050,6 +1121,7 @@ class StrawboatReaderImpl(DataSourceReader):
                 return pos[mask], mask
 
             avail = set(reader.schema.names)
+            dflts = dict(partition.defaults)
             # column mapping: the name each wanted logical column is
             # stored under in THIS file (itself post-rename, an alias
             # pre-rename, absent if the file predates the column)
@@ -1084,6 +1156,10 @@ class StrawboatReaderImpl(DataSourceReader):
                         if mask is not None:
                             col = col.filter(pa.array(mask))
                         arrays.append(col)
+                    elif fld.name in dflts:
+                        # declared-column default (Delta existingDefault):
+                        # files predating add_column render it, not null
+                        arrays.append(_const_array(dflts[fld.name], len(pos), fld.type))
                     else:
                         arrays.append(pa.nulls(len(pos), fld.type))
                 return pa.RecordBatch.from_arrays(arrays, schema=want)
@@ -1416,6 +1492,7 @@ class _CDFPart(InputPartition):
     skip: tuple = ()  # ordinals to EXCLUDE (the file's DV at `generation`)
     only: tuple = ()  # delete_rows: ordinals to EMIT (the DV delta)
     colmap: tuple = ()  # column-mapping aliases (see _Stripe.colmap)
+    defaults: tuple = ()  # declared-column defaults (see _Stripe.defaults)
 
 
 class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
@@ -1468,6 +1545,11 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         cmap = tuple(
             (lg, tuple(aliases)) for lg, aliases in column_mapping(self.path).items()
         )
+        defaults = tuple(
+            (n, d.get("default"))
+            for n, d in declared_columns(self.path).items()
+            if d.get("default") is not None
+        )
         for g in range(start.get("gen", 0) + 1, end.get("gen", 0) + 1):
             prev = (
                 read_manifest_at(self.path, g - 1)
@@ -1485,15 +1567,15 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 file = entry_abs(self.path, rel)
                 pv = _pv(file)
                 if rel not in ent_prev:
-                    parts.append(_CDFPart("insert", file, g, pv, skip=dv, colmap=cmap))
+                    parts.append(_CDFPart("insert", file, g, pv, skip=dv, colmap=cmap, defaults=defaults))
                 elif dv != ent_prev[rel]:
                     delta = tuple(sorted(set(dv) - set(ent_prev[rel])))
                     if delta:
-                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta, colmap=cmap))
+                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta, colmap=cmap, defaults=defaults))
             for rel, dv in sorted(ent_prev.items()):
                 if rel not in ent_cur:
                     file = entry_abs(self.path, rel)
-                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv, colmap=cmap))
+                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv, colmap=cmap, defaults=defaults))
         return parts
 
     def read(self, partition: _CDFPart):
@@ -1519,6 +1601,7 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)
             avail = set(reader.schema.names)
+            dflts = dict(partition.defaults)
             side = {
                 c: _file_side_name(avail, c, partition.colmap)
                 for c in want.names
@@ -1552,6 +1635,8 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                         arrays.append(_const_array(consts[fld.name], n, fld.type))
                     elif side.get(fld.name) in byname:
                         arrays.append(byname[side[fld.name]].filter(pa.array(mask)))
+                    elif fld.name in dflts:
+                        arrays.append(_const_array(dflts[fld.name], n, fld.type))
                     else:
                         arrays.append(pa.nulls(n, fld.type))
                 out = pa.RecordBatch.from_arrays(arrays, schema=want)
@@ -1645,6 +1730,11 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 # file's footer may store pre-rename aliases)
                 have = _to_logical_schema(have, cmap)
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
+                # declared columns (add_column) belong to the logical
+                # contract even when the probe file predates them
+                for dname, dspec in declared_columns(self.path).items():
+                    if dname not in have_spark.fieldNames():
+                        have_spark = have_spark.add(dname, _scalar_type(dspec["type"]))
                 incoming = StructType(
                     [fld for fld in schema.fields if fld.name not in self_partition_cols(options)]
                 )

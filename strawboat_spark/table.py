@@ -461,6 +461,19 @@ class Table:
     # -- writes -----------------------------------------------------------
     def _write(self, df: DataFrame, mode: str, **options) -> None:
         df = self._apply_generated(df)
+        # declared columns (add_column) omitted by the writer fill
+        # their default, so stored rows agree with the read-time fill
+        # of pre-declaration files (declarations persist across
+        # overwrites like any table property)
+        import pyspark.sql.functions as F
+
+        from strawboat_spark.sources.datasource import declared_columns
+
+        for dname, dspec in declared_columns(self.path).items():
+            if dname not in df.columns:
+                df = df.withColumn(
+                    dname, F.lit(dspec.get("default")).cast(dspec["type"])
+                )
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
@@ -788,6 +801,10 @@ class Table:
                 )
             cm[new] = [old] + cm.pop(old, [])
             props["column_mapping"] = cm
+            cd = dict(props.get("column_defaults") or {})
+            if old in cd:
+                cd[new] = cd.pop(old)  # declared-column default follows the name
+                props["column_defaults"] = cd
             try:
                 write_manifest(
                     self.path,
@@ -800,6 +817,63 @@ class Table:
                 continue
         raise ManifestConflictError(
             f"rename_column({self.path}): lost the generation race 50 times"
+        )
+
+    def add_column(self, name: str, type_ddl: str, default=None) -> None:
+        """Metadata-only ADD COLUMN [DEFAULT]: one manifest flip
+        declares the column — no data file touched at any table size.
+        Files written before the declaration render `default` (a JSON
+        scalar; None = plain nullable add) at read time — Delta's
+        existingDefault — and facade writes that omit the column fill
+        the default at write time, so old and new rows agree.  Type is
+        a Spark DDL string ('double', 'bigint', 'string', ...)."""
+        import json as _json
+
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            _scalar_type,
+            column_mapping,
+            read_manifest,
+            write_manifest,
+        )
+
+        _scalar_type(type_ddl)  # validate the type up front
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    f"add_column: default must be a JSON scalar, got "
+                    f"{type(default).__name__}"
+                )
+            _json.dumps(default)
+        cols = self.read().columns
+        if name in cols:
+            raise ValueError(f"add_column: column {name!r} already exists")
+        claimed = {a for v in column_mapping(self.path).values() for a in v}
+        if name in claimed:
+            raise ValueError(
+                f"add_column: {name!r} is a historical name of another column "
+                f"(renamed away or dropped); pick a fresh name"
+            )
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(f"add_column: {self.path} has no committed data")
+            props = dict(man.get("properties") or {})
+            cd = dict(props.get("column_defaults") or {})
+            cd[name] = {"type": type_ddl, "default": default}
+            props["column_defaults"] = cd
+            try:
+                write_manifest(
+                    self.path,
+                    man["entries"],
+                    generation=man.get("generation", 0) + 1,
+                    properties=props,
+                )
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"add_column({self.path}): lost the generation race 50 times"
         )
 
     def drop_column(self, name: str) -> None:
@@ -861,6 +935,10 @@ class Table:
             tomb = f"{_DROPPED_PREFIX}{gen + 1}__{name}"
             cm[tomb] = [name] + cm.pop(name, [])
             props["column_mapping"] = cm
+            cd = dict(props.get("column_defaults") or {})
+            if name in cd:
+                del cd[name]  # dropping a declared column retires its default
+                props["column_defaults"] = cd
             try:
                 write_manifest(
                     self.path, man["entries"], generation=gen + 1, properties=props

@@ -1497,3 +1497,49 @@ def test_concurrent_manifest_committers_real_threads(tmp_path):
     paths = {e["path"] for e in man["entries"]}
     assert paths == {"base.strb"} | {f"part-{k:03d}.strb" for k in range(n)}
     assert man["generation"] == 1 + n  # contiguous chain, no lost update
+
+
+def test_add_column_with_read_time_default(spark, tmp_path):
+    """Metadata-only ADD COLUMN [DEFAULT]: files written before the
+    declaration render the default at read time (existingDefault),
+    facade writes omitting the column fill it at write time, explicit
+    values pass through, plain adds null-fill, time travel shows the
+    pre-declaration schema, and the default follows renames / retires
+    on drop."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(spark.range(20).select("id"))
+    files_before = sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True))
+
+    t.add_column("score", "double", default=1.5)
+    assert sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True)) == files_before
+    assert t.read().columns == ["id", "score"]
+    assert t.read().filter("score = 1.5").count() == 20  # read-time fill
+    assert t.read(at_generation=1).columns == ["id"]     # pre-declaration
+
+    t.append(spark.range(20, 25).select("id"))           # write-time fill
+    t.append(spark.range(25, 28).select(F.col("id"), F.lit(9.0).alias("score")))
+    assert t.read().filter("score = 1.5").count() == 25
+    assert t.read().agg(F.sum("score")).collect()[0][0] == 25 * 1.5 + 3 * 9.0
+
+    t.add_column("tag", "string")                        # plain nullable add
+    assert t.read().filter("tag IS NULL").count() == 28
+
+    t.rename_column("score", "quality")                  # default follows
+    assert t.read().filter("quality = 1.5").count() == 25
+    t.drop_column("quality")                             # default retires
+    assert t.read().columns == ["id", "tag"]
+
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_column("id", "bigint")
+    with _pytest.raises(ValueError, match="JSON scalar"):
+        t.add_column("x", "double", default=[1])
+    with _pytest.raises(ValueError, match="scalar types only"):
+        t.add_column("x", "array<int>")
