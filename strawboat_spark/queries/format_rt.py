@@ -1598,3 +1598,60 @@ def strawboat_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "strawboat_widen_type",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(o_custkey AS BIGINT) AS cust, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_custkey + 3000000000, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 1
+    )
+    SELECT CAST(cust % 3 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cust) AS BIGINT) AS total_cust
+    FROM src GROUP BY 1 ORDER BY bucket
+    """,
+    description=(
+        "metadata-only TYPE WIDENING (Delta analog): cust stored int32 "
+        "in epoch-1 files, widened to bigint with zero rewrites, "
+        "epoch-2 appends values only bigint can hold — the mixed-epoch "
+        "aggregate is exact"
+    ),
+)
+def strawboat_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py alter_column_type + datasource widened_columns: old
+    narrow files upcast losslessly at read time, new files store the
+    declared wide type (contract in tests/test_table_contract.py::
+    test_alter_column_type_metadata_only_widening)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_wt_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0")
+    t.overwrite(                                     # epoch 1: int32 cust
+        o.filter("o_orderkey % 2 = 0").select(
+            F.col("o_custkey").cast("int").alias("cust"), "o_totalprice"
+        )
+    )
+    t.alter_column_type("cust", "bigint")            # one manifest flip
+    t.append(                                        # epoch 2: needs bigint
+        o.filter("o_orderkey % 2 = 1").select(
+            (F.col("o_custkey") + F.lit(3_000_000_000)).alias("cust"),
+            "o_totalprice",
+        )
+    )
+    return (
+        t.read()
+        .groupBy((F.col("cust") % 3).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cust").alias("total_cust"),
+        )
+        .orderBy("bucket")
+    )

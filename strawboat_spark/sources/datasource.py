@@ -186,6 +186,77 @@ def declared_columns(root: str, at_generation: int | None = None) -> dict[str, d
     return dict(((man or {}).get("properties") or {}).get("column_defaults") or {})
 
 
+# Metadata-only type widening (Delta type-widening analog): DDL name
+# -> (family, bit rank).  Only lossless same-family widenings are
+# declarable; everything else must rewrite data.
+_WIDEN_FAMILIES = {
+    "tinyint": ("int", 8),
+    "smallint": ("int", 16),
+    "int": ("int", 32),
+    "integer": ("int", 32),
+    "bigint": ("int", 64),
+    "long": ("int", 64),
+    "float": ("float", 32),
+    "double": ("float", 64),
+}
+
+_WIDEN_ARROW = {
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "integer": pa.int32(),
+    "bigint": pa.int64(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+}
+
+
+def widened_columns(root: str, at_generation: int | None = None) -> dict[str, str]:
+    """Columns re-typed via Table.alter_column_type: logical name ->
+    target Spark DDL type.  One manifest flip; files keep their stored
+    (narrower) physical type and the read path upcasts — losslessly,
+    so stats/page pruning against the narrow page min/max stays exact
+    (int widenings are value-preserving; float32 -> float64 is exact,
+    and the stored Python-float stats ARE the upcast values).
+    Generation-pinned like column_mapping, so time travel renders each
+    snapshot under its generation's declared types."""
+    man = (
+        read_manifest_at(root, at_generation)
+        if at_generation is not None
+        else read_manifest(root)
+    )
+    return dict(((man or {}).get("properties") or {}).get("column_types") or {})
+
+
+def _widened_arrow_field(f: pa.Field, ddl: str) -> pa.Field:
+    """Apply one widening declaration to a stored field — only when the
+    stored type is a strictly narrower member of the target's family.
+    A declaration that no longer matches (column re-typed by a later
+    overwrite, non-numeric, already wide) is inert, never an error:
+    the footer is the physical truth and widening may only lift it."""
+    tgt = _WIDEN_ARROW.get(ddl)
+    if tgt is None:
+        return f
+    t = f.type
+    same_int = pa.types.is_signed_integer(t) and pa.types.is_signed_integer(tgt)
+    same_float = pa.types.is_floating(t) and pa.types.is_floating(tgt)
+    if (same_int or same_float) and t.bit_width < tgt.bit_width:
+        return f.with_type(tgt)
+    return f
+
+
+def _apply_widening(arrow_schema: pa.Schema, wmap: dict[str, str]) -> pa.Schema:
+    if not wmap:
+        return arrow_schema
+    return pa.schema(
+        [
+            _widened_arrow_field(f, wmap[f.name]) if f.name in wmap else f
+            for f in arrow_schema
+        ]
+    )
+
+
 def entry_abs(root: str, p: str) -> str:
     """Manifest entry -> absolute file path.  Entries are root-relative
     EXCEPT shallow-clone external references (Table.clone), which carry
@@ -732,8 +803,9 @@ class StrawboatDataSource(DataSource):
             if not files:
                 raise ValueError("strawboat: 'files' option names no files")
         cmap = column_mapping(path, _at_generation(self.options))
+        wmap = widened_columns(path, _at_generation(self.options))
         arrow_schema, _ = _cached_footer(files[0])
-        arrow_schema = _to_logical_schema(arrow_schema, cmap)
+        arrow_schema = _apply_widening(_to_logical_schema(arrow_schema, cmap), wmap)
         # Force nullable like Spark's parquet source does for file-based
         # schemas: other files in the directory may predate a column
         # (read-side null-fills it), and a footer that recorded a
@@ -750,7 +822,7 @@ class StrawboatDataSource(DataSource):
             order = list(arrow_schema.names)
             for file in files[1:]:
                 sch, _ = _cached_footer(file)
-                sch = _to_logical_schema(sch, cmap)
+                sch = _apply_widening(_to_logical_schema(sch, cmap), wmap)
                 for fld in sch:
                     have = fields.get(fld.name)
                     if have is None:
@@ -1155,6 +1227,10 @@ class StrawboatReaderImpl(DataSourceReader):
                         col = byname[side[fld.name]]
                         if mask is not None:
                             col = col.filter(pa.array(mask))
+                        if col.type != fld.type:
+                            # metadata-only type widening: the file
+                            # stores the narrow type, upcast losslessly
+                            col = col.cast(fld.type, safe=False)
                         arrays.append(col)
                     elif fld.name in dflts:
                         # declared-column default (Delta existingDefault):
@@ -1634,7 +1710,11 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                     if fld.name in consts:
                         arrays.append(_const_array(consts[fld.name], n, fld.type))
                     elif side.get(fld.name) in byname:
-                        arrays.append(byname[side[fld.name]].filter(pa.array(mask)))
+                        col = byname[side[fld.name]].filter(pa.array(mask))
+                        if col.type != fld.type:
+                            # metadata-only type widening (see _Stripe path)
+                            col = col.cast(fld.type, safe=False)
+                        arrays.append(col)
                     elif fld.name in dflts:
                         arrays.append(_const_array(dflts[fld.name], n, fld.type))
                     else:
@@ -1727,8 +1807,11 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                     )
                 have, _ = _cached_footer(existing[0])
                 # column mapping: compare under LOGICAL names (an old
-                # file's footer may store pre-rename aliases)
-                have = _to_logical_schema(have, cmap)
+                # file's footer may store pre-rename aliases); type
+                # widening: compare under the DECLARED (wide) types
+                have = _apply_widening(
+                    _to_logical_schema(have, cmap), widened_columns(self.path)
+                )
                 have_spark = from_arrow_schema(have, prefer_timestamp_ntz=True)
                 # declared columns (add_column) belong to the logical
                 # contract even when the probe file predates them

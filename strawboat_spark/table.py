@@ -467,13 +467,21 @@ class Table:
         # overwrites like any table property)
         import pyspark.sql.functions as F
 
-        from strawboat_spark.sources.datasource import declared_columns
+        from strawboat_spark.sources.datasource import (
+            declared_columns,
+            widened_columns,
+        )
 
         for dname, dspec in declared_columns(self.path).items():
             if dname not in df.columns:
                 df = df.withColumn(
                     dname, F.lit(dspec.get("default")).cast(dspec["type"])
                 )
+        # widened columns (alter_column_type): new files store the
+        # declared wide type physically, so the table converges to it
+        for wname, wddl in widened_columns(self.path).items():
+            if wname in df.columns:
+                df = df.withColumn(wname, F.col(wname).cast(wddl))
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
@@ -805,6 +813,10 @@ class Table:
             if old in cd:
                 cd[new] = cd.pop(old)  # declared-column default follows the name
                 props["column_defaults"] = cd
+            ct = dict(props.get("column_types") or {})
+            if old in ct:
+                ct[new] = ct.pop(old)  # widened type follows the name
+                props["column_types"] = ct
             try:
                 write_manifest(
                     self.path,
@@ -876,6 +888,85 @@ class Table:
             f"add_column({self.path}): lost the generation race 50 times"
         )
 
+    def alter_column_type(self, name: str, type_ddl: str) -> None:
+        """Metadata-only TYPE WIDENING (Delta type-widening analog):
+        one manifest flip re-declares `name` at a wider same-family
+        type — no data file touched at any table size.  Files keep
+        their stored narrow type; the read path upcasts losslessly
+        (int widenings are value-preserving, float -> double is exact),
+        so stats/page pruning stays exact, and facade writes cast to
+        the declared type so new files store it physically.  Supported:
+        tinyint -> smallint -> int -> bigint, float -> double.
+        Narrowing and cross-family changes are refused (they would be
+        lossy — rewrite the data instead).  Time travel renders each
+        generation under its own declared types."""
+        from strawboat_spark.sources.datasource import (
+            _WIDEN_FAMILIES,
+            ManifestConflictError,
+            read_manifest,
+            write_manifest,
+        )
+        from strawboat_spark.sources.maintenance import _part_layout
+
+        tgt = _WIDEN_FAMILIES.get(type_ddl.strip().lower())
+        if tgt is None:
+            raise ValueError(
+                f"alter_column_type: {type_ddl!r} is not a widenable scalar "
+                f"type (supported: {sorted(_WIDEN_FAMILIES)})"
+            )
+        fields = {f.name: f.dataType.simpleString() for f in self.read().schema.fields}
+        if name not in fields:
+            raise ValueError(
+                f"alter_column_type: no column {name!r} (have {sorted(fields)})"
+            )
+        if name in _part_layout(self.path):
+            raise ValueError(
+                "alter_column_type: hive partition columns are typed by the "
+                "directory layout and cannot be widened in place"
+            )
+        cur = _WIDEN_FAMILIES.get(fields[name])
+        if cur is None or cur[0] != tgt[0] or cur[1] >= tgt[1]:
+            raise ValueError(
+                f"alter_column_type: {fields[name]} -> {type_ddl} is not a "
+                f"lossless widening (int family: tinyint<smallint<int<bigint; "
+                f"float family: float<double); rewrite the data for anything "
+                f"else"
+            )
+        if name in self.generated_columns():
+            raise ValueError(
+                f"alter_column_type: {name!r} is a generated column; its type "
+                f"follows the generation expression — re-declare that instead"
+            )
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(
+                    f"alter_column_type: {self.path} has no committed data"
+                )
+            props = dict(man.get("properties") or {})
+            ct = dict(props.get("column_types") or {})
+            ct[name] = type_ddl.strip().lower()
+            props["column_types"] = ct
+            cd = dict(props.get("column_defaults") or {})
+            if name in cd:
+                # a declared column's default keeps rendering under the
+                # widened type (read path casts the JSON scalar)
+                cd[name] = {**cd[name], "type": type_ddl.strip().lower()}
+                props["column_defaults"] = cd
+            try:
+                write_manifest(
+                    self.path,
+                    man["entries"],
+                    generation=man.get("generation", 0) + 1,
+                    properties=props,
+                )
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"alter_column_type({self.path}): lost the generation race 50 times"
+        )
+
     def drop_column(self, name: str) -> None:
         """Metadata-only DROP COLUMN (requires the column-mapping
         machinery): one manifest flip retargets the column's stored
@@ -939,6 +1030,10 @@ class Table:
             if name in cd:
                 del cd[name]  # dropping a declared column retires its default
                 props["column_defaults"] = cd
+            ct = dict(props.get("column_types") or {})
+            if name in ct:
+                del ct[name]  # dropping a column retires its widening
+                props["column_types"] = ct
             try:
                 write_manifest(
                     self.path, man["entries"], generation=gen + 1, properties=props

@@ -1543,3 +1543,86 @@ def test_add_column_with_read_time_default(spark, tmp_path):
         t.add_column("x", "double", default=[1])
     with _pytest.raises(ValueError, match="scalar types only"):
         t.add_column("x", "array<int>")
+
+
+def test_alter_column_type_metadata_only_widening(tmp_path, spark):
+    """Metadata-only TYPE WIDENING: one manifest flip re-declares a
+    column at a wider same-family type — no file rewritten, old narrow
+    files upcast at read time, appends store the wide type (and may
+    carry values only the wide type can hold), filters/pruning still
+    correct over mixed epochs, time travel shows each generation's
+    declared types, widenings chain and follow renames, and narrowing
+    / cross-family / partition-column / generated-column changes are
+    refused."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id"),
+            F.col("id").cast("smallint").alias("v"),
+            F.col("id").cast("float").alias("x"),
+        )
+    )
+    files_before = sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True))
+
+    t.alter_column_type("v", "int")          # chains: smallint -> int
+    t.alter_column_type("v", "bigint")       # -> bigint
+    t.alter_column_type("x", "double")
+    assert sorted(glob.glob(f"{root}/t/**/*.strb", recursive=True)) == files_before
+    sch = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+    assert sch == {"id": "bigint", "v": "bigint", "x": "double"}
+    # old narrow files upcast losslessly
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(range(100))
+
+    # appends store the wide type and beyond-narrow values work
+    t.append(
+        spark.range(100, 103).select(
+            F.col("id"),
+            (F.col("id") + F.lit(3_000_000_000)).alias("v"),
+            F.lit(0.1).alias("x"),  # exact only as double
+        )
+    )
+    assert t.read().filter("v >= 3000000100").count() == 3
+    assert t.read().filter("x = 0.1").count() == 3  # float file would miss this
+    # mixed narrow+wide files under one logical schema (merge path)
+    assert t.read().count() == 103
+
+    # pruning on the widened column over the narrow epoch stays exact
+    assert t.read().filter("v = 57").count() == 1
+    assert t.read().filter("v = -1").count() == 0
+
+    # time travel renders each generation under its declared types
+    assert t.read(at_generation=1).schema["v"].dataType.simpleString() == "smallint"
+    assert t.read(at_generation=3).schema["v"].dataType.simpleString() == "bigint"
+
+    # widening follows a rename; dropping retires it
+    t.rename_column("v", "val")
+    assert t.read().schema["val"].dataType.simpleString() == "bigint"
+    assert t.read().filter("val >= 3000000100").count() == 3
+    t.drop_column("x")
+    assert t.read().columns == ["id", "val"]
+
+    with _pytest.raises(ValueError, match="not a lossless widening"):
+        t.alter_column_type("val", "int")  # narrowing
+    with _pytest.raises(ValueError, match="not a widenable"):
+        t.alter_column_type("val", "string")  # cross-family
+    with _pytest.raises(ValueError, match="no column"):
+        t.alter_column_type("ghost", "bigint")
+
+    # partition columns are typed by the directory layout
+    p = Table(spark, f"{root}/p")
+    p.overwrite(
+        spark.range(10).select(
+            F.col("id"), (F.col("id") % 3).cast("int").alias("k")
+        ),
+        partition_by="k",
+    )
+    with _pytest.raises(ValueError, match="partition"):
+        p.alter_column_type("k", "bigint")
