@@ -1655,3 +1655,49 @@ def strawboat_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "strawboat_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'overwrite',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'append',     CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'delete-mor', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'add_column', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(5 AS BIGINT), 'restore',    CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(6 AS BIGINT), 'compact',    CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS h(generation, operation, n_files, n_added, n_removed)
+    ORDER BY generation
+    """,
+    description=(
+        "DESCRIBE HISTORY analog: every commit path stamps its verb in "
+        "the generation manifest; file add/remove counts derived by "
+        "diffing retained entry lists — the audit trail is exact and "
+        "costs zero data-file reads"
+    ),
+)
+def strawboat_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py history()/history_df() + write_manifest(operation=...):
+    commit verbs recorded by overwrite/append/MOR delete/DDL/restore/
+    compact (contract in tests/test_table_contract.py::
+    test_history_records_operations)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import compact
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_hist_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0").coalesce(1))
+    t.append(o.filter("o_orderkey % 2 = 1").coalesce(1))
+    t.delete("o_orderkey % 3 = 0", mode="mor")
+    t.add_column("tier", "string", default="standard")
+    t.restore(generation=2)
+    compact(spark, f"{root}/orders")
+    return t.history_df().select(
+        "generation", "operation", "n_files", "n_added", "n_removed"
+    ).orderBy("generation")

@@ -501,3 +501,69 @@ def strawboat_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_stream_rate_limit",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(4 AS BIGINT) AS n_batches
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description=(
+        "rate-limited stream source (maxFilesPerTrigger analog): a "
+        "12-file backlog drains in exactly ceil(12/3)=4 capped "
+        "micro-batches — the sink table's own history counts the "
+        "stream-append commits — and the union equals the source "
+        "exactly (no file skipped or doubled)"
+    ),
+)
+def strawboat_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasource.py StrawboatStreamReaderImpl._capped_offset: the
+    backfill knob — offsets advance oldest-first by at most
+    max_files_per_trigger files (offset algebra unit-tested in
+    tests/test_streaming.py::test_stream_rate_limit_caps_each_batch)."""
+    import tempfile
+    import uuid
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_rl_")
+    src, sink = f"{root}/src", f"{root}/sink"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = Table(spark, src)
+    t.overwrite(o.filter("o_orderkey % 12 = 0").coalesce(1))
+    for i in range(1, 12):                      # 12 files, one per slice
+        t.append(o.filter(f"o_orderkey % 12 = {i}").coalesce(1))
+    q = (
+        spark.readStream.format("strawboat")
+        .option("max_files_per_trigger", "3")
+        .load(src)
+        .writeStream.format("strawboat")
+        .option("path", sink)
+        .option("checkpointLocation", f"{root}/ckpt_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_batches = sum(
+        1 for g in Table(spark, sink).history() if g["operation"] == "stream-append"
+    )
+    return (
+        Table(spark, sink)
+        .read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("n_batches", F.lit(n_batches).cast("long"))
+        .orderBy("o_orderstatus")
+    )

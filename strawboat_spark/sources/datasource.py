@@ -481,6 +481,8 @@ def list_generations(root: str) -> list[dict]:
                     "n_files": len(man["entries"]),
                     "current": gen == head,
                     "committed_at_us": man.get("committed_at_us"),
+                    "operation": man.get("operation"),
+                    "entry_paths": sorted(e["path"] for e in man["entries"]),
                 }
             )
     return out
@@ -528,6 +530,7 @@ def write_manifest(
     entries: list[dict],
     generation: int | None = None,
     properties: dict | None = None,
+    operation: str | None = None,
 ) -> None:
     """Publish `entries` as the next manifest generation via CAS: the
     generation file is create-if-absent, so of two racing committers
@@ -564,6 +567,10 @@ def write_manifest(
     }
     if properties:
         doc["properties"] = properties
+    if operation:
+        # commit verb (DESCRIBE HISTORY's operation column) — a fact
+        # about THIS commit, never carried forward like properties
+        doc["operation"] = operation
     payload = json.dumps(doc).encode()
     try:
         with fs.create_exclusive(_gen_path(root, generation)) as h:
@@ -642,7 +649,11 @@ def _manifest_entry(root: str, file: str, meta=None, schema_b64: str | None = No
 
 
 def publish_manifest(
-    root: str, messages=None, replace: bool = False, properties: dict | None = None
+    root: str,
+    messages=None,
+    replace: bool = False,
+    properties: dict | None = None,
+    operation: str | None = None,
 ) -> None:
     """Commit-time manifest refresh: prior entries still on disk plus
     the just-committed files (with executor-provided footer meta).
@@ -735,6 +746,8 @@ def publish_manifest(
                 list(entries.values()),
                 generation=gen,
                 properties=props,
+                operation=operation
+                or ("adopt" if not messages else "overwrite" if replace else "append"),
             )
             return
         except ManifestConflictError:
@@ -1485,6 +1498,24 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
     for such layouts. Offsets from the previous list-of-all-files
     format (`{"seen": [...]}`) are still understood, so existing
     checkpoints keep working.
+
+    Rate limiting (`max_files_per_trigger`, Spark's maxFilesPerTrigger
+    analog): each planned offset advances by at most K files, oldest
+    mtime first — the knob that turns a 100 TB backfill from one
+    giant micro-batch into a bounded-memory stream of K-file batches.
+    The capped offset takes a PREFIX of the backlog ordered by
+    (mtime, path), so every un-taken file's mtime is >= the new
+    watermark and the aging assumption ("older than watermark −
+    lookback ⇒ processed") can never skip an unprocessed file.
+    Capping holds no engine-visible state beyond the offsets
+    themselves, and `partitions` makes restart safe without relying
+    on any call-order guarantee: a batch emits only files that are in
+    the end offset, absent from the start offset, absent from every
+    OTHER offset the engine has shown this reader (those boundaries
+    belong to already-planned batches), and not aged out relative to
+    the start watermark — so a post-restart planner rebuilding its
+    window from scratch can never re-emit a processed file, it just
+    spends a couple of empty batches catching back up.
     """
 
     def __init__(self, options, schema: StructType):
@@ -1493,6 +1524,9 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
             raise ValueError("strawboat: 'path' option is required")
         self.schema = schema
         self.lookback_ns = int(float(options.get("max_file_age_sec", "900")) * 1_000_000_000)
+        self.max_files = int(options.get("max_files_per_trigger", "0") or 0)
+        self._last: dict | None = None  # capped mode: newest planned offset
+        self._offsets_seen: list = []  # engine-provided (w, frozenset(recent))
 
     def _listing(self) -> list[tuple[str, int]]:
         """(relpath, mtime_ns) for every data file under the root.
@@ -1517,18 +1551,94 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         listing = self._listing()
+        if self.max_files:
+            return self._capped_offset(listing)
         w = max((m for _, m in listing), default=0)
         return {
             "w": w,
             "recent": sorted(rel for rel, m in listing if m >= w - self.lookback_ns),
         }
 
+    def _capped_offset(self, listing: list[tuple[str, int]]) -> dict:
+        """Advance the offset by at most max_files, oldest mtime first.
+        Taken files always enter `recent` (the batch diff emits only
+        recent-members); the prefix order keeps every un-taken file's
+        mtime >= the new watermark, so aging can't skip one."""
+        base = self._last or {"w": 0, "recent": []}
+        bw = base.get("w", 0)
+        done = set(base.get("recent", []))
+        m_by_rel = dict(listing)
+        cand = sorted(
+            (m, rel)
+            for rel, m in listing
+            if rel not in done and (bw == 0 or m >= bw - self.lookback_ns)
+        )
+        take = cand[: self.max_files]
+        if not take:
+            self._last = base
+            return base
+        w = max([bw] + [m for m, _ in take])
+        recent = {
+            rel for rel in done if m_by_rel.get(rel, -1) >= w - self.lookback_ns
+        }
+        recent.update(rel for _, rel in take)
+        off = {"w": w, "recent": sorted(recent)}
+        self._last = off
+        return off
+
+    def _capped_batch_filter(self, start: dict, end: dict, new: set) -> set:
+        """Restart-safe emission filter for capped mode (see class
+        docstring) — also re-seeds the planning window from the
+        engine's own offsets, so a reader that restarted with a
+        checkpoint ahead of its in-memory state catches up instead of
+        replaying history."""
+        key_end = (end.get("w", 0), frozenset(end.get("recent", ())))
+        # files inside any OTHER engine-shown offset boundary belong to
+        # already-planned batches — never this one's
+        for w_seen, recent_seen in self._offsets_seen:
+            if (w_seen, recent_seen) != key_end:
+                new -= recent_seen
+        # aging rule vs the start watermark: anything older than the
+        # lookback was processed (or pre-aged) before `start`
+        cutoff = start.get("w", 0) - self.lookback_ns
+        if new and cutoff > 0:
+            fs = get_fs(self.path)
+            kept = set()
+            for rel in new:
+                try:
+                    if fs.mtime_ns(entry_abs(self.path, rel)) >= cutoff:
+                        kept.add(rel)
+                except (OSError, KeyError):
+                    continue  # vanished between list and stat
+            new = kept
+        for off in (start, end):
+            k = (off.get("w", 0), frozenset(off.get("recent", ())))
+            if k not in self._offsets_seen:
+                self._offsets_seen.append(k)
+        del self._offsets_seen[:-64]  # bounded memory
+        for off in (start, end):
+            if self._last is None or (
+                off.get("w", 0),
+                len(off.get("recent", ())),
+            ) > (self._last.get("w", 0), len(self._last.get("recent", ()))):
+                self._last = {
+                    "w": off.get("w", 0),
+                    "recent": list(off.get("recent", ())),
+                }
+        return new
+
     def partitions(self, start: dict, end: dict):
         if "seen" in start or "seen" in end:  # legacy offset format
             new = sorted(set(end.get("seen", end.get("recent", []))) - set(start.get("seen", start.get("recent", []))))
             return [_Stripe(entry_abs(self.path, rel), 0, -1) for rel in new]
         new = set(end.get("recent", [])) - set(start.get("recent", []))
-        if start.get("w", 0) == 0 and not start.get("recent"):
+        if self.max_files:
+            new = self._capped_batch_filter(start, end, new)
+        if (
+            start.get("w", 0) == 0
+            and not start.get("recent")
+            and not self.max_files
+        ):
             # First batch: also pick up pre-existing files older than the
             # lookback window (they are in no offset's `recent`). This
             # re-lists, so a replayed FIRST batch could in principle see
@@ -2001,7 +2111,7 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
         return _Commit(files=[])
 
     def commit(self, messages, batchId=None):  # noqa: N803
-        publish_manifest(self.path, messages)
+        publish_manifest(self.path, messages, operation="stream-append")
         return None
 
     def abort(self, messages, batchId=None):  # noqa: N803

@@ -158,6 +158,7 @@ def _flip_generation(path: str, drop_rel: set[str], add_entries, verb: str) -> N
                 entries + adds,
                 generation=gen,
                 properties=(man or {}).get("properties") or {},
+                operation=verb,
             )
             return
         except ManifestConflictError:
@@ -596,7 +597,9 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         out = _rewrite(_read_files(spark, path, rels))
         out.write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
-    _flip_generation(path, set(cand_rel), moved, key)
+    _flip_generation(
+        path, set(cand_rel), moved, "delete" if assignments is None else "update"
+    )
     return {"files_rewritten": len(candidates), key: n_rows}
 
 

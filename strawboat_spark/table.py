@@ -224,9 +224,58 @@ class Table:
         )
 
     def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analog: one row per retained generation,
+        oldest first — {generation, operation, n_files, n_added,
+        n_removed, committed_at_us, current}.  The operation verb is
+        stamped by each commit path (overwrite/append/delete/update/
+        merge_*/optimize/compact/clone/restore/DDL verbs/adopt);
+        n_added/n_removed are derived by diffing the retained entry
+        lists, so they need no writer cooperation.  Driver-side
+        metadata only: O(retained generations) manifest reads, no scan
+        of any data file at any table size."""
         from strawboat_spark.sources.datasource import list_generations
 
-        return list_generations(self.path)
+        out = []
+        prev_paths: set | None = None
+        for g in list_generations(self.path):
+            paths = set(g.pop("entry_paths", ()))
+            if prev_paths is None and g["generation"] > 1:
+                # earlier generations vacuumed: the first retained
+                # generation's add/remove counts are unknowable
+                g["n_added"] = g["n_removed"] = None
+            else:
+                base = prev_paths or set()
+                g["n_added"] = len(paths - base)
+                g["n_removed"] = len(base - paths)
+            prev_paths = paths
+            out.append(g)
+        return out
+
+    def history_df(self) -> DataFrame:
+        """Table.history() as a DataFrame (DESCRIBE HISTORY shape)."""
+        import datetime as _dt
+
+        rows = [
+            (
+                int(g["generation"]),
+                g.get("operation"),
+                int(g["n_files"]),
+                None if g.get("n_added") is None else int(g["n_added"]),
+                None if g.get("n_removed") is None else int(g["n_removed"]),
+                None
+                if g.get("committed_at_us") is None
+                else _dt.datetime.fromtimestamp(
+                    g["committed_at_us"] / 1e6, tz=_dt.timezone.utc
+                ).replace(tzinfo=None),
+                bool(g["current"]),
+            )
+            for g in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "generation long, operation string, n_files long, n_added long, "
+            "n_removed long, committed_at timestamp, current boolean",
+        )
 
     @staticmethod
     def _ts_us(ts) -> int:
@@ -733,7 +782,7 @@ class Table:
             "generation": man.get("generation", 0),
             "deep": deep,
         }
-        write_manifest(dest, entries, generation=1, properties=props)
+        write_manifest(dest, entries, generation=1, properties=props, operation="clone")
         # constraints + generated-column defs travel with the clone
         # (Delta CLONE semantics)
         sfs = get_fs(self.path)
@@ -823,6 +872,7 @@ class Table:
                     man["entries"],
                     generation=man.get("generation", 0) + 1,
                     properties=props,
+                    operation="rename_column",
                 )
                 return
             except ManifestConflictError:
@@ -880,6 +930,7 @@ class Table:
                     man["entries"],
                     generation=man.get("generation", 0) + 1,
                     properties=props,
+                    operation="add_column",
                 )
                 return
             except ManifestConflictError:
@@ -959,6 +1010,7 @@ class Table:
                     man["entries"],
                     generation=man.get("generation", 0) + 1,
                     properties=props,
+                    operation="alter_column_type",
                 )
                 return
             except ManifestConflictError:
@@ -1036,7 +1088,11 @@ class Table:
                 props["column_types"] = ct
             try:
                 write_manifest(
-                    self.path, man["entries"], generation=gen + 1, properties=props
+                    self.path,
+                    man["entries"],
+                    generation=gen + 1,
+                    properties=props,
+                    operation="drop_column",
                 )
                 return
             except ManifestConflictError:
@@ -1071,7 +1127,9 @@ class Table:
             man = read_manifest(self.path)
             gen = (man.get("generation", 0) + 1) if man else 1
             try:
-                write_manifest(self.path, target["entries"], generation=gen)
+                write_manifest(
+                    self.path, target["entries"], generation=gen, operation="restore"
+                )
                 return
             except ManifestConflictError:
                 continue

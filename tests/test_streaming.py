@@ -539,3 +539,65 @@ def test_manifest_properties_survive_unrelated_commits(spark, tmp_path):
     # an overwrite WITHOUT explicit properties also carries forward
     t.overwrite(spark.range(3).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
     assert t.properties()["txn"] == {"app": "a", "batch": 7}
+
+
+def test_stream_rate_limit_caps_each_batch(tmp_path, spark):
+    """max_files_per_trigger: offsets advance by at most K files,
+    oldest mtime first; the union of all batches is exactly the file
+    set, with no file emitted twice (driving the reader directly so
+    the offset algebra — not the engine — is under test)."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import StrawboatStreamReaderImpl
+    from strawboat_spark.table import Table
+
+    root = f"{tmp_path}/src"
+    t = Table(spark, root)
+    t.overwrite(spark.range(1).select(F.col("id")).coalesce(1))
+    for i in range(1, 10):
+        t.append(spark.range(i, i + 1).coalesce(1))
+    # distinct mtimes so the oldest-first prefix order is deterministic
+    files = sorted(
+        f for f in _os.listdir(root) if f.endswith(".strb")
+    )
+    for i, f in enumerate(files):
+        _os.utime(f"{root}/{f}", ns=(1_000_000_000 * (i + 1),) * 2)
+
+    r = StrawboatStreamReaderImpl(
+        {"path": root, "max_files_per_trigger": "4"}, spark.range(1).schema
+    )
+    off = r.initialOffset()
+    seen, batch_sizes = [], []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == off:
+            break
+        parts = r.partitions(off, end)
+        batch_sizes.append(len(parts))
+        seen.extend(p.file for p in parts)
+        off = end
+    assert batch_sizes == [4, 4, 2]
+    assert len(seen) == len(set(seen)) == 10  # no file twice, none missed
+    assert {_os.path.basename(f) for f in seen} == set(files)
+
+    # restart path: a fresh reader instance rebuilds its window from
+    # scratch — its cold capped offset may cover already-processed
+    # files, but the batch filter emits none of them, the planner
+    # re-seeds from the engine's (checkpointed) start offset, and the
+    # stream then advances capped over only the genuinely new files
+    for i in range(10, 16):
+        t.append(spark.range(i, i + 1).coalesce(1))
+    r2 = StrawboatStreamReaderImpl(
+        {"path": root, "max_files_per_trigger": "4"}, spark.range(1).schema
+    )
+    end2 = r2.latestOffset()  # cold window: oldest (processed) files
+    assert r2.partitions(off, end2) == []  # catch-up batch, no replays
+    end3 = r2.latestOffset()  # re-seeded -> advances past checkpoint
+    parts3 = [p.file for p in r2.partitions(end2, end3)]
+    assert len(parts3) == 4 and not (set(parts3) & set(seen))
+    end4 = r2.latestOffset()
+    parts4 = [p.file for p in r2.partitions(end3, end4)]
+    assert len(parts4) == 2 and not (set(parts4) & set(seen) & set(parts3))
+    assert len(set(parts3) | set(parts4)) == 6  # all new files, once each

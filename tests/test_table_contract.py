@@ -1626,3 +1626,42 @@ def test_alter_column_type_metadata_only_widening(tmp_path, spark):
     )
     with _pytest.raises(ValueError, match="partition"):
         p.alter_column_type("k", "bigint")
+
+
+def test_history_records_operations(tmp_path, spark):
+    """DESCRIBE HISTORY analog: each commit path stamps its verb;
+    n_added/n_removed derive from entry-list diffs; the first retained
+    generation after vacuum reports unknowable counts as None."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.maintenance import compact
+    from strawboat_spark.table import Table
+
+    root = str(tmp_path)
+    t = Table(spark, f"{root}/t")
+    t.overwrite(spark.range(100).coalesce(1))
+    t.append(spark.range(100, 200).coalesce(1))
+    t.delete("id >= 150", mode="mor")
+    t.add_column("score", "double", default=1.0)
+    t.rename_column("score", "quality")
+    t.update("id < 10", {"quality": "2.0"})
+    t.restore(generation=2)
+    compact(spark, f"{root}/t")
+    h = t.history()
+    assert [g["operation"] for g in h] == [
+        "overwrite", "append", "delete-mor", "add_column",
+        "rename_column", "update", "restore", "compact",
+    ]
+    assert [g["n_added"] for g in h][:3] == [1, 1, 0]
+    assert h[-1]["n_removed"] == 2 and h[-1]["n_files"] == 1
+    assert all(g["committed_at_us"] for g in h)
+    assert [bool(g["current"]) for g in h] == [False] * 7 + [True]
+    # clone stamps its own verb in the DESTINATION's first generation
+    c = t.clone(f"{root}/c")
+    assert c.history()[0]["operation"] == "clone"
+    df = t.history_df()
+    assert df.columns == [
+        "generation", "operation", "n_files", "n_added",
+        "n_removed", "committed_at", "current",
+    ]
+    assert df.count() == 8
