@@ -567,3 +567,74 @@ def strawboat_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_batches", F.lit(n_batches).cast("long"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "strawboat_cdf_update_images",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'update_preimage',
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'update_postimage',
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice + 1.0), 2)
+    FROM orders WHERE o_orderkey % 5 = 0
+    ORDER BY change_type
+    """,
+    description=(
+        "CDF update images (Delta parity): a merge-on-read UPDATE "
+        "generation streams its DV delta as update_preimage and its "
+        "landed rows as update_postimage — row-exact on both sides, "
+        "because MOR identifies precisely the changed rows"
+    ),
+)
+def strawboat_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasource.py StrawboatCDFStreamReaderImpl: generations whose
+    manifest records operation 'update-mor' emit update_preimage /
+    update_postimage instead of delete+insert (contract in
+    tests/test_streaming.py CDF tests; fold parity in streaming/views.py)."""
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_upi_')}/orders"
+    t = Table(spark, path)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.overwrite(o)                                                   # gen 1
+    t.update("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice + 1.0"}, mode="mor")
+    name = f"upi_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("change_type")
+    )

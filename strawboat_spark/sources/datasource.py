@@ -1694,6 +1694,11 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
       - a surviving file whose deletion vector GREW at g -> exactly the
         newly-masked ordinals as 'delete' rows (merge-on-read verbs
         stream EXACTLY)
+      - a generation whose manifest records operation 'update-mor'
+        emits its DV delta as 'update_preimage' and its landed files
+        as 'update_postimage' (Delta CDF's update images) — only that
+        verb qualifies, because only there do the masked rows and the
+        landed rows correspond exactly to the changed rows
     Copy-on-write rewrites and compaction are remove+add pairs, so they
     re-emit surviving rows as delete+insert (the documented Delta
     ignoreChanges-style over-report; MOR verbs avoid it entirely).
@@ -1743,6 +1748,14 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 else {"entries": []}
             )
             cur = read_manifest_at(self.path, g)
+            # A merge-on-read UPDATE generation identifies its changed
+            # rows exactly: the DV delta is the pre-update versions,
+            # the landed files are the post-update versions — so the
+            # feed can emit Delta's update_preimage/update_postimage
+            # instead of delete+insert.  Only update-mor qualifies:
+            # COW rewrites carry untouched neighbor rows, and merges
+            # mix true inserts into the landed files.
+            is_update = cur.get("operation") == "update-mor"
             ent_prev = {
                 e["path"]: decode_deletes(e.get("deletes")) for e in prev["entries"]
             }
@@ -1753,11 +1766,13 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 file = entry_abs(self.path, rel)
                 pv = _pv(file)
                 if rel not in ent_prev:
-                    parts.append(_CDFPart("insert", file, g, pv, skip=dv, colmap=cmap, defaults=defaults))
+                    kind = "update_post" if is_update else "insert"
+                    parts.append(_CDFPart(kind, file, g, pv, skip=dv, colmap=cmap, defaults=defaults))
                 elif dv != ent_prev[rel]:
                     delta = tuple(sorted(set(dv) - set(ent_prev[rel])))
                     if delta:
-                        parts.append(_CDFPart("delete_rows", file, g, pv, only=delta, colmap=cmap, defaults=defaults))
+                        kind = "update_pre" if is_update else "delete_rows"
+                        parts.append(_CDFPart(kind, file, g, pv, only=delta, colmap=cmap, defaults=defaults))
             for rel, dv in sorted(ent_prev.items()):
                 if rel not in ent_cur:
                     file = entry_abs(self.path, rel)
@@ -1774,7 +1789,13 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         if partition is None:
             return
         want = to_arrow_schema(self.schema)
-        change_type = "insert" if partition.kind == "insert" else "delete"
+        change_type = {
+            "insert": "insert",
+            "update_post": "update_postimage",
+            "update_pre": "update_preimage",
+            "delete_rows": "delete",
+            "delete": "delete",
+        }[partition.kind]
         pvals = dict(partition.part_values)
         consts = {
             "_change_type": change_type,
@@ -1800,7 +1821,7 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 offsets.append(offsets[-1] + pg.num_values)
             for page_i, batch in enumerate(reader.iter_batches(columns=stored)):
                 lo, hi = offsets[page_i], offsets[page_i] + batch.num_rows
-                if partition.kind == "delete_rows":
+                if partition.kind in ("delete_rows", "update_pre"):
                     sel = only[(only >= lo) & (only < hi)] - lo
                     if not len(sel):
                         continue

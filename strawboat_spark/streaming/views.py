@@ -54,7 +54,9 @@ def _fold_batch(
     if txn.get("app") == txn_app and batch_id <= txn.get("batch", -1):
         return  # at-least-once replay of an already-folded batch
 
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     delta = batch_df.groupBy(F.col(group_col).alias("g")).agg(
         F.sum(sign).alias("d_n"),
         F.sum(sign * F.col(value_col)).alias("d_sum"),

@@ -389,7 +389,10 @@ def test_stream_change_feed_exact_for_mor(spark, tmp_path):
         (r._generation, r._change_type, r.id, r.v)
         for r in spark.read.parquet(sink).collect()
     }
-    assert second - first == {(3, "delete", 2, 20), (3, "insert", 2, 222)}
+    assert second - first == {
+        (3, "update_preimage", 2, 20),
+        (3, "update_postimage", 2, 222),
+    }
     assert len(second) == len(first) + 2  # nothing re-emitted
 
     # hive layouts: partition constants ride the feed
