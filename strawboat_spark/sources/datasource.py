@@ -1525,6 +1525,9 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
         self.schema = schema
         self.lookback_ns = int(float(options.get("max_file_age_sec", "900")) * 1_000_000_000)
         self.max_files = int(options.get("max_files_per_trigger", "0") or 0)
+        self.max_bytes = int(options.get("max_bytes_per_trigger", "0") or 0)
+        if self.max_bytes and not self.max_files:
+            self.max_files = 1 << 30  # bytes-only cap: file count unbounded
         self._last: dict | None = None  # capped mode: newest planned offset
         self._offsets_seen: list = []  # engine-provided (w, frozenset(recent))
 
@@ -1574,6 +1577,21 @@ class StrawboatStreamReaderImpl(DataSourceStreamReader):
             if rel not in done and (bw == 0 or m >= bw - self.lookback_ns)
         )
         take = cand[: self.max_files]
+        if self.max_bytes and len(take) > 1:
+            # maxBytesPerTrigger analog: shrink the prefix to the byte
+            # budget — always at least one file, so the stream advances
+            fs = get_fs(self.path)
+            kept, acc = [], 0
+            for m, rel in take:
+                try:
+                    size = fs.stat_sig(entry_abs(self.path, rel))[0]
+                except (OSError, KeyError):
+                    size = 0  # vanished: keep, the batch read handles it
+                if kept and acc + size > self.max_bytes:
+                    break
+                kept.append((m, rel))
+                acc += size
+            take = kept
         if not take:
             self._last = base
             return base

@@ -604,3 +604,48 @@ def test_stream_rate_limit_caps_each_batch(tmp_path, spark):
     parts4 = [p.file for p in r2.partitions(end3, end4)]
     assert len(parts4) == 2 and not (set(parts4) & set(seen) & set(parts3))
     assert len(set(parts3) | set(parts4)) == 6  # all new files, once each
+
+
+def test_stream_rate_limit_bytes_cap(tmp_path, spark):
+    """max_bytes_per_trigger: the offset prefix shrinks to the byte
+    budget (always >= 1 file so the stream advances); with a budget
+    below any single file size, batches degrade to one file each."""
+    import os as _os
+
+    from strawboat_spark.sources.datasource import StrawboatStreamReaderImpl
+    from strawboat_spark.table import Table
+
+    root = f"{tmp_path}/src"
+    t = Table(spark, root)
+    t.overwrite(spark.range(1).coalesce(1))
+    for i in range(1, 6):
+        t.append(spark.range(i, i + 1).coalesce(1))
+    files = sorted(f for f in _os.listdir(root) if f.endswith(".strb"))
+    for i, f in enumerate(files):
+        _os.utime(f"{root}/{f}", ns=(1_000_000_000 * (i + 1),) * 2)
+
+    r = StrawboatStreamReaderImpl(
+        {"path": root, "max_bytes_per_trigger": "1"}, spark.range(1).schema
+    )
+    off = r.initialOffset()
+    sizes, seen = [], []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == off:
+            break
+        parts = r.partitions(off, end)
+        sizes.append(len(parts))
+        seen.extend(p.file for p in parts)
+        off = end
+    assert sizes == [1] * 6          # 1-byte budget -> one file per batch
+    assert len(set(seen)) == 6
+
+    # a budget of two files' bytes -> two files per batch
+    sz = _os.path.getsize(f"{root}/{files[0]}")
+    r2 = StrawboatStreamReaderImpl(
+        {"path": root, "max_bytes_per_trigger": str(2 * sz + 64)},
+        spark.range(1).schema,
+    )
+    off2 = r2.initialOffset()
+    end2 = r2.latestOffset()
+    assert len(r2.partitions(off2, end2)) == 2
