@@ -1701,3 +1701,50 @@ def strawboat_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.history_df().select(
         "generation", "operation", "n_files", "n_added", "n_removed"
     ).orderBy("generation")
+
+
+@query(
+    "strawboat_bucket_pruning",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    GROUP BY 1
+    """,
+    description=(
+        "hash-bucketed layout (bucketBy analog): orders bucketed 16 "
+        "ways on o_custkey across two epochs; a point lookup hashes "
+        "the key at PLANNING time and scans 1/16 of the files — the "
+        "100 TB point-lookup shape — and the result is exact"
+    ),
+)
+def strawboat_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py _apply_bucketing + datasource bucket_spec/bucket_id:
+    crc32-bucketed hive layout, planner-side bucket pruning for
+    equality/IN filters on the key (contract in
+    tests/test_table_contract.py::test_bucketed_layout_prunes_and_stays_consistent)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_bp_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    t.overwrite(
+        o.filter("o_custkey % 2 = 0"),
+        bucket_by="o_custkey",
+        num_buckets=16,
+    )
+    t.append(o.filter("o_custkey % 2 = 1"))  # re-buckets automatically
+    k = o.agg(F.min("o_custkey")).collect()[0][0]  # bounded scalar
+    return (
+        t.read()
+        .filter(F.col("o_custkey") == k)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -78,18 +78,31 @@ _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
-def column_mapping(root: str, at_generation: int | None = None) -> dict[str, list[str]]:
+# Sentinel for "caller did not supply a pre-read manifest": planning
+# reads the manifest ONCE and passes it to every property extractor —
+# on an object store each separate read_manifest() is a GET + probe.
+_UNSET_MAN = object()
+
+
+def _manifest_for(root: str, at_generation: int | None = None) -> dict | None:
+    return (
+        read_manifest_at(root, at_generation)
+        if at_generation is not None
+        else read_manifest(root)
+    )
+
+
+def column_mapping(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict[str, list[str]]:
     """logical column -> historical physical names (newest first), from
     the manifest's `column_mapping` property (metadata-only RENAME —
     Delta column-mapping analog).  Files written before a rename store
     an alias; files written after store the logical name.  Time-travel
     reads resolve against the PINNED generation's mapping, so a
     snapshot renders the names it had then (Delta semantics)."""
-    man = (
-        read_manifest_at(root, at_generation)
-        if at_generation is not None
-        else read_manifest(root)
-    )
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
     cm = ((man or {}).get("properties") or {}).get("column_mapping") or {}
     return {k: list(v) for k, v in cm.items()}
 
@@ -171,18 +184,17 @@ def _scalar_type(ddl: str):
     return t
 
 
-def declared_columns(root: str, at_generation: int | None = None) -> dict[str, dict]:
+def declared_columns(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict[str, dict]:
     """Columns declared via Table.add_column: name -> {"type": spark
     DDL type, "default": JSON scalar}.  They are part of the LOGICAL
     schema even before any file stores them; files that predate the
     declaration render the default at read time (Delta's
     existingDefault) — the add-a-column-to-100TB-without-rewriting
     operation.  Generation-pinned like column_mapping."""
-    man = (
-        read_manifest_at(root, at_generation)
-        if at_generation is not None
-        else read_manifest(root)
-    )
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
     return dict(((man or {}).get("properties") or {}).get("column_defaults") or {})
 
 
@@ -212,7 +224,9 @@ _WIDEN_ARROW = {
 }
 
 
-def widened_columns(root: str, at_generation: int | None = None) -> dict[str, str]:
+def widened_columns(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict[str, str]:
     """Columns re-typed via Table.alter_column_type: logical name ->
     target Spark DDL type.  One manifest flip; files keep their stored
     (narrower) physical type and the read path upcasts — losslessly,
@@ -221,12 +235,56 @@ def widened_columns(root: str, at_generation: int | None = None) -> dict[str, st
     and the stored Python-float stats ARE the upcast values).
     Generation-pinned like column_mapping, so time travel renders each
     snapshot under its generation's declared types."""
-    man = (
-        read_manifest_at(root, at_generation)
-        if at_generation is not None
-        else read_manifest(root)
-    )
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
     return dict(((man or {}).get("properties") or {}).get("column_types") or {})
+
+
+def bucket_spec(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict | None:
+    """Hash-bucket layout declared by a bucketed write: {"col": key
+    column, "n": bucket count, "dir_col": hive directory column}.
+    The bucket id is `pmod(crc32(cast(col AS STRING)), n)` — chosen
+    because Spark's crc32 and Python's zlib.crc32 agree bit-for-bit,
+    so the PLANNER can hash a pushed equality/IN value and prune to
+    1/n of the files without touching a footer.  At 100 TB that turns
+    a point lookup from a stats-dependent scan into O(files/n)."""
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
+    return ((man or {}).get("properties") or {}).get("bucket")
+
+
+def bucket_id(value, n: int) -> int:
+    """Python twin of the write-side Spark expression
+    pmod(crc32(cast(col AS STRING)), n); values arrive from pushed
+    filters as int/str/bytes."""
+    import zlib
+
+    if isinstance(value, bytes):
+        b = value
+    else:
+        b = str(value).encode("utf-8")
+    return zlib.crc32(b) % n
+
+
+def _bucket_prunable(filters, spec: dict | None):
+    """The set of allowed bucket ids proven by pushed filters on the
+    bucket key column, or None when no filter narrows it."""
+    if not spec:
+        return None
+    allowed = None
+    for f in filters:
+        if f.attribute[0] != spec["col"]:
+            continue
+        if isinstance(f, EqualTo):
+            ids = {bucket_id(f.value, spec["n"])}
+        elif isinstance(f, In):
+            ids = {bucket_id(v, spec["n"]) for v in f.value}
+        else:
+            continue
+        allowed = ids if allowed is None else (allowed & ids)
+    return allowed
 
 
 def _widened_arrow_field(f: pa.Field, ddl: str) -> pa.Field:
@@ -273,14 +331,11 @@ def is_external_entry(p: str) -> bool:
     return bool(split_scheme(p)[0]) or os.path.isabs(p)
 
 
-def _list_files(path: str, at_generation: int | None = None) -> list[str]:
+def _list_files(path: str, at_generation: int | None = None, man=_UNSET_MAN) -> list[str]:
     fs = get_fs(path)
     if fs.isdir(path):
-        man = (
-            read_manifest_at(path, at_generation)
-            if at_generation is not None
-            else read_manifest(path)
-        )
+        if man is _UNSET_MAN:
+            man = _manifest_for(path, at_generation)
         if man is not None:
             # Manifest present: its entry list IS the committed
             # generation (snapshot isolation for compact/appends), and
@@ -738,6 +793,10 @@ def publish_manifest(
             props = dict((prev or {}).get("properties") or {})
             if replace:
                 props.pop("column_mapping", None)
+                # an overwrite's layout is whatever IT declares — a
+                # carried-forward bucket spec from the replaced epoch
+                # would mis-prune the new files
+                props.pop("bucket", None)
         try:
             # explicit properties (e.g. an incremental-view txn marker)
             # land atomically with this commit
@@ -806,7 +865,8 @@ class StrawboatDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("strawboat: 'path' option is required")
-        files = _list_files(path, _at_generation(self.options))
+        man = _manifest_for(path, _at_generation(self.options))
+        files = _list_files(path, _at_generation(self.options), man=man)
         if not files:
             raise ValueError(f"strawboat: no {FILE_EXT} files under {path}")
         files_opt = _files_option(self.options)
@@ -815,8 +875,8 @@ class StrawboatDataSource(DataSource):
             files = [entry_abs(path, rel) for rel in files_opt]
             if not files:
                 raise ValueError("strawboat: 'files' option names no files")
-        cmap = column_mapping(path, _at_generation(self.options))
-        wmap = widened_columns(path, _at_generation(self.options))
+        cmap = column_mapping(path, man=man)
+        wmap = widened_columns(path, man=man)
         arrow_schema, _ = _cached_footer(files[0])
         arrow_schema = _apply_widening(_to_logical_schema(arrow_schema, cmap), wmap)
         # Force nullable like Spark's parquet source does for file-based
@@ -853,7 +913,7 @@ class StrawboatDataSource(DataSource):
         # Declared columns (Table.add_column) are part of the logical
         # schema even before any file stores them; pre-declaration
         # files fill the default (or null) at read time.
-        for dname, dspec in declared_columns(path, _at_generation(self.options)).items():
+        for dname, dspec in declared_columns(path, man=man).items():
             if dname not in schema.fieldNames():
                 schema = schema.add(dname, _scalar_type(dspec["type"]))
         # Hive-style partition columns discovered from the layout are
@@ -995,15 +1055,12 @@ def decode_deletes(v) -> tuple:
     return tuple(out)
 
 
-def _deletes_by_rel(root: str, at_generation: int | None) -> dict:
+def _deletes_by_rel(root: str, at_generation: int | None, man=_UNSET_MAN) -> dict:
     """Per-file merge-on-read deletion vectors from the generation's
     manifest: {relative path: sorted tuple of physical row ordinals}.
     Tables without a manifest (legacy directories) have none."""
-    man = (
-        read_manifest_at(root, at_generation)
-        if at_generation is not None
-        else read_manifest(root)
-    )
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
     if man is None:
         return {}
     return {
@@ -1058,19 +1115,28 @@ class StrawboatReaderImpl(DataSourceReader):
     def partitions(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        files = _list_files(self.path, self.at_generation)
+        # ONE manifest read feeds the listing and every metadata-only
+        # property below (mapping/defaults/bucket/deletes) — each
+        # separate read is a round-trip on an object store.
+        man = _manifest_for(self.path, self.at_generation)
+        files = _list_files(self.path, self.at_generation, man=man)
         part_types = dict(_infer_partition_fields(self.path, files))
         cmap = tuple(
             (lg, tuple(aliases))
-            for lg, aliases in column_mapping(self.path, self.at_generation).items()
+            for lg, aliases in column_mapping(self.path, man=man).items()
         )
         defaults = tuple(
             (n, d.get("default"))
-            for n, d in declared_columns(self.path, self.at_generation).items()
+            for n, d in declared_columns(self.path, man=man).items()
             if d.get("default") is not None
         )
         if self.files_opt is not None:
             files = [entry_abs(self.path, rel) for rel in self.files_opt]
+        # Bucket pruning: an equality/IN filter on the bucket key
+        # hashes its value(s) to the only directories that can hold
+        # matching rows — O(files/n) planning with zero footer reads.
+        spec = bucket_spec(self.path, man=man)
+        allowed_buckets = _bucket_prunable(self._filters, spec)
         survivors: list[tuple[str, dict]] = []
         for file in files:
             pvals = {
@@ -1080,6 +1146,10 @@ class StrawboatReaderImpl(DataSourceReader):
             # Partition pruning: a filter on a partition column that the
             # constant value fails eliminates the whole file before any
             # footer read — the directory layout IS the index.
+            if allowed_buckets is not None and spec:
+                b = pvals.get(spec["dir_col"])
+                if b is not None and int(b) not in allowed_buckets:
+                    continue
             if all(_value_may_match(f, pvals) for f in self._filters):
                 survivors.append((file, pvals))
 
@@ -1113,7 +1183,7 @@ class StrawboatReaderImpl(DataSourceReader):
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(survivors)))) as ex:
             plans = list(ex.map(_plan, [f for f, _ in survivors]))
 
-        dmap = _deletes_by_rel(self.path, self.at_generation)
+        dmap = _deletes_by_rel(self.path, self.at_generation, man=man)
         import bisect
 
         parts: list[_Stripe] = []

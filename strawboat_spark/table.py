@@ -531,6 +531,7 @@ class Table:
         for wname, wddl in widened_columns(self.path).items():
             if wname in df.columns:
                 df = df.withColumn(wname, F.col(wname).cast(wddl))
+        df, options = self._apply_bucketing(df, mode, options)
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
@@ -538,6 +539,70 @@ class Table:
         for k, v in options.items():
             w = w.option(k, v)
         w.save(self.path)
+
+    _BUCKET_DIR_COL = "__bucket"
+
+    def _apply_bucketing(self, df: DataFrame, mode: str, options: dict):
+        """Hash-bucketed layout (Spark bucketBy analog, format-level):
+        `overwrite(df, bucket_by="k", num_buckets=n)` computes
+        `__bucket = pmod(crc32(cast(k AS STRING)), n)` — the Spark
+        twin of the planner's zlib.crc32 — hive-partitions by it, and
+        records the spec in the manifest, so every later equality/IN
+        filter on `k` prunes to 1/n of the files at PLANNING time and
+        appends re-bucket automatically.  One repartition on the
+        bucket id co-locates each bucket into one task → ~one file per
+        bucket per write (bounded file counts at any scale)."""
+        import json
+
+        import pyspark.sql.functions as F
+
+        from strawboat_spark.sources.datasource import bucket_spec
+
+        col = options.pop("bucket_by", None)
+        n = int(options.pop("num_buckets", 16) or 16)
+        declare = mode != "append"
+        if mode == "append":
+            spec = bucket_spec(self.path)
+            if col is not None and spec is not None and (
+                spec["col"] != col or spec["n"] != n
+            ):
+                raise ValueError(
+                    f"bucket_by: table is bucketed by ({spec['col']}, "
+                    f"{spec['n']}); an append cannot re-bucket — overwrite "
+                    f"to change the layout"
+                )
+            if spec is not None:
+                col, n = spec["col"], spec["n"]  # appends inherit the layout
+            elif col is not None:
+                raise ValueError(
+                    "bucket_by: appends cannot introduce bucketing on an "
+                    "unbucketed table (existing files would stay outside "
+                    "the layout); overwrite instead"
+                )
+        if col is None:
+            return df, options
+        if col not in df.columns:
+            raise ValueError(f"bucket_by: no column {col!r} in the dataframe")
+        t = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[col]
+        if t in ("float", "double"):
+            raise ValueError(
+                f"bucket_by: {col!r} is {t}; floating-point keys have no "
+                f"stable string form to hash — bucket on an int/string key"
+            )
+        dir_col = self._BUCKET_DIR_COL
+        df = df.withColumn(
+            dir_col,
+            F.pmod(F.crc32(F.col(col).cast("string").cast("binary")), F.lit(n)).cast("long"),
+        ).repartition(n, dir_col)
+        pb = options.get("partition_by", "")
+        options["partition_by"] = f"{pb},{dir_col}" if pb else dir_col
+        if declare:
+            # the spec lands atomically with the overwrite commit; an
+            # append's spec is already in the carried-forward properties
+            props = json.loads(options.get("manifest_properties", "{}") or "{}")
+            props["bucket"] = {"col": col, "n": n, "dir_col": dir_col}
+            options["manifest_properties"] = json.dumps(props)
+        return df, options
 
     def overwrite(self, df: DataFrame, **options) -> None:
         self._write(df, "overwrite", **options)
@@ -570,6 +635,7 @@ class Table:
 
         from strawboat_spark.sources.maintenance import update_where
 
+        self._refuse_bucket_key_assignment("update", assignments)
         cons = {**self.constraints(), **self._generated_invariants()}
         if cons:
             df = self.read().filter(F.expr(condition))
@@ -600,6 +666,9 @@ class Table:
 
         import pyspark.sql.functions as F
 
+        if matched_update is not None:
+            self._refuse_bucket_key_assignment("merge_when", matched_update[1])
+        source = self._bucket_source(source)
         # generated columns: compute missing ones on the source (the
         # insert leg writes source rows verbatim), validate only on the
         # subsets actually written via the invariants below
@@ -653,6 +722,45 @@ class Table:
             not_matched_insert=not_matched_insert,
         )
 
+    def _refuse_bucket_key_assignment(self, verb: str, assignments: dict) -> None:
+        """Mutating the bucket key would strand rows in the wrong
+        bucket directory — pruning would silently miss them.  Delete
+        the row and re-insert it (which re-buckets) instead."""
+        from strawboat_spark.sources.datasource import bucket_spec
+
+        spec = bucket_spec(self.path)
+        if not spec:
+            return
+        hit = [c for c in (spec["col"], spec["dir_col"]) if c in assignments]
+        if hit:
+            raise ValueError(
+                f"{verb}: cannot assign {hit} — the table is hash-bucketed "
+                f"by {spec['col']!r} and a changed key would leave the row "
+                f"in a stale bucket directory (pruning would miss it); "
+                f"delete + re-insert to move a row between buckets"
+            )
+
+    def _bucket_source(self, source: DataFrame) -> DataFrame:
+        """Merge legs land source rows as files, so a bucketed table's
+        source needs the bucket directory column — computed here with
+        the same expression as writes, so inserts prune correctly."""
+        import pyspark.sql.functions as F
+
+        from strawboat_spark.sources.datasource import bucket_spec
+
+        spec = bucket_spec(self.path)
+        if not spec or spec["dir_col"] in source.columns:
+            return source
+        if spec["col"] not in source.columns:
+            return source  # key-less source: downstream validation rejects
+        return source.withColumn(
+            spec["dir_col"],
+            F.pmod(
+                F.crc32(F.col(spec["col"]).cast("string").cast("binary")),
+                F.lit(spec["n"]),
+            ).cast("long"),
+        )
+
     def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:
         """mode='mor': matched target rows are masked by deletion
         vectors, the source lands as new files (partitioned by the
@@ -661,6 +769,7 @@ class Table:
 
         # every source row is written (replacement or insert), so
         # generated columns compute+validate over the whole source
+        source = self._bucket_source(source)
         source = self._apply_generated(source)
         cons = self.constraints()
         if cons:

@@ -742,14 +742,14 @@ def test_mor_delete_cas_retry_remerges_concurrent_vectors(spark, tmp_path, monke
     real_write = ds.write_manifest
     state = {"interleaved": False}
 
-    def racy_write(root, entries, generation=None, properties=None):
+    def racy_write(root, entries, generation=None, properties=None, **kw):
         if not state["interleaved"]:
             state["interleaved"] = True
             # the concurrent committer lands first (uses real_write via
             # the flag), then our attempt loses the CAS race
             maintenance.delete_where(spark, path, "id IN (4, 5)", mode="mor")
             raise ds.ManifestConflictError("simulated lost race")
-        return real_write(root, entries, generation=generation, properties=properties)
+        return real_write(root, entries, generation=generation, properties=properties, **kw)
 
     monkeypatch.setattr(ds, "write_manifest", racy_write)
     t.delete("id IN (2, 3)", mode="mor")
@@ -1665,3 +1665,98 @@ def test_history_records_operations(tmp_path, spark):
         "n_removed", "committed_at", "current",
     ]
     assert df.count() == 8
+
+
+def test_bucketed_layout_prunes_and_stays_consistent(tmp_path, spark):
+    """Hash-bucketed layout: overwrite(bucket_by=) lands hive
+    __bucket=N dirs and records the spec; equality/IN filters on the
+    key prune to the hashed buckets at PLANNING time; appends and
+    merge sources re-bucket automatically; the key cannot be
+    reassigned; a plain overwrite clears the spec; float keys and
+    append-time re-bucketing are refused."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from strawboat_spark.sources.datasource import (
+        StrawboatReaderImpl,
+        bucket_spec,
+    )
+    from strawboat_spark.table import Table
+
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id"),
+            (F.col("id") * 7 % 997).alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 53).cast("string")).alias("s"),
+        )
+
+    t.overwrite(rows(0, 2000), bucket_by="k", num_buckets=8)
+    assert sorted(d for d in _os.listdir(p) if d.startswith("__bucket=")) == [
+        f"__bucket={i}" for i in range(8)
+    ]
+    assert bucket_spec(p) == {"col": "k", "n": 8, "dir_col": "__bucket"}
+    t.append(rows(2000, 3000))  # inherits the layout, no option needed
+
+    schema = spark.read.format("strawboat").load(p).schema
+    n_all = len(StrawboatReaderImpl({"path": p}, schema).partitions())
+    r_eq = StrawboatReaderImpl({"path": p}, schema)
+    r_eq.pushFilters([EqualTo(("k",), 42)])
+    assert len(r_eq.partitions()) <= n_all // 8 + 1
+    r_in = StrawboatReaderImpl({"path": p}, schema)
+    r_in.pushFilters([In(("k",), (42, 43, 44))])
+    assert len(r_in.partitions()) <= 3 * (n_all // 8 + 1)
+    r_gt = StrawboatReaderImpl({"path": p}, schema)
+    r_gt.pushFilters([GreaterThan(("k",), 42)])
+    assert len(r_gt.partitions()) == n_all  # range filters never bucket-prune
+
+    all_rows = rows(0, 3000)
+    for cond in ["k = 42", "k IN (42, 43, 44)", "k = -1"]:
+        assert t.read().filter(cond).count() == all_rows.filter(cond).count()
+
+    # merge: source is bucketed automatically, inserts prune correctly
+    src = spark.range(5000, 5003).select(
+        F.col("id"), F.lit(123456).alias("k"), F.lit("uX").alias("s")
+    )
+    t.merge(src, on=["id"], mode="mor")
+    assert t.read().filter("k = 123456").count() == 3
+
+    with _pytest.raises(ValueError, match="hash-bucketed"):
+        t.update("k = 42", {"k": "43"})
+    t.delete("k = 44")  # deletes are layout-safe
+    assert t.read().filter("k = 44").count() == 0
+
+    with _pytest.raises(ValueError, match="cannot re-bucket"):
+        t.append(rows(0, 1), bucket_by="k", num_buckets=4)
+    with _pytest.raises(ValueError, match="floating-point"):
+        Table(spark, f"{tmp_path}/f").overwrite(
+            spark.range(5).select(F.col("id"), (F.col("id") * 1.5).alias("x")),
+            bucket_by="x",
+        )
+    u = Table(spark, f"{tmp_path}/u")
+    u.overwrite(spark.range(5).select("id"))
+    with _pytest.raises(ValueError, match="unbucketed"):
+        u.append(spark.range(5).select("id"), bucket_by="id")
+
+    # string keys hash identically on both sides
+    sp = f"{tmp_path}/s"
+    st = Table(spark, sp)
+    st.overwrite(rows(0, 1000), bucket_by="s", num_buckets=4)
+    assert st.read().filter("s = 'u7'").count() == all_rows.filter(
+        "id < 1000 AND s = 'u7'"
+    ).count()
+    s_schema = spark.read.format("strawboat").load(sp).schema
+    s_all = len(StrawboatReaderImpl({"path": sp}, s_schema).partitions())
+    r_s = StrawboatReaderImpl({"path": sp}, s_schema)
+    r_s.pushFilters([EqualTo(("s",), "u7")])
+    assert 0 < len(r_s.partitions()) < s_all
+
+    # a plain overwrite replaces the layout and clears the spec
+    t.overwrite(spark.range(10).select("id"))
+    assert bucket_spec(p) is None
+    assert t.read().columns == ["id"]
