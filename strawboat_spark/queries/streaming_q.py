@@ -638,3 +638,64 @@ def strawboat_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "strawboat_join_view",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS k,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    a2 AS (SELECT * FROM a WHERE cents % 3 <> 0),
+    b AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg
+        FROM customer WHERE c_mktsegment <> 'BUILDING'
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_value
+    FROM a2 JOIN b USING (k) GROUP BY seg ORDER BY seg
+    """,
+    description=(
+        "incrementally maintained JOIN-aggregate view: seeded from half "
+        "the facts, then fact appends + MOR delete + dim delete fold in "
+        "via the delta identity A'⋈B' = A⋈B + ΔA⋈B + A'⋈ΔB — the view "
+        "equals the full recompute exactly, at |Δ|-shuffle cost"
+    ),
+)
+def strawboat_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/views.py maintain_join_agg_view: net multiset deltas
+    from Table.changes join the other side's pinned snapshot; horizons
+    commit atomically with each fold (contract in
+    tests/test_streaming.py::test_join_view_incremental_maintenance)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.streaming.views import maintain_join_agg_view
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_jv_")
+    ap, bp, vp = f"{root}/facts", f"{root}/dims", f"{root}/view"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    A, B = Table(spark, ap), Table(spark, bp)
+    A.overwrite(o.filter("o_orderkey % 2 = 0").drop("o_orderkey"))
+    B.overwrite(c)
+    maintain_join_agg_view(spark, ap, bp, vp, ["k"], "seg", "cents")  # seed
+    A.append(o.filter("o_orderkey % 2 = 1").drop("o_orderkey"))
+    A.delete("cents % 3 = 0", mode="mor")
+    B.delete("seg = 'BUILDING'")
+    return maintain_join_agg_view(spark, ap, bp, vp, ["k"], "seg", "cents").orderBy(
+        "seg"
+    )

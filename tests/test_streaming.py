@@ -649,3 +649,70 @@ def test_stream_rate_limit_bytes_cap(tmp_path, spark):
     off2 = r2.initialOffset()
     end2 = r2.latestOffset()
     assert len(r2.partitions(off2, end2)) == 2
+
+
+def test_join_view_incremental_maintenance(tmp_path, spark):
+    """Join-aggregate view maintained by the delta identity
+    A'⋈B' = A⋈B + ΔA⋈B + A'⋈ΔB: every refresh matches the full
+    recompute through appends, MOR deletes, dim deletes, two-sided
+    change batches and an update; a refresh at unchanged heads is an
+    exact no-op (no new view generation)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.streaming.views import maintain_join_agg_view
+    from strawboat_spark.table import Table
+
+    ap, bp, vp = f"{tmp_path}/a", f"{tmp_path}/b", f"{tmp_path}/v"
+    A, B = Table(spark, ap), Table(spark, bp)
+    A.overwrite(
+        spark.range(1000).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("cents")
+        )
+    )
+    B.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("seg"),
+        )
+    )
+
+    def refresh():
+        return {
+            tuple(r)
+            for r in maintain_join_agg_view(
+                spark, ap, bp, vp, ["k"], "seg", "cents"
+            ).collect()
+        }
+
+    def want():
+        return {
+            tuple(r)
+            for r in A.read()
+            .join(B.read(), "k")
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_value"))
+            .collect()
+        }
+
+    assert refresh() == want()  # seed
+    A.append(
+        spark.range(1000, 1500).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("cents")
+        )
+    )
+    A.delete("cents % 7 = 0", mode="mor")
+    assert refresh() == want()  # fact-side delta
+    B.delete("seg = 's3'")
+    assert refresh() == want()  # dim-side delta
+    A.append(
+        spark.range(1500, 1600).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("cents")
+        )
+    )
+    B.update("k = 5", {"seg": "'s9'"}, mode="mor")
+    assert refresh() == want()  # both sides in one refresh
+
+    V = Table(spark, vp)
+    gen = V.history()[-1]["generation"]
+    assert refresh() == want()  # heads unchanged
+    assert V.history()[-1]["generation"] == gen  # exact no-op, no commit
