@@ -1760,3 +1760,25 @@ def test_bucketed_layout_prunes_and_stays_consistent(tmp_path, spark):
     t.overwrite(spark.range(10).select("id"))
     assert bucket_spec(p) is None
     assert t.read().columns == ["id"]
+
+
+def test_bucketed_null_keys_roundtrip(tmp_path, spark):
+    """NULL bucket keys land in the hive default partition; the
+    bucket-dir-less file is conservatively kept by pruning and null
+    predicates stay exact (SQL equality never matches NULL, so
+    bucket-pruning equality filters past it is correct)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 7).alias("k"),
+    )
+    t.overwrite(df, bucket_by="k", num_buckets=4)
+    assert t.read().count() == 20
+    assert t.read().filter("k IS NULL").count() == 4
+    assert t.read().filter("k = 3").count() == df.filter("k = 3").count()
+    t.append(df)  # appends route nulls the same way
+    assert t.read().filter("k IS NULL").count() == 8
