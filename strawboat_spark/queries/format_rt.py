@@ -1748,3 +1748,62 @@ def strawboat_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "strawboat_wap",
+    oracle="""
+    SELECT 'after_publish' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'audit_union',
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'main_during_stage',
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 2 = 0
+    ORDER BY phase
+    """,
+    description=(
+        "write-audit-publish (Iceberg WAP analog): a staged append is "
+        "invisible to readers, the audit view is committed+staged, and "
+        "publish is per-file moves plus ONE CAS flip — no data "
+        "rewritten between stage and publish at any table size"
+    ),
+)
+def strawboat_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py stage_append/read_staged/publish_staged (contract in
+    tests/test_table_contract.py::test_write_audit_publish_staging;
+    vacuum pinning covered there too)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_wap_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))
+    sid = t.stage_append(o.filter("o_orderkey % 2 = 1"))
+
+    def snap(df, phase):
+        # materialize NOW: the staged files move at publish time, so a
+        # lazy audit scan evaluated later would read a vanished dir
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).collect()[0]
+        return (phase, r["n"], r["total"])
+
+    rows = [snap(t.read(), "main_during_stage"), snap(t.read_staged(sid), "audit_union")]
+    t.publish_staged(sid)
+    rows.append(snap(t.read(), "after_publish"))
+    return spark.createDataFrame(
+        rows, "phase string, n long, total double"
+    ).orderBy("phase")

@@ -316,6 +316,21 @@ def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> d
     for f in fs.list_files(path, FILE_EXT):
         rel = _rel(f, path)
         segs = rel.split(os.sep)
+        if segs[0] == "_strawboat_staging" and len(segs) > 2:
+            # WAP staging (table.py stage_append): pinned while its
+            # marker exists; a marker-less tree is a crashed/abandoned
+            # stage — reclaim it whole after the grace window
+            if fs.exists(f"{path}/_strawboat_staged_{segs[1]}.json"):
+                kept += 1
+                continue
+            try:
+                if _age_seconds(fs, f) > grace_seconds:
+                    scratch_roots.add(os.path.join(path, segs[0], segs[1]))
+                else:
+                    kept += 1
+            except (OSError, KeyError):
+                kept += 1
+            continue
         scratch = next(
             (i for i, s in enumerate(segs[:-1]) if s.endswith(_SCRATCH_SUFFIXES)), None
         )

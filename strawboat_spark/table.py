@@ -508,7 +508,11 @@ class Table:
                 )
 
     # -- writes -----------------------------------------------------------
-    def _write(self, df: DataFrame, mode: str, **options) -> None:
+    def _prepare_write(self, df: DataFrame, mode: str, options: dict):
+        """Shared facade-write prologue: generated columns computed,
+        declared-column defaults filled, widened types cast, bucket
+        layout applied, CHECK constraints validated — used by direct
+        writes AND by WAP staging (audit must see the final form)."""
         df = self._apply_generated(df)
         # declared columns (add_column) omitted by the writer fill
         # their default, so stored rows agree with the read-time fill
@@ -535,6 +539,10 @@ class Table:
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
+        return df, options
+
+    def _write(self, df: DataFrame, mode: str, **options) -> None:
+        df, options = self._prepare_write(df, mode, options)
         w = df.write.format("strawboat").mode(mode)
         for k, v in options.items():
             w = w.option(k, v)
@@ -609,6 +617,103 @@ class Table:
 
     def append(self, df: DataFrame, **options) -> None:
         self._write(df, "append", **options)
+
+    # -- write-audit-publish ----------------------------------------------
+    _STAGING_DIR = "_strawboat_staging"
+
+    def stage_append(self, df: DataFrame, **options) -> str:
+        """WAP stage (Iceberg write-audit-publish): write `df` as a
+        PENDING append — full facade semantics (generated columns,
+        defaults, widened types, bucket layout, CHECK constraints) —
+        without touching the table's committed state.  Returns a
+        staging id for read_staged / publish_staged / discard_staged.
+        Staged files live under _strawboat_staging/<id>/ inside the
+        table root; vacuum pins them while the staging marker exists,
+        and reclaims marker-less (crashed/abandoned) staging trees
+        after the grace window."""
+        import json as _json
+        import uuid as _uuid
+
+        from strawboat_spark.sources.datasource import read_manifest
+        from strawboat_spark.sources.fileio import get_fs
+
+        man = read_manifest(self.path)
+        if man is None:
+            raise ValueError("stage_append: stage onto a committed table "
+                             "(overwrite first); the audit diff needs a base")
+        df, options = self._prepare_write(df, "append", options)
+        sid = _uuid.uuid4().hex[:12]
+        tmp = f"{self.path}/{self._STAGING_DIR}/{sid}"
+        w = df.write.format("strawboat").mode("overwrite")
+        for k, v in options.items():
+            if k != "manifest_properties":  # staging commits no table props
+                w = w.option(k, v)
+        w.save(tmp)
+        fs = get_fs(self.path)
+        with fs.create(self._staging_marker(sid)) as h:
+            h.write(
+                _json.dumps(
+                    {"base_generation": man.get("generation", 0)}
+                ).encode()
+            )
+        return sid
+
+    def _staging_marker(self, sid: str) -> str:
+        return f"{self.path}/_strawboat_staged_{sid}.json"
+
+    def staged_ids(self) -> list[str]:
+        import re as _re
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        out = []
+        for f in fs.list_files(self.path, ".json"):
+            m = _re.search(r"_strawboat_staged_([0-9a-f]+)\.json$", f)
+            if m:
+                out.append(m.group(1))
+        return sorted(out)
+
+    def read_staged(self, sid: str) -> DataFrame:
+        """The audit view: committed table PLUS the staged append —
+        what the table would contain if `sid` were published now."""
+        self._require_staged(sid)
+        staged = self.spark.read.format("strawboat").load(
+            f"{self.path}/{self._STAGING_DIR}/{sid}"
+        )
+        return self.read().unionByName(staged, allowMissingColumns=True)
+
+    def publish_staged(self, sid: str) -> None:
+        """Atomically append the staged files to the table: one move
+        per file (no rewrite — the bytes were written at stage time)
+        plus one CAS generation flip.  Concurrent commits between
+        stage and publish are fine: the flip retries against the fresh
+        head and drops nothing."""
+        from strawboat_spark.sources.fileio import get_fs
+        from strawboat_spark.sources.maintenance import _adopt_tmp, _flip_generation
+
+        self._require_staged(sid)
+        tmp = f"{self.path}/{self._STAGING_DIR}/{sid}"
+        moved = _adopt_tmp(self.path, tmp)
+        _flip_generation(self.path, set(), moved, "publish_staged")
+        get_fs(self.path).remove(self._staging_marker(sid))
+
+    def discard_staged(self, sid: str) -> None:
+        """Drop a staged append without publishing (audit failed)."""
+        from strawboat_spark.sources.fileio import get_fs
+
+        self._require_staged(sid)
+        fs = get_fs(self.path)
+        fs.remove(self._staging_marker(sid))
+        fs.remove_tree(f"{self.path}/{self._STAGING_DIR}/{sid}")
+
+    def _require_staged(self, sid: str) -> None:
+        from strawboat_spark.sources.fileio import get_fs
+
+        if not get_fs(self.path).exists(self._staging_marker(sid)):
+            raise ValueError(
+                f"no staged append {sid!r} (have {self.staged_ids()})"
+            )
 
     # -- mutations --------------------------------------------------------
     def delete(self, condition: str, mode: str = "cow") -> dict:

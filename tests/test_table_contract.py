@@ -1782,3 +1782,56 @@ def test_bucketed_null_keys_roundtrip(tmp_path, spark):
     assert t.read().filter("k = 3").count() == df.filter("k = 3").count()
     t.append(df)  # appends route nulls the same way
     assert t.read().filter("k IS NULL").count() == 8
+
+
+def test_write_audit_publish_staging(tmp_path, spark):
+    """WAP: a staged append is invisible to the committed table, shows
+    in the audit view with full facade semantics (constraints checked
+    at STAGE time), survives vacuum while marked, publishes as pure
+    moves + one flip (verb in history), and a marker-less (crashed)
+    staging tree is reclaimed by vacuum after the grace window."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.sources.fileio import get_fs
+    from strawboat_spark.sources.maintenance import vacuum
+    from strawboat_spark.table import Table
+
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.add_constraint("v_nonneg", "v >= 0")
+
+    sid = t.stage_append(spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    assert t.read().count() == 100            # committed state untouched
+    assert t.read_staged(sid).count() == 150  # audit view
+    assert t.staged_ids() == [sid]
+    assert vacuum(p, grace_seconds=0)["removed"] == 0  # staged files pinned
+    assert t.read_staged(sid).count() == 150
+
+    # constraints reject at STAGE time, nothing is left behind
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.stage_append(spark.range(3).select(F.col("id"), F.lit(-1).alias("v")))
+
+    files_before = sorted(glob.glob(f"{p}/*.strb"))
+    t.publish_staged(sid)
+    assert t.read().count() == 150
+    assert t.history()[-1]["operation"] == "publish_staged"
+    assert t.history()[-1]["n_added"] >= 1 and t.history()[-1]["n_removed"] == 0
+    assert len(sorted(glob.glob(f"{p}/*.strb"))) > len(files_before)  # moved in
+    with _pytest.raises(ValueError, match="no staged append"):
+        t.publish_staged(sid)  # already published
+
+    # discard removes everything
+    sid2 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).alias("v")))
+    t.discard_staged(sid2)
+    assert t.staged_ids() == [] and not glob.glob(f"{p}/_strawboat_staging/*")
+    assert t.read().count() == 150
+
+    # crashed stage (marker lost): vacuum reclaims the orphan tree
+    sid3 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).alias("v")))
+    get_fs(p).remove(f"{p}/_strawboat_staged_{sid3}.json")
+    assert vacuum(p, grace_seconds=0)["removed"] >= 1
+    assert not glob.glob(f"{p}/_strawboat_staging/*")
