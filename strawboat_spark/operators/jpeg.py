@@ -436,6 +436,12 @@ def _decode_scan(payload, pos, frame, scan, huff, quant, restart_interval):
                     for u in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         t = br.decode_symbol(dc_tab)
+                        if t > 15:
+                            # magnitude categories are <= 11 in 8-bit
+                            # baseline; a corrupt Huffman table would
+                            # otherwise ask for a 200-bit DC diff and
+                            # overflow the int64 coefficient block
+                            raise ValueError("corrupt JPEG: DC category out of range")
                         preds[ci] += _extend(br.read(t), t)
                         zz[0] = preds[ci]
                         k = 1

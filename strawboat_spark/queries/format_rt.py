@@ -1807,3 +1807,54 @@ def strawboat_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "phase string, n long, total double"
     ).orderBy("phase")
+
+
+@query(
+    "strawboat_compact_small",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(2 AS BIGINT) AS n_files
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    description=(
+        "size-targeted compaction (Delta OPTIMIZE semantics): one "
+        "at-size file keeps its manifest entry with zero IO while six "
+        "streaming-append droppings bin-pack into one — content exact, "
+        "2 files after"
+    ),
+)
+def strawboat_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance.py compact(target_bytes=): only the small-file tail
+    rewrites (contract in tests/test_table_contract.py::
+    test_compact_target_bytes_leaves_big_files_alone)."""
+    import glob
+    import os as _os
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_cs_")
+    p = f"{root}/orders"
+    t = Table(spark, p)
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0").coalesce(1))   # the big file
+    odd = o.filter("o_orderkey % 2 = 1")
+    for i in range(6):                                         # small tail
+        t.append(odd.filter(f"o_orderkey % 12 = {2 * i + 1}").coalesce(1))
+    big = max(glob.glob(f"{p}/*.strb"), key=_os.path.getsize)
+    t.compact(target_bytes=_os.path.getsize(big))
+    from strawboat_spark.sources.datasource import read_manifest
+
+    n_live = len(read_manifest(p)["entries"])  # superseded files stay on
+    return (                                   # disk for time travel
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("n_files", F.lit(n_live).cast("long"))
+    )

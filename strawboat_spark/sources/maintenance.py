@@ -173,13 +173,21 @@ def _part_layout(path: str) -> dict[str, str]:
     return dict(_infer_partition_fields(path, _list_files(path)))
 
 
-def compact(spark, path: str, target_files: int = 1) -> dict:
-    """Rewrite each leaf directory's files into `target_files` files.
+def compact(
+    spark, path: str, target_files: int = 1, target_bytes: int | None = None
+) -> dict:
+    """Rewrite each leaf directory's files into `target_files` files —
+    or, with `target_bytes`, bin-pack SMALL files only (Delta OPTIMIZE
+    semantics): files already >= target_bytes are left untouched (same
+    path, same entry — zero IO for the bulk of a well-sized table) and
+    only the small-file tail is rewritten into ~target_bytes outputs.
+    At 100 TB that is the difference between re-churning the whole
+    table and rewriting the few GB of streaming-append droppings.
 
-    Returns {"before": n_files, "after": n_files}. Skips leaf dirs that
-    already have <= target_files files. The swap is a CAS manifest
-    generation flip per leaf; pre-compact files stay on disk for time
-    travel / in-flight readers until vacuum() reclaims them.
+    Returns {"before": n_files, "after": n_files}. Skips leaf dirs
+    already at the target. The swap is a CAS manifest generation flip
+    per leaf; pre-compact files stay on disk for time travel /
+    in-flight readers until vacuum() reclaims them.
     """
     from strawboat_spark.sources.datasource import publish_manifest, read_manifest
 
@@ -198,28 +206,46 @@ def compact(spark, path: str, target_files: int = 1) -> dict:
     for e in root_man["entries"]:
         by_leaf.setdefault(os.path.dirname(e["path"]), []).append(e["path"])
     before = after = 0
+    fs = get_fs(path)
     for reldir in sorted(by_leaf):
         rels = sorted(by_leaf[reldir])
         before += len(rels)
-        if len(rels) <= target_files:
+        if target_bytes is not None:
+            sizes = {}
+            for r in rels:
+                try:
+                    sizes[r] = fs.stat_sig(os.path.join(path, r))[0]
+                except (OSError, KeyError):
+                    sizes[r] = target_bytes  # vanished/unknown: don't touch
+            small = [r for r in rels if sizes[r] < target_bytes]
+            if len(small) <= 1:
+                after += len(rels)
+                continue
+            rewrite, n_out = small, max(
+                1, -(-sum(sizes[r] for r in small) // target_bytes)
+            )
+            after += len(rels) - len(small)  # big files carried untouched
+        elif len(rels) <= target_files:
             after += len(rels)
             continue
+        else:
+            rewrite, n_out = rels, target_files
         leaf = os.path.join(path, reldir) if reldir else path
         tmp = leaf.rstrip("/") + ".__compact__"
         get_fs(tmp).remove_tree(tmp)  # crashed-run leftovers
-        df = _read_files(spark, path, rels)
+        df = _read_files(spark, path, rewrite)
         if part_cols:
             # partition values live in the leaf's directory name, not
             # in stored pages — drop the reattached constants
             df = df.drop(*part_cols)
         (
-            df.coalesce(target_files)
+            df.coalesce(n_out)
             .write.format("strawboat")
             .mode("overwrite")
             .save(tmp)
         )
         moved = _adopt_tmp(path, tmp, dest_dir=leaf)
-        _flip_generation(path, set(rels), moved, "compact")
+        _flip_generation(path, set(rewrite), moved, "compact")
         after += len(moved)
     return {"before": before, "after": after}
 

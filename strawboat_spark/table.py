@@ -882,10 +882,13 @@ class Table:
         return merge_upsert(self.spark, self.path, source, on, mode=mode)
 
     # -- maintenance ------------------------------------------------------
-    def compact(self, target_files: int = 1) -> dict:
+    def compact(self, target_files: int = 1, target_bytes: int | None = None) -> dict:
+        """target_bytes: bin-pack only files SMALLER than the target
+        (Delta OPTIMIZE semantics — at-size files keep their entries,
+        zero IO); without it, rewrite each leaf to target_files."""
         from strawboat_spark.sources.maintenance import compact
 
-        return compact(self.spark, self.path, target_files)
+        return compact(self.spark, self.path, target_files, target_bytes=target_bytes)
 
     def optimize(
         self,

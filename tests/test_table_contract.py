@@ -1835,3 +1835,39 @@ def test_write_audit_publish_staging(tmp_path, spark):
     get_fs(p).remove(f"{p}/_strawboat_staged_{sid3}.json")
     assert vacuum(p, grace_seconds=0)["removed"] >= 1
     assert not glob.glob(f"{p}/_strawboat_staging/*")
+
+
+def test_compact_target_bytes_leaves_big_files_alone(tmp_path, spark):
+    """Size-targeted compaction (Delta OPTIMIZE semantics): files
+    already >= target_bytes keep their exact manifest entry (zero IO),
+    only the small-file tail is rewritten — and content is unchanged."""
+    import glob
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.sources.maintenance import compact
+    from strawboat_spark.table import Table
+
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+    t.overwrite(spark.range(200_000).select(F.col("id")).coalesce(1))  # one big file
+    for i in range(6):                                   # six tiny appends
+        t.append(spark.range(10 * i, 10 * i + 10).coalesce(1))
+    big = max(glob.glob(f"{p}/*.strb"), key=_os.path.getsize)
+    big_size = _os.path.getsize(big)
+    before_total = t.read().count()
+
+    r = compact(spark, p, target_bytes=big_size)  # big file is at target
+    assert r["before"] == 7 and r["after"] == 2   # big + one merged file
+    paths = {e["path"] for e in read_manifest(p)["entries"]}
+    assert _os.path.basename(big) in paths        # untouched, same entry
+    assert t.read().count() == before_total
+    assert t.history()[-1]["operation"] == "compact"
+    assert t.history()[-1]["n_removed"] == 6      # only the small files
+
+    # idempotent: nothing left under target
+    r2 = compact(spark, p, target_bytes=big_size)
+    assert r2 == {"before": 2, "after": 2}
+    assert t.history()[-1]["operation"] == "compact"  # no new commit below
