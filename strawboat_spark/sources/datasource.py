@@ -1797,6 +1797,15 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         self.path = options.get("path")
         self.schema = schema
         self.start_gen = int(options.get("starting_generation", 0) or 0)
+        # maxFilesPerTrigger analog for the CDF: each micro-batch
+        # covers at most K generations.  Trivially restart-safe:
+        # offsets are scalar generations and a batch is the range
+        # (start, end], so a cold planner that regresses the offset
+        # yields an EMPTY range (never a replay), re-seeds from the
+        # engine's own offsets at the next partitions() call, and
+        # advances capped from there.
+        self.max_gens = int(options.get("max_generations_per_trigger", "0") or 0)
+        self._last_gen: int | None = None
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self.start_gen > 0:
@@ -1806,9 +1815,21 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         man = read_manifest(self.path)
-        return {"gen": man.get("generation", 0) if man else 0}
+        head = man.get("generation", 0) if man else 0
+        if self.max_gens:
+            base = self._last_gen
+            if base is None and self.start_gen > 0:
+                base = self.start_gen - 1
+            if base is not None:
+                head = min(head, base + self.max_gens)
+            self._last_gen = head
+        return {"gen": head}
 
     def partitions(self, start: dict, end: dict):
+        if self.max_gens:
+            seed = max(start.get("gen", 0), end.get("gen", 0))
+            if self._last_gen is None or seed > self._last_gen:
+                self._last_gen = seed
         all_files = _list_files(self.path)
         part_types = dict(_infer_partition_fields(self.path, all_files))
 

@@ -716,3 +716,45 @@ def test_join_view_incremental_maintenance(tmp_path, spark):
     gen = V.history()[-1]["generation"]
     assert refresh() == want()  # heads unchanged
     assert V.history()[-1]["generation"] == gen  # exact no-op, no commit
+
+
+def test_cdf_generation_rate_limit(tmp_path, spark):
+    """max_generations_per_trigger on the CDF stream: a 6-generation
+    backlog drains in ceil(6/2)=3 capped micro-batches with exactly
+    the full feed emitted once."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select("id"))
+    for i in range(1, 6):
+        t.append(spark.range(10 * i, 10 * i + 10).select("id"))
+
+    name = f"cdfrl_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .option("max_generations_per_trigger", "2")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = spark.table(name)
+    assert got.count() == 60  # whole feed, exactly once
+    assert got.filter("_change_type = 'insert'").count() == 60
+    assert got.select("_generation").distinct().count() == 6
+    # 3 data batches (plus possibly one trailing empty batch)
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert data_batches == 3
