@@ -139,6 +139,7 @@ def maintain_join_agg_view(
     on: list[str],
     group_col: str,
     value_col: str,
+    _plan_hook=None,
 ) -> DataFrame:
     """One refresh of an incrementally maintained JOIN-aggregate view:
 
@@ -229,6 +230,8 @@ def maintain_join_agg_view(
     out = merged.filter(F.col("n_rows") > 0).select(
         F.col("g").alias(group_col), "n_rows", "sum_value"
     )
+    if _plan_hook is not None:
+        _plan_hook(out)  # plan-shape tests audit the refresh plan
     props["join_view_horizon"] = {"a": int(ga1), "b": int(gb1)}
     view.overwrite(out, manifest_properties=json.dumps(props))
     return view.read()

@@ -398,3 +398,41 @@ def test_scd2_single_shuffle_single_sort(spark, registry):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert plan.count("Sort ") == 1
     assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+
+
+def test_join_view_refresh_plan_no_python_no_cartesian(spark, registry):
+    """Incremental join-view refresh: the delta fold stays JVM-side
+    (no Python eval in the hot path) and every join is keyed
+    (SMJ/BHJ/SHJ — never a CartesianProduct / BroadcastNestedLoop),
+    so the |Δ|-driven refresh survives a 100x fact table."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.streaming.views import maintain_join_agg_view
+    from strawboat_spark.table import Table
+
+    root = tempfile.mkdtemp(prefix="jv_plan_")
+    ap, bp, vp = f"{root}/a", f"{root}/b", f"{root}/v"
+    A, B = Table(spark, ap), Table(spark, bp)
+    A.overwrite(
+        spark.range(500).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    )
+    B.overwrite(
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    )
+    maintain_join_agg_view(spark, ap, bp, vp, ["k"], "g", "v")  # seed
+    A.append(
+        spark.range(500, 600).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    )
+    B.delete("g = 3")
+    plans = []
+    maintain_join_agg_view(
+        spark, ap, bp, vp, ["k"], "g", "v", _plan_hook=lambda df: plans.append(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+    )
+    assert plans, "refresh skipped the incremental path"
+    p = plans[0]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p and "BatchEval" not in p
