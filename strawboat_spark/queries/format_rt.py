@@ -1858,3 +1858,49 @@ def strawboat_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_files", F.lit(n_live).cast("long"))
     )
+
+
+@query(
+    "strawboat_branch",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 7 = 0)
+    )
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1 ORDER BY bucket
+    """,
+    description=(
+        "writable branches (Iceberg analog): zero-copy fork, the "
+        "branch appends odd orders and MOR-deletes some even ones "
+        "while main stays untouched, fast-forward adopts the branch in "
+        "ONE flip (files moved, vectors intact) — final state exact"
+    ),
+)
+def strawboat_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py branch/branch_table/fast_forward/drop_branch (contract
+    in tests/test_table_contract.py::test_branches_fork_evolve_fast_forward)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_br_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))
+    b = t.branch("etl")
+    b.append(o.filter("o_orderkey % 2 = 1"))
+    b.delete("o_orderkey % 2 = 0 AND o_orderkey % 7 = 0", mode="mor")
+    assert t.read().count() != b.read().count()  # main untouched pre-merge
+    t.fast_forward("etl")
+    return (
+        t.read()
+        .groupBy((F.col("o_orderkey") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -342,6 +342,12 @@ def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> d
     for f in fs.list_files(path, FILE_EXT):
         rel = _rel(f, path)
         segs = rel.split(os.sep)
+        if segs[0] == "_branches":
+            # writable branches (table.py Table.branch) are explicit
+            # managed objects with their own manifests and their own
+            # vacuum story — never this table's debris
+            kept += 1
+            continue
         if segs[0] == "_strawboat_staging" and len(segs) > 2:
             # WAP staging (table.py stage_append): pinned while its
             # marker exists; a marker-less tree is a crashed/abandoned

@@ -1012,6 +1012,143 @@ class Table:
                     w.write(body)
         return Table(self.spark, dest)
 
+    # -- branches ----------------------------------------------------------
+    _BRANCHES_DIR = "_branches"
+
+    def branch(self, name: str) -> "Table":
+        """Create a writable BRANCH (Iceberg branch analog): a
+        zero-copy shallow clone under `_branches/<name>/` inside this
+        table's root, plus a tag pinning the fork generation — so the
+        source's vacuum can never reclaim files the branch still
+        references (the shallow-clone caveat does not apply to
+        branches).  The branch is a full table: append, MOR
+        delete/update, schema evolution, time travel all work; merge
+        it back with fast_forward(name) or throw it away with
+        drop_branch(name)."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+            raise ValueError(f"branch: name {name!r} must be [A-Za-z0-9_-]{{1,64}}")
+        dest = f"{self.path}/{self._BRANCHES_DIR}/{name}"
+        from strawboat_spark.sources.fileio import get_fs
+
+        if get_fs(dest).isdir(dest):
+            raise ValueError(f"branch: {name!r} already exists")
+        t = self.clone(dest)
+        self.tag(self._branch_tag(name))  # pin the fork from vacuum
+        return t
+
+    def _branch_tag(self, name: str) -> str:
+        return f"branch-{name}"
+
+    def branch_table(self, name: str) -> "Table":
+        from strawboat_spark.sources.fileio import get_fs
+
+        dest = f"{self.path}/{self._BRANCHES_DIR}/{name}"
+        if not get_fs(dest).isdir(dest):
+            raise ValueError(f"no branch {name!r} (have {self.branches()})")
+        return Table(self.spark, dest)
+
+    def branches(self) -> list[str]:
+        import os as _os
+
+        from strawboat_spark.sources.fileio import get_fs
+
+        fs = get_fs(self.path)
+        root = f"{self.path}/{self._BRANCHES_DIR}"
+        if not fs.isdir(root):
+            return []
+        return sorted(_os.path.basename(d.rstrip("/")) for d in fs.list_dirs(root))
+
+    def fast_forward(self, name: str) -> None:
+        """Merge a branch back: allowed only when the MAIN table has
+        not advanced past the branch's fork point (Iceberg
+        fast-forward semantics) — otherwise a ManifestConflictError
+        tells the caller to rebase (recreate the branch).  Publishes
+        ONE main generation adopting the branch's current entries:
+        branch-local files move into the root (no rewrite), entries
+        still referencing main files rebase to root-relative paths
+        with their deletion vectors intact, and the branch's evolved
+        properties (renames, widenings, defaults) carry over.  The
+        move+flip is O(branch-local files), not table size."""
+        import os as _os
+
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            entry_abs,
+            read_manifest,
+            write_manifest,
+        )
+        from strawboat_spark.sources.fileio import backend_path, get_fs
+
+        br = self.branch_table(name)
+        bman = read_manifest(br.path)
+        fork = ((bman or {}).get("properties") or {}).get("cloned_from", {}).get(
+            "generation"
+        )
+        man = read_manifest(self.path)
+        head = man.get("generation", 0) if man else 0
+        if fork is None or bman is None:
+            raise ValueError(f"fast_forward: {name!r} has no fork metadata")
+        if head != fork:
+            raise ManifestConflictError(
+                f"fast_forward({name!r}): main advanced {fork} -> {head} since "
+                f"the fork; rebase by recreating the branch from the new head"
+            )
+        mroot = _os.path.normpath(backend_path(self.path))
+        entries = []
+        for e in bman["entries"]:
+            absf = entry_abs(br.path, e["path"])
+            norm = _os.path.normpath(backend_path(absf))
+            broot = _os.path.normpath(backend_path(br.path))
+            if norm.startswith(broot + _os.sep):
+                # branch-local file: move into the main root
+                rel = _os.path.relpath(norm, broot)
+                dst = _os.path.join(self.path, rel)
+                d = _os.path.dirname(dst)
+                if d:
+                    get_fs(dst).makedirs(d)
+                get_fs(absf).move(absf, dst)
+                entries.append({**e, "path": rel})
+            elif norm.startswith(mroot + _os.sep):
+                # still a main file: back to a root-relative entry
+                entries.append({**e, "path": _os.path.relpath(norm, mroot)})
+            else:
+                entries.append(dict(e))  # external beyond both roots
+        props = dict(bman.get("properties") or {})
+        props.pop("cloned_from", None)
+        try:
+            write_manifest(
+                self.path,
+                entries,
+                generation=head + 1,
+                properties=props,
+                operation="fast_forward",
+            )
+        except ManifestConflictError:
+            raise ManifestConflictError(
+                f"fast_forward({name!r}): a concurrent commit won generation "
+                f"{head + 1}; rebase by recreating the branch"
+            )
+        # branch-evolved constraints/generated defs become main's
+        sfs = get_fs(br.path)
+        dfs = get_fs(self.path)
+        for side in (self._CONSTRAINTS_FILE, self._GENERATED_FILE):
+            cf = f"{br.path}/{side}"
+            if sfs.exists(cf):
+                with sfs.open_read(cf) as r:
+                    body = r.read()
+                with dfs.create(f"{self.path}/{side}") as w:
+                    w.write(body)
+        self.drop_branch(name)
+
+    def drop_branch(self, name: str) -> None:
+        from strawboat_spark.sources.fileio import get_fs
+
+        self.branch_table(name)  # existence check
+        get_fs(self.path).remove_tree(f"{self.path}/{self._BRANCHES_DIR}/{name}")
+        self.drop_tag(self._branch_tag(name))
+
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only column RENAME (Delta column-mapping analog):
         NO data file is touched — one new manifest generation records

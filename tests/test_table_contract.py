@@ -1871,3 +1871,68 @@ def test_compact_target_bytes_leaves_big_files_alone(tmp_path, spark):
     r2 = compact(spark, p, target_bytes=big_size)
     assert r2 == {"before": 2, "after": 2}
     assert t.history()[-1]["operation"] == "compact"  # no new commit below
+
+
+def test_branches_fork_evolve_fast_forward(tmp_path, spark):
+    """Writable branches: zero-copy fork (tag pins the fork point from
+    vacuum), fully independent evolution (appends, MOR deletes, even
+    renames), fast-forward adopts the branch state in ONE flip with
+    deletion vectors intact and branch-local files moved (not
+    rewritten), main-advanced merges are refused with a rebase
+    message, and drop_branch cleans tree + pin."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.sources.datasource import ManifestConflictError
+    from strawboat_spark.sources.maintenance import vacuum
+    from strawboat_spark.table import Table
+
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    b = t.branch("dev")
+    assert t.branches() == ["dev"] and t.tags() == {"branch-dev": 1}
+
+    b.append(spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    b.delete("id < 10", mode="mor")
+    b.rename_column("v", "val")
+    assert b.read().count() == 140 and b.read().columns == ["id", "val"]
+    assert t.read().count() == 100 and t.read().columns == ["id", "v"]
+
+    # vacuum never touches the branch subtree
+    assert vacuum(p, grace_seconds=0)["removed"] == 0
+    assert b.read().count() == 140
+
+    # source vacuum after MAIN advances cannot strand a branch either:
+    # the fork tag pins that generation's files (separate table)
+    p2 = f"{tmp_path}/t2"
+    t2 = Table(spark, p2)
+    t2.overwrite(spark.range(50).select("id"))
+    b2v = t2.branch("keep")
+    t2.overwrite(spark.range(5).select("id"))  # supersedes fork files
+    vacuum(p2, grace_seconds=0)
+    assert b2v.read().count() == 50  # fork generation pinned by the tag
+
+    files_before = set(glob.glob(f"{p}/*.strb"))
+    t.fast_forward("dev")
+    assert t.read().count() == 140 and t.read().columns == ["id", "val"]
+    assert t.read().filter("id < 10").count() == 0  # DVs carried over
+    assert t.history()[-1]["operation"] == "fast_forward"
+    assert t.branches() == [] and t.tags() == {}
+    assert set(glob.glob(f"{p}/*.strb")) > files_before  # moved, not rewritten
+
+    # merge refused once main advances past the fork
+    b2 = t.branch("other")
+    t.append(spark.range(200, 205).select(F.col("id"), (F.col("id") * 2).alias("val")))
+    with _pytest.raises(ManifestConflictError, match="rebase"):
+        t.fast_forward("other")
+    t.drop_branch("other")
+    assert t.branches() == []
+    with _pytest.raises(ValueError, match="no branch"):
+        t.branch_table("ghost")
+    t.branch("dev2")
+    with _pytest.raises(ValueError, match="already exists"):
+        t.branch("dev2")
+    t.drop_branch("dev2")
