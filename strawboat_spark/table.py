@@ -592,10 +592,15 @@ class Table:
         if col not in df.columns:
             raise ValueError(f"bucket_by: no column {col!r} in the dataframe")
         t = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[col]
-        if t in ("float", "double"):
+        # only types whose Spark CAST(x AS STRING) and Python str(x)
+        # agree byte-for-byte may be bucket keys — the planner re-hashes
+        # pushed filter values in Python (booleans: 'true' vs 'True';
+        # timestamps: '.5' vs '.500000'; floats: no stable form at all)
+        if t not in ("tinyint", "smallint", "int", "bigint", "string", "date"):
             raise ValueError(
-                f"bucket_by: {col!r} is {t}; floating-point keys have no "
-                f"stable string form to hash — bucket on an int/string key"
+                f"bucket_by: {col!r} is {t}; bucket keys must be "
+                f"int/string/date (types whose string form is identical in "
+                f"the Spark write expression and the Python planner hash)"
             )
         dir_col = self._BUCKET_DIR_COL
         df = df.withColumn(

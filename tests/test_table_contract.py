@@ -1733,10 +1733,15 @@ def test_bucketed_layout_prunes_and_stays_consistent(tmp_path, spark):
 
     with _pytest.raises(ValueError, match="cannot re-bucket"):
         t.append(rows(0, 1), bucket_by="k", num_buckets=4)
-    with _pytest.raises(ValueError, match="floating-point"):
+    with _pytest.raises(ValueError, match="int/string/date"):
         Table(spark, f"{tmp_path}/f").overwrite(
             spark.range(5).select(F.col("id"), (F.col("id") * 1.5).alias("x")),
             bucket_by="x",
+        )
+    with _pytest.raises(ValueError, match="int/string/date"):
+        Table(spark, f"{tmp_path}/f").overwrite(
+            spark.range(5).select(F.col("id"), (F.col("id") % 2 == 0).alias("b")),
+            bucket_by="b",  # 'true' vs 'True' would silently mis-prune
         )
     u = Table(spark, f"{tmp_path}/u")
     u.overwrite(spark.range(5).select("id"))
