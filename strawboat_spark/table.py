@@ -1188,6 +1188,14 @@ class Table:
                 "rename_column: hive partition columns are physical directory "
                 "names and cannot be renamed in place"
             )
+        from strawboat_spark.sources.datasource import bucket_spec
+
+        spec = bucket_spec(self.path)
+        if spec and old == spec["col"]:
+            raise ValueError(
+                f"rename_column: {old!r} is the hash-bucket key; the layout "
+                f"spec resolves it by name — overwrite to re-bucket first"
+            )
         refs = {f"constraint {n!r}": e for n, e in self.constraints().items()}
         refs.update(
             {f"generated column {n!r}": e for n, e in self.generated_columns().items()}
@@ -1404,6 +1412,14 @@ class Table:
             raise ValueError(f"drop_column: no column {name!r} (have {cols})")
         if len(cols) == 1:
             raise ValueError("drop_column: cannot drop the only column")
+        from strawboat_spark.sources.datasource import bucket_spec
+
+        spec = bucket_spec(self.path)
+        if spec and name == spec["col"]:
+            raise ValueError(
+                f"drop_column: {name!r} is the hash-bucket key; overwrite to "
+                f"re-bucket (or drop the layout) first"
+            )
         if name in _part_layout(self.path):
             raise ValueError(
                 "drop_column: hive partition columns are physical directory "

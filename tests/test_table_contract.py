@@ -1941,3 +1941,26 @@ def test_branches_fork_evolve_fast_forward(tmp_path, spark):
     with _pytest.raises(ValueError, match="already exists"):
         t.branch("dev2")
     t.drop_branch("dev2")
+
+
+def test_bucket_key_cannot_be_renamed_or_dropped(tmp_path, spark):
+    """The layout spec resolves the bucket key by name: renaming or
+    dropping it would strand the spec (appends could no longer
+    re-bucket, pruning would go stale) — both are refused."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(
+        spark.range(50).select(F.col("id"), (F.col("id") % 7).alias("k")),
+        bucket_by="k",
+        num_buckets=4,
+    )
+    with _pytest.raises(ValueError, match="hash-bucket key"):
+        t.rename_column("k", "key2")
+    with _pytest.raises(ValueError, match="hash-bucket key"):
+        t.drop_column("k")
+    t.rename_column("id", "rid")  # non-key columns still evolve
+    assert t.read().columns[0] == "rid"
