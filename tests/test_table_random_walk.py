@@ -1,9 +1,11 @@
 """Model-based random walk over the table layer: a seeded sequence of
 append / COW delete / MOR delete / COW update / MOR update / MOR merge
-/ compact / optimize / vacuum, each step checked against a plain
+/ compact (count- and size-targeted) / vacuum / WAP stage-publish-or-
+discard / branch-then-fast-forward, each step checked against a plain
 in-memory model. Per-feature tests pin each verb; this pins their
 INTERACTIONS (vectors surviving compaction order, generation history
-under mixed verbs, counts after vacuum, ...)."""
+under mixed verbs, counts after vacuum, staged/branched work invisible
+until published/merged, ...)."""
 
 from __future__ import annotations
 
@@ -38,7 +40,8 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
     for step in range(14):
         op = rng.choice(
             ["append", "cow_delete", "mor_delete", "cow_update", "mor_update",
-             "mor_merge", "compact", "vacuum"]
+             "mor_merge", "compact", "compact_bytes", "vacuum", "wap",
+             "branch_ff"]
         )
         ops.append(op)
         if op == "append":
@@ -68,8 +71,31 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             model.update(dict(src))
         elif op == "compact":
             t.compact(target_files=2)
+        elif op == "compact_bytes":
+            t.compact(target_bytes=64 * 1024)  # bin-pack the small tail
         elif op == "vacuum":
             t.vacuum(grace_seconds=0.0)
+        elif op == "wap":
+            rows = [(next_key + i, (next_key + i) * 10) for i in range(3)]
+            next_key += 3
+            sid = t.stage_append(spark.createDataFrame(rows, "k long, v long"))
+            assert _table_as_set(t) == _model_as_set(model)  # staged invisible
+            if rng.random() < 0.5:
+                t.publish_staged(sid)
+                model.update(dict(rows))
+            else:
+                t.discard_staged(sid)
+        elif op == "branch_ff":
+            b = t.branch(f"walk{step}")
+            rows = [(next_key + i, (next_key + i) * 10) for i in range(2)]
+            next_key += 2
+            b.append(spark.createDataFrame(rows, "k long, v long"))
+            mod = rng.randrange(2, 7)
+            b.delete(f"k % {mod} = 1", mode="mor")
+            assert _table_as_set(t) == _model_as_set(model)  # branch invisible
+            t.fast_forward(f"walk{step}")
+            model.update(dict(rows))
+            model = {k: v for k, v in model.items() if k % mod != 1}
         got = _table_as_set(t)
         want = _model_as_set(model)
         assert got == want, (
