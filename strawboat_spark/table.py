@@ -1063,7 +1063,10 @@ class Table:
         root = f"{self.path}/{self._BRANCHES_DIR}"
         if not fs.isdir(root):
             return []
-        return sorted(_os.path.basename(d.rstrip("/")) for d in fs.list_dirs(root))
+        lister = getattr(fs, "list_dirs", None)
+        if lister is None:  # backends without a dir-listing primitive
+            return []
+        return sorted(_os.path.basename(d.rstrip("/")) for d in lister(root))
 
     def fast_forward(self, name: str) -> None:
         """Merge a branch back: allowed only when the MAIN table has
