@@ -1904,3 +1904,57 @@ def strawboat_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "strawboat_detail",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS generation,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0)
+                - (SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 = 0)
+                AS BIGINT) AS n_rows,
+           'o_custkey' AS bucket_col,
+           CAST(8 AS BIGINT) AS bucket_n
+    """,
+    description=(
+        "DESCRIBE DETAIL analog: generation / live file and row counts "
+        "/ bucket spec from one driver-side manifest walk — zero data "
+        "pages read (row count is DV-aware metadata)"
+    ),
+)
+def strawboat_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py detail(): metadata-only table summary."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_dt_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 5 = 0").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 2 = 0").coalesce(1))      # gen 1
+    t.append(o.filter("o_orderkey % 2 = 1").coalesce(1))         # gen 2
+    t.delete("o_orderkey % 10 = 0", mode="mor")                  # gen 3, DV only
+    d = t.detail().collect()[0]
+    import json as _json
+
+    spec = _json.loads(d["bucket_spec"]) if d["bucket_spec"] else {}
+    # separate bucketed table proves the spec surfaces
+    b = Table(spark, f"{root}/b")
+    b.overwrite(o, bucket_by="o_custkey", num_buckets=8)
+    bspec = _json.loads(b.detail().collect()[0]["bucket_spec"])
+    return spark.createDataFrame(
+        [
+            (
+                d["generation"],
+                d["n_files"],
+                d["n_rows"],
+                bspec["col"],
+                bspec["n"],
+            )
+        ],
+        "generation long, n_files long, n_rows long, bucket_col string, bucket_n long",
+    )

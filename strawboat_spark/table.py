@@ -130,6 +130,60 @@ class Table:
         deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL analog: one metadata-only row — location,
+        current generation, file/row counts, total live bytes,
+        partition columns, bucket spec, branch/tag/staging inventory,
+        and the free-form properties as JSON.  Driver-side manifest
+        walk; zero data pages read at any table size."""
+        import json as _json
+
+        from strawboat_spark.sources.datasource import (
+            bucket_spec,
+            read_manifest,
+        )
+        from strawboat_spark.sources.fileio import get_fs
+        from strawboat_spark.sources.maintenance import _part_layout
+
+        man = read_manifest(self.path)
+        if man is None:
+            raise ValueError(f"detail: {self.path} has no committed data")
+        fs = get_fs(self.path)
+        total = 0
+        for e in man.get("entries", ()):
+            sig = e.get("sig")
+            if sig:
+                total += int(sig[0])
+            else:
+                try:
+                    from strawboat_spark.sources.datasource import entry_abs
+
+                    total += fs.stat_sig(entry_abs(self.path, e["path"]))[0]
+                except (OSError, KeyError):
+                    pass
+        spec = bucket_spec(self.path)
+        parts = [c for c in _part_layout(self.path) if not spec or c != spec["dir_col"]]
+        row = (
+            self.path,
+            int(man.get("generation", 0)),
+            int(len(man.get("entries", ()))),
+            int(self.count_rows()),
+            int(total),
+            parts,
+            None if spec is None else _json.dumps(spec, sort_keys=True),
+            self.branches(),
+            sorted(self.tags()),
+            self.staged_ids(),
+            _json.dumps(self.properties(), sort_keys=True),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "location string, generation long, n_files long, n_rows long, "
+            "size_bytes long, partition_columns array<string>, "
+            "bucket_spec string, branches array<string>, tags array<string>, "
+            "staged array<string>, properties string",
+        )
+
     def files(self, at_generation: int | None = None) -> DataFrame:
         """Metadata table (Iceberg `.files` analog): one row per
         committed data file — path, footer row count, deletion-vector
