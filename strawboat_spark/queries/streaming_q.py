@@ -699,3 +699,66 @@ def strawboat_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_join_agg_view(spark, ap, bp, vp, ["k"], "seg", "cents").orderBy(
         "seg"
     )
+
+
+@query(
+    "strawboat_cdf_rate_limit",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(3 AS BIGINT) AS n_data_batches
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    description=(
+        "generation-capped CDF stream (maxFilesPerTrigger twin): a "
+        "6-generation backlog drains in exactly ceil(6/2)=3 data "
+        "micro-batches and the feed equals the table exactly — "
+        "bounded-memory CDF backfill"
+    ),
+)
+def strawboat_cdf_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasource.py StrawboatCDFStreamReaderImpl max_generations_per_trigger
+    (offset algebra in tests/test_streaming.py::test_cdf_generation_rate_limit)."""
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_crl_')}/orders"
+    t = Table(spark, path)
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(o.filter("o_orderkey % 12 = 0"))
+    for i in (2, 4, 6, 8, 10):
+        t.append(o.filter(f"o_orderkey % 12 = {i}"))   # 6 generations
+    name = f"crl_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .option("max_generations_per_trigger", "2")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    n_data = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("n_data_batches", F.lit(n_data).cast("long"))
+        .orderBy("change_type")
+    )
