@@ -1958,3 +1958,51 @@ def strawboat_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "generation long, n_files long, n_rows long, bucket_col string, bucket_n long",
     )
+
+
+@query(
+    "strawboat_days_partition",
+    oracle="""
+    WITH b AS (SELECT MIN(ts) AS lo FROM events)
+    SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+    FROM events, b
+    WHERE ts >= b.lo AND ts < b.lo + INTERVAL 3 DAY
+    GROUP BY 1 ORDER BY cohort
+    """,
+    description=(
+        "hidden time partitioning (Iceberg days(ts) transform): ISO "
+        "day directories, a 3-day range filter on the RAW timestamp "
+        "prunes whole days at planning (tz-safe one-day slack) — the "
+        "canonical 100 TB event-table layout, result exact"
+    ),
+)
+def strawboat_days_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py _apply_partition_transform + datasource
+    transform_spec/_transform_prunable (contract in
+    tests/test_table_contract.py::test_days_transform_hidden_partitioning)."""
+    import datetime as dt
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+    from strawboat_spark.tables import load_table as _lt
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_dp_")
+    e = _lt(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    t = Table(spark, f"{root}/events")
+    t.overwrite(e.filter("event_id % 2 = 0"), partition_by="days(ts)")
+    t.append(e.filter("event_id % 2 = 1"))
+    lo = e.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(days=3)
+    return (
+        t.read()
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+        )
+        .orderBy("cohort")
+    )

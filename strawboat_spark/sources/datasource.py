@@ -255,6 +255,79 @@ def bucket_spec(
     return ((man or {}).get("properties") or {}).get("bucket")
 
 
+def transform_spec(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict | None:
+    """Hidden time partitioning (Iceberg `days(ts)` transform):
+    {"col": source column, "kind": "days", "dir_col": hive directory
+    column}.  The dir value is the ISO date of each row's timestamp —
+    ISO strings order lexicographically like the dates themselves, so
+    the PLANNER turns a pushed range filter on the RAW timestamp into
+    a directory-name interval and prunes whole days without reading a
+    footer.  The canonical 100 TB event-table layout: a one-week query
+    over three years of data plans 7/1095 of the directories."""
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
+    return ((man or {}).get("properties") or {}).get("partition_transform")
+
+
+def _transform_prunable(filters, spec: dict | None):
+    """Allowed [lo, hi] DATE interval proven by pushed filters on the
+    transform's source column, or None when nothing narrows it.  A
+    one-day slack on every bound makes the interval safe regardless of
+    the timestamp's timezone handling (a tz skew can move a row at
+    most across one midnight); Spark re-applies the exact filter after
+    the scan."""
+    import datetime as _dt
+
+    if not spec:
+        return None
+
+    def _day(v):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        return None
+
+    one = _dt.timedelta(days=1)
+    lo = hi = None
+    for f in filters:
+        if f.attribute[0] != spec["col"]:
+            continue
+        if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+            d = _day(f.value)
+            if d is None:
+                continue
+            if isinstance(f, EqualTo):
+                lo = max(lo, d - one) if lo else d - one
+                hi = min(hi, d + one) if hi else d + one
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = max(lo, d - one) if lo else d - one
+            else:
+                hi = min(hi, d + one) if hi else d + one
+    if lo is None and hi is None:
+        return None
+    return (lo, hi)
+
+
+def _transform_may_match(dval, interval) -> bool:
+    import datetime as _dt
+
+    if dval is None:
+        return True  # null-day dir (or non-ISO): never prune
+    try:
+        d = _dt.date.fromisoformat(str(dval))
+    except ValueError:
+        return True
+    lo, hi = interval
+    if lo is not None and d < lo:
+        return False
+    if hi is not None and d > hi:
+        return False
+    return True
+
+
 def bucket_id(value, n: int) -> int:
     """Python twin of the write-side Spark expression
     pmod(crc32(cast(col AS STRING)), n); values arrive from pushed
@@ -794,9 +867,10 @@ def publish_manifest(
             if replace:
                 props.pop("column_mapping", None)
                 # an overwrite's layout is whatever IT declares — a
-                # carried-forward bucket spec from the replaced epoch
-                # would mis-prune the new files
+                # carried-forward bucket/transform spec from the
+                # replaced epoch would mis-prune the new files
                 props.pop("bucket", None)
+                props.pop("partition_transform", None)
         try:
             # explicit properties (e.g. an incremental-view txn marker)
             # land atomically with this commit
@@ -1137,6 +1211,8 @@ class StrawboatReaderImpl(DataSourceReader):
         # matching rows — O(files/n) planning with zero footer reads.
         spec = bucket_spec(self.path, man=man)
         allowed_buckets = _bucket_prunable(self._filters, spec)
+        tspec = transform_spec(self.path, man=man)
+        day_interval = _transform_prunable(self._filters, tspec)
         survivors: list[tuple[str, dict]] = []
         for file in files:
             pvals = {
@@ -1149,6 +1225,11 @@ class StrawboatReaderImpl(DataSourceReader):
             if allowed_buckets is not None and spec:
                 b = pvals.get(spec["dir_col"])
                 if b is not None and int(b) not in allowed_buckets:
+                    continue
+            # Hidden partitioning: a range filter on the RAW timestamp
+            # prunes by the days() directory value.
+            if day_interval is not None and tspec:
+                if not _transform_may_match(pvals.get(tspec["dir_col"]), day_interval):
                     continue
             if all(_value_may_match(f, pvals) for f in self._filters):
                 survivors.append((file, pvals))

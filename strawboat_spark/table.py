@@ -590,9 +590,67 @@ class Table:
             if wname in df.columns:
                 df = df.withColumn(wname, F.col(wname).cast(wddl))
         df, options = self._apply_bucketing(df, mode, options)
+        df, options = self._apply_partition_transform(df, mode, options)
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
+        return df, options
+
+    def _apply_partition_transform(self, df: DataFrame, mode: str, options: dict):
+        """Hidden time partitioning (Iceberg `days(ts)` transform):
+        `partition_by="days(ts)"` computes `__days_ts = to_date(ts)`,
+        hive-partitions by the ISO date, and records the spec — so any
+        later RANGE filter on the raw `ts` prunes whole day
+        directories at planning time, and appends re-derive the
+        directory automatically.  Composes with plain partition
+        columns (`partition_by="region,days(ts)"`)."""
+        import json
+        import re as _re
+
+        import pyspark.sql.functions as F
+
+        from strawboat_spark.sources.datasource import transform_spec
+
+        pb = options.get("partition_by", "")
+        comps = [c.strip() for c in pb.split(",") if c.strip()]
+        hits = [
+            (i, m.group(1))
+            for i, c in enumerate(comps)
+            if (m := _re.fullmatch(r"days\((\w+)\)", c))
+        ]
+        if not hits and mode == "append":
+            spec = transform_spec(self.path)
+            if spec and spec["dir_col"] not in df.columns and spec["col"] in df.columns:
+                df = df.withColumn(spec["dir_col"], F.to_date(F.col(spec["col"])))
+                if spec["dir_col"] not in comps:
+                    options["partition_by"] = ",".join(
+                        [*comps, spec["dir_col"]] if comps else [spec["dir_col"]]
+                    )
+            return df, options
+        if not hits:
+            return df, options
+        if len(hits) > 1:
+            raise ValueError("partition_by: at most one days() transform")
+        i, col = hits[0]
+        if col not in df.columns:
+            raise ValueError(f"partition_by: days({col}) names no column")
+        t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
+        if t not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"partition_by: days({col}) needs a timestamp/date column, got {t}"
+            )
+        dir_col = f"__days_{col}"
+        df = df.withColumn(dir_col, F.to_date(F.col(col)))
+        comps[i] = dir_col
+        options["partition_by"] = ",".join(comps)
+        if mode != "append":
+            props = json.loads(options.get("manifest_properties", "{}") or "{}")
+            props["partition_transform"] = {
+                "col": col,
+                "kind": "days",
+                "dir_col": dir_col,
+            }
+            options["manifest_properties"] = json.dumps(props)
         return df, options
 
     def _write(self, df: DataFrame, mode: str, **options) -> None:

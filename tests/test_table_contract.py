@@ -1964,3 +1964,67 @@ def test_bucket_key_cannot_be_renamed_or_dropped(tmp_path, spark):
         t.drop_column("k")
     t.rename_column("id", "rid")  # non-key columns still evolve
     assert t.read().columns[0] == "rid"
+
+
+def test_days_transform_hidden_partitioning(tmp_path, spark):
+    """Hidden time partitioning: partition_by='days(ts)' lands ISO
+    day directories, RANGE filters on the raw timestamp prune whole
+    days at planning (with the tz-safe one-day slack), appends
+    re-derive the directory, results stay exact, and non-time columns
+    compose (region,days(ts))."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from strawboat_spark.sources.datasource import (
+        StrawboatReaderImpl,
+        transform_spec,
+    )
+    from strawboat_spark.table import Table
+    from strawboat_spark.tables import load_table
+
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    p = f"{tmp_path}/ev"
+    t = Table(spark, p)
+    t.overwrite(e.filter("event_id % 2 = 0"), partition_by="days(ts)")
+    assert transform_spec(p) == {"col": "ts", "kind": "days", "dir_col": "__days_ts"}
+    t.append(e.filter("event_id % 2 = 1"))  # inherits the transform
+    assert t.read().count() == e.count()
+
+    lo = e.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(days=2)
+    sch = spark.read.format("strawboat").load(p).schema
+    n_all = len(StrawboatReaderImpl({"path": p}, sch).partitions())
+    r = StrawboatReaderImpl({"path": p}, sch)
+    r.pushFilters([GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi)])
+    # 2 queried days + 1-day slack each side, twice (two epochs)
+    assert len(r.partitions()) <= 8 < n_all
+    got = t.read().filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
+    assert got == e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
+
+    # composes with a plain partition column
+    p2 = f"{tmp_path}/ev2"
+    t2 = Table(spark, p2)
+    t2.overwrite(
+        e.withColumn("region", F.col("user_id") % 2),
+        partition_by="region,days(ts)",
+    )
+    assert t2.read().count() == e.count()
+    assert t2.read().filter("region = 0").count() == e.filter(
+        "user_id % 2 = 0"
+    ).count()
+
+    with _pytest.raises(ValueError, match="timestamp/date"):
+        Table(spark, f"{tmp_path}/bad").overwrite(
+            e.select("event_id", "ts"), partition_by="days(event_id)"
+        )
+    with _pytest.raises(ValueError, match="names no column"):
+        Table(spark, f"{tmp_path}/bad2").overwrite(
+            e.select("event_id", "ts"), partition_by="days(ghost)"
+        )
