@@ -2028,3 +2028,25 @@ def test_days_transform_hidden_partitioning(tmp_path, spark):
         Table(spark, f"{tmp_path}/bad2").overwrite(
             e.select("event_id", "ts"), partition_by="days(ghost)"
         )
+
+
+def test_publish_staged_lands_after_concurrent_append(tmp_path, spark):
+    """publish_staged is an append-shaped flip: a commit landing
+    between stage and publish does NOT invalidate the stage — the CAS
+    retries on the fresh head and both datasets land (unlike
+    fast_forward, which by design refuses an advanced main)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(spark.range(100).select("id"))
+    sid = t.stage_append(spark.range(100, 150).select("id"))
+    t.append(spark.range(150, 170).select("id"))     # concurrent commit
+    t.delete("id < 5", mode="mor")                   # and a DV flip
+    t.publish_staged(sid)
+    assert t.read().count() == 100 + 50 + 20 - 5
+    assert {r.id for r in t.read().filter("id >= 100").collect()} == set(range(100, 170))
+    assert [g["operation"] for g in t.history()][-3:] == [
+        "append", "delete-mor", "publish_staged",
+    ]
