@@ -272,16 +272,19 @@ def transform_spec(
 
 
 def _transform_prunable(filters, spec: dict | None):
-    """Allowed [lo, hi] DATE interval proven by pushed filters on the
-    transform's source column, or None when nothing narrows it.  A
-    one-day slack on every bound makes the interval safe regardless of
-    the timestamp's timezone handling (a tz skew can move a row at
-    most across one midnight); Spark re-applies the exact filter after
-    the scan."""
+    """Allowed [lo, hi] directory-string interval proven by pushed
+    filters on the transform's source column, or None when nothing
+    narrows it.  Bounds carry one unit (day/month) of slack so the
+    interval is safe regardless of the timestamp's timezone handling
+    (a tz skew can move a row at most across one boundary); Spark
+    re-applies the exact filter after the scan.  Directory strings
+    ('2024-03-07' / '2024-03') sort exactly like the periods they
+    name, so comparison stays lexicographic."""
     import datetime as _dt
 
     if not spec:
         return None
+    kind = spec.get("kind", "days")
 
     def _day(v):
         if isinstance(v, _dt.datetime):
@@ -290,7 +293,12 @@ def _transform_prunable(filters, spec: dict | None):
             return v
         return None
 
-    one = _dt.timedelta(days=1)
+    def _fmt(d, shift):
+        if kind == "months":
+            n = d.year * 12 + (d.month - 1) + shift
+            return f"{n // 12:04d}-{n % 12 + 1:02d}"
+        return (d + _dt.timedelta(days=shift)).isoformat()
+
     lo = hi = None
     for f in filters:
         if f.attribute[0] != spec["col"]:
@@ -299,27 +307,21 @@ def _transform_prunable(filters, spec: dict | None):
             d = _day(f.value)
             if d is None:
                 continue
-            if isinstance(f, EqualTo):
-                lo = max(lo, d - one) if lo else d - one
-                hi = min(hi, d + one) if hi else d + one
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                lo = max(lo, d - one) if lo else d - one
-            else:
-                hi = min(hi, d + one) if hi else d + one
+            if not isinstance(f, (LessThan, LessThanOrEqual)):
+                b = _fmt(d, -1)
+                lo = max(lo, b) if lo else b
+            if not isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                b = _fmt(d, +1)
+                hi = min(hi, b) if hi else b
     if lo is None and hi is None:
         return None
     return (lo, hi)
 
 
 def _transform_may_match(dval, interval) -> bool:
-    import datetime as _dt
-
     if dval is None:
-        return True  # null-day dir (or non-ISO): never prune
-    try:
-        d = _dt.date.fromisoformat(str(dval))
-    except ValueError:
-        return True
+        return True  # null-period dir: never prune
+    d = str(dval)
     lo, hi = interval
     if lo is not None and d < lo:
         return False

@@ -611,17 +611,24 @@ class Table:
 
         from strawboat_spark.sources.datasource import transform_spec
 
+        def _expr(kind, col):
+            return (
+                F.date_format(F.col(col), "yyyy-MM")
+                if kind == "months"
+                else F.to_date(F.col(col))
+            )
+
         pb = options.get("partition_by", "")
         comps = [c.strip() for c in pb.split(",") if c.strip()]
         hits = [
-            (i, m.group(1))
+            (i, m.group(1), m.group(2))
             for i, c in enumerate(comps)
-            if (m := _re.fullmatch(r"days\((\w+)\)", c))
+            if (m := _re.fullmatch(r"(days|months)\((\w+)\)", c))
         ]
         if not hits and mode == "append":
             spec = transform_spec(self.path)
             if spec and spec["dir_col"] not in df.columns and spec["col"] in df.columns:
-                df = df.withColumn(spec["dir_col"], F.to_date(F.col(spec["col"])))
+                df = df.withColumn(spec["dir_col"], _expr(spec["kind"], spec["col"]))
                 if spec["dir_col"] not in comps:
                     options["partition_by"] = ",".join(
                         [*comps, spec["dir_col"]] if comps else [spec["dir_col"]]
@@ -630,24 +637,24 @@ class Table:
         if not hits:
             return df, options
         if len(hits) > 1:
-            raise ValueError("partition_by: at most one days() transform")
-        i, col = hits[0]
+            raise ValueError("partition_by: at most one days()/months() transform")
+        i, kind, col = hits[0]
         if col not in df.columns:
-            raise ValueError(f"partition_by: days({col}) names no column")
+            raise ValueError(f"partition_by: {kind}({col}) names no column")
         t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
         if t not in ("timestamp", "timestamp_ntz", "date"):
             raise ValueError(
-                f"partition_by: days({col}) needs a timestamp/date column, got {t}"
+                f"partition_by: {kind}({col}) needs a timestamp/date column, got {t}"
             )
-        dir_col = f"__days_{col}"
-        df = df.withColumn(dir_col, F.to_date(F.col(col)))
+        dir_col = f"__{kind}_{col}"
+        df = df.withColumn(dir_col, _expr(kind, col))
         comps[i] = dir_col
         options["partition_by"] = ",".join(comps)
         if mode != "append":
             props = json.loads(options.get("manifest_properties", "{}") or "{}")
             props["partition_transform"] = {
                 "col": col,
-                "kind": "days",
+                "kind": kind,
                 "dir_col": dir_col,
             }
             options["manifest_properties"] = json.dumps(props)

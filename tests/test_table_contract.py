@@ -2050,3 +2050,45 @@ def test_publish_staged_lands_after_concurrent_append(tmp_path, spark):
     assert [g["operation"] for g in t.history()][-3:] == [
         "append", "delete-mor", "publish_staged",
     ]
+
+
+def test_months_transform_hidden_partitioning(tmp_path, spark):
+    """months(ts): 'YYYY-MM' directories, range filters on the raw
+    timestamp prune whole months (one-month slack), appends
+    re-derive, exact results — the archival-granularity twin of
+    days()."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from strawboat_spark.sources.datasource import (
+        StrawboatReaderImpl,
+        transform_spec,
+    )
+    from strawboat_spark.table import Table
+    from tests.conftest import SF_CORRECT
+
+    from strawboat_spark.tables import load_table
+
+    e = load_table(spark, SF_CORRECT, "events").select("event_id", "ts", "value")
+    # spread the 30-day events data over 6 synthetic months
+    e6 = e.withColumn(
+        "ts", F.expr("ts + make_interval(0, CAST(event_id % 6 AS INT))")
+    )
+    p = f"{tmp_path}/ev"
+    t = Table(spark, p)
+    t.overwrite(e6.filter("event_id % 2 = 0"), partition_by="months(ts)")
+    assert transform_spec(p)["kind"] == "months"
+    t.append(e6.filter("event_id % 2 = 1"))
+    assert t.read().count() == e6.count()
+
+    lo = e6.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(days=31)
+    sch = spark.read.format("strawboat").load(p).schema
+    n_all = len(StrawboatReaderImpl({"path": p}, sch).partitions())
+    r = StrawboatReaderImpl({"path": p}, sch)
+    r.pushFilters([GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi)])
+    assert 0 < len(r.partitions()) < n_all
+    got = t.read().filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
+    assert got == e6.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
