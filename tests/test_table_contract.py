@@ -2092,3 +2092,37 @@ def test_months_transform_hidden_partitioning(tmp_path, spark):
     assert 0 < len(r.partitions()) < n_all
     got = t.read().filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
     assert got == e6.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
+
+
+def test_optimize_zorder_preserves_bucket_layout(tmp_path, spark):
+    """OPTIMIZE with Z-order on a bucketed table works per bucket
+    leaf: the __bucket=N directories survive, bucket pruning still
+    plans 1/n of the files, and content is unchanged — clustering
+    WITHIN buckets composes with hash pruning ACROSS them."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+    from strawboat_spark.table import Table
+
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+    df = spark.range(4000).select(
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * 7919 % 1000).alias("z"),
+        F.col("id").alias("v"),
+    )
+    t.overwrite(df.repartition(4), bucket_by="k", num_buckets=8)
+    before = t.read().agg(F.sum("v")).collect()[0][0]
+    t.optimize(zorder_by=["z"])
+    assert sorted(
+        d for d in _os.listdir(p) if d.startswith("__bucket=")
+    ) == [f"__bucket={i}" for i in range(8)]
+    assert t.read().agg(F.sum("v")).collect()[0][0] == before
+    sch = spark.read.format("strawboat").load(p).schema
+    n_all = len(StrawboatReaderImpl({"path": p}, sch).partitions())
+    r = StrawboatReaderImpl({"path": p}, sch)
+    r.pushFilters([EqualTo(("k",), 42)])
+    assert len(r.partitions()) <= max(1, n_all // 8 + 1)
