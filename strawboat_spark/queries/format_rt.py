@@ -2006,3 +2006,59 @@ def strawboat_days_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "strawboat_merge_evolve",
+    oracle="""
+    WITH tgt AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+        SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'patched' AS tag
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT t.o_orderkey, t.o_totalprice, NULL AS tag FROM tgt t
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT * FROM src
+    )
+    SELECT COALESCE(tag, 'orig') AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1 ORDER BY tag
+    """,
+    description=(
+        "auto-evolving MERGE (Delta autoMerge analog): the source's "
+        "new column is DECLARED (metadata-only) before the merge, "
+        "pre-merge rows render null, matched rows take source values — "
+        "schema evolution costs one flip at any table size"
+    ),
+)
+def strawboat_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py merge(auto_evolve=True) + _auto_evolve_schema (contract
+    in tests/test_table_contract.py::test_merge_auto_evolve_declares_and_widens)."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_me_")
+    t = Table(spark, f"{root}/orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.overwrite(o.filter("o_orderkey % 2 = 0"))
+    src = o.filter("o_orderkey % 10 = 0").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("patched").alias("tag"),
+    )
+    t.merge(src, on=["o_orderkey"], mode="mor", auto_evolve=True)
+    return (
+        t.read()
+        .groupBy(F.coalesce(F.col("tag"), F.lit("orig")).alias("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("tag")
+    )

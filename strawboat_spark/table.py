@@ -951,6 +951,24 @@ class Table:
             not_matched_insert=not_matched_insert,
         )
 
+    def _auto_evolve_schema(self, source: DataFrame) -> None:
+        """Schema evolution for merges: declare source-only columns
+        (add_column, read-time null for pre-merge files) and widen
+        same-family narrower target columns (alter_column_type) —
+        both metadata-only flips.  Unsupported types surface as the
+        underlying add_column/widening errors, never a silent drop."""
+        from strawboat_spark.sources.datasource import _WIDEN_FAMILIES
+
+        tgt = {f.name: f.dataType.simpleString() for f in self.read().schema.fields}
+        for f in source.schema.fields:
+            st = f.dataType.simpleString()
+            if f.name not in tgt:
+                self.add_column(f.name, st)
+            else:
+                cur, new = _WIDEN_FAMILIES.get(tgt[f.name]), _WIDEN_FAMILIES.get(st)
+                if cur and new and cur[0] == new[0] and new[1] > cur[1]:
+                    self.alter_column_type(f.name, st)
+
     def _refuse_bucket_key_assignment(self, verb: str, assignments: dict) -> None:
         """Mutating the bucket key would strand rows in the wrong
         bucket directory — pruning would silently miss them.  Delete
@@ -990,12 +1008,38 @@ class Table:
             ).cast("long"),
         )
 
-    def merge(self, source: DataFrame, on: list[str], mode: str = "cow") -> dict:
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        mode: str = "cow",
+        auto_evolve: bool = False,
+    ) -> dict:
         """mode='mor': matched target rows are masked by deletion
         vectors, the source lands as new files (partitioned by the
-        hive layout when present), one flip."""
+        hive layout when present), one flip.
+
+        auto_evolve=True (Delta autoMerge analog): source columns the
+        target lacks are DECLARED first (metadata-only add_column —
+        pre-merge files render null), and a source column at a wider
+        same-family type triggers a metadata-only widening; both ride
+        the existing zero-rewrite machinery, so evolution costs two
+        manifest flips regardless of table size.  Without it, extra
+        source columns are an error (silent drops hide typos)."""
         from strawboat_spark.sources.maintenance import merge_upsert
 
+        if auto_evolve:
+            self._auto_evolve_schema(source)
+        else:
+            extra = [
+                c for c in source.columns if c not in self.read().columns
+            ]
+            if extra:
+                raise ValueError(
+                    f"merge: source has columns the target lacks {extra}; "
+                    f"pass auto_evolve=True to declare them (metadata-only) "
+                    f"or drop them explicitly"
+                )
         # every source row is written (replacement or insert), so
         # generated columns compute+validate over the whole source
         source = self._bucket_source(source)

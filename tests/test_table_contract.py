@@ -2126,3 +2126,38 @@ def test_optimize_zorder_preserves_bucket_layout(tmp_path, spark):
     r = StrawboatReaderImpl({"path": p}, sch)
     r.pushFilters([EqualTo(("k",), 42)])
     assert len(r.partitions()) <= max(1, n_all // 8 + 1)
+
+
+def test_merge_auto_evolve_declares_and_widens(tmp_path, spark):
+    """auto_evolve merges: a source-only column becomes a declared
+    column (old rows render null, zero rewrites), a wider same-family
+    source type triggers metadata-only widening, extra columns
+    WITHOUT the flag are refused (silent drops hide typos), and the
+    evolution is two manifest flips in history."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(spark.range(100).select(F.col("id"), F.col("id").cast("int").alias("n")))
+    src = spark.range(90, 120).select(
+        F.col("id"),
+        (F.col("id") + 3_000_000_000).alias("n"),   # needs bigint
+        F.lit("patched").alias("tag"),              # new column
+    )
+    with _pytest.raises(ValueError, match="auto_evolve"):
+        t.merge(src, on=["id"], mode="mor")
+    t.merge(src, on=["id"], mode="mor", auto_evolve=True)
+    r = t.read()
+    assert {f.name: f.dataType.simpleString() for f in r.schema.fields} == {
+        "id": "bigint", "n": "bigint", "tag": "string",
+    }
+    assert r.count() == 120
+    assert r.filter("tag IS NULL").count() == 90       # pre-merge rows
+    assert r.filter("n >= 3000000000").count() == 30   # widened values
+    ops = [g["operation"] for g in t.history()]
+    assert "add_column" in ops and "alter_column_type" in ops
+    # a second evolve-merge with the same shape is steady-state
+    t.merge(src, on=["id"], mode="mor", auto_evolve=True)
+    assert t.read().count() == 120
