@@ -884,6 +884,7 @@ class Table:
         matched_update: tuple[str | None, dict[str, str]] | None = None,
         matched_delete: str | None = None,
         not_matched_insert: str | None = None,
+        auto_evolve: bool = False,
     ) -> dict:
         """Conditional MERGE (the full Delta clause surface): DELETE /
         UPDATE SET on matched rows gated by SQL conditions seeing the
@@ -897,6 +898,11 @@ class Table:
 
         if matched_update is not None:
             self._refuse_bucket_key_assignment("merge_when", matched_update[1])
+        if auto_evolve:
+            # same contract as merge(auto_evolve=True): declare
+            # source-only columns, widen narrower targets — both
+            # metadata-only, before any clause evaluates
+            self._auto_evolve_schema(source)
         source = self._bucket_source(source)
         # generated columns: compute missing ones on the source (the
         # insert leg writes source rows verbatim), validate only on the

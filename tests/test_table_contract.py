@@ -2161,3 +2161,31 @@ def test_merge_auto_evolve_declares_and_widens(tmp_path, spark):
     # a second evolve-merge with the same shape is steady-state
     t.merge(src, on=["id"], mode="mor", auto_evolve=True)
     assert t.read().count() == 120
+
+
+def test_merge_when_auto_evolve(tmp_path, spark):
+    """Conditional MERGE with auto_evolve: the declared new column is
+    available to the insert leg and to matched_update via src_<col>,
+    pre-merge rows render null."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    src = spark.range(40, 60).select(
+        F.col("id"), (F.col("id") * 100).alias("v"), F.lit("w").alias("tag")
+    )
+    t.merge_when(
+        src,
+        on=["id"],
+        matched_update=(None, {"v": "src_v", "tag": "src_tag"}),
+        not_matched_insert="true",
+        auto_evolve=True,
+    )
+    r = t.read()
+    assert r.columns == ["id", "v", "tag"]
+    assert r.count() == 60
+    assert r.filter("tag = 'w'").count() == 20   # 10 updated + 10 inserted
+    assert r.filter("tag IS NULL").count() == 40  # untouched pre-merge rows
+    assert r.filter("id = 45").collect()[0].v == 4500
