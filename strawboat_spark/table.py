@@ -739,7 +739,15 @@ class Table:
     def overwrite(self, df: DataFrame, **options) -> None:
         self._write(df, "overwrite", **options)
 
-    def append(self, df: DataFrame, **options) -> None:
+    def append(self, df: DataFrame, auto_evolve: bool = False, **options) -> None:
+        """auto_evolve=True: columns the table lacks are DECLARED
+        first (metadata-only — older files render null at read time,
+        no footer-union merge_schema needed on the read side) and
+        wider same-family incoming types trigger metadata-only
+        widening; then the append proceeds under the evolved logical
+        schema.  Same contract as merge(auto_evolve=True)."""
+        if auto_evolve:
+            self._auto_evolve_schema(df)
         self._write(df, "append", **options)
 
     # -- write-audit-publish ----------------------------------------------

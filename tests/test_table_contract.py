@@ -2189,3 +2189,30 @@ def test_merge_when_auto_evolve(tmp_path, spark):
     assert r.filter("tag = 'w'").count() == 20   # 10 updated + 10 inserted
     assert r.filter("tag IS NULL").count() == 40  # untouched pre-merge rows
     assert r.filter("id = 45").collect()[0].v == 4500
+
+
+def test_append_auto_evolve(tmp_path, spark):
+    """append(auto_evolve=True): new columns are declared before the
+    append (old files render null WITHOUT merge_schema footer unions
+    on the read side) and wider incoming types widen the table —
+    plain appends with new columns still reject."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(spark.range(50).select(F.col("id"), F.col("id").cast("int").alias("n")))
+    extra = spark.range(50, 60).select(
+        F.col("id"), (F.col("id") + 3_000_000_000).alias("n"), F.lit(1.5).alias("q")
+    )
+    with _pytest.raises(Exception):
+        t.append(extra)  # schema mismatch without the flag
+    t.append(extra, auto_evolve=True)
+    r = t.read()
+    assert {f.name: f.dataType.simpleString() for f in r.schema.fields} == {
+        "id": "bigint", "n": "bigint", "q": "double",
+    }
+    assert r.count() == 60
+    assert r.filter("q IS NULL").count() == 50
+    assert r.filter("n >= 3000000000").count() == 10
