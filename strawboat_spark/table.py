@@ -1656,20 +1656,27 @@ class Table:
             f"drop_column({self.path}): lost the generation race 50 times"
         )
 
-    def restore(self, generation: int | None = None, timestamp=None) -> None:
-        """Delta RESTORE (by VERSION or TIMESTAMP): commit a NEW
+    def restore(
+        self, generation: int | None = None, timestamp=None, tag: str | None = None
+    ) -> None:
+        """Delta RESTORE (by VERSION, TIMESTAMP, or TAG): commit a NEW
         generation whose entries equal the target generation's — the
         table's current state snaps back (including that generation's
         deletion-vector state) while the full history, time travel,
         and the change feed stay intact; no data file is touched.
         Requires the target generation retained (vacuum() retires the
-        horizon)."""
+        horizon; tagged generations are always retained)."""
+        if sum(x is not None for x in (generation, timestamp, tag)) > 1:
+            raise ValueError("restore: pass exactly one of generation/timestamp/tag")
+        if tag is not None:
+            tags = self.tags()
+            if tag not in tags:
+                raise ValueError(f"restore: unknown tag {tag!r} (have {sorted(tags)})")
+            generation = tags[tag]
         if timestamp is not None:
-            if generation is not None:
-                raise ValueError("restore: pass generation OR timestamp, not both")
             generation = self._resolve_timestamp(timestamp)
         if generation is None:
-            raise ValueError("restore: a generation or timestamp is required")
+            raise ValueError("restore: a generation, timestamp, or tag is required")
         from strawboat_spark.sources.datasource import (
             ManifestConflictError,
             read_manifest,

@@ -2216,3 +2216,22 @@ def test_append_auto_evolve(tmp_path, spark):
     assert r.count() == 60
     assert r.filter("q IS NULL").count() == 50
     assert r.filter("n >= 3000000000").count() == 10
+
+
+def test_restore_by_tag(tmp_path, spark):
+    """RESTORE TO TAG: a tagged (vacuum-pinned) snapshot restores by
+    name; unknown tags and over-specified targets are refused."""
+    import pytest as _pytest
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, f"{tmp_path}/t")
+    t.overwrite(spark.range(100).select("id"))
+    t.tag("v1")
+    t.overwrite(spark.range(5).select("id"))
+    t.restore(tag="v1")
+    assert t.read().count() == 100
+    with _pytest.raises(ValueError, match="unknown tag"):
+        t.restore(tag="ghost")
+    with _pytest.raises(ValueError, match="exactly one"):
+        t.restore(generation=1, tag="v1")
