@@ -931,6 +931,16 @@ def _parse_forbidden(options) -> frozenset:
 
 
 class StrawboatDataSource(DataSource):
+    def __init__(self, options):
+        # `branch=<name>` resolves every read/write/stream against the
+        # branch's own root (table.py Table.branch) — one rewrite here
+        # covers schema/reader/writer/streamReader uniformly
+        br = options.get("branch")
+        path = options.get("path")
+        if br and path:
+            options["path"] = f"{path}/_branches/{br}"
+        super().__init__(options)
+
     @classmethod
     def name(cls) -> str:
         return "strawboat"

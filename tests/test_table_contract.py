@@ -2235,3 +2235,31 @@ def test_restore_by_tag(tmp_path, spark):
         t.restore(tag="ghost")
     with _pytest.raises(ValueError, match="exactly one"):
         t.restore(generation=1, tag="v1")
+
+
+def test_branch_option_on_datasource(tmp_path, spark):
+    """option('branch', name) resolves plain format reads AND writes
+    against the branch root — the SQL-surface twin of branch_table()."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    p = f"{tmp_path}/t"
+    t = Table(spark, p)
+    t.overwrite(spark.range(10).select("id"))
+    t.branch("dev")
+    (
+        spark.range(10, 25)
+        .select("id")
+        .write.format("strawboat")
+        .option("branch", "dev")
+        .mode("append")
+        .save(p)
+    )
+    got = spark.read.format("strawboat").option("branch", "dev").load(p)
+    assert got.count() == 25
+    assert spark.read.format("strawboat").load(p).count() == 10  # main
+    t.fast_forward("dev")
+    assert t.read().count() == 25
