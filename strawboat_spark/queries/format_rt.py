@@ -2062,3 +2062,56 @@ def strawboat_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "strawboat_months_partition",
+    oracle="""
+    WITH e6 AS (
+        SELECT user_id, value,
+               ts + INTERVAL (event_id % 6) MONTH AS ts
+        FROM events
+    ), b AS (SELECT MIN(ts) AS lo FROM e6)
+    SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+    FROM e6, b
+    WHERE ts >= b.lo AND ts < b.lo + INTERVAL 40 DAY
+    GROUP BY 1 ORDER BY cohort
+    """,
+    description=(
+        "months(ts) hidden partitioning: 'YYYY-MM' directories, a "
+        "40-day range filter on the raw timestamp prunes whole months "
+        "(one-month slack) — archival-granularity twin of days(ts), "
+        "result exact"
+    ),
+)
+def strawboat_months_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py months() transform (contract in
+    tests/test_table_contract.py::test_months_transform_hidden_partitioning)."""
+    import datetime as dt
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+    from strawboat_spark.tables import load_table as _lt
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_mp_")
+    e = _lt(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    e6 = e.withColumn(
+        "ts", F.expr("ts + make_interval(0, CAST(event_id % 6 AS INT))")
+    ).drop("event_id")
+    t = Table(spark, f"{root}/events")
+    t.overwrite(e6, partition_by="months(ts)")
+    lo = e6.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(days=40)
+    return (
+        t.read()
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+        )
+        .orderBy("cohort")
+    )
