@@ -3,20 +3,37 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized via a count-style collect (the
-driver-side cheap terminal op) after a warm-up of the input scans.
+Adjudication machinery (r9):
+- per-query best-of-N (N = $SPARK_GRAFT_BENCH_RUNS, default 3) with the
+  raw per-run timings recorded under "runs" — plan-change vs host-noise
+  is decided from the spread, not relitigated;
+- an executed-plan fingerprint per query ("plans"): sha256 of the final
+  AQE physical plan string with expression ids / codegen ids / temp
+  paths normalized away.  Equal fingerprints across rounds = same plan,
+  so a timing delta is environment, not a regression;
+- a canary guard: q6 (pure scan+agg, plan-stable since r1) is compared
+  against its rolling floor; a >40% excess marks the round's JSON with
+  "loaded_host": true so noisy rounds are labeled in-band.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+# q6 is the canary: single-table scan + agg, no joins, plan unchanged
+# since r1.  Rolling floor over BENCH_r01..r08 driver runs: 0.29 s.
+CANARY = "q6_forecast_revenue"
+CANARY_FLOOR = 0.29
 
 # Headline set: scan-heavy agg, multi-join, window, as-of, dedup,
 # similarity, text — the operators whose plans matter at 100 TB.
@@ -49,6 +66,27 @@ HEADLINE = [
     "text_heavy_hitter_tokens",
     "text_lm_perplexity",
 ]
+
+# Plan-string normalization: strip per-session ids so the fingerprint
+# only changes when the plan SHAPE changes.
+_NORMS = [
+    (re.compile(r"#\d+[A-Za-z]*"), "#"),          # expression ids
+    (re.compile(r"\[id=#?\d+\]"), ""),            # codegen / subquery ids
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"(?:file:)?/[^\s,\]\)]*(?:tmp|warehouse)[^\s,\]\)]*", re.I), "<path>"),
+    (re.compile(r"0x[0-9a-f]+"), "0x"),
+]
+
+
+def _plan_fingerprint(df) -> str | None:
+    """sha256[:12] of the normalized FINAL (post-AQE) physical plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    for rx, sub in _NORMS:
+        plan = rx.sub(sub, plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
 
 def _warm_python_paths(spark) -> None:
@@ -88,23 +126,29 @@ def main() -> None:
         registry[name].fn(spark, SF_DIR).collect()
     _warm_python_paths(spark)
 
-    # Best-of-2: a single local[32] JVM has seconds-scale GC/scheduling
-    # jitter; the min of two runs is the steady-state number a cluster
-    # would see per-executor.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Best-of-N: a single local[32] JVM has seconds-scale GC/scheduling
+    # jitter; the min of N runs is the steady-state number a cluster
+    # would see per-executor.  All raw runs are recorded for spread
+    # analysis.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    plans: dict[str, str | None] = {}
+    for _ in range(N_RUNS):
         for name in names:
             t0 = time.perf_counter()
             df = registry[name].fn(spark, SF_DIR)
             df.collect()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            if name not in plans:
+                plans[name] = _plan_fingerprint(df)
+    timings = {n: min(rs) for n, rs in runs.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    canary_sec = timings.get(CANARY)
+    loaded = bool(canary_sec is not None and canary_sec > CANARY_FLOOR * 1.4)
     print(
         json.dumps(
             {
@@ -113,6 +157,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": runs,
+                "plans": plans,
+                "n_runs": N_RUNS,
+                "canary": {
+                    "query": CANARY,
+                    "sec": canary_sec,
+                    "floor": CANARY_FLOOR,
+                    "loaded_host": loaded,
+                },
             }
         )
     )

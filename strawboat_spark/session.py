@@ -45,7 +45,16 @@ def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor; 32 threads on an
+        # 8g heap GC-thrash under multi-query sessions (adjudicated r9:
+        # the minhash bench regression tracked heap pressure + codegen
+        # cache eviction, not a plan change — plans fingerprint-equal).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Default compiled-class cache is 100 entries; a multi-query
+        # session (19 headline queries x several codegen stages each)
+        # evicts and recompiles hot stages every pass.  A long-lived
+        # cluster session wants the same headroom.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
         .config("spark.ui.enabled", "false")
     )
