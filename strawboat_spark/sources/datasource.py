@@ -41,6 +41,7 @@ import os
 import re
 import uuid
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import pyarrow as pa
 
@@ -498,6 +499,11 @@ class _Stripe(InputPartition):
     # Declared-column read-time defaults: ((name, json_value), ...) —
     # files predating a Table.add_column render the default, not null.
     defaults: tuple = ()
+    # Deletion-vector SIDECAR refs (absolute paths) for this stripe's
+    # file: decoded executor-side in read() and unioned with `deletes`,
+    # so positions never pass through the driver. Whole-file vectors —
+    # the reader clips by page offsets anyway.
+    dv_refs: tuple = ()
 
 
 @dataclass
@@ -1081,14 +1087,11 @@ def _at_generation(options) -> int | None:
     return int(v) if v else None
 
 
-def encode_deletes(ordinals) -> str:
-    """Compact deletion-vector encoding: sorted physical ordinals ->
-    'dv1:' + base64(zlib(LEB128 varints of first value then gaps)).
-    ~1-2 bytes/row before zlib vs ~10 for JSON ints — the manifest
-    stays manifest-sized even for vectors masking millions of rows
-    (a roaring bitmap would go denser still; the field is
-    format-tagged so that swap is a pure codec change)."""
-    import base64
+def _dv_pack(ordinals) -> bytes:
+    """LEB128 varints of first value then gaps, zlib-compressed --
+    ~1-2 bytes/row before zlib vs ~10 for JSON ints (a roaring bitmap
+    would go denser still; both carriers are format-tagged so that
+    swap is a pure codec change)."""
     import zlib
 
     out = bytearray()
@@ -1097,7 +1100,7 @@ def encode_deletes(ordinals) -> str:
         if v <= prev or v < 0:
             # a non-positive gap would never terminate the varint loop
             raise ValueError(
-                f"encode_deletes: ordinals must be sorted, unique and "
+                f"deletion vector: ordinals must be sorted, unique and "
                 f"non-negative (got {v} after {prev})"
             )
         gap = v - prev - 1 if prev >= 0 else v
@@ -1110,21 +1113,13 @@ def encode_deletes(ordinals) -> str:
             else:
                 out.append(b)
                 break
-    return "dv1:" + base64.b64encode(zlib.compress(bytes(out), 6)).decode()
+    return zlib.compress(bytes(out), 6)
 
 
-def decode_deletes(v) -> tuple:
-    """Accepts the 'dv1:' string form or a legacy JSON int list."""
-    if not v:
-        return ()
-    if isinstance(v, (list, tuple)):
-        return tuple(v)
-    if not isinstance(v, str) or not v.startswith("dv1:"):
-        raise ValueError(f"unknown deletion-vector encoding: {v!r:.40}")
-    import base64
+def _dv_unpack(blob: bytes) -> tuple:
     import zlib
 
-    raw = zlib.decompress(base64.b64decode(v[4:]))
+    raw = zlib.decompress(blob)
     out = []
     acc = 0
     shift = 0
@@ -1141,18 +1136,123 @@ def decode_deletes(v) -> tuple:
     return tuple(out)
 
 
+def encode_deletes(ordinals) -> str:
+    """Compact INLINE deletion-vector encoding: sorted physical
+    ordinals -> 'dv1:' + base64(varint+zlib).  The manifest stays
+    manifest-sized even for vectors masking millions of rows.  New MOR
+    mutations write sidecar FILES instead (write_dv_sidecar) so row
+    positions never pass through the driver; the inline form remains
+    for legacy tables and tiny vectors."""
+    import base64
+
+    return "dv1:" + base64.b64encode(_dv_pack(ordinals)).decode()
+
+
+def decode_deletes(v) -> tuple:
+    """Accepts the 'dv1:' string form or a legacy JSON int list."""
+    if not v:
+        return ()
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    if not isinstance(v, str) or not v.startswith("dv1:"):
+        raise ValueError(f"unknown deletion-vector encoding: {v!r:.40}")
+    import base64
+
+    return _dv_unpack(base64.b64decode(v[4:]))
+
+
+# Deletion-vector sidecar files: executors write one blob per (file,
+# mutation) under <root>/_strawboat_dv/ and the manifest entry carries
+# only {"deletes_refs": [rel, ...], "n_deletes": total} -- row positions
+# never ride through the driver (the Delta DV-file posture).  Refs are
+# APPEND-ONLY and pairwise disjoint by construction: a mutation's scan
+# subtracts existing vectors, so re-deleting an already-masked row is
+# impossible.  Content-addressed names make speculative task retries
+# idempotent (same positions -> same blob -> same name).
+DV_DIR = "_strawboat_dv"
+_DV_MAGIC = b"SBDV1\n"
+
+
+def write_dv_sidecar(root: str, ordinals) -> str:
+    """Write a deletion-vector sidecar for `ordinals` (sorted, unique)
+    under root/_strawboat_dv; returns its root-relative path.  Safe to
+    call from executors (fs.create is atomic publish-on-close)."""
+    import hashlib
+
+    blob = _DV_MAGIC + _dv_pack(ordinals)
+    name = hashlib.sha256(blob).hexdigest()[:24] + ".dv"
+    rel = f"{DV_DIR}/{name}"
+    fs = get_fs(root)
+    dv_abs = os.path.join(root, rel)
+    if not fs.exists(dv_abs):
+        fs.makedirs(os.path.join(root, DV_DIR))
+        with fs.create(dv_abs) as h:
+            h.write(blob)
+    return rel
+
+
+def read_dv_sidecar(path: str) -> tuple:
+    """Decode one sidecar file -> sorted ordinal tuple (executor- or
+    driver-side; the hot scan path keeps this executor-side)."""
+    with get_fs(path).open_read(path) as h:
+        blob = h.read()
+    if not blob.startswith(_DV_MAGIC):
+        raise ValueError(f"not a deletion-vector sidecar: {path}")
+    return _dv_unpack(blob[len(_DV_MAGIC):])
+
+
+def entry_dv_refs(root: str, e: dict) -> tuple:
+    """Absolute sidecar paths referenced by a manifest entry."""
+    return tuple(entry_abs(root, r) for r in e.get("deletes_refs") or ())
+
+
+def entry_dv_count(root: str, e: dict) -> int:
+    """Deleted-row count for an entry from METADATA alone (n_deletes is
+    committed with every sidecar ref; disjointness makes it additive).
+    Legacy inline-only entries fall back to decoding the inline blob."""
+    n = e.get("n_deletes")
+    if n is not None:
+        return int(n)
+    return len(decode_deletes(e.get("deletes")))
+
+
+def dv_positions(root: str, e: dict) -> tuple:
+    """Full decoded deletion vector of one entry: inline + sidecars.
+    Driver-side use is reserved for change-sized work (CDF diffs,
+    branch diffs); the scan path ships refs to executors instead."""
+    pos = set(decode_deletes(e.get("deletes")))
+    for ref in entry_dv_refs(root, e):
+        pos.update(read_dv_sidecar(ref))
+    return tuple(sorted(pos))
+
+
+class _DV(NamedTuple):
+    """Per-file deletion-vector handle: small inline ordinals decoded,
+    sidecar refs carried as paths (decoded executor-side), and the
+    metadata deleted-row count."""
+
+    inline: tuple
+    refs: tuple
+    n: int
+
+
 def _deletes_by_rel(root: str, at_generation: int | None, man=_UNSET_MAN) -> dict:
-    """Per-file merge-on-read deletion vectors from the generation's
-    manifest: {relative path: sorted tuple of physical row ordinals}.
+    """Per-file merge-on-read deletion-vector handles from the
+    generation's manifest: {absolute path: _DV}.  Positions inside
+    sidecars are NOT decoded here -- planning stays metadata-only.
     Tables without a manifest (legacy directories) have none."""
     if man is _UNSET_MAN:
         man = _manifest_for(root, at_generation)
     if man is None:
         return {}
     return {
-        entry_abs(root, e["path"]): decode_deletes(e["deletes"])
+        entry_abs(root, e["path"]): _DV(
+            decode_deletes(e.get("deletes")),
+            entry_dv_refs(root, e),
+            entry_dv_count(root, e),
+        )
         for e in man.get("entries", ())
-        if e.get("deletes")
+        if e.get("deletes") or e.get("deletes_refs")
     }
 
 
@@ -1286,7 +1386,9 @@ class StrawboatReaderImpl(DataSourceReader):
             pv = tuple(sorted(pvals.items()))
             if not keep:
                 continue
-            fdel = dmap.get(file, ())
+            fdv = dmap.get(file)
+            fdel = fdv.inline if fdv else ()
+            frefs = fdv.refs if fdv else ()
             fsnap = tuple(self._filters)
             if n_pages == 0:
                 parts.append(_Stripe(file, 0, 0, pv, fsnap, colmap=cmap, defaults=defaults))
@@ -1321,7 +1423,9 @@ class StrawboatReaderImpl(DataSourceReader):
                     if fdel
                     else ()
                 )
-                parts.append(_Stripe(file, s, e, pv, fsnap, sdel, offsets[s], cmap, defaults))
+                parts.append(
+                    _Stripe(file, s, e, pv, fsnap, sdel, offsets[s], cmap, defaults, frefs)
+                )
                 s = e
         return parts
 
@@ -1341,6 +1445,18 @@ class StrawboatReaderImpl(DataSourceReader):
             pvals["_strawboat_file"] = partition.file
         want_pos = "_strawboat_pos" in want.names
         dels = np.asarray(partition.deletes, dtype=np.int64)
+        if partition.dv_refs:
+            # sidecar vectors decode HERE, on the executor — the driver
+            # only ever handled their paths
+            dels = np.unique(
+                np.concatenate(
+                    [dels]
+                    + [
+                        np.asarray(read_dv_sidecar(r), dtype=np.int64)
+                        for r in partition.dv_refs
+                    ]
+                )
+            )
         fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)
@@ -1860,6 +1976,10 @@ class _CDFPart(InputPartition):
     only: tuple = ()  # delete_rows: ordinals to EMIT (the DV delta)
     colmap: tuple = ()  # column-mapping aliases (see _Stripe.colmap)
     defaults: tuple = ()  # declared-column defaults (see _Stripe.defaults)
+    # sidecar refs (absolute paths) decoded executor-side and unioned
+    # into skip/only respectively — DV positions stay off the driver
+    skip_refs: tuple = ()
+    only_refs: tuple = ()
 
 
 class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
@@ -1958,27 +2078,43 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
             # COW rewrites carry untouched neighbor rows, and merges
             # mix true inserts into the landed files.
             is_update = cur.get("operation") == "update-mor"
+            # (inline ordinals decoded, sidecar ref paths NOT decoded) —
+            # refs are append-only, so the delta between generations is
+            # metadata-computable and positions stay off the driver
             ent_prev = {
-                e["path"]: decode_deletes(e.get("deletes")) for e in prev["entries"]
+                e["path"]: (decode_deletes(e.get("deletes")), entry_dv_refs(self.path, e))
+                for e in prev["entries"]
             }
             ent_cur = {
-                e["path"]: decode_deletes(e.get("deletes")) for e in cur["entries"]
+                e["path"]: (decode_deletes(e.get("deletes")), entry_dv_refs(self.path, e))
+                for e in cur["entries"]
             }
-            for rel, dv in sorted(ent_cur.items()):
+            for rel, (dv, refs) in sorted(ent_cur.items()):
                 file = entry_abs(self.path, rel)
                 pv = _pv(file)
                 if rel not in ent_prev:
                     kind = "update_post" if is_update else "insert"
-                    parts.append(_CDFPart(kind, file, g, pv, skip=dv, colmap=cmap, defaults=defaults))
-                elif dv != ent_prev[rel]:
-                    delta = tuple(sorted(set(dv) - set(ent_prev[rel])))
-                    if delta:
+                    parts.append(
+                        _CDFPart(kind, file, g, pv, skip=dv, colmap=cmap,
+                                 defaults=defaults, skip_refs=refs)
+                    )
+                elif (dv, refs) != ent_prev[rel]:
+                    pdv, prefs = ent_prev[rel]
+                    delta = tuple(sorted(set(dv) - set(pdv)))
+                    new_refs = tuple(r for r in refs if r not in prefs)
+                    if delta or new_refs:
                         kind = "update_pre" if is_update else "delete_rows"
-                        parts.append(_CDFPart(kind, file, g, pv, only=delta, colmap=cmap, defaults=defaults))
-            for rel, dv in sorted(ent_prev.items()):
+                        parts.append(
+                            _CDFPart(kind, file, g, pv, only=delta, colmap=cmap,
+                                     defaults=defaults, only_refs=new_refs)
+                        )
+            for rel, (dv, refs) in sorted(ent_prev.items()):
                 if rel not in ent_cur:
                     file = entry_abs(self.path, rel)
-                    parts.append(_CDFPart("delete", file, g, _pv(file), skip=dv, colmap=cmap, defaults=defaults))
+                    parts.append(
+                        _CDFPart("delete", file, g, _pv(file), skip=dv,
+                                 colmap=cmap, defaults=defaults, skip_refs=refs)
+                    )
         return parts
 
     def read(self, partition: _CDFPart):
@@ -2006,6 +2142,14 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
         }
         skip = np.asarray(partition.skip, dtype=np.int64)
         only = np.asarray(partition.only, dtype=np.int64)
+        if partition.skip_refs:
+            skip = np.unique(np.concatenate(
+                [skip] + [np.asarray(read_dv_sidecar(r), dtype=np.int64)
+                          for r in partition.skip_refs]))
+        if partition.only_refs:
+            only = np.unique(np.concatenate(
+                [only] + [np.asarray(read_dv_sidecar(r), dtype=np.int64)
+                          for r in partition.only_refs]))
         fschema, fmeta = _cached_footer(partition.file)
         with get_fs(partition.file).open_read(partition.file) as f:
             reader = StrawboatReader(f, schema=fschema, meta=fmeta)

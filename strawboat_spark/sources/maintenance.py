@@ -384,6 +384,33 @@ def vacuum(path: str, grace_seconds: float = 3600.0, dry_run: bool = False) -> d
                 kept += 1  # too young: may belong to an uncommitted write
         except (OSError, KeyError):
             kept += 1
+    # 3. Deletion-vector sidecars (_strawboat_dv/*.dv): live while ANY
+    #    retained generation references them; content-addressed orphans
+    #    (crashed mutations, speculative task twins) reclaim after the
+    #    grace window, same rule as data files.
+    from strawboat_spark.sources.datasource import entry_dv_refs
+
+    live_dv = {
+        _norm(r) for m in retained for e in m["entries"] for r in entry_dv_refs(path, e)
+    }
+    for f in fs.list_files(path, ".dv"):
+        if _rel(f, path).split(os.sep)[0] == "_branches":
+            kept += 1  # branch-owned vectors: the branch's own story
+            continue
+        if _norm(f) in live_dv:
+            kept += 1
+            continue
+        try:
+            if _age_seconds(fs, f) > grace_seconds:
+                if dry_run:
+                    planned.append(f)
+                else:
+                    fs.remove(f)
+                removed += 1
+            else:
+                kept += 1
+        except (OSError, KeyError):
+            kept += 1
     for d in sorted(scratch_roots):
         if dry_run:
             planned.append(d)
@@ -425,19 +452,20 @@ def delete_where(spark, path: str, condition: str, mode: str = "cow") -> dict:
 
 
 def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
-    """`man`'s entries for `per_rel`'s files with the new ordinals
-    merged into their deletion vectors (compact dv1 varint encoding;
-    legacy JSON-list vectors decode transparently). Takes the manifest
-    as an argument — callers inside _flip_generation's CAS loop must
-    re-merge against each freshly-read manifest, never a pre-race
-    snapshot."""
-    from strawboat_spark.sources.datasource import decode_deletes, encode_deletes
-
-    from strawboat_spark.sources.datasource import ManifestConflictError
+    """`man`'s entries for `per_rel`'s files with a new deletion-vector
+    SIDECAR ref appended (per_rel: {rel: (sidecar_rel, n_new)}).  The
+    sidecars were already written by EXECUTORS — this merge is pure
+    metadata: append the ref, bump the additive n_deletes count (refs
+    are pairwise disjoint by construction: the mutation scan subtracts
+    existing vectors, so re-deleting a masked row is impossible).
+    Takes the manifest as an argument — callers inside
+    _flip_generation's CAS loop must re-merge against each freshly-read
+    manifest, never a pre-race snapshot."""
+    from strawboat_spark.sources.datasource import ManifestConflictError, entry_dv_count
 
     by_rel = {e["path"]: e for e in (man or {"entries": []})["entries"]}
     out = []
-    for rel, pos in per_rel.items():
+    for rel, (sidecar_rel, n_new) in per_rel.items():
         if rel not in by_rel:
             # a concurrent optimize/compact/COW rewrite removed this
             # marked file between our scan and the flip — the pending
@@ -449,8 +477,9 @@ def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
                 "vectors); re-run the mutation against the new generation"
             )
         e = dict(by_rel[rel])
-        merged = sorted(set(decode_deletes(e.get("deletes"))) | set(pos))
-        e["deletes"] = encode_deletes(merged)
+        root = ""  # counts only — entry_dv_count never touches refs' content
+        e["n_deletes"] = entry_dv_count(root, e) + int(n_new)
+        e["deletes_refs"] = list(e.get("deletes_refs") or ()) + [sidecar_rel]
         out.append(e)
     return out
 
@@ -464,31 +493,51 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     if read_manifest(path) is None:
         publish_manifest(path)
     # ONE stats-pruned scan: matched (file, physical ordinal) pairs,
-    # aggregated to a sorted vector per file. The per-file vector is
-    # bounded by that file's row count; at production scale the JSON
-    # int list would be a roaring bitmap — same plan, denser encoding.
+    # grouped per file on the EXECUTORS, which write one deletion-vector
+    # sidecar blob each (content-addressed — task retries idempotent).
+    # The driver collects only {file, sidecar ref, count} — one
+    # metadata row per marked FILE, never row positions: a 1% DELETE
+    # at 100 TB is ~10^9 ordinals, which must not transit the driver.
     df = (
         spark.read.format("strawboat")
         .option("with_file_path", "true")
         .option("with_row_pos", "true")
         .load(path)
     )
-    hit = (
-        df.filter(F.expr(condition))
-        .groupBy("_strawboat_file")
-        .agg(
-            F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+    hit = _write_dv_sidecars(
+        df.filter(F.expr(condition)).select("_strawboat_file", "_strawboat_pos"), path
     )
     if not hit:
         return {"files_marked": 0, "rows_deleted": 0}
-    per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+    per_rel = {_rel(r["file"], path): (r["sidecar"], int(r["n"])) for r in hit}
     _flip_generation(
         path, set(per_rel), lambda man: _dv_entries(man, per_rel), "delete-mor"
     )
     return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
+
+
+def _write_dv_sidecars(marked, root: str) -> list:
+    """Executor-side deletion-vector construction: group `marked`
+    (_strawboat_file, _strawboat_pos) by file, each group's task packs
+    its ordinals into one sidecar blob under root/_strawboat_dv and
+    returns the metadata row.  Driver-side result is bounded by the
+    marked FILE count (manifest-scale), not the row count."""
+    import pandas as pd
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from strawboat_spark.sources.datasource import write_dv_sidecar
+
+        pos = sorted(int(v) for v in pdf["_strawboat_pos"].unique())
+        rel = write_dv_sidecar(root, pos)
+        return pd.DataFrame(
+            {"file": [pdf["_strawboat_file"].iloc[0]], "sidecar": [rel], "n": [len(pos)]}
+        )
+
+    return (
+        marked.groupBy("_strawboat_file")
+        .applyInPandas(_pack, "file string, sidecar string, n long")
+        .collect()
+    )
 
 
 def update_where(
@@ -532,13 +581,10 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
     )
     matched = df.filter(F.expr(condition)).persist()
     try:
-        hit = (
-            matched.groupBy("_strawboat_file")
-            .agg(
-                F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+        # executor-side DV sidecars (see _write_dv_sidecars): driver
+        # sees one metadata row per marked file, never row positions
+        hit = _write_dv_sidecars(
+            matched.select("_strawboat_file", "_strawboat_pos"), path
         )
         if not hit:
             return {"files_marked": 0, "rows_updated": 0}
@@ -562,7 +608,7 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
-        per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+        per_rel = {_rel(r["file"], path): (r["sidecar"], int(r["n"])) for r in hit}
         _flip_generation(
             path,
             set(per_rel),
@@ -803,13 +849,10 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         df = df.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
     matched = df.join(jkeys, on=on, how="leftsemi").persist()
     try:
-        hit = (
-            matched.groupBy("_strawboat_file")
-            .agg(
-                F.sort_array(F.collect_list("_strawboat_pos")).alias("pos"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+        # executor-side DV sidecars (see _write_dv_sidecars): driver
+        # sees one metadata row per marked file, never row positions
+        hit = _write_dv_sidecars(
+            matched.select("_strawboat_file", "_strawboat_pos"), path
         )
         rows_updated = int(sum(r["n"] for r in hit))
         matched_src = 0
@@ -824,7 +867,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
-        per_rel = {_rel(r["_strawboat_file"], path): list(r["pos"]) for r in hit}
+        per_rel = {_rel(r["file"], path): (r["sidecar"], int(r["n"])) for r in hit}
         _flip_generation(
             path,
             set(per_rel),

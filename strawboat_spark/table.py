@@ -74,7 +74,8 @@ class Table:
         files = _list_files(self.path, at_generation)
         dmap = _deletes_by_rel(self.path, at_generation)
         return sum(
-            _cached_footer(f)[1].num_rows - len(dmap.get(f, ())) for f in files
+            _cached_footer(f)[1].num_rows - (dmap[f].n if f in dmap else 0)
+            for f in files
         )
 
     def changes(self, from_generation: int, to_generation: int | None = None) -> DataFrame:
@@ -105,10 +106,16 @@ class Table:
         # a merge-on-read DELETE changes rows without changing file sets
         # (vectors compare DECODED, so legacy-list and dv1 encodings of
         # the same ordinals are equal)
-        from strawboat_spark.sources.datasource import decode_deletes
+        from strawboat_spark.sources.datasource import decode_deletes, entry_dv_refs
 
-        ent_a = {e["path"]: decode_deletes(e.get("deletes")) for e in man_a["entries"]}
-        ent_b = {e["path"]: decode_deletes(e.get("deletes")) for e in man_b["entries"]}
+        def _dvkey(e):
+            # inline decoded (normalizes legacy-list vs dv1 encodings);
+            # sidecar refs compared by PATH — content-addressed names
+            # mean equal refs = equal vectors, no decode needed
+            return (decode_deletes(e.get("deletes")), entry_dv_refs(self.path, e))
+
+        ent_a = {e["path"]: _dvkey(e) for e in man_a["entries"]}
+        ent_b = {e["path"]: _dvkey(e) for e in man_b["entries"]}
         removed = sorted(p for p, d in ent_a.items() if ent_b.get(p, None) != d)
         added = sorted(p for p, d in ent_b.items() if ent_a.get(p, None) != d)
 
@@ -201,7 +208,7 @@ class Table:
         rows = []
         for f in sorted(files):
             meta = _cached_footer(f)[1]
-            n_del = len(dmap.get(f, ()))
+            n_del = dmap[f].n if f in dmap else 0
             rel = os.path.relpath(f, self.path)
             rows.append(
                 (
@@ -246,7 +253,7 @@ class Table:
         order: list[str] = []
         for f in sorted(files):
             meta = _cached_footer(f)[1]
-            n_del = len(dmap.get(f, ()))
+            n_del = dmap[f].n if f in dmap else 0
             for lf in meta.leaves:
                 if "." in lf.name:
                     continue  # nested leaves: out of profile scope
@@ -1146,6 +1153,27 @@ class Table:
                 "layout); use deep=True"
             )
         dfs.makedirs(dest)
+
+        def _abs_ref(p: str) -> str:
+            absf = entry_abs(self.path, p)
+            return (
+                absf
+                if split_scheme(absf)[0]
+                else os.path.normpath(os.path.abspath(backend_path(absf)))
+            )
+
+        def _copy_dv(ref: str) -> str:
+            # deletion-vector sidecars are content-addressed, so the
+            # source basename IS the dest name; copy once per blob
+            src_abs = entry_abs(self.path, ref)
+            rel = os.path.join("_strawboat_dv", os.path.basename(backend_path(ref)))
+            dst = os.path.join(dest, rel)
+            if not get_fs(dst).exists(dst):
+                get_fs(dst).makedirs(os.path.dirname(dst))
+                with get_fs(src_abs).open_read(src_abs) as r, get_fs(dst).create(dst) as w:
+                    w.write(r.read())
+            return rel
+
         entries = []
         if deep:
             for i, e in enumerate(man["entries"]):
@@ -1165,16 +1193,19 @@ class Table:
                     dst
                 ) as w:
                     w.write(r.read())
-                entries.append({**e, "path": rel})
+                ne = {**e, "path": rel}
+                if e.get("deletes_refs"):
+                    ne["deletes_refs"] = [_copy_dv(r) for r in e["deletes_refs"]]
+                entries.append(ne)
         else:
             for e in man["entries"]:
-                absf = entry_abs(self.path, e["path"])
-                stored = (
-                    absf
-                    if split_scheme(absf)[0]
-                    else os.path.normpath(os.path.abspath(backend_path(absf)))
-                )
-                entries.append({**e, "path": stored})
+                ne = {**e, "path": _abs_ref(e["path"])}
+                if e.get("deletes_refs"):
+                    # refs rebase to absolute like the data path — the
+                    # clone reads the SOURCE's vectors until its own
+                    # mutations supersede the entry
+                    ne["deletes_refs"] = [_abs_ref(r) for r in e["deletes_refs"]]
+                entries.append(ne)
         props = dict(man.get("properties") or {})
         props["cloned_from"] = {
             "path": self.path,
@@ -1281,25 +1312,40 @@ class Table:
                 f"the fork; rebase by recreating the branch from the new head"
             )
         mroot = _os.path.normpath(backend_path(self.path))
-        entries = []
-        for e in bman["entries"]:
-            absf = entry_abs(br.path, e["path"])
+        broot = _os.path.normpath(backend_path(br.path))
+
+        def _adopt(rel_or_abs: str) -> str:
+            """Rebase one branch reference into the main root.  Files
+            are COPIED, never moved, so a lost CAS race (or a crash in
+            this window) leaves the branch fully intact and merely
+            strands young copies in main that vacuum reclaims after the
+            grace window — the pre-r9 move-first ordering could dangle
+            the branch manifest and let vacuum eat its data."""
+            absf = entry_abs(br.path, rel_or_abs)
             norm = _os.path.normpath(backend_path(absf))
-            broot = _os.path.normpath(backend_path(br.path))
             if norm.startswith(broot + _os.sep):
-                # branch-local file: move into the main root
                 rel = _os.path.relpath(norm, broot)
                 dst = _os.path.join(self.path, rel)
                 d = _os.path.dirname(dst)
                 if d:
                     get_fs(dst).makedirs(d)
-                get_fs(absf).move(absf, dst)
-                entries.append({**e, "path": rel})
-            elif norm.startswith(mroot + _os.sep):
-                # still a main file: back to a root-relative entry
-                entries.append({**e, "path": _os.path.relpath(norm, mroot)})
-            else:
-                entries.append(dict(e))  # external beyond both roots
+                dfs_ = get_fs(dst)
+                if not dfs_.exists(dst):  # content-addressed DVs may repeat
+                    with get_fs(absf).open_read(absf) as r, dfs_.create(dst) as w:
+                        w.write(r.read())
+                return rel
+            if norm.startswith(mroot + _os.sep):
+                # still a main file: back to a root-relative reference
+                return _os.path.relpath(norm, mroot)
+            return rel_or_abs  # external beyond both roots
+
+        entries = []
+        for e in bman["entries"]:
+            ne = {**e, "path": _adopt(e["path"])}
+            if e.get("deletes_refs"):
+                # deletion-vector sidecars travel with their entries
+                ne["deletes_refs"] = [_adopt(r) for r in e["deletes_refs"]]
+            entries.append(ne)
         props = dict(bman.get("properties") or {})
         props.pop("cloned_from", None)
         try:

@@ -602,7 +602,11 @@ def test_mor_update_masks_and_lands_in_one_flip(spark, tmp_path):
     assert t.count_rows() == 100
     assert t.read(at_generation=1).filter("k > 99").count() == 0
     man = read_manifest(path)
-    assert any(e.get("deletes") for e in man["entries"])  # vectors present
+    # vectors present — as executor-written SIDECAR refs (r9): positions
+    # never transit the driver, the manifest carries only refs + count
+    marked = [e for e in man["entries"] if e.get("deletes_refs")]
+    assert marked and all(e.get("n_deletes", 0) > 0 for e in marked)
+    assert not any(e.get("deletes") for e in man["entries"])  # no inline blobs
     ch = t.changes(1)
     assert ch.filter("_change_type = 'delete'").count() == 10
     assert ch.filter("_change_type = 'insert'").count() == 10
@@ -2263,3 +2267,120 @@ def test_branch_option_on_datasource(tmp_path, spark):
     assert spark.read.format("strawboat").load(p).count() == 10  # main
     t.fast_forward("dev")
     assert t.read().count() == 25
+
+
+def test_dv_sidecars_executor_side_no_positions_on_driver(spark, tmp_path):
+    """r9 scale contract: MOR mutations build deletion vectors on the
+    EXECUTORS (one sidecar blob per marked file); the driver handles
+    only {file, sidecar ref, count}.  Proven by poisoning the
+    driver-side inline encoder — if any mutation path tried to encode
+    row positions on the driver it would raise."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.datasource import read_dv_sidecar, read_manifest
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(200).select(F.col("id"), (F.col("id") % 7).alias("k")))
+
+    real = ds.encode_deletes
+
+    def _poisoned(ordinals):
+        raise AssertionError("driver-side deletion-vector encoding on a MOR path")
+
+    ds.encode_deletes = _poisoned
+    try:
+        r1 = t.delete("k = 3", mode="mor")
+        r2 = t.update("k = 5", {"k": "k + 100"}, mode="mor")
+        r3 = t.merge(
+            spark.range(10).select(F.col("id"), F.lit(999).alias("k")),
+            on=["id"],
+            mode="mor",
+        )
+    finally:
+        ds.encode_deletes = real
+    assert r1["rows_deleted"] > 0 and r2["rows_updated"] > 0 and r3["rows_updated"] > 0
+
+    # manifest entries carry refs + additive counts, never inline blobs
+    man = read_manifest(path)
+    marked = [e for e in man["entries"] if e.get("deletes_refs")]
+    assert marked
+    for e in marked:
+        assert not e.get("deletes")
+        pos = []
+        for ref in e["deletes_refs"]:
+            pos.extend(read_dv_sidecar(f"{path}/{ref}"))
+        # refs pairwise disjoint -> n_deletes is exactly the union size
+        assert e["n_deletes"] == len(pos) == len(set(pos))
+
+    got = {(r.id, r.k) for r in t.read().collect()}
+    want = {}
+    for i in range(200):
+        k = i % 7
+        if k == 3:
+            continue
+        want[i] = k + 100 if k == 5 else k
+    for i in range(10):
+        # matched keys update to 999; keys deleted above re-INSERT (the
+        # upsert's not-matched leg) — every source id ends at 999
+        want[i] = 999
+    assert got == {(i, k) for i, k in want.items()}
+    # metadata count path (entry n_deletes) agrees with the scan
+    assert t.count_rows() == len(want)
+
+
+def test_dv_sidecar_vacuum_clone_and_branch_lifecycle(spark, tmp_path):
+    """Sidecars survive vacuum while referenced, orphans reclaim after
+    grace; clones rebase refs (shallow -> absolute, deep -> copied);
+    fast_forward carries branch vectors into main by COPY (a lost CAS
+    cannot strand the branch)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import read_manifest, write_dv_sidecar
+    from strawboat_spark.sources.fileio import get_fs
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("k")))
+    t.delete("k = 1", mode="mor")
+    assert t.read().count() == 75
+
+    # an unreferenced (crashed-mutation) sidecar is vacuumed, the
+    # referenced ones survive at any age
+    orphan_rel = write_dv_sidecar(path, [0, 5, 9])
+    live_refs = {
+        r for e in read_manifest(path)["entries"] for r in e.get("deletes_refs") or ()
+    }
+    assert orphan_rel not in live_refs
+    res = t.vacuum(grace_seconds=0.0)
+    fs = get_fs(path)
+    assert not fs.exists(os.path.join(path, orphan_rel))
+    for r in live_refs:
+        assert fs.exists(os.path.join(path, r))
+    assert t.read().count() == 75
+
+    # shallow clone: refs rebased absolute, reads subtract source DVs
+    c1 = t.clone(str(tmp_path / "c1"))
+    assert c1.read().count() == 75
+    # deep clone: sidecars copied, fully independent
+    c2 = t.clone(str(tmp_path / "c2"), deep=True)
+    assert c2.read().count() == 75
+    assert get_fs(str(tmp_path / "c2")).list_files(str(tmp_path / "c2"), ".dv")
+
+    # branch: MOR delete on the branch, fast_forward carries the vector
+    t.branch("dev")
+    b = t.branch_table("dev")
+    b.delete("k = 2", mode="mor")
+    assert b.read().count() == 50
+    assert t.read().count() == 75  # main untouched pre-merge
+    t.fast_forward("dev")
+    assert t.read().count() == 50
+    man = read_manifest(path)
+    for e in man["entries"]:
+        for r in e.get("deletes_refs") or ():
+            assert not os.path.isabs(r) and fs.exists(os.path.join(path, r))
