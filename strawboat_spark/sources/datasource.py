@@ -150,6 +150,7 @@ def _scalar_type(ddl: str):
     contract (their defaults are JSON scalars)."""
     from pyspark.sql.types import (
         BooleanType,
+        ByteType,
         DateType,
         DoubleType,
         FloatType,
@@ -162,7 +163,7 @@ def _scalar_type(ddl: str):
     )
 
     types = {
-        "tinyint": ShortType(),
+        "tinyint": ByteType(),
         "smallint": ShortType(),
         "int": IntegerType(),
         "integer": IntegerType(),

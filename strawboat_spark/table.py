@@ -338,19 +338,30 @@ class Table:
             "n_removed long, committed_at timestamp, current boolean",
         )
 
-    @staticmethod
-    def _ts_us(ts) -> int:
-        """datetime / ISO string / unix seconds -> µs since epoch."""
+    def _ts_us(self, ts) -> int:
+        """datetime / ISO string / unix seconds -> µs since epoch.
+        NAIVE datetimes and ISO strings resolve in the SPARK SESSION
+        timezone (spark.sql.session.timeZone) — Delta's TIMESTAMP AS OF
+        semantics — falling back to UTC when unset."""
         import datetime as _dt
+
+        def _tz():
+            try:
+                from zoneinfo import ZoneInfo
+
+                name = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+                return ZoneInfo(name)
+            except Exception:
+                return _dt.timezone.utc
 
         if isinstance(ts, _dt.datetime):
             if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
+                ts = ts.replace(tzinfo=_tz())
             return int(ts.timestamp() * 1_000_000)
         if isinstance(ts, str):
             d = _dt.datetime.fromisoformat(ts)
             if d.tzinfo is None:
-                d = d.replace(tzinfo=_dt.timezone.utc)
+                d = d.replace(tzinfo=_tz())
             return int(d.timestamp() * 1_000_000)
         return int(float(ts) * 1_000_000)
 
@@ -636,10 +647,15 @@ class Table:
             spec = transform_spec(self.path)
             if spec and spec["dir_col"] not in df.columns and spec["col"] in df.columns:
                 df = df.withColumn(spec["dir_col"], _expr(spec["kind"], spec["col"]))
-                if spec["dir_col"] not in comps:
-                    options["partition_by"] = ",".join(
-                        [*comps, spec["dir_col"]] if comps else [spec["dir_col"]]
-                    )
+                if not comps:
+                    # bare append: re-derive the FULL recorded layout —
+                    # plain partition columns AND the transform dir (a
+                    # composed partition_by="region,days(ts)" table must
+                    # not demand the caller re-pass 'region')
+                    comps = list(spec.get("layout") or [spec["dir_col"]])
+                elif spec["dir_col"] not in comps:
+                    comps = [*comps, spec["dir_col"]]
+                options["partition_by"] = ",".join(comps)
             return df, options
         if not hits:
             return df, options
@@ -663,6 +679,10 @@ class Table:
                 "col": col,
                 "kind": kind,
                 "dir_col": dir_col,
+                # full directory layout in order (plain columns + the
+                # transform dir) so a bare append() re-derives composed
+                # layouts without re-passing partition_by
+                "layout": comps,
             }
             options["manifest_properties"] = json.dumps(props)
         return df, options
@@ -1735,8 +1755,20 @@ class Table:
             man = read_manifest(self.path)
             gen = (man.get("generation", 0) + 1) if man else 1
             try:
+                # Restore table METADATA with the version (Delta RESTORE
+                # semantics): the target's properties — column mapping,
+                # drop tombstones, declared columns, bucket spec, txn
+                # markers — snap back as one consistent snapshot.  A
+                # post-target rename/drop is undone exactly like a
+                # post-target delete; carrying the HEAD's properties
+                # (the pre-r9 behavior) left e.g. a dropped column
+                # dropped after restoring to a pre-drop generation.
                 write_manifest(
-                    self.path, target["entries"], generation=gen, operation="restore"
+                    self.path,
+                    target["entries"],
+                    generation=gen,
+                    properties=target.get("properties") or {},
+                    operation="restore",
                 )
                 return
             except ManifestConflictError:

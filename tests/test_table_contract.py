@@ -2384,3 +2384,112 @@ def test_dv_sidecar_vacuum_clone_and_branch_lifecycle(spark, tmp_path):
     for e in man["entries"]:
         for r in e.get("deletes_refs") or ():
             assert not os.path.isabs(r) and fs.exists(os.path.join(path, r))
+
+
+def test_restore_restores_table_metadata_with_version(spark, tmp_path):
+    """Delta RESTORE semantics: restoring to a pre-DDL generation
+    restores that generation's PROPERTIES too — a post-target
+    drop/rename is undone along with the data (pre-r9 the HEAD's
+    properties were carried forward, leaving the column dropped)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).select("id", F.col("id").cast("double").alias("x")))
+    pre_drop_gen = t.history()[-1]["generation"]
+    t.drop_column("x")
+    assert t.read().columns == ["id"]
+    t.restore(pre_drop_gen)
+    assert sorted(t.read().columns) == ["id", "x"]
+    assert t.read().agg(F.sum("x")).collect()[0][0] == 10.0
+
+    # rename epoch: restore to the pre-rename generation surfaces the
+    # ORIGINAL logical name, not the post-rename physical alias
+    t2 = Table(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.range(3).select(F.col("id").alias("a")))
+    g1 = t2.history()[-1]["generation"]
+    t2.rename_column("a", "b")
+    assert t2.read().columns == ["b"]
+    t2.restore(g1)
+    assert t2.read().columns == ["a"]
+
+
+def test_tinyint_declares_bytetype(spark, tmp_path):
+    """add_column('x','tinyint') surfaces as tinyint (ByteType), and
+    tinyint->smallint widening is accepted (it was refused pre-r9
+    because tinyint mapped to ShortType, rank-equal to smallint)."""
+    from strawboat_spark.table import Table
+
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(3).select("id"))
+    t.add_column("x", "tinyint", default=7)
+    assert dict(t.read().dtypes)["x"] == "tinyint"
+    t.alter_column_type("x", "smallint")
+    assert dict(t.read().dtypes)["x"] == "smallint"
+
+
+def test_composed_partition_layout_bare_append(spark, tmp_path):
+    """partition_by='region,days(ts)': a bare append() re-derives BOTH
+    the plain column and the hidden transform directory from the
+    recorded layout (pre-r9 it rejected with 'append schema mismatch'
+    unless the caller re-passed partition_by='region')."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    rows = [("eu", dt.datetime(2024, 1, 1, 5), 1), ("us", dt.datetime(2024, 1, 2, 6), 2)]
+    df = spark.createDataFrame(rows, "region string, ts timestamp, v int")
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(df, partition_by="region,days(ts)")
+    more = spark.createDataFrame(
+        [("eu", dt.datetime(2024, 1, 3, 7), 3)], "region string, ts timestamp, v int"
+    )
+    t.append(more)  # no partition_by re-passed
+    assert t.read().count() == 3
+    got = t.read().filter(F.col("ts") >= dt.datetime(2024, 1, 3)).collect()
+    assert [r.v for r in got] == [3]
+    # the appended file landed in a composed leaf, not the root
+    assert t.read().filter("region = 'eu'").count() == 2
+
+
+def test_timestamp_travel_resolves_naive_in_session_timezone(spark, tmp_path):
+    """Naive TIMESTAMP AS OF inputs resolve in the Spark session
+    timezone (Delta semantics).  With the session pinned to a non-UTC
+    zone, a naive datetime equal to the commit's LOCAL wall-clock must
+    resolve to that commit."""
+    import datetime as dt
+
+    from strawboat_spark.table import Table
+
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(1))
+    t.append(spark.range(1))
+    gens = t.history()
+    commit_us = None
+    from strawboat_spark.sources.datasource import read_manifest_at
+
+    first_gen = gens[-1]["generation"] if gens[-1]["generation"] < gens[0]["generation"] else gens[0]["generation"]
+    commit_us = read_manifest_at(str(tmp_path / "t"), first_gen)["committed_at_us"]
+    tz_name = "America/New_York"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz_name)
+    try:
+        from zoneinfo import ZoneInfo
+
+        local_wall = dt.datetime.fromtimestamp(
+            commit_us / 1e6, ZoneInfo(tz_name)
+        ).replace(tzinfo=None)
+        # naive local wall-clock of the first commit -> generation 1
+        assert t.read(at_timestamp=local_wall).count() == 1
+        # the same instant expressed as naive UTC is 4-5h in the future
+        # locally -> resolves to the LATEST generation instead
+        utc_wall = dt.datetime.fromtimestamp(commit_us / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        if utc_wall != local_wall:
+            assert t.read(at_timestamp=utc_wall).count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
