@@ -2115,3 +2115,97 @@ def strawboat_months_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "strawboat_sql_merge",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+             o_orderkey % 97 AS delta
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT t.k, t.st,
+             CASE WHEN s.k IS NULL THEN t.price_c
+                  WHEN s.delta >= 60 THEN NULL              -- DELETE clause
+                  WHEN s.delta < 40 THEN t.price_c + s.delta
+                  ELSE t.price_c END AS price_c             -- no clause: keep
+      FROM tgt t LEFT JOIN src s ON t.k = s.k
+    ), kept AS (
+      SELECT k, st, price_c FROM merged WHERE price_c IS NOT NULL
+    ), ins AS (
+      SELECT k, st, price_c FROM src
+      WHERE k NOT IN (SELECT k FROM tgt) AND price_c > 1000000
+    ), after_merge AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    ), after_update AS (                                    -- SQL UPDATE (mor)
+      SELECT k, st, CASE WHEN st = 'F' THEN price_c * 2 ELSE price_c END AS price_c
+      FROM after_merge
+    ), after_delete AS (                                    -- SQL DELETE (mor)
+      SELECT * FROM after_update WHERE price_c % 10 <> 7
+    )
+    SELECT st, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+    FROM after_delete GROUP BY st ORDER BY st
+    """,
+    description=(
+        "SQL DML front-end gate: MERGE INTO (DELETE/UPDATE SET/INSERT * "
+        "clauses) + UPDATE ... WITH (mode='mor') + DELETE ... WITH "
+        "(mode='mor') driven entirely by SQL text; exact integer-cents "
+        "oracle over the composed result"
+    ),
+)
+def strawboat_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-habituated users write MERGE/UPDATE/DELETE as SQL strings
+    (strawboat_spark.sql.execute_sql); this gate drives one of each
+    through the text front-end and hash-matches the DuckDB replay.
+    All arithmetic is integer cents, so the comparison is exact."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sql import execute_sql
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"{tempfile.mkdtemp(prefix='strawboat_sqlm_')}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    Table(spark, path).overwrite(o.filter("k % 4 <> 3"))
+    o.filter("k % 2 = 0").withColumn("delta", F.col("k") % 97).createOrReplaceTempView(
+        "strawboat_sqlm_src"
+    )
+    execute_sql(
+        spark,
+        f"""
+        MERGE INTO strawboat.`{path}` AS t
+        USING strawboat_sqlm_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.delta >= 60 THEN DELETE
+        WHEN MATCHED AND s.delta < 40 THEN UPDATE SET price_c = t.price_c + s.delta
+        WHEN NOT MATCHED AND s.price_c > 1000000 THEN INSERT *
+        """,
+    )
+    execute_sql(
+        spark,
+        f"UPDATE strawboat.`{path}` SET price_c = price_c * 2 WHERE st = 'F' "
+        f"WITH (mode = 'mor')",
+    )
+    execute_sql(
+        spark,
+        f"DELETE FROM strawboat.`{path}` WHERE price_c % 10 = 7 WITH (mode = 'mor')",
+    )
+    return (
+        Table(spark, path)
+        .read()
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_c").cast("long").alias("total_c"),
+        )
+        .orderBy("st")
+    )

@@ -1098,8 +1098,10 @@ def merge_when(
     if cand_rel:
         # Delta determinism guard: >1 source match for one target row
         dup = (
-            source.groupBy(*on).agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") > 1)
+            # the count alias must not shadow a user key column (a key
+            # literally named 'k' made this ambiguous pre-r9)
+            source.groupBy(*on).agg(F.count(F.lit(1)).alias("__strawboat_dup_n"))
+            .filter(F.col("__strawboat_dup_n") > 1)
             .join(pre.select(*on).distinct(), on=on, how="leftsemi")
             .take(1)
         )

@@ -1,0 +1,170 @@
+"""SQL DML front-end (strawboat_spark/sql.py): each statement is a
+thin parse -> Table method dispatch; these tests pin the parse and the
+end-to-end semantics against the Python API they wrap."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from strawboat_spark.sql import execute_sql
+from strawboat_spark.table import Table
+
+
+def _tbl(spark, tmp_path, name="t", n=20):
+    path = str(tmp_path / name)
+    t = Table(spark, path)
+    t.overwrite(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    return t, path
+
+
+def test_sql_update_delete_cow_and_mor(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path)
+    res = execute_sql(spark, f"UPDATE strawboat.`{path}` SET v = v + 1 WHERE g = 2")
+    assert res["rows_updated"] == 4
+    res = execute_sql(
+        spark, f"DELETE FROM strawboat.`{path}` WHERE g = 0 WITH (mode = 'mor')"
+    )
+    assert res["rows_deleted"] == 4
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {(i, i * 10 + (1 if i % 5 == 2 else 0)) for i in range(20) if i % 5 != 0}
+    assert got == want
+    # the MOR delete landed as sidecar refs, not a rewrite
+    from strawboat_spark.sources.datasource import read_manifest
+
+    assert any(e.get("deletes_refs") for e in read_manifest(path)["entries"])
+
+
+def test_sql_merge_full_clause_surface(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path)
+    src = spark.range(15, 25).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        F.lit(7).alias("v"),
+        (F.col("id") % 3).alias("delta"),
+    )
+    src.createOrReplaceTempView("sqlmerge_src")
+    res = execute_sql(
+        spark,
+        f"""
+        MERGE INTO strawboat.`{path}` AS t
+        USING sqlmerge_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.delta = 0 THEN DELETE
+        WHEN MATCHED AND s.delta = 1 THEN UPDATE SET v = t.v + s.delta * 100
+        WHEN NOT MATCHED AND s.g >= 2 THEN INSERT *
+        """,
+    )
+    assert res["rows_deleted"] > 0 and res["rows_updated"] > 0 and res["rows_inserted"] > 0
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {}
+    for i in range(20):
+        want[i] = i * 10
+    for i in range(15, 25):
+        d = i % 3
+        if i < 20:  # matched
+            if d == 0:
+                want.pop(i)
+            elif d == 1:
+                want[i] = i * 10 + 100
+        elif i % 5 >= 2:  # unmatched + insert condition
+            want[i] = 7
+    assert got == {(k, v) for k, v in want.items()}
+
+
+def test_sql_merge_subquery_source_and_insert_column_list(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=5)
+    execute_sql(
+        spark,
+        f"""
+        MERGE INTO strawboat.`{path}` t
+        USING (SELECT id + 100 AS k, CAST(1 AS bigint) AS g,
+                      CAST(5 AS bigint) AS v FROM range(3)) s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+        """,
+    )
+    assert t.read().count() == 8
+    assert t.read().filter("k >= 100").count() == 3
+
+
+def test_sql_merge_rejects_out_of_subset(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=5)
+    spark.range(3).select(F.col("id").alias("k")).createOrReplaceTempView("s_v")
+    with pytest.raises(ValueError, match="equality conjunctions"):
+        execute_sql(
+            spark,
+            f"MERGE INTO strawboat.`{path}` t USING s_v s ON t.k > s.k "
+            f"WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="INSERT"):
+        execute_sql(
+            spark,
+            f"MERGE INTO strawboat.`{path}` t USING s_v s ON t.k = s.k "
+            f"WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k + 1)",
+        )
+    with pytest.raises(ValueError, match="source columns only"):
+        execute_sql(
+            spark,
+            f"MERGE INTO strawboat.`{path}` t USING s_v s ON t.k = s.k "
+            f"WHEN NOT MATCHED AND t.v > 0 THEN INSERT *",
+        )
+
+
+def test_sql_restore_optimize_vacuum_describe(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path)
+    execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE k < 10")
+    assert t.read().count() == 10
+    execute_sql(spark, f"RESTORE TABLE strawboat.`{path}` TO VERSION AS OF 1")
+    assert t.read().count() == 20
+    t.tag("v1")
+    execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE k < 5")
+    execute_sql(spark, f"RESTORE TABLE strawboat.`{path}` TO TAG 'v1'")
+    assert t.read().count() == 20
+
+    res = execute_sql(spark, f"OPTIMIZE strawboat.`{path}`")
+    assert isinstance(res, dict)
+    dry = execute_sql(spark, f"VACUUM strawboat.`{path}` RETAIN 0 HOURS DRY RUN")
+    assert "planned" in dry
+    h = execute_sql(spark, f"DESCRIBE HISTORY strawboat.`{path}`")
+    ops = [r.operation for r in h.collect()]
+    assert "restore" in ops
+    d = execute_sql(spark, f"DESCRIBE DETAIL strawboat.`{path}`")
+    assert d.collect()[0].n_rows == 20
+
+
+def test_sql_alter_table_verbs(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=4)
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` ADD COLUMN w int DEFAULT 9")
+    assert t.read().select("w").distinct().collect()[0][0] == 9
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` RENAME COLUMN w TO w2")
+    assert "w2" in t.read().columns and "w" not in t.read().columns
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` ALTER COLUMN w2 TYPE bigint")
+    assert dict(t.read().dtypes)["w2"] == "bigint"
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` DROP COLUMN w2")
+    assert "w2" not in t.read().columns
+
+
+def test_sql_select_falls_through(spark):
+    assert execute_sql(spark, "SELECT 1 AS x").collect()[0].x == 1
+
+
+def test_sql_update_string_literals_survive_rewrite(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=6)
+    src = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(0).alias("g"), F.lit(0).alias("v")
+    )
+    src.createOrReplaceTempView("lit_src")
+    # 's.k' inside the string literal must NOT be rewritten to src_k
+    execute_sql(
+        spark,
+        f"MERGE INTO strawboat.`{path}` t USING lit_src s ON t.k = s.k "
+        f"WHEN MATCHED THEN UPDATE SET v = length('s.k literal') + s.v",
+    )
+    assert t.read().filter("k < 3").select("v").distinct().collect()[0][0] == 11
