@@ -430,10 +430,16 @@ def compress_integer(
     stats: PageStats | None = None,
     ratio: float | None = None,
     memo: dict | None = None,
+    stats_out: dict | None = None,
 ) -> bytes:
-    """Encode one page of integers; returns header+payload bytes."""
+    """Encode one page of integers; returns header+payload bytes.
+    stats_out, when given, receives {"unique_count": page NDV estimate}
+    (exact for low-cardinality pages, sampled otherwise) — the write
+    path aggregates it into the footer's per-leaf NDV."""
     out = bytearray()
-    _compress_integer_into(out, values, default_codec, forbidden, stats, ratio, memo)
+    _compress_integer_into(
+        out, values, default_codec, forbidden, stats, ratio, memo, stats_out
+    )
     return bytes(out)
 
 
@@ -547,6 +553,7 @@ def _compress_integer_into(
     stats: PageStats | None = None,
     ratio: float | None = None,
     memo: dict | None = None,
+    stats_out: dict | None = None,
 ) -> None:
     values = np.ascontiguousarray(values)
     nraw = values.nbytes
@@ -556,6 +563,8 @@ def _compress_integer_into(
         write_block(out, sticky, _basic_compress(sticky, raw), nraw)
         return
     s = stats if stats is not None else collect_stats(values)
+    if stats_out is not None:
+        stats_out["unique_count"] = int(s.unique_count)
 
     est = _candidate_ratios_int(values, s)
     # raw bytes materialize lazily: a page that picks a specialized
@@ -1053,6 +1062,7 @@ def compress_double(
     forbidden: frozenset[Codec] = frozenset(),
     ratio: float | None = None,
     memo: dict | None = None,
+    stats_out: dict | None = None,
 ) -> bytes:
     out = bytearray()
     values = np.ascontiguousarray(values)
@@ -1066,6 +1076,8 @@ def compress_double(
     # reference DoubleStats) — NaN-safe because we compare bits.
     bits = values.view(np.uint32 if values.dtype.itemsize == 4 else np.uint64)
     s = collect_stats(bits)
+    if stats_out is not None:
+        stats_out["unique_count"] = int(s.unique_count)
     itemsize = values.dtype.itemsize
     est: dict[Codec, float] = {}
     if s.unique_count <= 1:
@@ -1355,8 +1367,10 @@ def compress_binary(
         codes = lut[b]
         top_code = int(np.argmax(counts))
         top_count = int(counts[top_code])
-        if stats_out is not None and n_uniq <= 32:
-            stats_out["distinct"] = [bytes([u]) for u in uniq.tolist()]
+        if stats_out is not None:
+            stats_out["unique_count"] = int(n_uniq)
+            if n_uniq <= 32:
+                stats_out["distinct"] = [bytes([u]) for u in uniq.tolist()]
         if n_uniq <= 1:
             est[Codec.ONE_VALUE] = (len(data) or 1) / float(len(data) / max(n, 1) + 8)
         if n_uniq * 3 < n:
@@ -1405,9 +1419,15 @@ def compress_binary(
         )
         sample_n = min(n, 256)
         sample_uniq = pc.count_distinct(arr.slice(0, sample_n)).as_py()
+        if stats_out is not None:
+            # sampled NDV estimate (same scaling rule as collect_stats);
+            # overwritten with the exact count when the dictionary is built
+            stats_out["unique_count"] = min(n, int(sample_uniq) * max(1, n // sample_n))
         if sample_uniq * 3 < max(sample_n, 3):
             denc = arr.dictionary_encode()
             n_uniq = len(denc.dictionary)
+            if stats_out is not None:
+                stats_out["unique_count"] = int(n_uniq)
             if stats_out is not None and n_uniq <= 32:
                 # surface the page's full distinct set (cheap: already
                 # computed) for footer-level membership pruning

@@ -751,8 +751,12 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
     keys = source.select(*on).distinct().cache()
-    n_keys = keys.count()
-    jkeys = F.broadcast(keys) if n_keys <= _merge_broadcast_max_keys() else keys
+    # broadcast gate from the ALREADY-COUNTED source size (n_keys <=
+    # n_source, so a small source is always safe to broadcast): the
+    # separate keys.count() job this replaced cost one full source
+    # scan per merge.  A dup-heavy large source now takes the shuffle
+    # join where it used to broadcast — the conservative direction.
+    jkeys = F.broadcast(keys) if n_source <= _merge_broadcast_max_keys() else keys
     for c in on:
         # sound pre-filter: every match lies inside the source bounds;
         # this is what the page/file stats (and hive partition values)
@@ -844,7 +848,9 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
     keys = source.select(*on).distinct().cache()
-    jkeys = F.broadcast(keys) if keys.count() <= _merge_broadcast_max_keys() else keys
+    # size gate from the already-counted source (see merge_upsert): no
+    # extra distinct-count job per merge
+    jkeys = F.broadcast(keys) if n_source <= _merge_broadcast_max_keys() else keys
     for c in on:
         df = df.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))
     matched = df.join(jkeys, on=on, how="leftsemi").persist()
@@ -1079,7 +1085,9 @@ def merge_when(
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
     keys = source.select(*on).distinct().cache()
-    jkeys = F.broadcast(keys) if keys.count() <= _merge_broadcast_max_keys() else keys
+    # size gate from the already-counted source (see merge_upsert): no
+    # extra distinct-count job per merge
+    jkeys = F.broadcast(keys) if n_source <= _merge_broadcast_max_keys() else keys
     pre = df
     for c in on:
         pre = pre.filter(F.col(c).between(F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])))

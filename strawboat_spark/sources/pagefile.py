@@ -175,6 +175,10 @@ class PageMeta:
     # base64 bloom blob (codecs._bloom_build) for opt-in string
     # equality pruning on high-cardinality pages. None = stat absent.
     bloom: str | None = None
+    # Page NDV estimate (exact for low-cardinality pages, sampled
+    # otherwise) — WRITE-TIME ONLY: aggregated into LeafMeta.ndv at
+    # finish(), never serialized per page.
+    ndv: int | None = None
 
 
 @dataclass
@@ -182,6 +186,13 @@ class LeafMeta:
     name: str
     offset: int = 0
     pages: list[PageMeta] = field(default_factory=list)
+    # Leaf-level NDV estimate, persisted in the footer (and thus the
+    # manifest's embedded meta): exact union when every page carried a
+    # distinct list, else the sum of page estimates (an upper-leaning
+    # estimate: cross-page duplicates double-count).  Lets the table
+    # layer size join broadcasts and report cardinality from METADATA —
+    # no distinct-count job.  None on legacy files.
+    ndv: int | None = None
 
 
 @dataclass
@@ -202,6 +213,7 @@ class FileMeta:
                     {
                         "name": lf.name,
                         "offset": lf.offset,
+                        **({"ndv": lf.ndv} if lf.ndv is not None else {}),
                         "pages": [
                             [p.length, p.num_values, p.null_count, p.min, p.max]
                             + (
@@ -229,6 +241,7 @@ class FileMeta:
                     name=lf["name"],
                     offset=lf["offset"],
                     pages=[PageMeta(*p) for p in lf["pages"]],
+                    ndv=lf.get("ndv"),
                 )
                 for lf in d["leaves"]
             ],
@@ -365,6 +378,26 @@ class StrawboatWriter:
             leaf.offset = offset
             self.sink.write(bytes(stream))
             offset += len(stream)
+            # Footer NDV: exact union when every page carried a full
+            # distinct list, else the sum of per-page estimates (an
+            # upper-leaning estimate; cross-page dups double-count).
+            if leaf.pages:
+                if all(p.distinct is not None for p in leaf.pages):
+                    u: set = set()
+                    for p in leaf.pages:
+                        u.update(p.distinct)
+                    leaf.ndv = len(u)
+                else:
+                    leaf.ndv = int(
+                        sum(
+                            p.ndv
+                            if p.ndv is not None
+                            else max(p.num_values - p.null_count, 0)
+                            for p in leaf.pages
+                        )
+                    )
+            else:
+                leaf.ndv = 0
 
         meta = FileMeta(
             num_rows=self._num_rows,
@@ -434,9 +467,14 @@ class StrawboatWriter:
         mn = mx = None
         distinct = None
         bloom = None
+        ndv = None  # page NDV estimate -> footer leaf NDV (finish())
         memo = self._codec_memo[leaf_i] if leaf_i >= 0 else None
+        ps: dict = {}
         if kind == "bool":
             vals = np.asarray(arr.fill_null(False))
+            if n - null_count > 0:
+                nn = vals if valid is None else vals[valid]
+                ndv = 1 if len(nn) == 0 or bool(nn.min() == nn.max()) else 2
             out += compress_boolean(vals, self.default_codec, self.forbidden, ratio=self.compress_ratio)
         elif kind == "int":
             dtype = _numpy_dtype(arr.type)
@@ -445,7 +483,8 @@ class StrawboatWriter:
                 nn = vals if valid is None else vals[valid]
                 mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
             out += compress_integer(
-                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio, memo=memo
+                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio,
+                memo=memo, stats_out=ps,
             )
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
@@ -461,7 +500,8 @@ class StrawboatWriter:
                 if not np.isnan(nn).any():
                     mn, mx = _json_safe(nn.min()), _json_safe(nn.max())
             out += compress_double(
-                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio, memo=memo
+                vals, self.default_codec, self.forbidden, ratio=self.compress_ratio,
+                memo=memo, stats_out=ps,
             )
         elif kind == "binary":
             offsets, data = _binary_parts(arr)
@@ -523,7 +563,13 @@ class StrawboatWriter:
             )
         else:
             raise NotImplementedError(kind)
-        return bytes(out), PageMeta(len(out), n, null_count, mn, mx, distinct, bloom)
+        if ndv is None:
+            ndv = ps.get("unique_count")
+        if kind == "binary":
+            ndv = bstats.get("unique_count", ndv)
+        return bytes(out), PageMeta(
+            len(out), n, null_count, mn, mx, distinct, bloom, ndv=ndv
+        )
 
 
 def _int_values(arr: pa.Array, dtype: np.dtype) -> np.ndarray:

@@ -226,6 +226,39 @@ class Table:
             "path string, n_rows long, n_deleted int, n_live long, n_pages int",
         )
 
+    def ndv_est(self, at_generation: int | None = None) -> dict[str, int]:
+        """Per-column NDV estimates from METADATA alone (the footers'
+        per-leaf ndv, summed across files) — no distinct-count job at
+        any table size.  Exact for low-cardinality string columns
+        (distinct-list union per file), upper-leaning elsewhere
+        (cross-file/cross-page duplicates double-count), so it is the
+        SAFE direction for sizing join broadcasts: a true-small NDV is
+        never overestimated past file_count x its per-file bound.
+        Columns in legacy (pre-NDV) files fall back to their non-null
+        row count.  Hive partition columns are not included (their
+        values live in directory names; enumerate the layout instead)."""
+        from strawboat_spark.sources.datasource import (
+            _cached_footer,
+            _deletes_by_rel,
+            _list_files,
+        )
+
+        files = _list_files(self.path, at_generation)
+        _deletes_by_rel(self.path, at_generation)  # seeds footer cache
+        out: dict[str, int] = {}
+        for f in sorted(files):
+            meta = _cached_footer(f)[1]
+            for lf in meta.leaves:
+                if "." in lf.name:
+                    continue  # nested leaves: out of scope, like profile()
+                n = (
+                    lf.ndv
+                    if lf.ndv is not None
+                    else sum(p.num_values - p.null_count for p in lf.pages)
+                )
+                out[lf.name] = out.get(lf.name, 0) + int(n)
+        return out
+
     def profile(self, at_generation: int | None = None) -> DataFrame:
         """Metadata-only column profile: per top-level column (name,
         n_rows, n_nulls, min_str, max_str) aggregated from the

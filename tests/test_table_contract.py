@@ -1997,7 +1997,14 @@ def test_days_transform_hidden_partitioning(tmp_path, spark):
     p = f"{tmp_path}/ev"
     t = Table(spark, p)
     t.overwrite(e.filter("event_id % 2 = 0"), partition_by="days(ts)")
-    assert transform_spec(p) == {"col": "ts", "kind": "days", "dir_col": "__days_ts"}
+    assert transform_spec(p) == {
+        "col": "ts",
+        "kind": "days",
+        "dir_col": "__days_ts",
+        # r9: the recorded directory layout lets bare appends re-derive
+        # composed (plain + transform) partitioning
+        "layout": ["__days_ts"],
+    }
     t.append(e.filter("event_id % 2 = 1"))  # inherits the transform
     assert t.read().count() == e.count()
 
@@ -2493,3 +2500,60 @@ def test_timestamp_travel_resolves_naive_in_session_timezone(spark, tmp_path):
             assert t.read(at_timestamp=utc_wall).count() == 2
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_ndv_metadata_and_merge_job_count(spark, tmp_path):
+    """r9: per-leaf NDV persists in footers/manifest and surfaces via
+    Table.ndv_est() with zero Spark jobs; merge's broadcast gate uses
+    the already-counted source size, so the separate
+    source.distinct().count() job is GONE (count-call plan test)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    n = 30_000
+    t.overwrite(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("status"),
+            (F.col("id") % 7).cast("double").alias("x"),
+        )
+    )
+    est = t.ndv_est()
+    assert set(est) == {"k", "status", "x"}
+    # unique int column: sampled estimate within sane bounds
+    assert n * 0.5 <= est["k"] <= n * 1.2
+    # low-card string: exact per file via distinct-list union; files
+    # can double-count, bounded by n_files * true NDV
+    n_files = t.files().count()
+    assert 3 <= est["status"] <= 3 * n_files
+    # low-card double: per-page sum, bounded by pages * true NDV
+    assert 7 <= est["x"] <= 7 * (n // 8192 + 2) * n_files
+
+    # --- one fewer job per merge: exactly TWO DataFrame.count calls
+    # (n_source + matched_src); the keys.count() gate is metadata now
+    import pyspark.sql.classic.dataframe as _cdf
+
+    calls = {"n": 0}
+    orig = _cdf.DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    _cdf.DataFrame.count = counting
+    try:
+        res = t.merge(
+            spark.range(10).select(
+                F.col("id").alias("k"),
+                F.lit("Z").alias("status"),
+                F.lit(0.0).alias("x"),
+            ),
+            on=["k"],
+        )
+    finally:
+        _cdf.DataFrame.count = orig
+    assert res["rows_updated"] == 10
+    assert calls["n"] == 2, f"merge ran {calls['n']} count jobs, expected 2"
