@@ -261,21 +261,34 @@ def _interop_agg(df: DataFrame) -> DataFrame:
 
 
 @query(
-    "format_orc_roundtrip",
-    oracle=_INTEROP_ORACLE,
-    description="orders → ORC → read back → aggregate (columnar interop)",
+    "format_interop_roundtrip",
+    oracle=f"""
+    SELECT f.fmt, a.* FROM (
+      SELECT 'csv' AS fmt UNION ALL SELECT 'json' UNION ALL SELECT 'orc'
+    ) f CROSS JOIN ({_INTEROP_ORACLE.strip()}) a
+    ORDER BY f.fmt, a.o_orderpriority
+    """,
+    description=(
+        "composite interop gate (r9 fold of format_csv/json/orc_roundtrip): "
+        "orders -> CSV, JSON lines and ORC -> read back -> identical "
+        "aggregates per format, one oracle"
+    ),
 )
-def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _interop_agg(_interop_roundtrip(spark, sf_dir, "orc"))
-
-
-@query(
-    "format_json_roundtrip",
-    oracle=_INTEROP_ORACLE,
-    description="orders → JSON lines → schema-carrying read back → aggregate (row interop)",
-)
-def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _interop_agg(_interop_roundtrip(spark, sf_dir, "json"))
+def format_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every staging format a user would hand the engine round-trips
+    losslessly: each format's read-back aggregate must match the same
+    parquet-side oracle, labeled by format so a single red row names
+    the broken codec path."""
+    frames = [
+        _interop_agg(_interop_roundtrip(spark, sf_dir, fmt)).select(
+            F.lit(fmt).alias("fmt"), "*"
+        )
+        for fmt in ("csv", "json", "orc")
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("fmt", "o_orderpriority")
 
 
 @query(
@@ -349,12 +362,184 @@ def strawboat_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "format_csv_roundtrip",
-    oracle=_INTEROP_ORACLE,
-    description="orders → CSV → schema-carrying read back → aggregate (text interop)",
+    "strawboat_travel_suite",
+    oracle="""
+    WITH full_agg AS (
+      SELECT o_orderstatus AS k, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT * FROM (
+      SELECT 'restore' AS gate, k, n, total FROM full_agg
+      UNION ALL
+      SELECT 'tag', k, n, total FROM full_agg
+      UNION ALL
+      SELECT 'ts_asof', 'asof', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(o_totalprice), 2)
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'ts_asof', 'head', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(o_totalprice), 2)
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice >= 150000
+    ) ORDER BY gate, k
+    """,
+    description=(
+        "composite travel gate (r9 fold of strawboat_tag_read/restore/"
+        "timestamp_travel): tagged generation survives a zero-grace "
+        "vacuum and reads the full seed; RESTORE after a MOR delete "
+        "hash-matches the untouched source with history intact; "
+        "TIMESTAMP AS OF between two commits resolves to the earlier "
+        "generation while head reads post-delete"
+    ),
 )
-def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _interop_agg(_interop_roundtrip(spark, sf_dir, "csv"))
+def strawboat_travel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three table-history behaviors under one exact oracle, labeled
+    per gate.  Semantics per member unchanged from the pre-fold gates
+    (git history r5-r8); the too-early-timestamp error stays pinned by
+    tests/test_table_contract.py::test_timestamp_time_travel_and_restore."""
+    import time
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_travel_")
+    o3 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def agg3(df, gate):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(gate).alias("gate"), F.col("o_orderstatus").alias("k"), "n", "total")
+
+    # tag: seed (tagged v1) -> overwrite fragment -> zero-grace vacuum;
+    # the tag still reads the full seed (tagged generations survive)
+    t_tag = Table(spark, f"{root}/tag")
+    t_tag.overwrite(o3)
+    t_tag.tag("v1")
+    t_tag.overwrite(o3.filter("o_orderkey % 7 = 0"))
+    t_tag.vacuum(grace_seconds=0.0)
+    tag_frame = agg3(t_tag.read_tag("v1"), "tag")
+
+    # restore: seed -> MOR delete -> restore(1); reads equal the seed,
+    # history shows three generations (restore commits, never rewrites)
+    t_res = Table(spark, f"{root}/restore")
+    t_res.overwrite(o3)
+    t_res.delete("o_orderkey % 3 = 0 AND o_orderstatus = 'O'", mode="mor")
+    t_res.restore(1)
+    assert len(t_res.history()) == 3
+    res_frame = agg3(t_res.read(), "restore")
+
+    # TIMESTAMP AS OF: an instant between two commits resolves to the
+    # earlier generation (manifest committed_at_us, not fs mtimes)
+    t_ts = Table(spark, f"{root}/ts")
+    t_ts.overwrite(o3.filter("o_orderkey % 5 = 0").select("o_orderkey", "o_totalprice"))
+    time.sleep(0.25)
+    mid = time.time()
+    time.sleep(0.25)
+    t_ts.delete("o_totalprice < 150000", mode="mor")
+
+    def agg_ts(df, side):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit("ts_asof").alias("gate"), F.lit(side).alias("k"), "n", "total")
+
+    ts_frame = agg_ts(t_ts.read(at_timestamp=mid), "asof").unionByName(
+        agg_ts(t_ts.read(), "head")
+    )
+    return (
+        res_frame.unionByName(tag_frame).unionByName(ts_frame).orderBy("gate", "k")
+    )
+
+
+@query(
+    "strawboat_snapshot_metrics",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'retention' AS gate, 'gen1_rows' AS metric, CAST(20 AS BIGINT) AS value
+      UNION ALL SELECT 'retention', 'gen2_after_vacuum', 40
+      UNION ALL SELECT 'retention', 'gen2_rows', 40
+      UNION ALL SELECT 'retention', 'gen3_rows', 35
+      UNION ALL SELECT 'retention', 'head_rows', 10
+      UNION ALL SELECT 'retention', 'src_anchor',
+        (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer)
+      UNION ALL SELECT 'travel', 'gen1_rows', 10
+      UNION ALL SELECT 'travel', 'gen2_rows', 30
+      UNION ALL SELECT 'travel', 'gen3_rows', 60
+      UNION ALL SELECT 'travel', 'head_rows', 60
+      UNION ALL SELECT 'travel', 'n_generations', 3
+      UNION ALL SELECT 'travel', 'src_anchor',
+        (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+    ) ORDER BY gate, metric
+    """,
+    description=(
+        "composite snapshot gate (r9 fold of strawboat_time_travel/"
+        "snapshot_retention): at_generation reads over an append "
+        "history, and the retention contract — DELETE/OVERWRITE leave "
+        "superseded generations readable; a graceful vacuum keeps them"
+    ),
+)
+def strawboat_snapshot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation snapshots + retention as (gate, metric, value) rows.
+    Semantics per member unchanged from the pre-fold gates (the
+    retention half is the r6 fix for the r5 verdict's confirmed
+    break)."""
+    from strawboat_spark.sources.datasource import list_generations, register
+    from strawboat_spark.sources.maintenance import delete_where, vacuum
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_snap_")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")  # noqa: E731
+
+    rows = []
+    # travel: three appends, three pinned snapshot counts + an anchor
+    p1 = f"{root}/travel"
+    mk(0, 10).coalesce(1).write.format("strawboat").mode("overwrite").save(p1)
+    mk(10, 30).coalesce(1).write.format("strawboat").mode("append").save(p1)
+    mk(30, 60).coalesce(1).write.format("strawboat").mode("append").save(p1)
+    at1 = lambda g: (  # noqa: E731
+        spark.read.format("strawboat").option("at_generation", g).load(p1).count()
+    )
+    anchor_o = load_table(spark, sf_dir, "orders").agg(
+        F.sum("o_orderkey").cast("bigint")
+    ).collect()[0][0]
+    rows += [
+        ("travel", "gen1_rows", at1(1)),
+        ("travel", "gen2_rows", at1(2)),
+        ("travel", "gen3_rows", at1(3)),
+        ("travel", "head_rows", spark.read.format("strawboat").load(p1).count()),
+        ("travel", "n_generations", len(list_generations(p1))),
+        ("travel", "src_anchor", anchor_o),
+    ]
+    # retention: DELETE/OVERWRITE keep superseded generations readable
+    p2 = f"{root}/retention"
+    mk(0, 20).coalesce(1).write.format("strawboat").mode("overwrite").save(p2)
+    mk(20, 40).coalesce(1).write.format("strawboat").mode("append").save(p2)
+    delete_where(spark, p2, "id < 5")
+    mk(100, 110).coalesce(1).write.format("strawboat").mode("overwrite").save(p2)
+    at2 = lambda g: (  # noqa: E731
+        spark.read.format("strawboat").option("at_generation", g).load(p2).count()
+    )
+    rows += [
+        ("retention", "gen1_rows", at2(1)),
+        ("retention", "gen2_rows", at2(2)),
+        ("retention", "gen3_rows", at2(3)),
+        ("retention", "head_rows", spark.read.format("strawboat").load(p2).count()),
+    ]
+    vacuum(p2, grace_seconds=3600.0)  # graceful: retains all generations
+    anchor_c = load_table(spark, sf_dir, "customer").agg(
+        F.sum("c_custkey").cast("bigint")
+    ).collect()[0][0]
+    rows += [
+        ("retention", "gen2_after_vacuum", at2(2)),
+        ("retention", "src_anchor", anchor_c),
+    ]
+    return spark.createDataFrame(
+        [(g, m, int(v)) for g, m, v in rows], "gate string, metric string, value bigint"
+    ).orderBy("gate", "metric")
 
 
 @query(
@@ -392,53 +577,6 @@ def strawboat_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority")
     )
 
-
-@query(
-    "strawboat_time_travel",
-    oracle="""
-    SELECT CAST(10 AS BIGINT) AS gen1_rows, CAST(30 AS BIGINT) AS gen2_rows,
-           CAST(60 AS BIGINT) AS gen3_rows, CAST(60 AS BIGINT) AS head_rows,
-           3 AS n_generations,
-           CAST((SELECT SUM(o_orderkey) FROM orders) AS BIGINT) AS src_anchor
-    """,
-    description="time travel: at_generation=N snapshot reads over an append history, deterministic counts",
-)
-def strawboat_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAS generations double as table history: every commit publishes
-    an immutable _strawboat_manifest.gen.N.json, so
-    `option("at_generation", N)` reads the table exactly as of commit
-    N until vacuum() retires the horizon. Three commits, three pinned
-    snapshot counts, plus an sf-scaling anchor so the oracle exercises
-    real data too (reference has no table layer; this extends its
-    format the way Delta extends parquet)."""
-    from strawboat_spark.sources.datasource import list_generations, register
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_tt_')}/t"
-    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")  # noqa: E731
-    mk(0, 10).coalesce(1).write.format("strawboat").mode("overwrite").save(path)
-    mk(10, 30).coalesce(1).write.format("strawboat").mode("append").save(path)
-    mk(30, 60).coalesce(1).write.format("strawboat").mode("append").save(path)
-    at = lambda g: (  # noqa: E731
-        spark.read.format("strawboat").option("at_generation", g).load(path).count()
-    )
-    anchor = load_table(spark, sf_dir, "orders").agg(
-        F.sum("o_orderkey").cast("bigint")
-    ).collect()[0][0]
-    return spark.createDataFrame(
-        [
-            (
-                at(1),
-                at(2),
-                at(3),
-                spark.read.format("strawboat").load(path).count(),
-                len(list_generations(path)),
-                anchor,
-            )
-        ],
-        "gen1_rows bigint, gen2_rows bigint, gen3_rows bigint, "
-        "head_rows bigint, n_generations int, src_anchor bigint",
-    )
 
 
 @query(
@@ -544,53 +682,6 @@ def strawboat_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_after bigint, upserted_vsum bigint",
     )
 
-
-@query(
-    "strawboat_snapshot_retention",
-    oracle="""
-    SELECT CAST(20 AS BIGINT) AS gen1_rows, CAST(40 AS BIGINT) AS gen2_rows,
-           CAST(35 AS BIGINT) AS gen3_rows, CAST(10 AS BIGINT) AS head_rows,
-           CAST(40 AS BIGINT) AS gen2_after_vacuum,
-           CAST((SELECT SUM(c_custkey) FROM customer) AS BIGINT) AS src_anchor
-    """,
-    description="mutations retain superseded files: time travel reads pre-DELETE and pre-OVERWRITE generations until vacuum retires them",
-)
-def strawboat_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The retention contract (round-6 fix for the round-5 verdict's
-    confirmed break): DELETE and OVERWRITE flip the manifest
-    generation but leave the superseded data files on disk, still
-    listed by their own immutable generation manifests — so
-    `at_generation` snapshot reads of PRE-MUTATION generations keep
-    working (and an in-flight reader planned against them finishes),
-    and a graceful vacuum() keeps them; only an aged-out vacuum
-    reclaims. Delta's VERSION AS OF + VACUUM contract over the
-    strawboat format (the reference is a single-snapshot format,
-    src/read/reader.rs — the table layer is this repo's extension)."""
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.sources.maintenance import delete_where, vacuum
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_ret_')}/t"
-    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 as v")  # noqa: E731
-    mk(0, 20).coalesce(1).write.format("strawboat").mode("overwrite").save(path)   # gen 1
-    mk(20, 40).coalesce(1).write.format("strawboat").mode("append").save(path)     # gen 2
-    delete_where(spark, path, "id < 5")                                            # gen 3
-    mk(100, 110).coalesce(1).write.format("strawboat").mode("overwrite").save(path)  # gen 4
-    at = lambda g: (  # noqa: E731
-        spark.read.format("strawboat").option("at_generation", g).load(path).count()
-    )
-    g1, g2, g3 = at(1), at(2), at(3)
-    head = spark.read.format("strawboat").load(path).count()
-    vacuum(path, grace_seconds=3600.0)  # graceful: retains all generations
-    g2_after = at(2)
-    anchor = load_table(spark, sf_dir, "customer").agg(
-        F.sum("c_custkey").cast("bigint")
-    ).collect()[0][0]
-    return spark.createDataFrame(
-        [(g1, g2, g3, head, g2_after, anchor)],
-        "gen1_rows bigint, gen2_rows bigint, gen3_rows bigint, head_rows bigint, "
-        "gen2_after_vacuum bigint, src_anchor bigint",
-    )
 
 
 @query(
@@ -1020,93 +1111,6 @@ def strawboat_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
-@query(
-    "strawboat_restore",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "RESTORE gate: after a MOR delete, restore(1) commits a new "
-        "generation equal to the pre-delete snapshot — the aggregate "
-        "hash-matches the untouched source while history stays intact"
-    ),
-)
-def strawboat_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta RESTORE semantics: seed (gen 1), MOR-delete a third of
-    open orders (gen 2), restore(1) (gen 3 = gen 1's entries). The
-    post-restore read must equal the original table exactly, and the
-    history must show three generations (restore is a commit, not a
-    rollback-by-deletion)."""
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.table import Table
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_restore_')}/orders"
-    t = Table(spark, path)
-    t.overwrite(
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_totalprice"
-        )
-    )
-    t.delete("o_orderkey % 3 = 0 AND o_orderstatus = 'O'", mode="mor")
-    t.restore(1)
-    assert len(t.history()) == 3  # restore commits, never rewrites history
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "strawboat_tag_read",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "named tag gate: tag('v1') pins the seed generation; after an "
-        "overwrite AND a zero-grace vacuum the tag still reads the "
-        "full seed exactly (tagged generations survive vacuum)"
-    ),
-)
-def strawboat_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tags + retention interaction: seed (gen 1, tagged v1),
-    overwrite with a fragment (gen 2), vacuum(grace 0) — which retires
-    every untagged non-head generation — and the tag must still
-    aggregate to the untouched source."""
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.table import Table
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_tag_')}/orders"
-    t = Table(spark, path)
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t.overwrite(o)
-    t.tag("v1")
-    t.overwrite(o.filter("o_orderkey % 7 = 0"))
-    t.vacuum(grace_seconds=0.0)
-    return (
-        t.read_tag("v1")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
 
 @query(
     "strawboat_hilbert_scan",
@@ -1406,59 +1410,6 @@ def strawboat_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_year")
     )
 
-
-@query(
-    "strawboat_timestamp_travel",
-    oracle="""
-    SELECT 'asof' AS side, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders WHERE o_orderkey % 5 = 0
-    UNION ALL
-    SELECT 'head', CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice >= 150000
-    ORDER BY side
-    """,
-    description=(
-        "TIMESTAMP AS OF time travel: commit stamps live in the "
-        "manifest; a wall-clock instant between two commits resolves "
-        "to the earlier generation (pre-delete snapshot) while the "
-        "head reads post-delete — both aggregated under one oracle"
-    ),
-)
-def strawboat_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table.read(at_timestamp=...) + generation_at_timestamp: resolve
-    by the manifest's own committed_at_us (robust to fs mtime quirks);
-    Delta TIMESTAMP AS OF semantics incl. the too-early error
-    (tests/test_table_contract.py::test_timestamp_time_travel_and_restore)."""
-    import time
-
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.table import Table
-
-    register(spark)
-    root = tempfile.mkdtemp(prefix="strawboat_tt_")
-    t = Table(spark, f"{root}/orders")
-    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 5 = 0").select(
-        "o_orderkey", "o_totalprice"
-    )
-    t.overwrite(o)                       # gen 1
-    time.sleep(0.25)
-    mid = time.time()
-    time.sleep(0.25)
-    t.delete("o_totalprice < 150000", mode="mor")  # gen 2
-
-    def agg(df, side):
-        return df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        ).select(F.lit(side).alias("side"), "n", "total")
-
-    return (
-        agg(t.read(at_timestamp=mid), "asof")
-        .unionByName(agg(t.read(), "head"))
-        .orderBy("side")
-    )
 
 
 @query(

@@ -622,155 +622,115 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
 
 
-@query(
-    "multimodal_jpeg_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
-             CAST(8 * (1 + doc_id % 2) AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, CAST((width // 8) * (height // 8) - 1 AS BIGINT)),
-             j -> CAST((j * 41 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
-    FROM dims ORDER BY doc_id
-    """,
-    description="REAL baseline-JPEG decode (pure-numpy Huffman+IDCT), exact analytic oracle",
-)
-def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JPEG gate for the compressed-image path: executors synthesize a
-    valid baseline JPEG per doc (grayscale, all-ones quant table, 8x8
-    block j constant at (j*41 + doc_id) % 256 — DC-only blocks, so the
-    T.81 Huffman+IDCT decode in operators/jpeg.py is bit-exact) and
-    DuckDB reproduces width/height/mean analytically. Unlike the
-    PPM/BMP gates this exercises entropy decoding, dequantization and
-    the IDCT, i.e. the machinery a real corpus's JPEGs need."""
-    from collections.abc import Iterator
 
-    import pandas as pd
-
-    from strawboat_spark.operators.jpeg import synthesize_jpeg_bytes
-    from strawboat_spark.operators.multimodal import extract_image_features
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_jpeg_bytes(int(i), 8 * (1 + int(i) % 3), 8 * (1 + int(i) % 2))
-                for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return (
-        extract_image_features(with_payload, "doc_id", "payload")
-        .select("doc_id", "width", "height", "mean_intensity")
-        .orderBy("doc_id")
-    )
 
 
 @query(
-    "multimodal_png_decode",
+    "multimodal_image_codecs",
     oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 + doc_id % 9 AS INT) AS width,
-             CAST(5 + doc_id % 6 AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, CAST(width * height - 1 AS BIGINT)),
-             i -> CAST((i * 23 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
-    FROM dims ORDER BY doc_id
-    """,
-    description="REAL PNG decode (stdlib-zlib inflate + numpy unfilter), exact oracle (lossless)",
-)
-def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG gate: executors synthesize a grayscale PNG per doc (pixel i
-    = (i*23 + doc_id) % 256) and decode it with the pure-numpy
-    RFC-2083 parser (operators/png.py). PNG is lossless, so unlike the
-    JPEG gate no DC-only trick is needed — any image roundtrips
-    bit-exact and the oracle is the plain analytic mean. Arbitrary
-    (non-multiple-of-8) dimensions exercise the row-filter machinery
-    the fixed-size gates can't."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import extract_image_features
-    from strawboat_spark.operators.png import synthesize_png_bytes
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_png_bytes(int(i), 8 + int(i) % 9, 5 + int(i) % 6) for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return (
-        extract_image_features(with_payload, "doc_id", "payload")
-        .select("doc_id", "width", "height", "mean_intensity")
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "multimodal_gif_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
+    SELECT * FROM (
+      SELECT 'gif' AS codec, doc_id,
              CAST(6 + doc_id % 11 AS INT) AS width,
-             CAST(4 + doc_id % 8 AS INT) AS height
+             CAST(4 + doc_id % 8 AS INT) AS height,
+             ROUND(list_avg(list_transform(
+               generate_series(0, CAST((6 + doc_id % 11) * (4 + doc_id % 8) - 1 AS BIGINT)),
+               i -> CAST((i * 29 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
       FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, CAST(width * height - 1 AS BIGINT)),
-             i -> CAST((i * 29 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
-    FROM dims ORDER BY doc_id
+      UNION ALL
+      SELECT 'jpeg', doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT),
+             CAST(8 * (1 + doc_id % 2) AS INT),
+             ROUND(list_avg(list_transform(
+               generate_series(0, CAST((1 + doc_id % 3) * (1 + doc_id % 2) - 1 AS BIGINT)),
+               j -> CAST((j * 41 + doc_id) % 256 AS DOUBLE))), 4)
+      FROM documents
+      UNION ALL
+      SELECT 'png', doc_id,
+             CAST(8 + doc_id % 9 AS INT),
+             CAST(5 + doc_id % 6 AS INT),
+             ROUND(list_avg(list_transform(
+               generate_series(0, CAST((8 + doc_id % 9) * (5 + doc_id % 6) - 1 AS BIGINT)),
+               i -> CAST((i * 23 + doc_id) % 256 AS DOUBLE))), 4)
+      FROM documents
+      UNION ALL
+      SELECT 'qoi', doc_id,
+             CAST(6 + doc_id % 11 AS INT),
+             CAST(4 + doc_id % 7 AS INT),
+             ROUND(list_avg(flatten(list_transform(
+               generate_series(0, CAST((6 + doc_id % 11) * (4 + doc_id % 7) - 1 AS BIGINT)),
+               i -> [CAST((3 * i + doc_id) % 256 AS DOUBLE),
+                     CAST((5 * i + doc_id) % 256 AS DOUBLE),
+                     CAST((7 * i + doc_id) % 256 AS DOUBLE)]))), 4)
+      FROM documents
+      UNION ALL
+      SELECT 'tiff', doc_id,
+             CAST(5 + doc_id % 12 AS INT),
+             CAST(4 + doc_id % 9 AS INT),
+             ROUND(list_avg(list_transform(
+               generate_series(0, CAST((5 + doc_id % 12) * (4 + doc_id % 9) - 1 AS BIGINT)),
+               i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4)
+      FROM documents
+    ) ORDER BY codec, doc_id
     """,
-    description="REAL GIF decode (variable-width LZW + palette), exact oracle (lossless)",
+    description=(
+        "composite REAL image-codec gate (r9 fold of the jpeg/png/gif/"
+        "tiff/qoi decode gates): per doc, five spec-valid images are "
+        "synthesized and decoded by the pure-numpy parsers — JPEG "
+        "Huffman+IDCT, PNG inflate+unfilter, GIF variable-width LZW, "
+        "TIFF strip-LZW+predictor, QOI hash-cache ops — each exact "
+        "against its analytic oracle, labeled so one red row names the "
+        "broken codec"
+    ),
 )
-def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF gate: executors synthesize a 256-gray-palette GIF per doc
-    (pixel i = (i*29 + doc_id) % 256) and decode it with the pure
-    numpy/stdlib GIF87a/89a parser (operators/gif.py). GIF is
-    lossless, so the oracle is the plain analytic mean, like the PNG
-    gate — but the machinery exercised is entirely different:
-    variable-width LZW entropy decode with dictionary growth, palette
-    resolution, sub-block reassembly."""
+def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, five real decoders (operators/jpeg.py, png.py, gif.py,
+    tiff.py, qoi.py).  Pixel formulas per codec match the per-codec
+    docstrings of the pre-fold gates (git history r5-r8); JPEG uses
+    DC-only blocks so the lossy path is bit-exact, the other four are
+    lossless."""
     from collections.abc import Iterator
+    from functools import reduce
 
     import pandas as pd
 
     from strawboat_spark.operators.gif import synthesize_gif_bytes
+    from strawboat_spark.operators.jpeg import synthesize_jpeg_bytes
     from strawboat_spark.operators.multimodal import extract_image_features
+    from strawboat_spark.operators.png import synthesize_png_bytes
+    from strawboat_spark.operators.qoi import synthesize_qoi_bytes
+    from strawboat_spark.operators.tiff import synthesize_tiff_bytes
 
+    specs = {
+        "gif": (synthesize_gif_bytes, lambda i: (6 + i % 11, 4 + i % 8)),
+        "jpeg": (synthesize_jpeg_bytes, lambda i: (8 * (1 + i % 3), 8 * (1 + i % 2))),
+        "png": (synthesize_png_bytes, lambda i: (8 + i % 9, 5 + i % 6)),
+        "qoi": (synthesize_qoi_bytes, lambda i: (6 + i % 11, 4 + i % 7)),
+        "tiff": (synthesize_tiff_bytes, lambda i: (5 + i % 12, 4 + i % 9)),
+    }
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for codec in sorted(specs):
+        synth_fn, dims = specs[codec]
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_gif_bytes(int(i), 6 + int(i) % 11, 4 + int(i) % 8) for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+        def synth(
+            batches: Iterator[pd.DataFrame], _fn=synth_fn, _dims=dims
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf["doc_id"]
+                payloads = [_fn(int(i), *_dims(int(i))) for i in ids]
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return (
-        extract_image_features(with_payload, "doc_id", "payload")
-        .select("doc_id", "width", "height", "mean_intensity")
-        .orderBy("doc_id")
-    )
+        wp = d.mapInPandas(synth, schema="doc_id long, payload binary")
+        frames.append(
+            extract_image_features(wp, "doc_id", "payload").select(
+                F.lit(codec).alias("codec"),
+                "doc_id",
+                "width",
+                "height",
+                "mean_intensity",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("codec", "doc_id")
 
 
 @query(
@@ -1320,90 +1280,53 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
 
 
-@query(
-    "multimodal_wav_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, CAST(400 + doc_id % 100 AS BIGINT) AS n_samples
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(8000 AS INT) AS sample_rate,
-           n_samples,
-           ROUND(CAST(n_samples AS DOUBLE) / 8000, 6) AS duration_sec,
-           ROUND(sqrt(list_avg(list_transform(
-             generate_series(0, n_samples - 1),
-             i -> CAST(((i * 37 + doc_id * 11) % 2048 - 1024) *
-                       ((i * 37 + doc_id * 11) % 2048 - 1024) AS DOUBLE)))), 4) AS rms
-    FROM dims ORDER BY doc_id
-    """,
-    description="REAL audio decode: synthesized RIFF/PCM16 WAVs through the numpy parser, exact analytic oracle",
-)
-def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL audio decode gate: executors synthesize valid
-    16-bit mono PCM WAVs (sample i = (i*37 + doc_id*11) % 2048 - 1024),
-    the numpy RIFF parser walks fmt/data chunks and computes
-    rate/frames/duration/RMS, and DuckDB reproduces all four
-    analytically — decoder hash-verified, not stubbed."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import decode_wav, synthesize_wav_bytes
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["doc_id"]:
-                did = int(i)
-                wav = synthesize_wav_bytes(did, 400 + did % 100)
-                rate, n, dur, rms = decode_wav(wav)
-                rows.append((did, rate, n, dur, rms))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "sample_rate", "n_samples", "duration_sec", "rms"]
-            )
-
-    return d.mapInPandas(
-        synth_decode,
-        schema="doc_id long, sample_rate int, n_samples long, duration_sec double, rms double",
-    ).orderBy("doc_id")
 
 
 @query(
-    "multimodal_flac_decode",
+    "multimodal_pcm_audio_decode",
     oracle="""
-    WITH dims AS (
-      SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS n_blocks
+    SELECT * FROM (
+      SELECT 'flac' AS codec, doc_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(3 + doc_id % 4 AS BIGINT) * 256 AS n_samples,
+             ROUND(CAST((3 + doc_id % 4) * 256 AS DOUBLE) / 8000, 6) AS duration_sec,
+             ROUND(sqrt(list_avg(list_transform(
+               generate_series(0, CAST(3 + doc_id % 4 AS BIGINT) - 1),
+               b -> CAST(((b * 53 + doc_id * 7) % 2048 - 1024) *
+                         ((b * 53 + doc_id * 7) % 2048 - 1024) AS DOUBLE)))), 4) AS rms
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(8000 AS INT) AS sample_rate,
-           n_blocks * 256 AS n_samples,
-           ROUND(CAST(n_blocks * 256 AS DOUBLE) / 8000, 6) AS duration_sec,
-           ROUND(sqrt(list_avg(list_transform(
-             generate_series(0, n_blocks - 1),
-             b -> CAST(((b * 53 + doc_id * 7) % 2048 - 1024) *
-                       ((b * 53 + doc_id * 7) % 2048 - 1024) AS DOUBLE)))), 4) AS rms
-    FROM dims ORDER BY doc_id
+      UNION ALL
+      SELECT 'wav', doc_id,
+             CAST(8000 AS INT),
+             CAST(400 + doc_id % 100 AS BIGINT),
+             ROUND(CAST(400 + doc_id % 100 AS DOUBLE) / 8000, 6),
+             ROUND(sqrt(list_avg(list_transform(
+               generate_series(0, CAST(400 + doc_id % 100 AS BIGINT) - 1),
+               i -> CAST(((i * 37 + doc_id * 11) % 2048 - 1024) *
+                         ((i * 37 + doc_id * 11) % 2048 - 1024) AS DOUBLE)))), 4)
+      FROM documents
+    ) ORDER BY codec, doc_id
     """,
-    description="REAL FLAC decode (pure-numpy frame/subframe/Rice parser), exact analytic oracle",
+    description=(
+        "composite REAL PCM-audio gate (r9 fold of the wav/flac decode "
+        "gates): RIFF/PCM16 chunk-walk + FLAC frame/subframe/Rice parse "
+        "per doc, rate/frames/duration/RMS exact against the analytic "
+        "oracle, labeled per codec"
+    ),
 )
-def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-audio gate: executors synthesize a spec-valid mono
-    FLAC per doc (block b of 256 samples CONSTANT at
-    (b*53 + doc_id*7) % 2048 - 1024 — FLAC is lossless, so the decode
-    is bit-exact) and the pure-Python/numpy decoder
-    (operators/flac.py) parses STREAMINFO + frames + subframes.
-    Equal-sized blocks make the stream RMS an analytic function of the
-    block values, which DuckDB reproduces. Fixed-predictor + Rice and
-    stereo decorrelation paths are pinned by tests/test_flac.py."""
+def multimodal_pcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, two real audio decoders: synthesized 16-bit mono WAVs
+    (sample i = (i*37 + doc_id*11) % 2048 - 1024) through the numpy
+    RIFF parser, and spec-valid constant-block FLACs (block b at
+    (b*53 + doc_id*7) % 2048 - 1024, lossless => bit-exact) through
+    operators/flac.py.  Fixed-predictor + Rice and stereo paths stay
+    pinned by tests/test_flac.py."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from strawboat_spark.operators.flac import decode_flac, encode_flac_constant
+    from strawboat_spark.operators.multimodal import decode_wav, synthesize_wav_bytes
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -1417,15 +1340,20 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate, n, dur, rms = decode_flac(
                     encode_flac_constant(vals, sample_rate=8000, block_size=256)
                 )
-                rows.append((did, rate, n, dur, rms))
+                rows.append(("flac", did, rate, n, dur, rms))
+                wav = synthesize_wav_bytes(did, 400 + did % 100)
+                rate, n, dur, rms = decode_wav(wav)
+                rows.append(("wav", did, rate, n, dur, rms))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "sample_rate", "n_samples", "duration_sec", "rms"]
+                rows,
+                columns=["codec", "doc_id", "sample_rate", "n_samples", "duration_sec", "rms"],
             )
 
     return d.mapInPandas(
         synth_decode,
-        schema="doc_id long, sample_rate int, n_samples long, duration_sec double, rms double",
-    ).orderBy("doc_id")
+        schema="codec string, doc_id long, sample_rate int, n_samples long, "
+        "duration_sec double, rms double",
+    ).orderBy("codec", "doc_id")
 
 
 @query(
@@ -1940,60 +1868,6 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, sample_rate int, n_samples long, rms double",
     ).orderBy("doc_id")
 
-
-@query(
-    "multimodal_tiff_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(5 + doc_id % 12 AS INT) AS width,
-             CAST(4 + doc_id % 9 AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, CAST(width * height - 1 AS BIGINT)),
-             i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity
-    FROM dims ORDER BY doc_id
-    """,
-    description=(
-        "REAL TIFF decode (strip organization, TIFF-LZW with the "
-        "early-change width schedule, horizontal-differencing predictor), "
-        "exact oracle (lossless)"
-    ),
-)
-def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIFF gate: executors synthesize grayscale LZW+predictor-2 TIFFs
-    (pixel i = (i*31 + doc_id) % 256, two strips) and decode them with
-    the pure numpy TIFF 6.0 parser (operators/tiff.py). Lossless like
-    the PNG/GIF gates, but the machinery differs again: IFD tag walk,
-    per-strip TIFF-LZW (MSB-first bits, early change — one code
-    earlier than GIF's schedule), and the predictor undone as a row
-    cumsum."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import extract_image_features
-    from strawboat_spark.operators.tiff import synthesize_tiff_bytes
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_tiff_bytes(int(i), 5 + int(i) % 12, 4 + int(i) % 9)
-                for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return (
-        extract_image_features(with_payload, "doc_id", "payload")
-        .select("doc_id", "width", "height", "mean_intensity")
-        .orderBy("doc_id")
-    )
 
 
 @query(
@@ -2597,58 +2471,6 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
 
-
-@query(
-    "multimodal_qoi_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(6 + doc_id % 11 AS INT) AS width,
-             CAST(4 + doc_id % 7 AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(flatten(list_transform(
-             generate_series(0, CAST(width * height - 1 AS BIGINT)),
-             i -> [CAST((3 * i + doc_id) % 256 AS DOUBLE),
-                   CAST((5 * i + doc_id) % 256 AS DOUBLE),
-                   CAST((7 * i + doc_id) % 256 AS DOUBLE)]))), 4) AS mean_intensity
-    FROM dims ORDER BY doc_id
-    """,
-    description=(
-        "REAL QOI decode (qoiformat.org public-domain spec: hash-cache "
-        "index, diff/luma/run ops), exact oracle (lossless)"
-    ),
-)
-def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QOI gate: executors synthesize an RGB QOI per doc (channel
-    ramps exercising DIFF/LUMA/RGB/INDEX/RUN ops) and decode with the
-    pure-numpy parser (operators/qoi.py). Lossless, so the oracle is
-    the plain analytic per-channel mean."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import extract_image_features
-    from strawboat_spark.operators.qoi import synthesize_qoi_bytes
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_qoi_bytes(int(i), 6 + int(i) % 11, 4 + int(i) % 7)
-                for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return (
-        extract_image_features(with_payload, "doc_id", "payload")
-        .select("doc_id", "width", "height", "mean_intensity")
-        .orderBy("doc_id")
-    )
 
 
 @query(
