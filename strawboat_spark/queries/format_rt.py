@@ -888,6 +888,66 @@ def strawboat_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_mor_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'merge' AS gate, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END), 2) AS total
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'update', o_orderstatus,
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                            ELSE o_totalprice END), 2)
+      FROM orders GROUP BY o_orderstatus
+    ) ORDER BY gate, o_orderstatus
+    """,
+    description=(
+        "composite merge-on-read gate (r9 fold of strawboat_mor_update/"
+        "mor_merge): deletion vectors mask old row versions, updated/"
+        "merged versions land as new files in one generation flip — "
+        "each verb's post-state hash-matches the analytic replay"
+    ),
+)
+def strawboat_mor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_mor_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def agg(t, gate):
+        return (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(gate).alias("gate"), "o_orderstatus", "n", "total")
+        )
+
+    t_u = Table(spark, f"{root}/upd")
+    t_u.overwrite(o)
+    t_u.update("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice + 1000"}, mode="mor")
+
+    t_m = Table(spark, f"{root}/mrg")
+    t_m.overwrite(o)
+    src_rows = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t_m.merge(src_rows, on=["o_orderkey"], mode="mor")
+    return agg(t_m, "merge").unionByName(agg(t_u, "update")).orderBy(
+        "gate", "o_orderstatus"
+    )
+
+
+@query(
     "strawboat_mor_delete",
     oracle="""
     SELECT o_orderstatus,
@@ -926,93 +986,6 @@ def strawboat_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "strawboat_mor_update",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CASE WHEN o_orderkey % 5 = 0
-                          THEN o_totalprice + 1000 ELSE o_totalprice END), 2)
-             AS total
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "merge-on-read UPDATE gate: deletion vectors mask the old row "
-        "versions, updated versions land as new files, one generation "
-        "flip — the post-update aggregate hash-matches the analytic "
-        "replay"
-    ),
-)
-def strawboat_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.table import Table
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_moru_')}/orders"
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t = Table(spark, path)
-    t.overwrite(o)
-    t.update(
-        "o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice + 1000"}, mode="mor"
-    )
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "strawboat_mor_merge",
-    oracle="""
-    WITH merged AS (
-      SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
-                  ELSE o_totalprice END AS o_totalprice
-      FROM orders
-    )
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "merge-on-read MERGE gate: matched target rows masked by "
-        "deletion vectors, the source (doubled-price rows for keys "
-        "divisible by 7) lands as new files in the same flip — the "
-        "post-merge aggregate hash-matches the analytic replay"
-    ),
-)
-def strawboat_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.sources.datasource import register
-    from strawboat_spark.table import Table
-
-    register(spark)
-    path = f"{tempfile.mkdtemp(prefix='strawboat_morm_')}/orders"
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t = Table(spark, path)
-    t.overwrite(o)
-    src = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    t.merge(src, on=["o_orderkey"], mode="mor")
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("o_orderstatus")
-    )
 
 
 @query(

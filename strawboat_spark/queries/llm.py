@@ -236,6 +236,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
+    """recall@10 of an ANN operator vs the exact top-k, computed
+    entirely in-Spark (left-semi join on the two result sets) and
+    gated at >= 0.8 — turning an un-oracle-able approximate operator
+    into a hard driver-checkable pass/fail row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_fn(e, q).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("recall")
+    ).select(
+        F.lit(metric).alias("metric"),
+        (F.col("recall") >= 0.8).alias("recall_ge_080"),
+    )
+
+
+@query(
+    "similarity_ann_recall",
+    oracle="""
+    SELECT 'ivf_recall_at_10' AS metric, true AS recall_ge_080
+    UNION ALL SELECT 'lsh_recall_at_10', true
+    UNION ALL SELECT 'pq_recall_at_10', true
+    ORDER BY metric
+    """,
+    description=(
+        "composite ANN recall gate (r9 fold of the ivf/lsh/pq ann+recall "
+        "pairs): each index runs end-to-end against the exact top-10 and "
+        "must reach recall >= 0.8 — IVF (kmeans++ coarse quantizer, "
+        "nprobe cells, exact rerank), multi-probe LSH (4x8 planes, "
+        "Hamming ball r=3), PQ (8-byte codes, ADC shortlist, exact "
+        "rerank; measured 0.98)"
+    ),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, three ANN indexes (operators/similarity.py).  The
+    synthetic near-random embeddings are the worst case for all three
+    (no cluster structure); probe/candidate budgets carry the margin —
+    parameters unchanged from the pre-fold gates (r5-r6)."""
+    from functools import reduce
+
+    from strawboat_spark.operators.similarity import ivf_cosine_topk, pq_cosine_topk
+
+    gates = [
+        (
+            "ivf_recall_at_10",
+            lambda e, q: ivf_cosine_topk(
+                e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
+            ),
+        ),
+        (
+            "lsh_recall_at_10",
+            lambda e, q: lsh_cosine_topk(
+                e, q, "vec_id", "embedding", k=10, dim=64, multiprobe_radius=3
+            ),
+        ),
+        (
+            "pq_recall_at_10",
+            lambda e, q: pq_cosine_topk(
+                e, q, "vec_id", "embedding", k=10, m=8, n_codes=64, n_candidates=100
+            ),
+        ),
+    ]
+    frames = [_recall_gate(spark, sf_dir, fn, name) for name, fn in gates]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("metric")
+
+
 @query(
     "similarity_topk_bruteforce",
     oracle="""
@@ -259,138 +329,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
 
 
-@query(
-    "similarity_lsh_ann",
-    oracle=None,  # approximate by design
-    description="multi-probe LSH ANN (4 tables x 8 planes, Hamming-ball r=3) + exact rerank",
-)
-def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(
-        e,
-        e.filter(F.col("vec_id") < 5),
-        "vec_id",
-        "embedding",
-        k=10,
-        dim=64,
-        multiprobe_radius=3,
-    )
 
-
-@query(
-    "similarity_ivf_ann",
-    oracle=None,  # approximate by design (recall depends on nprobe)
-    description="IVF ANN: sample-trained coarse quantizer, nprobe cells, exact rerank",
-)
-def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.similarity import ivf_cosine_topk
-
-    e = load_table(spark, sf_dir, "embeddings")
-    # nprobe 12/16: the synthetic embeddings are near-random (top-10
-    # neighbor cosine ~0.3), which is the worst case for cell pruning —
-    # with a balanced (kmeans++) quantizer, recall on random data tracks
-    # nprobe/n_cells, so the probe budget must carry the gate margin.
-    # Real clustered corpora reach the same recall at far lower nprobe.
-    return ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
-    )
-
-
-@query(
-    "similarity_pq_ann",
-    oracle=None,  # approximate by design (codes quantize the vectors)
-    description=(
-        "PQ ANN: per-subspace codebooks compress each vector to m bytes, "
-        "ADC table-gather scoring shortlists candidates, original vectors "
-        "rerank exactly (IVF-PQ refinement recipe)"
-    ),
-)
-def similarity_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.similarity import pq_cosine_topk
-
-    e = load_table(spark, sf_dir, "embeddings")
-    # m=8 x 64 codes on 64-dim vectors: 8 code bytes per vector vs 256
-    # float bytes — the 32x memory compression that lets a
-    # billion-vector index live in executor memory at 100 TB. The
-    # near-random synthetic embeddings are PQ's worst case (no cluster
-    # structure for the codebooks to exploit); the 100-candidate exact
-    # rerank carries the recall gate with margin (0.98 measured).
-    return pq_cosine_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        k=10, m=8, n_codes=64, n_candidates=100,
-    )
-
-
-def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
-    """recall@10 of an ANN operator vs the exact top-k, computed
-    entirely in-Spark (left-semi join on the two result sets) and
-    gated at >= 0.8 — turning an un-oracle-able approximate operator
-    into a hard driver-checkable pass/fail row."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id"
-    )
-    approx = approx_fn(e, q).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("recall")
-    ).select(
-        F.lit(metric).alias("metric"),
-        (F.col("recall") >= 0.8).alias("recall_ge_080"),
-    )
-
-
-@query(
-    "similarity_lsh_recall",
-    oracle="SELECT 'lsh_recall_at_10' AS metric, true AS recall_ge_080",
-    description="recall@10 gate for multi-probe LSH ANN vs exact top-k (>= 0.8)",
-)
-def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_gate(
-        spark,
-        sf_dir,
-        lambda e, q: lsh_cosine_topk(
-            e, q, "vec_id", "embedding", k=10, dim=64, multiprobe_radius=3
-        ),
-        "lsh_recall_at_10",
-    )
-
-
-@query(
-    "similarity_ivf_recall",
-    oracle="SELECT 'ivf_recall_at_10' AS metric, true AS recall_ge_080",
-    description="recall@10 gate for IVF ANN vs exact top-k (>= 0.8)",
-)
-def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.similarity import ivf_cosine_topk
-
-    return _recall_gate(
-        spark,
-        sf_dir,
-        lambda e, q: ivf_cosine_topk(
-            e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
-        ),
-        "ivf_recall_at_10",
-    )
-
-
-@query(
-    "similarity_pq_recall",
-    oracle="SELECT 'pq_recall_at_10' AS metric, true AS recall_ge_080",
-    description="recall@10 gate for PQ ANN vs exact top-k (>= 0.8; measured 0.98)",
-)
-def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.similarity import pq_cosine_topk
-
-    return _recall_gate(
-        spark,
-        sf_dir,
-        lambda e, q: pq_cosine_topk(
-            e, q, "vec_id", "embedding", k=10, m=8, n_codes=64, n_candidates=100
-        ),
-        "pq_recall_at_10",
-    )
 
 
 @query(
@@ -489,6 +428,112 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "tokenizer_bpe",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), positions AS (
+      SELECT word, freq,
+             unnest(generate_series(1, length(word) - 1)) AS i
+      FROM wc
+    ), pairs AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+             SUM(freq) AS n
+      FROM positions GROUP BY 1, 2
+    ), best AS (SELECT l, r FROM pairs ORDER BY n DESC, l, r LIMIT 1)
+    SELECT * FROM (
+      SELECT 'encode' AS gate, CAST(doc_id AS VARCHAR) AS k,
+             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+               AS v,
+             TRUE AS ok
+      FROM documents
+      UNION ALL
+      SELECT 'train', 'first_pair',
+             NULL,
+             (SELECT l FROM best) IS NOT NULL AND (SELECT r FROM best) IS NOT NULL
+      FROM (SELECT 1)
+      UNION ALL
+      SELECT 'train', 'first_left_' || (SELECT l FROM best), NULL, TRUE
+      UNION ALL
+      SELECT 'train', 'first_right_' || (SELECT r FROM best), NULL, TRUE
+      UNION ALL
+      SELECT 'train', 'n_words',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM wc), TRUE
+      UNION ALL
+      SELECT 'train', 'shrank_and_lossless', NULL, TRUE
+    ) ORDER BY gate, k
+    """,
+    description=(
+        "composite BPE gate (r9 fold of tokenizer_bpe_train/encode): 8 "
+        "distributed merge rounds learned over documents, per-doc "
+        "lossless reconcatenation + exact non-whitespace char counts, "
+        "first learned pair and vocab size replayed exactly in SQL"
+    ),
+)
+def tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training is driver-coordinated rounds of ONE distributed pair
+    count each (operators/bpe.py); encoding is pure JVM array algebra —
+    zero Python workers, merges ride the plan as literals (unchanged
+    from the pre-fold gates, r6)."""
+    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d, "text")
+    merges = train_bpe(wc, 8)
+    enc = encode_bpe(d, "doc_id", "text", merges)
+    per_doc = enc.select(
+        F.lit("encode").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.col("roundtrip_ok").alias("ok"),
+    )
+    stats = enc.agg(
+        F.min("roundtrip_ok").alias("all_ok"),
+        (F.sum("n_tokens") < F.sum("n_chars")).alias("shrank"),
+    )
+    nw = wc.agg(F.count(F.lit(1)).cast("bigint").alias("n_words"))
+    summary = (
+        nw.join(F.broadcast(stats))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first_pair").alias("k"),
+                        F.lit(None).cast("bigint").alias("v"),
+                        F.lit(merges[0][0] is not None and merges[0][1] is not None).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("first_left_" + merges[0][0]).alias("k"),
+                        F.lit(None).cast("bigint").alias("v"),
+                        F.lit(True).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("first_right_" + merges[0][1]).alias("k"),
+                        F.lit(None).cast("bigint").alias("v"),
+                        F.lit(True).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("n_words").alias("k"),
+                        F.col("n_words").alias("v"),
+                        F.lit(True).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("shrank_and_lossless").alias("k"),
+                        F.lit(None).cast("bigint").alias("v"),
+                        (F.col("all_ok") & F.col("shrank")).alias("ok"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(F.lit("train").alias("gate"), "s.k", "s.v", "s.ok")
+    )
+    return per_doc.unionByName(summary).orderBy("gate", "k")
 
 
 @query(
@@ -1718,91 +1763,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
-
-@query(
-    "tokenizer_bpe_train",
-    oracle="""
-    WITH wc AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-            FROM documents)
-      WHERE word <> '' GROUP BY word
-    ), positions AS (
-      SELECT word, freq,
-             unnest(generate_series(1, length(word) - 1)) AS i
-      FROM wc
-    ), pairs AS (
-      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
-             SUM(freq) AS n
-      FROM positions GROUP BY 1, 2
-    ), best AS (SELECT l, r FROM pairs ORDER BY n DESC, l, r LIMIT 1)
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wc) AS n_words,
-           (SELECT l FROM best) AS first_left,
-           (SELECT r FROM best) AS first_right,
-           TRUE AS all_roundtrip_ok,
-           TRUE AS tokens_shrank
-    """,
-    description=(
-        "distributed BPE training gate (8 merges over the word-frequency "
-        "table — corpus touched once, each round costs O(vocabulary)): "
-        "merge #1 must equal the SQL argmax of weighted character-pair "
-        "counts (deterministic tiebreak); encoding every document with the "
-        "learned merges must reconcatenate losslessly and shrink the token "
-        "count — the later merges aren't SQL-replayable (greedy symbol "
-        "folds), so they're gated by these exact invariants, the "
-        "simhash-gate pattern"
-    ),
-)
-def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wc = word_counts(d, "text")
-    merges = train_bpe(wc, 8)
-    enc = encode_bpe(d, "doc_id", "text", merges)
-    stats = enc.agg(
-        F.min("roundtrip_ok").alias("all_roundtrip_ok"),
-        (F.sum("n_tokens") < F.sum("n_chars")).alias("tokens_shrank"),
-    )
-    nw = wc.agg(F.count(F.lit(1)).alias("n_words"))
-    return (
-        nw.join(F.broadcast(stats))
-        .select(
-            "n_words",
-            F.lit(merges[0][0]).alias("first_left"),
-            F.lit(merges[0][1]).alias("first_right"),
-            "all_roundtrip_ok",
-            "tokens_shrank",
-        )
-    )
-
-
-@query(
-    "tokenizer_bpe_encode",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS INT)
-             AS n_chars,
-           TRUE AS roundtrip_ok
-    FROM documents ORDER BY doc_id
-    """,
-    description=(
-        "BPE encoding gate, per document: lossless reconcatenation after "
-        "8 learned merges (boolean invariant) + exact non-whitespace char "
-        "count. Encoding is pure JVM array algebra — zero shuffles, zero "
-        "Python workers; the merge list rides into the plan as literals"
-    ),
-)
-def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = train_bpe(word_counts(d, "text"), 8)
-    return (
-        encode_bpe(d, "doc_id", "text", merges)
-        .select("doc_id", "n_chars", "roundtrip_ok")
-        .orderBy("doc_id")
-    )
 
 
 @query(

@@ -97,6 +97,74 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'cube' AS gate, l_returnflag AS k1, l_linestatus AS k2,
+             ROUND(SUM(l_quantity), 2) AS metric, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      UNION ALL
+      SELECT 'gsets', c_mktsegment, CAST(c_nationkey AS VARCHAR),
+             ROUND(SUM(c_acctbal), 2), COUNT(*)
+      FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+      UNION ALL
+      SELECT 'rollup', o_orderpriority, o_orderstatus,
+             ROUND(SUM(o_totalprice), 2), COUNT(*)
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    )
+    """,
+    description=(
+        "composite multi-grouping gate (r9 fold of agg_cube/rollup/"
+        "grouping_sets): CUBE over lineitem, ROLLUP over orders, "
+        "explicit GROUPING SETS over customer, normalized to one "
+        "(gate, k1, k2, metric, n) shape"
+    ),
+)
+def agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("metric"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("cube").alias("gate"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "metric",
+            "n",
+        )
+    )
+    rollup = (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("metric"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("rollup").alias("gate"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            "metric",
+            "n",
+        )
+    )
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS gate, c_mktsegment AS k1,
+               CAST(c_nationkey AS STRING) AS k2,
+               ROUND(SUM(c_acctbal), 2) AS metric, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+    return cube.unionByName(gsets).unionByName(rollup)
+
+
+@query(
     "agg_distinct",
     oracle="""
     SELECT l_returnflag,
@@ -120,58 +188,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    description="CUBE grouping (multi-grouping-set expansion)",
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
 
-
-@query(
-    "agg_rollup",
-    oracle="""
-    SELECT o_orderpriority, o_orderstatus,
-           ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS n
-    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-    """,
-    description="ROLLUP grouping",
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-    SELECT c_mktsegment, c_nationkey, ROUND(SUM(c_acctbal), 2) AS sum_bal
-    FROM customer
-    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-    """,
-    description="explicit GROUPING SETS via spark.sql",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, c_nationkey, ROUND(SUM(c_acctbal), 2) AS sum_bal
-        FROM customer
-        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-        """
-    )
 
 
 @query(
@@ -535,6 +552,139 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_functions_suite",
+    oracle="""
+    SELECT * FROM (
+      WITH daily_t AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS revenue
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+      ), daily AS (
+        SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY CAST(ts AS DATE)
+      ), q AS (
+        SELECT o_orderpriority, o_totalprice,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+      )
+      SELECT 'distribution' AS gate, CAST(o_custkey AS VARCHAR) AS k1,
+             CAST(o_orderkey AS VARCHAR) AS k2,
+             CAST(NTILE(4) OVER w AS DOUBLE) AS v1,
+             ROUND(PERCENT_RANK() OVER w, 6) AS v2,
+             ROUND(CUME_DIST() OVER w, 6) AS v3
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      UNION ALL
+      SELECT 'lag_daily', event_type, CAST(day AS VARCHAR), revenue,
+             ROUND(revenue - COALESCE(LAG(revenue) OVER
+               (PARTITION BY event_type ORDER BY day), 0.0), 2), NULL
+      FROM daily_t
+      UNION ALL
+      SELECT 'moving_avg', CAST(day AS VARCHAR), NULL, total,
+             ROUND(AVG(total) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4), NULL
+      FROM daily
+      UNION ALL
+      SELECT 'ntile', o_orderpriority, CAST(quartile AS VARCHAR),
+             CAST(COUNT(*) AS DOUBLE), ROUND(SUM(o_totalprice), 2), NULL
+      FROM q GROUP BY o_orderpriority, quartile
+      UNION ALL
+      SELECT 'range_frame', CAST(day AS VARCHAR), NULL, total,
+             ROUND(SUM(total) OVER (ORDER BY day
+                   RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2), NULL
+      FROM daily
+    ) ORDER BY gate, k1, k2
+    """,
+    description=(
+        "composite window-function gate (r9 fold of window_lag_daily/"
+        "moving_avg/ntile/distribution_funcs/range_frame): lag deltas, "
+        "7-row moving average, ntile(4) per bucket, percent_rank/"
+        "cume_dist, and an interval RANGE frame — every family member "
+        "exact under one oracle, values typed DOUBLE so the float "
+        "comparator applies"
+    ),
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    daily_t = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("revenue")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+
+    wl = Window.partitionBy("event_type").orderBy("day")
+    lag_daily = daily_t.select(
+        F.lit("lag_daily").alias("gate"),
+        F.col("event_type").alias("k1"),
+        F.col("day").cast("string").alias("k2"),
+        F.col("revenue").alias("v1"),
+        F.round(
+            F.col("revenue") - F.coalesce(F.lag("revenue").over(wl), F.lit(0.0)), 2
+        ).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+
+    wm = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    moving_avg = daily.select(
+        F.lit("moving_avg").alias("gate"),
+        F.col("day").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("total").alias("v1"),
+        F.round(F.avg("total").over(wm), 4).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+
+    wn = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ntile = (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(wn).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("v1"),
+            F.round(F.sum("o_totalprice"), 2).alias("v2"),
+        )
+        .select(
+            F.lit("ntile").alias("gate"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("quartile").cast("string").alias("k2"),
+            "v1",
+            "v2",
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
+
+    wd = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    dist = o.filter(F.col("o_custkey") < 200).select(
+        F.lit("distribution").alias("gate"),
+        F.col("o_custkey").cast("string").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.ntile(4).over(wd).cast("double").alias("v1"),
+        F.round(F.percent_rank().over(wd), 6).alias("v2"),
+        F.round(F.cume_dist().over(wd), 6).alias("v3"),
+    )
+
+    daily.createOrReplaceTempView("daily_totals")
+    range_frame = spark.sql(
+        """
+        SELECT 'range_frame' AS gate, CAST(day AS STRING) AS k1,
+               CAST(NULL AS STRING) AS k2, total AS v1,
+               ROUND(SUM(total) OVER (ORDER BY day
+                     RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2) AS v2,
+               CAST(NULL AS DOUBLE) AS v3
+        FROM daily_totals
+        """
+    )
+    return (
+        dist.unionByName(lag_daily)
+        .unionByName(moving_avg)
+        .unionByName(ntile)
+        .unionByName(range_frame)
+        .orderBy("gate", "k1", "k2")
+    )
+
+
+@query(
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
@@ -559,57 +709,6 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-@query(
-    "window_lag_daily",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS revenue
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
-    )
-    SELECT event_type, day, revenue,
-           ROUND(revenue - COALESCE(LAG(revenue) OVER (PARTITION BY event_type ORDER BY day), 0.0), 2) AS delta
-    FROM daily ORDER BY event_type, day
-    """,
-    description="lag/lead analytics over a daily rollup",
-)
-def window_lag_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("revenue")
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    return daily.select(
-        "event_type",
-        "day",
-        "revenue",
-        F.round(
-            F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 2
-        ).alias("delta"),
-    ).orderBy("event_type", "day")
-
-
-@query(
-    "window_moving_avg",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
-      FROM events GROUP BY CAST(ts AS DATE)
-    )
-    SELECT day, total,
-           ROUND(AVG(total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-    FROM daily ORDER BY day
-    """,
-    description="7-row moving average (bounded rows frame)",
-)
-def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("total")
-    )
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    return daily.select(
-        "day", "total", F.round(F.avg("total").over(w), 4).alias("ma7")
-    ).orderBy("day")
 
 
 @query(
@@ -634,62 +733,57 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "set_intersect_nations",
-    oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
-    INTERSECT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    description="INTERSECT (distinct set semantics)",
-)
-def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
-
 
 @query(
-    "set_except_nations",
+    "set_operations",
     oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
-    EXCEPT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    description="EXCEPT (distinct set semantics)",
-)
-def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
-    return c.subtract(s).orderBy("nationkey")  # EXCEPT DISTINCT semantics
-
-
-@query(
-    "set_union_counts",
-    oracle="""
-    SELECT side, COUNT(*) AS n FROM (
-      SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+    SELECT * FROM (
+      SELECT 'except' AS op, CAST(nationkey AS VARCHAR) AS k, CAST(1 AS BIGINT) AS n
+      FROM (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)
       UNION ALL
-      SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
-    ) GROUP BY side ORDER BY side
+      SELECT 'intersect', CAST(nationkey AS VARCHAR), CAST(1 AS BIGINT)
+      FROM (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'union_all', side, COUNT(*) FROM (
+        SELECT 'customer' AS side FROM customer
+        UNION ALL SELECT 'supplier' FROM supplier
+      ) GROUP BY side
+    ) ORDER BY op, k
     """,
-    description="UNION ALL + group",
+    description=(
+        "composite set-operation gate (r9 fold of set_except/intersect/"
+        "union_counts): EXCEPT + INTERSECT distinct semantics and "
+        "UNION ALL cardinality, labeled per operator"
+    ),
 )
-def set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
-    )
-    return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n")).orderBy("side")
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    ck = c.select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    sk = s.select(F.col("s_nationkey").cast("int").alias("nationkey"))
 
+    def keyed(df, op):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("nationkey").cast("string").alias("k"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
 
-# --------------------------------------------------------------------------
-# Scalar function coverage
-# --------------------------------------------------------------------------
+    union_counts = (
+        c.select(F.lit("customer").alias("side"))
+        .unionByName(s.select(F.lit("supplier").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_all").alias("op"), F.col("side").alias("k"), "n")
+    )
+    return (
+        keyed(ck.subtract(sk), "except")
+        .unionByName(keyed(ck.intersect(sk), "intersect"))
+        .unionByName(union_counts)
+        .orderBy("op", "k")
+    )
 
 
 @query(
@@ -1005,34 +1099,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
 
-
-@query(
-    "window_distribution_funcs",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
-    FROM orders
-    WHERE o_custkey < 200
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-    ORDER BY o_custkey, o_orderkey
-    """,
-    description="distribution window functions: ntile / percent_rank / cume_dist",
-)
-def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
-    )
 
 
 @query(
@@ -1572,46 +1638,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nationkey")
     )
 
-
-@query(
-    "window_ntile",
-    oracle="""
-    WITH q AS (
-      SELECT o_orderpriority, o_totalprice,
-             NTILE(4) OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice, o_orderkey) AS quartile
-      FROM orders
-    )
-    SELECT o_orderpriority, quartile, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM q GROUP BY o_orderpriority, quartile
-    ORDER BY o_orderpriority, quartile
-    """,
-    description="ntile(4) distribution window with deterministic tie-break, aggregated per bucket",
-)
-def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("o_orderpriority", "quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy("o_orderpriority", "quartile")
-    )
-
-
-# --------------------------------------------------------------------------
-# Round 6: the remaining TPC-H analogs (full 22-query coverage).
-# The testdata has no partsupp table and no l_shipmode/l_receiptdate
-# columns, so Q2/Q9/Q11/Q16/Q20 derive the supplier-part relation from
-# lineitem and Q12 buckets by shipping delay — same decorrelation /
-# join-shape workout, adapted predicates (like q21/q22 above).
-# --------------------------------------------------------------------------
 
 
 @query(

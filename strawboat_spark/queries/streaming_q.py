@@ -11,34 +11,67 @@ from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
 
 
+
 @query(
-    "stream_tumbling_window",
+    "stream_window_aggs",
     oracle="""
-    SELECT event_type,
-           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
-    FROM events
-    GROUP BY event_type, date_trunc('day', ts)
-    ORDER BY event_type, window_start
+    SELECT * FROM (
+      SELECT 'sliding' AS gate, event_type,
+             strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM (
+        SELECT event_type, value, ts,
+               unnest([date_trunc('day', ts) - INTERVAL 12 HOUR
+                         + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
+                                THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END,
+                       date_trunc('day', ts)
+                         + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
+                                THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END]) AS ws
+        FROM events
+      )
+      WHERE ts >= ws AND ts < ws + INTERVAL 24 HOUR
+      GROUP BY event_type, ws
+      UNION ALL
+      SELECT 'tumbling', event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+             COUNT(*),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ) ORDER BY gate, event_type, window_start
     """,
-    description="tumbling 1-day window agg (same operator Structured Streaming uses)",
+    description=(
+        "composite window-agg gate (r9 fold of stream_tumbling/"
+        "sliding_window): 1-day tumbling and 24h/12h sliding window "
+        "aggregates over events — the exact operators Structured "
+        "Streaming uses, replayed batch-side under one oracle"
+    ),
 )
-def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+
+    def win(wspec, gate):
+        return (
+            e.groupBy("event_type", wspec.alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.lit(gate).alias("gate"),
+                "event_type",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n_events",
+                "sum_value",
+            )
+        )
+
     return (
-        e.groupBy("event_type", F.window("ts", "1 day").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "event_type",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("event_type", "window_start")
+        win(F.window("ts", "24 hours", "12 hours"), "sliding")
+        .unionByName(win(F.window("ts", "1 day"), "tumbling"))
+        .orderBy("gate", "event_type", "window_start")
     )
 
 
@@ -83,47 +116,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "session_start")
     )
 
-
-@query(
-    "stream_sliding_window",
-    oracle="""
-    WITH starts AS (
-      SELECT event_type, value, ts,
-             unnest([date_trunc('day', ts) - INTERVAL 12 HOUR
-                       + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
-                              THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END,
-                     date_trunc('day', ts)
-                       + CASE WHEN ts >= date_trunc('day', ts) + INTERVAL 12 HOUR
-                              THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END]) AS ws
-      FROM events
-    )
-    SELECT event_type,
-           strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
-    FROM starts
-    WHERE ts >= ws AND ts < ws + INTERVAL 24 HOUR
-    GROUP BY event_type, ws
-    ORDER BY event_type, window_start
-    """,
-    description="sliding window (24h window, 12h slide): each event lands in two overlapping windows",
-)
-def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type", F.window("ts", "24 hours", "12 hours").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "event_type",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("event_type", "window_start")
-    )
 
 
 @query(

@@ -18,42 +18,39 @@ from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
 
 
+
+
 @query(
-    "udf_pandas_scalar",
+    "udf_pandas_suite",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
-    FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber
+    SELECT * FROM (
+      SELECT 'grouped' AS gate, o_orderpriority AS k1, NULL AS k2,
+             ROUND(AVG(o_totalprice), 4) AS v1,
+             ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS v2
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'scalar', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+             l_extendedprice * (1 - l_discount) * (1 + l_tax), NULL
+      FROM lineitem WHERE l_orderkey <= 200
+    ) ORDER BY gate, k1, k2
     """,
-    description="scalar pandas_udf (Arrow-vectorized net-price kernel)",
+    description=(
+        "composite pandas-UDF gate (r9 fold of udf_pandas_scalar/"
+        "grouped_agg): Arrow-vectorized scalar net-price kernel per "
+        "lineitem row + grouped-agg UDAF over orders, one oracle"
+    ),
 )
-def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def udf_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value columns stay typed DOUBLE so the comparator's float
+    normalization applies; the scalar leg is un-rounded on purpose —
+    per-row IEEE math in identical op order is bit-identical across
+    engines, while ROUND disagrees exactly on the .XXXX5 boundaries
+    this 6-decimal product hits (pre-fold gate notes, r5)."""
+
     @pandas_udf("double")
     def net_price(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
         return price * (1 - disc) * (1 + tax)
 
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
-    # No rounding: per-row IEEE math in identical op order is
-    # bit-identical across engines, while ROUND implementations disagree
-    # exactly on the .XXXX5 boundaries this 6-decimal product hits.
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
-    ).orderBy("l_orderkey", "l_linenumber")
-
-
-@query(
-    "udf_pandas_grouped_agg",
-    oracle="""
-    SELECT o_orderpriority,
-           ROUND(AVG(o_totalprice), 4) AS mean_price,
-           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_range
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    description="grouped-agg pandas_udf (UDAF over Arrow groups)",
-)
-def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def mean_price(v: pd.Series) -> float:
         return float(v.mean())
@@ -62,16 +59,31 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def price_range(v: pd.Series) -> float:
         return float(v.max() - v.min())
 
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    scalar = li.select(
+        F.lit("scalar").alias("gate"),
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("l_linenumber").cast("string").alias("k2"),
+        net_price("l_extendedprice", "l_discount", "l_tax").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
     o = load_table(spark, sf_dir, "orders")
     # F.round outside the UDFs (python round() is banker's rounding)
-    return (
+    grouped = (
         o.groupBy("o_orderpriority")
         .agg(
-            F.round(mean_price("o_totalprice"), 4).alias("mean_price"),
-            F.round(price_range("o_totalprice"), 4).alias("price_range"),
+            F.round(mean_price("o_totalprice"), 4).alias("v1"),
+            F.round(price_range("o_totalprice"), 4).alias("v2"),
         )
-        .orderBy("o_orderpriority")
+        .select(
+            F.lit("grouped").alias("gate"),
+            F.col("o_orderpriority").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "v1",
+            "v2",
+        )
     )
+    return grouped.unionByName(scalar).orderBy("gate", "k1", "k2")
 
 
 @query(
@@ -229,34 +241,6 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
-
-@query(
-    "window_range_frame",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
-      FROM events GROUP BY 1
-    )
-    SELECT day, total,
-           ROUND(SUM(total) OVER (ORDER BY day
-                 RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2) AS sum_4d
-    FROM daily ORDER BY day
-    """,
-    description="RANGE frame window (interval-based, value-not-row bounded)",
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("total")
-    ).createOrReplaceTempView("daily_totals")
-    return spark.sql(
-        """
-        SELECT day, total,
-               ROUND(SUM(total) OVER (ORDER BY day
-                     RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2) AS sum_4d
-        FROM daily_totals ORDER BY day
-        """
-    )
 
 
 @query(
