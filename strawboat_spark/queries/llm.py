@@ -59,45 +59,6 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id").orderBy("fp")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
-    ), sh0 AS (
-      SELECT DISTINCT doc_id,
-             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
-                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
-      FROM tok WHERE len(ts) >= 3
-    ), sh AS (
-      -- df-cut mirror of ngram_jaccard_pairs(max_doc_freq=1000)
-      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           -- scale-0 quantization (cent convention): ROUND(x, 4) is
-           -- engine-unstable on repr-halves; halves of x*10000 are exact
-           CAST(ROUND(n_common * 10000.0 / (sa.n + sb.n - n_common)) AS BIGINT)
-             / 10000.0 AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= 0.12
-    ORDER BY id_a, id_b
-    """,
-    description="exact word-3-gram Jaccard pairs via inverted-index join (no all-pairs)",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.12).orderBy(
-        "id_a", "id_b"
-    )
-
 
 @query(
     "dedup_clusters",
@@ -146,32 +107,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "dedup_ngram_df_stats",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id,
-             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
-                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
-      FROM tok WHERE len(ts) >= 3
-    )
-    SELECT shingle, COUNT(*) AS doc_freq,
-           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs_avoided
-    FROM sh GROUP BY shingle HAVING COUNT(*) > 5
-    ORDER BY doc_freq DESC, shingle
-    """,
-    description="df-cut audit for ngram_jaccard_pairs: dropped boilerplate shingles + avoided pair volume",
-)
-def dedup_ngram_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.dedup import ngram_df_stats
-
-    d = load_table(spark, sf_dir, "documents")
-    return ngram_df_stats(d, "text", "doc_id", shingle_n=3, max_doc_freq=5).orderBy(
-        F.col("doc_freq").desc(), "shingle"
-    )
-
 
 @query(
     "dedup_minhash_lsh",
@@ -183,6 +118,330 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(d, "text", "doc_id", n_hashes=32, n_bands=8).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "dedup_ngram_suite",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      -- df-cut mirror of ngram_jaccard_pairs(max_doc_freq=1000)
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT 'df_stats' AS gate, shingle AS k1, NULL AS k2,
+             CAST(NULL AS DOUBLE) AS v,
+             COUNT(*) AS l1,
+             CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS l2
+      FROM sh0 GROUP BY shingle HAVING COUNT(*) > 5
+      UNION ALL
+      SELECT 'pairs', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
+             -- scale-0 quantization (cent convention): ROUND(x, 4) is
+             -- engine-unstable on repr-halves; halves of x*10000 are exact
+             CAST(ROUND(n_common * 10000.0 / (sa.n + sb.n - n_common)) AS BIGINT)
+               / 10000.0,
+             NULL, NULL
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.12
+    ) ORDER BY gate, k1, k2
+    """,
+    description=(
+        "composite n-gram dedup gate (r9 fold of dedup_ngram_jaccard/"
+        "df_stats): exact word-3-gram Jaccard pairs via inverted-index "
+        "join (no all-pairs) + the df-cut audit of dropped boilerplate "
+        "shingles and avoided pair volume"
+    ),
+)
+def dedup_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strawboat_spark.operators.dedup import ngram_df_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.12).select(
+        F.lit("pairs").alias("gate"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("jaccard").alias("v"),
+        F.lit(None).cast("bigint").alias("l1"),
+        F.lit(None).cast("bigint").alias("l2"),
+    )
+    stats = ngram_df_stats(d, "text", "doc_id", shingle_n=3, max_doc_freq=5).select(
+        F.lit("df_stats").alias("gate"),
+        F.col("shingle").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("doc_freq").alias("l1"),
+        F.col("n_pairs_avoided").alias("l2"),
+    )
+    return stats.unionByName(pairs).orderBy("gate", "k1", "k2")
+
+
+@query(
+    "multimodal_raw_image_decode",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'bmp' AS codec, doc_id,
+             CAST(8 + (doc_id % 4) * 4 AS INT) AS width,
+             CAST(6 + doc_id % 7 AS INT) AS height,
+             ROUND(list_avg(list_transform(
+               generate_series(0, (8 + (doc_id % 4) * 4) * (6 + doc_id % 7) * 3 - 1),
+               i -> CAST((i * 17 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity,
+             CAST(54 + (8 + (doc_id % 4) * 4) * (6 + doc_id % 7) * 3 AS BIGINT) AS n_bytes
+      FROM documents
+      UNION ALL
+      SELECT 'ppm', doc_id,
+             CAST(8 + doc_id % 8 AS INT),
+             CAST(8 + doc_id % 5 AS INT),
+             ROUND(list_avg(list_transform(
+               generate_series(0, (8 + doc_id % 8) * (8 + doc_id % 5) * 3 - 1),
+               i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4),
+             CAST(length('P6' || chr(10) || CAST(8 + doc_id % 8 AS VARCHAR) || ' ' ||
+                         CAST(8 + doc_id % 5 AS VARCHAR) || chr(10) || '255' || chr(10))
+                  + (8 + doc_id % 8) * (8 + doc_id % 5) * 3 AS BIGINT)
+      FROM documents
+    ) ORDER BY codec, doc_id
+    """,
+    description=(
+        "composite raw-image gate (r9 fold of multimodal_image_decode/"
+        "image_features): binary P6 PPM and uncompressed 24-bit BMP "
+        "synthesized per doc, decoded by the numpy parsers, "
+        "width/height/mean/n_bytes exact against the analytic oracle"
+    ),
+)
+def multimodal_raw_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both native raw-image decoders hash-verified (pre-fold gates
+    r4-r5).  JPEG/PNG library decode remains a declared seam
+    (operators/multimodal.py:_decode_image_bytes); the COMPRESSED
+    codecs are gated by multimodal_image_codecs."""
+    from collections.abc import Iterator
+    from functools import reduce
+
+    import pandas as pd
+
+    from strawboat_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_bmp_bytes,
+        synthesize_ppm_bytes,
+    )
+
+    specs = {
+        "bmp": (synthesize_bmp_bytes, lambda i: (8 + (i % 4) * 4, 6 + i % 7)),
+        "ppm": (synthesize_ppm_bytes, lambda i: (8 + i % 8, 8 + i % 5)),
+    }
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for codec in sorted(specs):
+        fn, dims = specs[codec]
+
+        def synth(batches: Iterator[pd.DataFrame], _fn=fn, _dims=dims) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf["doc_id"]
+                payloads = [_fn(int(i), *_dims(int(i))) for i in ids]
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        wp = d.mapInPandas(synth, schema="doc_id long, payload binary")
+        frames.append(
+            extract_image_features(wp, "doc_id", "payload").select(
+                F.lit(codec).alias("codec"), "*"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("codec", "doc_id")
+
+
+@query(
+    "multimodal_video_sampling",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'mjpeg' AS gate, doc_id, CAST(k AS INT) AS frame_idx,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+             CAST(NULL AS INT) AS n_frames,
+             ROUND(list_avg(list_transform(
+               generate_series(0, CAST((1 + doc_id % 3) * (1 + doc_id % 2) - 1 AS BIGINT)),
+               j -> CAST((j * 41 + doc_id + 13 * k) % 256 AS DOUBLE))), 4) AS v
+      FROM documents, UNNEST(generate_series(0, CAST(4 + doc_id % 3 AS BIGINT) - 1, 2)) AS t(k)
+      UNION ALL
+      SELECT 'sample', doc_id,
+             CAST(unnest(generate_series(
+               0, greatest(CAST(octet_length(encode(text)) / 1024 + 1 AS INT) - 1, 0),
+               10)) AS INT),
+             NULL, NULL, NULL, NULL
+      FROM documents
+      UNION ALL
+      SELECT 'y4m', doc_id, CAST(k AS INT), CAST(16 AS INT), CAST(8 AS INT),
+             CAST(4 + doc_id % 4 AS INT),
+             ROUND(list_avg(list_transform(
+               generate_series(0, 16 * 8 - 1),
+               i -> CAST((i * 13 + k * 7 + doc_id) % 256 AS DOUBLE))), 4)
+      FROM documents, UNNEST(generate_series(0, CAST(4 + doc_id % 4 AS BIGINT) - 1, 2)) AS t(k)
+    ) ORDER BY gate, doc_id, frame_idx
+    """,
+    description=(
+        "composite video gate (r9 fold of multimodal_video_frames/"
+        "mjpeg_frames/frame_sample): Y4M uncompressed clip parse + "
+        "AVI/RIFF MJPEG per-frame JPEG decode, every-2nd-frame luma/"
+        "intensity means exact, plus the every-10th-frame sampling "
+        "fan-out plan"
+    ),
+)
+def multimodal_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container walks and frame decodes per the pre-fold gates
+    (r5-r7); frames are independent so extraction is batch-parallel
+    with no inter-frame state (the H.264 seam's documented
+    alternative)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from strawboat_spark.operators.avi import (
+        decode_avi_frames,
+        synthesize_avi_mjpeg_bytes,
+    )
+    from strawboat_spark.operators.multimodal import (
+        decode_y4m_frames,
+        frame_sample_plan,
+        synthesize_y4m_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                did = int(i)
+                clip = synthesize_y4m_bytes(did, 16, 8, 4 + did % 4)
+                w, h, nf, frames = decode_y4m_frames(clip, every_n=2)
+                rows += [("y4m", did, fi, w, h, nf, m) for fi, m in frames]
+                payload = synthesize_avi_mjpeg_bytes(
+                    did, 8 * (1 + did % 3), 8 * (1 + did % 2), 4 + did % 3
+                )
+                for k, w, h, mean in decode_avi_frames(payload, every_n=2):
+                    rows.append(("mjpeg", did, k, w, h, None, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["gate", "doc_id", "frame_idx", "width", "height", "n_frames", "v"],
+            )
+
+    decoded = d.mapInPandas(
+        synth_decode,
+        schema="gate string, doc_id long, frame_idx int, width int, height int, "
+        "n_frames int, v double",
+    )
+    dp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    sample = frame_sample_plan(dp, "doc_id", "payload", every_n=10).select(
+        F.lit("sample").alias("gate"),
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return decoded.unionByName(sample).orderBy("gate", "doc_id", "frame_idx")
+
+
+@query(
+    "timeseries_suite",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, value) AS vs
+      FROM events GROUP BY user_id
+    ), obs AS (
+      SELECT user_id AS k, epoch_us(ts) AS t, value AS v
+      FROM events WHERE user_id < 5
+    ), b AS (
+      SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k,
+             unnest(generate_series(
+               CAST(FLOOR(lo / 3600000000) * 3600000000 AS BIGINT),
+               hi, 3600000000)) AS t
+      FROM b
+    ), u AS (
+      SELECT k, t, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT k, t, NULL AS v, 0 AS is_obs FROM grid
+    ), f AS (
+      SELECT k, t, is_obs,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
+      FROM u
+      WINDOW
+        w_prev AS (PARTITION BY k ORDER BY t, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY k ORDER BY t, is_obs DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT * FROM (
+      SELECT 'ewma' AS gate, CAST(user_id AS VARCHAR) AS k1, NULL AS k2,
+             CAST(len(vs) AS BIGINT) AS n,
+             -- scale-0 quantization (same cross-engine ROUND rationale)
+             CAST(ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000)
+                  AS BIGINT) / 10000.0 AS v
+      FROM s
+      UNION ALL
+      SELECT 'resample', CAST(k AS VARCHAR),
+             strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S'),
+             NULL,
+             CAST(ROUND((CASE
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nt = pt THEN pv
+               ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             END) * 10000) AS BIGINT) / 10000.0
+      FROM f WHERE is_obs = 0
+    ) ORDER BY gate, k1, k2
+    """,
+    description=(
+        "composite time-series gate (r9 fold of timeseries_ewma/"
+        "resample_linear): per-key EWMA via the JVM F.aggregate fold "
+        "(full-prefix recurrence) + hourly-grid linear interpolation, "
+        "both bit-identical SQL replays"
+    ),
+)
+def timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantics per member unchanged from the pre-fold gates (r5/r7
+    ROUND hardening included — values quantized to 1e-4 on both
+    sides).  Tie-break: events sharing a microsecond timestamp order
+    by value on both sides."""
+    from strawboat_spark.operators.timeseries import ewma_last, resample_linear
+
+    e = load_table(spark, sf_dir, "events")
+    ewma = ewma_last(e, "user_id", "ts", "value", alpha=0.3).select(
+        F.lit("ewma").alias("gate"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_points").cast("bigint").alias("n"),
+        F.col("ewma").alias("v"),
+    )
+    rs = resample_linear(
+        e.filter(F.col("user_id") < 5), "user_id", "ts", "value", step="1 hour"
+    ).select(
+        F.lit("resample").alias("gate"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("k2"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("value").alias("v"),
+    )
+    return ewma.unionByName(rs).orderBy("gate", "k1", "k2")
 
 
 @query(
@@ -617,58 +876,6 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_features",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 + (doc_id % 4) * 4 AS INT) AS width,
-             CAST(6 + doc_id % 7 AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, width * height * 3 - 1),
-             i -> CAST((i * 17 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity,
-           CAST(54 + width * height * 3 AS BIGINT) AS n_bytes
-    FROM dims ORDER BY doc_id
-    """,
-    description="REAL image features: synthesized 24-bit BMPs through the numpy decoder, exact analytic oracle",
-)
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BMP twin of multimodal_image_decode's PPM gate: executors
-    synthesize a valid uncompressed 24-bit BMP per doc (pixel byte i =
-    (i*17 + doc_id) % 256, padless 4-aligned rows), the numpy
-    BITMAPINFOHEADER parser decodes it, and DuckDB reproduces
-    width/height/mean/n_bytes analytically — together the two queries
-    hash-verify BOTH native image decoders. JPEG/PNG remain a declared
-    seam (operators/multimodal.py:_decode_image_bytes)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import (
-        extract_image_features,
-        synthesize_bmp_bytes,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_bmp_bytes(int(i), 8 + (int(i) % 4) * 4, 6 + int(i) % 7)
-                for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
-
-
-
-
 
 @query(
     "multimodal_image_codecs",
@@ -810,28 +1017,6 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "chunk_idx")
     )
 
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH vids AS (
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) / 1024 + 1 AS INT) AS n_frames
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS INT) AS frame_idx
-    FROM vids ORDER BY doc_id, frame_idx
-    """,
-    description="video frame-sampling fan-out: every 10th frame index per payload, parallelized per frame",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.multimodal import frame_sample_plan
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    return frame_sample_plan(d, "doc_id", "payload", every_n=10).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -1275,57 +1460,6 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 + doc_id % 8 AS INT) AS width,
-             CAST(8 + doc_id % 5 AS INT) AS height
-      FROM documents
-    )
-    SELECT doc_id, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, width * height * 3 - 1),
-             i -> CAST((i * 31 + doc_id) % 256 AS DOUBLE))), 4) AS mean_intensity,
-           CAST(length('P6' || chr(10) || CAST(width AS VARCHAR) || ' ' ||
-                       CAST(height AS VARCHAR) || chr(10) || '255' || chr(10))
-                + width * height * 3 AS BIGINT) AS n_bytes
-    FROM dims ORDER BY doc_id
-    """,
-    description="REAL image decode: synthesized P6 PPM payloads through the numpy decoder, exact analytic oracle",
-)
-def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL decode gate: executors synthesize a valid binary
-    PPM per doc (pixel i = (i*31 + doc_id) % 256), the numpy P6 parser
-    decodes it back, and DuckDB reproduces width/height/mean/n_bytes
-    analytically — so the decoder itself is hash-verified, not stubbed.
-    JPEG/PNG still require an imaging library (see _decode_image_bytes);
-    this pins the decode SEAM with a format the container can decode."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import (
-        extract_image_features,
-        synthesize_ppm_bytes,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            payloads = [
-                synthesize_ppm_bytes(int(i), 8 + int(i) % 8, 8 + int(i) % 5) for i in ids
-            ]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_payload = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return extract_image_features(with_payload, "doc_id", "payload").orderBy("doc_id")
-
-
-
 
 @query(
     "multimodal_pcm_audio_decode",
@@ -1615,63 +1749,6 @@ def shards_webdataset_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys("parts")), ",").alias("exts"),
     ).orderBy("shard_id", "sample_key")
 
-
-@query(
-    "multimodal_video_frames",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
-             CAST(4 + doc_id % 4 AS INT) AS n_frames
-      FROM documents
-    ), frames AS (
-      SELECT doc_id, width, height, n_frames,
-             CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
-      FROM dims
-    )
-    SELECT doc_id, frame_idx, width, height, n_frames,
-           ROUND(list_avg(list_transform(
-             generate_series(0, width * height - 1),
-             i -> CAST((i * 13 + frame_idx * 7 + doc_id) % 256 AS DOUBLE))), 4) AS luma_mean
-    FROM frames WHERE frame_idx % 2 = 0
-    ORDER BY doc_id, frame_idx
-    """,
-    description="REAL video frame sampling: synthesized Y4M clips, every-2nd-frame luma means, exact analytic oracle",
-)
-def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL video decode gate: executors synthesize
-    YUV4MPEG2 clips (uncompressed planes — the one video container a
-    numpy header parser decodes for real), the parser walks FRAME
-    markers sampling every 2nd frame's luma mean, and DuckDB
-    reproduces each sampled frame analytically."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.multimodal import (
-        decode_y4m_frames,
-        synthesize_y4m_bytes,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["doc_id"]:
-                did = int(i)
-                clip = synthesize_y4m_bytes(did, 16, 8, 4 + did % 4)
-                w, h, nf, frames = decode_y4m_frames(clip, every_n=2)
-                rows += [(did, fi, w, h, nf, m) for fi, m in frames]
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "frame_idx", "width", "height", "n_frames", "luma_mean"],
-            )
-
-    return d.mapInPandas(
-        synth_decode,
-        schema="doc_id long, frame_idx int, width int, height int, n_frames int, luma_mean double",
-    ).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -1995,69 +2072,6 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "multimodal_mjpeg_frames",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
-             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
-             CAST(4 + doc_id % 3 AS BIGINT) AS n_frames
-      FROM documents
-    )
-    SELECT doc_id, CAST(k AS INT) AS frame_idx, width, height,
-           ROUND(list_avg(list_transform(
-             generate_series(0, CAST((width // 8) * (height // 8) - 1 AS BIGINT)),
-             j -> CAST((j * 41 + doc_id + 13 * k) % 256 AS DOUBLE))), 4) AS mean_intensity
-    FROM dims, UNNEST(generate_series(0, n_frames - 1, 2)) AS t(k)
-    ORDER BY doc_id, frame_idx
-    """,
-    description=(
-        "REAL compressed-video frame sampling: AVI/RIFF container walk "
-        "+ MJPEG (per-frame baseline JPEG) decode of every 2nd frame, "
-        "exact analytic oracle"
-    ),
-)
-def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MJPEG gate: executors synthesize an AVI per doc (frame k's 8x8
-    block j constant at (j*41 + doc_id + 13k) % 256 — DC-only JPEGs,
-    bit-exact through the T.81 decoder), walk the RIFF tree
-    (operators/avi.py), and decode every 2nd frame. Complements the
-    Y4M (uncompressed) frame-sampling gate with a real compressed
-    container + codec; frames are independent JPEGs so the extraction
-    is batch-parallel with no inter-frame state (the H.264 seam's
-    documented alternative)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from strawboat_spark.operators.avi import (
-        decode_avi_frames,
-        synthesize_avi_mjpeg_bytes,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["doc_id"]:
-                did = int(i)
-                payload = synthesize_avi_mjpeg_bytes(
-                    did, 8 * (1 + did % 3), 8 * (1 + did % 2), 4 + did % 3
-                )
-                for k, w, h, mean in decode_avi_frames(payload, every_n=2):
-                    rows.append((did, k, w, h, mean))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "frame_idx", "width", "height", "mean_intensity"],
-            )
-
-    return d.mapInPandas(
-        synth_decode,
-        schema="doc_id long, frame_idx int, width int, height int, mean_intensity double",
-    ).orderBy("doc_id", "frame_idx")
-
 
 @query(
     "text_heavy_hitter_tokens",
@@ -2123,103 +2137,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(d, "doc_id", "text")
 
-
-@query(
-    "timeseries_resample_linear",
-    oracle="""
-    WITH obs AS (
-      SELECT user_id AS k, epoch_us(ts) AS t, value AS v
-      FROM events WHERE user_id < 5
-    ), b AS (
-      SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM obs GROUP BY k
-    ), grid AS (
-      SELECT k,
-             unnest(generate_series(
-               CAST(FLOOR(lo / 3600000000) * 3600000000 AS BIGINT),
-               hi, 3600000000)) AS t
-      FROM b
-    ), u AS (
-      SELECT k, t, v, 1 AS is_obs FROM obs
-      UNION ALL
-      SELECT k, t, NULL AS v, 0 AS is_obs FROM grid
-    ), f AS (
-      SELECT k, t, is_obs,
-        last_value(v IGNORE NULLS) OVER w_prev AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
-        first_value(v IGNORE NULLS) OVER w_next AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
-      FROM u
-      WINDOW
-        w_prev AS (PARTITION BY k ORDER BY t, is_obs DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        w_next AS (PARTITION BY k ORDER BY t, is_obs DESC
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT k AS user_id,
-           strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS grid_ts,
-           -- scale-0 quantization: midpoint interpolation concentrates
-           -- on repr-halves where 2-arg ROUND diverges across engines
-           CAST(ROUND((CASE
-             WHEN pv IS NULL THEN nv
-             WHEN nv IS NULL THEN pv
-             WHEN nt = pt THEN pv
-             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-           END) * 10000) AS BIGINT) / 10000.0 AS value
-    FROM f WHERE is_obs = 0
-    ORDER BY user_id, grid_ts
-    """,
-    description=(
-        "time-series gap filling: per-key hourly grid with linear "
-        "interpolation (one window partition per key, no join) — exact "
-        "per-row oracle, identical IEEE expression both engines"
-    ),
-)
-def timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """resample_linear over the events of 5 users: regular hourly grid
-    from floor(min ts) to max ts per user, values linearly interpolated
-    on integer microseconds with one final double division — the same
-    expression tree as the oracle, so every grid row hash-matches
-    without aggregation."""
-    from strawboat_spark.operators.timeseries import resample_linear
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
-    out = resample_linear(e, "user_id", "ts", "value", step="1 hour")
-    return out.select(
-        "user_id",
-        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
-        "value",
-    ).orderBy("user_id", "grid_ts")
-
-
-@query(
-    "timeseries_ewma",
-    oracle="""
-    WITH s AS (
-      SELECT user_id, list(value ORDER BY ts, value) AS vs
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id,
-           CAST(len(vs) AS BIGINT) AS n_points,
-           -- scale-0 quantization (same cross-engine ROUND rationale)
-           CAST(ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000)
-                AS BIGINT) / 10000.0 AS ewma
-    FROM s ORDER BY user_id
-    """,
-    description=(
-        "per-key EWMA via JVM F.aggregate fold — the full-prefix "
-        "recurrence window frames can't express; bit-identical SQL "
-        "replay (same written multiply-add order)"
-    ),
-)
-def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA(alpha=0.3) of each user's event values in time order.
-    Tie-break note: events sharing a microsecond timestamp order by
-    value on both sides (sort_array orders the (t, v) struct
-    lexicographically; the oracle's list() ORDER BY ts, value)."""
-    from strawboat_spark.operators.timeseries import ewma_last
-
-    e = load_table(spark, sf_dir, "events")
-    return ewma_last(e, "user_id", "ts", "value", alpha=0.3).orderBy("user_id")
 
 
 @query(

@@ -97,6 +97,97 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'approx' AS gate, o_orderpriority AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p_a,
+             ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p_b,
+             CAST(NULL AS DOUBLE) AS p_c,
+             TRUE AS ok
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'exact', o_orderstatus, NULL,
+             ROUND(quantile_cont(o_totalprice, 0.5), 2),
+             ROUND(quantile_cont(o_totalprice, 0.9), 2),
+             ROUND(quantile_cont(o_totalprice, 0.99), 2),
+             TRUE
+      FROM orders GROUP BY o_orderstatus
+    ) ORDER BY gate, k
+    """,
+    description=(
+        "composite percentile gate (r9 fold of agg_percentiles/"
+        "approx_percentiles): exact interpolated p50/p90/p99 per group "
+        "(Spark percentile == DuckDB quantile_cont) + percentile_approx "
+        "(mergeable quantile sketch, one shuffle at any accuracy) with "
+        "its documented rank-error bound checked in-Spark against the "
+        "exact ranks"
+    ),
+)
+def agg_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    exact = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p_a"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p_b"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p_c"),
+        )
+        .select(
+            F.lit("exact").alias("gate"),
+            F.col("o_orderstatus").alias("k"),
+            F.lit(None).cast("bigint").alias("n"),
+            "p_a",
+            "p_b",
+            "p_c",
+            F.lit(True).alias("ok"),
+        )
+    )
+
+    op = o.select("o_orderpriority", "o_totalprice")
+    accuracy = 1000
+    agg = op.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p_a"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p_b"),
+        F.expr(f"percentile_approx(o_totalprice, 0.5, {accuracy})").alias("a50"),
+        F.expr(f"percentile_approx(o_totalprice, 0.95, {accuracy})").alias("a95"),
+    )
+    # rank-error check WITHOUT buffering group values: re-aggregate the
+    # fact side counting rows <= each approx answer (the per-group agg
+    # result is tiny, so the join back is broadcast-sized) — the rank
+    # of the sketch's answer must lie within n/accuracy of the target
+    # rank, percentile_approx's documented guarantee.
+    ranks = (
+        op.join(broadcast(agg.select("o_orderpriority", "a50", "a95")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("a95"), 1).otherwise(0)).alias("r95"),
+        )
+    )
+    tol = F.greatest((F.col("n") / accuracy) + 1, F.lit(2.0))
+    ok = (
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol)
+        & (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol)
+    )
+    approx = (
+        agg.join(ranks, "o_orderpriority")
+        .select(
+            F.lit("approx").alias("gate"),
+            F.col("o_orderpriority").alias("k"),
+            "n",
+            "p_a",
+            "p_b",
+            F.lit(None).cast("double").alias("p_c"),
+            ok.alias("ok"),
+        )
+    )
+    return approx.unionByName(exact).orderBy("gate", "k")
+
+
+@query(
     "agg_grouping_suite",
     oracle="""
     SELECT * FROM (
@@ -874,30 +965,6 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
-@query(
-    "scalar_json_extract",
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS INT)   AS max_k,
-           COUNT(*) AS n
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    description="JSON-ish field extraction from the props column + agg",
-)
-def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.sum(k).cast("bigint").alias("sum_k"),
-            F.max(k).cast("int").alias("max_k"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
-    )
-
 
 @query(
     "scalar_subquery",
@@ -1073,30 +1140,6 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(band).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "agg_percentiles",
-    oracle="""
-    SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description="exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont)",
-)
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
-        )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -2164,65 +2207,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed_point(nodes, edges, n_iterations=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
-
-@query(
-    "agg_approx_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
-           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
-           TRUE AS approx_within_rank_bound
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    description=(
-        "approximate percentiles via percentile_approx (the mergeable "
-        "quantile sketch: partial sketches combine map-side, one shuffle "
-        "regardless of accuracy): exact p50/p95 hash-verified, and the "
-        "sketch's answers gated by its documented rank-error bound "
-        "(rank distance <= n/accuracy, checked against the exact "
-        "rank inside Spark — the invariant-gate pattern)"
-    ),
-)
-def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    accuracy = 1000
-    agg = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
-        F.expr(f"percentile_approx(o_totalprice, 0.5, {accuracy})").alias("a50"),
-        F.expr(f"percentile_approx(o_totalprice, 0.95, {accuracy})").alias("a95"),
-    )
-    # rank-error check WITHOUT buffering group values: re-aggregate the
-    # fact side counting rows <= each approx answer (the per-group agg
-    # result is tiny, so the join back is broadcast-sized) — the rank
-    # of the sketch's answer must lie within n/accuracy of the target
-    # rank, percentile_approx's documented guarantee.
-    ranks = (
-        o.join(broadcast(agg.select("o_orderpriority", "a50", "a95")), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.when(F.col("o_totalprice") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
-            F.sum(F.when(F.col("o_totalprice") <= F.col("a95"), 1).otherwise(0)).alias("r95"),
-        )
-    )
-    tol = F.greatest((F.col("n") / accuracy) + 1, F.lit(2.0))
-    ok = (
-        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol)
-        & (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol)
-    )
-    return (
-        agg.join(ranks, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            "n",
-            "exact_p50",
-            "exact_p95",
-            ok.alias("approx_within_rank_bound"),
-        )
-        .orderBy("o_orderpriority")
-    )
 
 
 @query(

@@ -181,6 +181,65 @@ def udtf_explode_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_props_extract",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'json' AS gate, event_type,
+             CAST(SUM(k) AS BIGINT) AS v1,
+             CAST(MAX(k) AS BIGINT) AS v2,
+             COUNT(*) AS v3
+      FROM m GROUP BY event_type
+      UNION ALL
+      SELECT 'map', event_type,
+             CAST(COUNT(DISTINCT k) AS BIGINT),
+             CAST(MIN(k) AS BIGINT),
+             CAST(MAX(k) AS BIGINT)
+      FROM m GROUP BY event_type
+    ) ORDER BY gate, event_type
+    """,
+    description=(
+        "composite props-extraction gate (r9 fold of scalar_json_extract/"
+        "map_funcs): get_json_object field extraction + MapType "
+        "construction/map_entries consumption over the same parsed field"
+    ),
+)
+def scalar_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    kj = F.get_json_object("props", "$.k").cast("int")
+    json_leg = (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(kj).cast("bigint").alias("v1"),
+            F.max(kj).cast("bigint").alias("v2"),
+            F.count(F.lit(1)).alias("v3"),
+        )
+        .select(F.lit("json").alias("gate"), "event_type", "v1", "v2", "v3")
+    )
+    # build a map column then consume it via map functions (coverage for
+    # MapType expressions; the aggregation itself matches the oracle)
+    km = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    mapped = e.select("event_type", F.create_map(F.lit("k"), km).alias("m"))
+    kv = mapped.select(
+        "event_type", F.explode(F.map_entries("m")).alias("ent")
+    ).select("event_type", F.col("ent.value").alias("k"))
+    map_leg = (
+        kv.groupBy("event_type")
+        .agg(
+            F.countDistinct("k").cast("bigint").alias("v1"),
+            F.min("k").cast("bigint").alias("v2"),
+            F.max("k").cast("bigint").alias("v3"),
+        )
+        .select(F.lit("map").alias("gate"), "event_type", "v1", "v2", "v3")
+    )
+    return json_leg.unionByName(map_leg).orderBy("gate", "event_type")
+
+
+@query(
     "scalar_higher_order_array",
     oracle="""
     SELECT vec_id,
@@ -204,42 +263,6 @@ def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
         F.round(F.array_max(v), 4).alias("vec_max"),
     ).orderBy("vec_id")
-
-
-@query(
-    "scalar_map_funcs",
-    oracle="""
-    WITH m AS (
-      SELECT event_type,
-             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
-      FROM events
-    )
-    SELECT event_type,
-           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
-           CAST(MIN(k) AS INT) AS min_k,
-           CAST(MAX(k) AS INT) AS max_k
-    FROM m GROUP BY event_type ORDER BY event_type
-    """,
-    description="map construction + map_keys/map_values over parsed props",
-)
-def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
-    # build a map column then consume it via map functions (coverage for
-    # MapType expressions; the aggregation itself matches the oracle)
-    mapped = e.select("event_type", F.create_map(F.lit("k"), k).alias("m"))
-    kv = mapped.select(
-        "event_type", F.explode(F.map_entries("m")).alias("ent")
-    ).select("event_type", F.col("ent.value").alias("k"))
-    return (
-        kv.groupBy("event_type")
-        .agg(
-            F.countDistinct("k").alias("n_distinct_k"),
-            F.min("k").cast("int").alias("min_k"),
-            F.max("k").cast("int").alias("max_k"),
-        )
-        .orderBy("event_type")
-    )
 
 
 
