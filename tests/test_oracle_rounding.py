@@ -49,8 +49,8 @@ EXEMPT = {
     # EXACT 6-decimal multiple, and the round is at 6 decimals — no
     # digits exist below the rounding unit, so every engine/rounding
     # mode maps the double back to the same value.
-    "multimodal_wav_decode": "exact 6-decimal multiple rounded at 6",
-    "multimodal_flac_decode": "exact 6-decimal multiple rounded at 6",
+    # (r9: the wav/flac gates folded into one composite; same argument)
+    "multimodal_pcm_audio_decode": "exact 6-decimal multiple rounded at 6",
     # ABS(2-decimal price - integer*1000) is an exact 2-decimal
     # multiple rounded at 2 — same no-sub-unit-digits argument.
     "scalar_math_funcs": "exact 2-decimal multiple rounded at 2",

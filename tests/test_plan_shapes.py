@@ -331,7 +331,7 @@ def test_ngram_df_cut_is_join_not_shingle_window(spark, registry):
     """The df-cut must be a groupBy + join back (AQE can split a hot
     boilerplate shingle's posting list), never a per-shingle window —
     same skew rationale as tfidf's df computation."""
-    df = registry["dedup_ngram_jaccard"].fn(spark, SF_CORRECT)
+    df = registry["dedup_ngram_suite"].fn(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(shingle" not in plan
     assert "Window [" not in plan, plan[:2000]
