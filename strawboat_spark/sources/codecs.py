@@ -565,6 +565,11 @@ def _compress_integer_into(
     s = stats if stats is not None else collect_stats(values)
     if stats_out is not None:
         stats_out["unique_count"] = int(s.unique_count)
+        if s.uniques is not None and len(s.uniques) <= 32:
+            # exact-path page with a small dictionary: surface the full
+            # distinct set for footer-level membership pruning (the
+            # int twin of the binary path's dict stat)
+            stats_out["distinct"] = [int(v) for v in s.uniques]
 
     est = _candidate_ratios_int(values, s)
     # raw bytes materialize lazily: a page that picks a specialized

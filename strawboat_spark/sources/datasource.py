@@ -1697,6 +1697,16 @@ def _page_may_match(f: Filter, p) -> bool:
             decoded.append(v)
         if all(isinstance(v, str) for v in decoded):
             return any(v in distinct for v in decoded)
+        # r9: low-cardinality INT pages persist their distinct set too
+        # (status codes, enum ids) — equality/IN prunes exactly where
+        # min/max can't prove absence.  The stored set is a SUPERSET of
+        # live values (nulls encode a 0 placeholder), so a miss proves
+        # absence while a spurious hit only weakens pruning.
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in decoded) and all(
+            isinstance(d, int) and not isinstance(d, bool) for d in distinct
+        ):
+            dset = set(distinct)
+            return any(v in dset for v in decoded)
     bloom_b64 = getattr(p, "bloom", None)
     if bloom_b64 is not None and isinstance(f, (EqualTo, In)):
         import base64

@@ -193,6 +193,10 @@ class LeafMeta:
     # layer size join broadcasts and report cardinality from METADATA —
     # no distinct-count job.  None on legacy files.
     ndv: int | None = None
+    # Leaf-level distinct set (<=32 values, json-safe) when every page
+    # carried one — lets Table.ndv_est() union across FILES for an
+    # exact table-wide NDV on low-cardinality columns.
+    distinct: list | None = None
 
 
 @dataclass
@@ -214,6 +218,7 @@ class FileMeta:
                         "name": lf.name,
                         "offset": lf.offset,
                         **({"ndv": lf.ndv} if lf.ndv is not None else {}),
+                        **({"distinct": lf.distinct} if lf.distinct is not None else {}),
                         "pages": [
                             [p.length, p.num_values, p.null_count, p.min, p.max]
                             + (
@@ -242,6 +247,7 @@ class FileMeta:
                     offset=lf["offset"],
                     pages=[PageMeta(*p) for p in lf["pages"]],
                     ndv=lf.get("ndv"),
+                    distinct=lf.get("distinct"),
                 )
                 for lf in d["leaves"]
             ],
@@ -387,6 +393,8 @@ class StrawboatWriter:
                     for p in leaf.pages:
                         u.update(p.distinct)
                     leaf.ndv = len(u)
+                    if len(u) <= 32:
+                        leaf.distinct = sorted(u)
                 else:
                     leaf.ndv = int(
                         sum(
@@ -486,6 +494,11 @@ class StrawboatWriter:
                 vals, self.default_codec, self.forbidden, ratio=self.compress_ratio,
                 memo=memo, stats_out=ps,
             )
+            raw_d = ps.get("distinct")
+            if raw_d is not None:
+                # low-card int page: persist the distinct set (json-safe
+                # ints) for EqualTo/In membership pruning + exact NDV
+                distinct = sorted(_json_safe(v) for v in raw_d)
         elif kind == "float":
             dtype = _numpy_dtype(arr.type)
             if arr.null_count:

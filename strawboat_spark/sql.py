@@ -73,6 +73,8 @@ def execute_sql(spark: SparkSession, sql: str):
     up = s.upper()
     if up.startswith("MERGE INTO "):
         return _merge(spark, s)
+    if up.startswith("INSERT INTO ") or up.startswith("INSERT OVERWRITE "):
+        return _insert(spark, s)
     if up.startswith("UPDATE "):
         return _update(spark, s)
     if up.startswith("DELETE FROM "):
@@ -99,6 +101,47 @@ def _require(pattern: str, s: str, usage: str) -> re.Match:
     if not m:
         raise ValueError(f"strawboat SQL: could not parse statement; expected {usage}")
     return m
+
+
+def _insert(spark: SparkSession, s: str):
+    """INSERT INTO <table> <SELECT ...|VALUES ...|TABLE name> appends
+    through the full facade (constraints, generated columns, defaults,
+    bucketing); INSERT OVERWRITE replaces the snapshot.  An optional
+    column list reorders/projects the query's output by NAME."""
+    m = _require(
+        rf"INSERT (?P<mode>INTO|OVERWRITE) (?:TABLE )?{_ID}"
+        r"(?:\s*\((?P<cols>[\w\s,]+)\))?\s+(?P<q>.+)",
+        s,
+        "INSERT INTO|OVERWRITE <table> [(cols)] SELECT ...",
+    )
+    t = Table(spark, _path(m))
+    q = m.group("q")
+    if re.match(r"VALUES\s*\(", q, re.I):
+        q = f"SELECT * FROM ( {q} )"
+    df = spark.sql(q)
+    cols = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+    if cols:
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"strawboat SQL INSERT: {len(cols)} target columns but the "
+                f"query produces {len(df.columns)}"
+            )
+        df = df.toDF(*cols)
+        # SQL INSERT semantics are positional-by-list; the table layer
+        # appends by NAME in schema order — realign when it exists
+        existing = Table(spark, _path(m))
+        try:
+            tcols = existing.read().columns
+        except Exception:
+            tcols = []
+        if set(tcols) == set(df.columns):
+            df = df.select(*tcols)
+    n = df.count()
+    if m.group("mode").upper() == "OVERWRITE":
+        t.overwrite(df)
+    else:
+        t.append(df)
+    return {"rows_inserted": int(n)}
 
 
 def _update(spark: SparkSession, s: str):

@@ -245,7 +245,8 @@ class Table:
 
         files = _list_files(self.path, at_generation)
         _deletes_by_rel(self.path, at_generation)  # seeds footer cache
-        out: dict[str, int] = {}
+        sums: dict[str, int] = {}
+        unions: dict[str, set | None] = {}
         for f in sorted(files):
             meta = _cached_footer(f)[1]
             for lf in meta.leaves:
@@ -256,8 +257,22 @@ class Table:
                     if lf.ndv is not None
                     else sum(p.num_values - p.null_count for p in lf.pages)
                 )
-                out[lf.name] = out.get(lf.name, 0) + int(n)
-        return out
+                sums[lf.name] = sums.get(lf.name, 0) + int(n)
+                # low-card columns: every file carrying a small distinct
+                # set makes the TABLE-wide NDV an exact cross-file union
+                d = getattr(lf, "distinct", None)
+                if lf.name not in unions:
+                    unions[lf.name] = set() if d is not None else None
+                u = unions[lf.name]
+                if u is not None:
+                    if d is None:
+                        unions[lf.name] = None
+                    else:
+                        u.update(d)
+        return {
+            name: (len(unions[name]) if unions.get(name) is not None else total)
+            for name, total in sums.items()
+        }
 
     def profile(self, at_generation: int | None = None) -> DataFrame:
         """Metadata-only column profile: per top-level column (name,

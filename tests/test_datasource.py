@@ -1870,3 +1870,54 @@ def test_cas_lost_race_retry_merges_winner_entries():
         assert adapter._cas_enforced is True
     finally:
         fio._REGISTRY.pop("cas", None)
+
+
+def test_int_distinct_membership_pruning_and_exact_ndv(registered, tmp_path):
+    """r9: low-cardinality INT pages persist their distinct set, so an
+    equality filter on an in-range-but-absent value prunes EVERY page
+    (min/max alone can't), and the footer's per-leaf NDV is exact."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl, _list_files
+    from strawboat_spark.sources.pagefile import read_footer
+
+    spark = registered
+    path = str(tmp_path / "codes")
+    # values {0, 10, 20, 30}: 15 is inside [0, 30] but absent everywhere
+    (
+        spark.range(40_000)
+        .select(((F.col("id") % 4) * 10).alias("code"), F.col("id").alias("k"))
+        .write.format("strawboat")
+        .option("page_size", "4096")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = spark.read.format("strawboat").load(path).schema
+
+    # footer carries the distinct set and an EXACT leaf NDV
+    for f in _list_files(path):
+        with open(f, "rb") as fh:
+            _, meta = read_footer(fh)
+        code_leaf = next(lf for lf in meta.leaves if lf.name == "code")
+        assert code_leaf.ndv == 4
+        for p in code_leaf.pages:
+            assert p.distinct == [0, 10, 20, 30]
+
+    r = StrawboatReaderImpl({"path": path}, schema)
+    r.pushFilters([EqualTo(("code",), 15)])
+    kept = sum(
+        sum(r._page_mask(read_footer(open(s.file, "rb"))[1], s))
+        for s in r.partitions()
+        if s is not None
+    )
+    assert kept == 0, f"absent-value equality kept {kept} pages"
+
+    # correctness: present values still read fully
+    got = spark.read.format("strawboat").load(path).filter("code = 20").count()
+    assert got == 10_000
+
+    # Table.ndv_est is exact for the low-card int column now
+    from strawboat_spark.table import Table
+
+    assert Table(spark, path).ndv_est()["code"] == 4

@@ -168,3 +168,36 @@ def test_sql_update_string_literals_survive_rewrite(spark, tmp_path):
         f"WHEN MATCHED THEN UPDATE SET v = length('s.k literal') + s.v",
     )
     assert t.read().filter("k < 3").select("v").distinct().collect()[0][0] == 11
+
+
+def test_sql_insert_into_and_overwrite(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=5)
+    res = execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` "
+        f"SELECT id + 100 AS k, CAST(9 AS bigint) AS g, id AS v FROM range(3)",
+    )
+    assert res == {"rows_inserted": 3}
+    assert t.read().count() == 8
+    # column-list form reorders by NAME
+    execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` (g, k, v) "
+        f"SELECT CAST(1 AS bigint), id + 200, CAST(0 AS bigint) FROM range(2)",
+    )
+    assert t.read().filter("k >= 200 AND g = 1").count() == 2
+    # VALUES form
+    execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` (k, g, v) "
+        f"VALUES (CAST(300 AS bigint), CAST(2 AS bigint), CAST(5 AS bigint))",
+    )
+    assert t.read().filter("k = 300").count() == 1
+    # OVERWRITE replaces the snapshot (history intact)
+    execute_sql(
+        spark,
+        f"INSERT OVERWRITE strawboat.`{path}` "
+        f"SELECT id AS k, id AS g, id AS v FROM range(4)",
+    )
+    assert t.read().count() == 4
+    assert len(t.history()) >= 4
