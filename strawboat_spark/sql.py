@@ -75,6 +75,8 @@ def execute_sql(spark: SparkSession, sql: str):
         return _merge(spark, s)
     if up.startswith("INSERT INTO ") or up.startswith("INSERT OVERWRITE "):
         return _insert(spark, s)
+    if up.startswith("CREATE TABLE ") or up.startswith("CREATE OR REPLACE TABLE "):
+        return _create(spark, s)
     if up.startswith("UPDATE "):
         return _update(spark, s)
     if up.startswith("DELETE FROM "):
@@ -101,6 +103,37 @@ def _require(pattern: str, s: str, usage: str) -> re.Match:
     if not m:
         raise ValueError(f"strawboat SQL: could not parse statement; expected {usage}")
     return m
+
+
+def _create(spark: SparkSession, s: str):
+    """CTAS: CREATE [OR REPLACE] TABLE <table>
+    [PARTITIONED BY (cols...)] AS <SELECT ...>.  Plain CREATE refuses
+    an existing table (Delta semantics); OR REPLACE overwrites while
+    keeping generation history.  PARTITIONED BY accepts plain columns
+    and one days()/months() hidden transform, same as the Python API."""
+    m = _require(
+        rf"CREATE (?P<repl>OR REPLACE )?TABLE {_ID}"
+        r"(?:\s+PARTITIONED BY\s*\((?P<pb>[\w\s,()]+)\))?\s+AS\s+(?P<q>.+)",
+        s,
+        "CREATE [OR REPLACE] TABLE <table> [PARTITIONED BY (...)] AS SELECT ...",
+    )
+    from strawboat_spark.sources.datasource import read_manifest
+
+    path = _path(m)
+    t = Table(spark, path)
+    if m.group("repl") is None and read_manifest(path) is not None:
+        raise ValueError(
+            f"strawboat SQL: table {path!r} already exists "
+            f"(use CREATE OR REPLACE TABLE, or INSERT INTO)"
+        )
+    df = spark.sql(m.group("q"))
+    n = df.count()
+    pb = ",".join(c.strip() for c in (m.group("pb") or "").split(",") if c.strip())
+    if pb:
+        t.overwrite(df, partition_by=pb)
+    else:
+        t.overwrite(df)
+    return {"rows_inserted": int(n)}
 
 
 def _insert(spark: SparkSession, s: str):

@@ -201,3 +201,37 @@ def test_sql_insert_into_and_overwrite(spark, tmp_path):
     )
     assert t.read().count() == 4
     assert len(t.history()) >= 4
+
+
+def test_sql_create_table_as_select(spark, tmp_path):
+    p = str(tmp_path / "ctas")
+    res = execute_sql(
+        spark,
+        f"CREATE TABLE strawboat.`{p}` AS SELECT id AS k, id % 3 AS g FROM range(9)",
+    )
+    assert res == {"rows_inserted": 9}
+    t = Table(spark, p)
+    assert t.read().count() == 9
+    # plain CREATE refuses an existing table
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, f"CREATE TABLE strawboat.`{p}` AS SELECT 1 AS k, 1 AS g")
+    # OR REPLACE overwrites, history intact
+    execute_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE strawboat.`{p}` AS SELECT id AS k, id AS g FROM range(4)",
+    )
+    assert t.read().count() == 4
+    assert len(t.history()) == 2
+
+    # partitioned CTAS with a hidden time transform
+    p2 = str(tmp_path / "ctas_part")
+    execute_sql(
+        spark,
+        f"CREATE TABLE strawboat.`{p2}` PARTITIONED BY (g, days(ts)) AS "
+        f"SELECT CAST(id % 2 AS STRING) AS g, "
+        f"TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(id AS INT)) AS ts, "
+        f"id AS v FROM range(6)",
+    )
+    t2 = Table(spark, p2)
+    assert t2.read().count() == 6
+    assert t2.read().filter("ts >= '2024-01-04'").count() == 3
