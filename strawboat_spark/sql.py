@@ -46,10 +46,37 @@ _ID = r"(?:strawboat\.)?(?:`(?P<bt>[^`]+)`|'(?P<sq>[^']+)')"
 
 
 def _strip(sql: str) -> str:
-    # line comments + whitespace normalization (strings in our verbs
-    # never span lines, so this stays safe for the supported subset)
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()
+    """Strip line comments and normalize whitespace, STRING-AWARE: a
+    '--' or run of spaces inside a quoted literal is payload, not
+    syntax (WHERE s = 'a--b' must survive)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str: str | None = None
+    while i < n:
+        c = sql[i]
+        if in_str:
+            out.append(c)
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in "'\"":
+            in_str = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        if c.isspace():
+            if out and out[-1] != " ":
+                out.append(" ")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _path(m: re.Match) -> str:

@@ -235,3 +235,27 @@ def test_sql_create_table_as_select(spark, tmp_path):
     t2 = Table(spark, p2)
     assert t2.read().count() == 6
     assert t2.read().filter("ts >= '2024-01-04'").count() == 3
+
+
+def test_sql_strip_is_string_aware(spark, tmp_path):
+    """'--' and whitespace runs inside string literals are payload;
+    comments outside them are stripped."""
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a--b"), (2, "x  y"), (3, "z")], "k long, s string"
+        )
+    )
+    res = execute_sql(
+        spark,
+        f"""
+        -- a comment line
+        DELETE FROM strawboat.`{path}`
+        WHERE s = 'a--b'  -- trailing comment
+        """,
+    )
+    assert res["rows_deleted"] == 1
+    res = execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE s = 'x  y'")
+    assert res["rows_deleted"] == 1
+    assert [r.s for r in t.read().collect()] == ["z"]
