@@ -618,3 +618,171 @@ def dedup_survivors(
         "survivor_id",
         (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
     )
+
+
+def shingle_postings(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) postings — the inverted-index rows both
+    the batch Jaccard op and the incremental index build on."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens("__toks", shingle_n))
+        ).alias("shingle"),
+    )
+
+
+def jaccard_index_init(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+):
+    """Build the PERSISTENT shingle-postings index for incremental
+    near-dup detection: one strawboat table of (id, shingle, n_doc)
+    rows — n_doc denormalized (the doc's total distinct shingles) so
+    later batches never rescan old documents for sizes — hash-BUCKETED
+    by shingle, so an incremental batch's lookups prune to the bucket
+    directories its own shingles hash into at PLANNING time.
+
+    The 100 TB shape this exists for: dedup a new crawl against an
+    existing corpus without touching the corpus — per batch, the index
+    IO is |matching buckets|, the join fan-out is bounded by the
+    df-cut, and the index grows by one append (CAS flip)."""
+    from strawboat_spark.table import Table
+
+    post = shingle_postings(df, text_col, id_col, shingle_n)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
+    rows = post.join(sizes, id_col)
+    Table(spark, index_path).overwrite(
+        rows, bucket_by="shingle", num_buckets=num_buckets
+    )
+    return Table(spark, index_path)
+
+
+def jaccard_index_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Incrementally dedup `new_df` against the indexed corpus AND
+    within itself, then append its postings to the index (one CAS
+    generation flip).  Ids must be unique across the whole corpus
+    (caller contract).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and at least one
+    side from `new_df`.  Semantics (each piece chosen to stay exact
+    WITHOUT rescanning old documents):
+    - candidate generation joins on shingles whose GLOBAL doc-freq is
+      <= max_doc_freq (boilerplate cut; exact because a shingle's full
+      posting list lives inside its bucket, and every bucket a new
+      doc's shingles touch is read);
+    - n_common counts the df-kept shared shingles;
+    - set sizes are the docs' RAW distinct-shingle counts (the stored
+      n_doc) — post-cut sizes would need every old doc's global dfs,
+      which an incremental pass cannot know.  jaccard :=
+      n_common / (n_a + n_b - n_common) is therefore a documented
+      LOWER bound when a shared boilerplate shingle was cut —
+      conservative for dedup.
+
+    Plan shape per batch: ONE bounded metadata collect (the batch's
+    distinct bucket ids, <= num_buckets), a directory-pruned index
+    scan, df-cut groupBy + joins all skew-splittable by AQE, and one
+    append."""
+    from strawboat_spark.sources.datasource import bucket_spec
+    from strawboat_spark.table import Table
+
+    from strawboat_spark.sources.datasource import read_manifest
+
+    t = Table(spark, index_path)
+    new_post = shingle_postings(new_df, text_col, id_col, shingle_n)
+    new_sizes = new_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
+    new_rows = new_post.join(new_sizes, id_col).persist()
+    try:
+        spec = bucket_spec(index_path)
+        # PIN the pre-append generation: the returned pairs frame stays
+        # lazy (no driver materialization of pair lists — they can be
+        # huge) and snapshot isolation keeps it correct after the
+        # append below flips the head
+        gen = (read_manifest(index_path) or {}).get("generation")
+        idx = t.read(at_generation=gen)
+        if spec is not None:
+            # bounded planner-side prune: the batch's shingles map to
+            # <= num_buckets directories; everything outside them is
+            # irrelevant to ANY shared-shingle candidate
+            bucket_ids = [
+                r[0]
+                for r in new_rows.select(
+                    F.pmod(
+                        F.crc32(F.col("shingle").cast("string").cast("binary")),
+                        F.lit(spec["n"]),
+                    )
+                    .cast("long")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = idx.filter(F.col(spec["dir_col"]).isin(bucket_ids))
+        old_rows = idx.select(id_col, "shingle", "n_doc")
+        universe = old_rows.select(
+            F.col(id_col), F.col("shingle"), F.col("n_doc"), F.lit(False).alias("is_new")
+        ).unionByName(
+            new_rows.select(
+                F.col(id_col), F.col("shingle"), F.col("n_doc"), F.lit(True).alias("is_new")
+            )
+        )
+        keep = (
+            universe.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        kept = universe.join(keep, "shingle")
+        new_kept = kept.filter(F.col("is_new"))
+        a, b = kept.alias("a"), new_kept.alias("b")
+        pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        )
+        common = (
+            a.join(b, pair_cond)
+            # old-vs-new pairs appear once (b is the new side); a
+            # new-new pair would appear in both orientations — keep the
+            # a<b one
+            .filter(~F.col("a.is_new") | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("ia"),
+                F.col(f"b.{id_col}").alias("ib"),
+                F.col("a.n_doc").alias("n_a"),
+                F.col("b.n_doc").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        ratio = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        pairs = (
+            common.filter(ratio >= threshold)
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                # scale-0 quantization (repo cross-engine ROUND convention)
+                (
+                    F.round(F.col("n_common") * 10000.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                    .cast("long")
+                    / 10000.0
+                ).alias("jaccard"),
+            )
+        )
+        t.append(new_rows)
+        return pairs
+    finally:
+        new_rows.unpersist()

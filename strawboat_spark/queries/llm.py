@@ -121,6 +121,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dfc AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), kept AS (
+      SELECT sh.* FROM sh JOIN dfc USING (shingle)
+    ), newk AS (
+      SELECT * FROM kept WHERE doc_id % 2 = 1
+    ), common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM kept a JOIN newk b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      WHERE (a.doc_id % 2 = 0) OR (a.doc_id < b.doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           -- scale-0 quantization (repo cross-engine ROUND convention)
+           CAST(ROUND(c * 10000.0 / (sa.n + sb.n - c)) AS BIGINT) / 10000.0 AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE c / (sa.n + sb.n - c) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+    description=(
+        "incremental near-dup index gate: even-id documents build a "
+        "persistent shingle-postings index (hash-bucketed by shingle), "
+        "odd-id documents arrive as a batch and dedup against the "
+        "corpus + themselves via a bucket-pruned join — NO old-document "
+        "rescan; exact oracle over the equivalent batch computation"
+    ),
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape at 100 TB: per new crawl batch, index
+    IO is bounded by the batch's bucket fan-out (<= num_buckets dirs),
+    candidate fan-out by the df-cut, and the index grows by ONE append
+    (CAS flip).  operators/dedup.py jaccard_index_init/append."""
+    import tempfile as _tf
+
+    from strawboat_spark.operators.dedup import (
+        jaccard_index_append,
+        jaccard_index_init,
+    )
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = f"{_tf.mkdtemp(prefix='strawboat_incdx_')}/shingles"
+    jaccard_index_init(
+        spark, index_path, d.filter("doc_id % 2 = 0"), "text", "doc_id", shingle_n=3
+    )
+    pairs = jaccard_index_append(
+        spark,
+        index_path,
+        d.filter("doc_id % 2 = 1"),
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.12,
+        max_doc_freq=1000,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query(
     "dedup_ngram_suite",
     oracle="""
     WITH tok AS (

@@ -564,3 +564,101 @@ def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_jaccard_index_incremental_matches_batch_and_prunes(spark, tmp_path):
+    """Incremental index: two successive batches each dedup against
+    everything seen so far (union of prior generations), results match
+    the batch operator's semantics, and the per-batch index scan is
+    directory-pruned to the batch's shingle buckets."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.dedup import (
+        jaccard_index_append,
+        jaccard_index_init,
+    )
+    from strawboat_spark.table import Table
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),       # near-dup of 0
+        (2, "one two three four five six"),
+        (3, "totally different text here now"),
+        (4, "alpha beta gamma delta epsilon"),    # exact dup of 0
+        (5, "one two three four five seven"),     # near-dup of 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    jaccard_index_init(spark, p, df.filter("doc_id < 2"), "text", "doc_id",
+                       shingle_n=3, num_buckets=8)
+
+    # batch 1: docs 2,3 — nothing similar to 0,1
+    pairs1 = jaccard_index_append(
+        spark, p, df.filter("doc_id IN (2, 3)"), "text", "doc_id",
+        shingle_n=3, threshold=0.3
+    )
+    assert pairs1.count() == 0
+
+    # batch 2: docs 4,5 — 4 dups 0 (old), 5 near-dups 2 (old)
+    pairs2 = jaccard_index_append(
+        spark, p, df.filter("doc_id IN (4, 5)"), "text", "doc_id",
+        shingle_n=3, threshold=0.3
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs2.collect()}
+    assert (0, 4) in got and got[(0, 4)] == 1.0
+    assert (2, 5) in got and 0.3 <= got[(2, 5)] < 1.0
+    assert all(b in (4, 5) for _, b in got)  # every pair involves the batch
+
+    # the index accrued all six documents' postings
+    t = Table(spark, p)
+    assert t.read().select("doc_id").distinct().count() == 6
+    # generation history: init + 2 appends
+    assert len(t.history()) == 3
+
+    # planner-side pruning: a filter on the batch's bucket ids scans
+    # fewer files than the full index (the shape jaccard_index_append
+    # pushes); with 8 buckets and a 1-doc batch this MUST prune
+    from strawboat_spark.sources.datasource import bucket_spec
+
+    spec = bucket_spec(p)
+    one = df.filter("doc_id = 3")  # distinct shingles, few buckets
+    from strawboat_spark.operators.dedup import shingle_postings
+
+    ids = [
+        r[0]
+        for r in shingle_postings(one, "text", "doc_id")
+        .select(
+            F.pmod(
+                F.crc32(F.col("shingle").cast("string").cast("binary")),
+                F.lit(spec["n"]),
+            ).cast("long").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    n_all = t.files().count()
+    pruned = t.read().filter(F.col(spec["dir_col"]).isin(ids))
+    n_pruned = len(
+        [s for s in _stripes(spark, p, pruned) if s is not None]
+    )
+    assert n_pruned < n_all, f"no pruning: {n_pruned} >= {n_all}"
+
+
+def _stripes(spark, path, df):
+    """Planner stripes for a strawboat scan DataFrame — proxy for the
+    file/partition fan-out after directory pruning."""
+    from pyspark.sql.datasource import In
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+    import re
+
+    # re-plan through the reader API with the same pushed filter set:
+    # extract the In(__bucket) values from the analyzed plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"__bucket#\d+L? IN \(([^)]*)\)", plan)
+    vals = [int(v) for v in m.group(1).split(",")] if m else None
+    schema = df.sparkSession.read.format("strawboat").load(path).schema
+    r = StrawboatReaderImpl({"path": path}, schema)
+    if vals is not None:
+        r.pushFilters([In(("__bucket",), tuple(vals))])
+    return r.partitions()
