@@ -786,3 +786,116 @@ def jaccard_index_append(
         return pairs
     finally:
         new_rows.unpersist()
+
+
+def minhash_index_init(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    num_buckets: int = 64,
+):
+    """Persistent LSH band index — the APPROXIMATE twin of
+    jaccard_index_init for corpus scales where even the df-cut shingle
+    join is too wide: one row per (id, band, bucket), hash-bucketed by
+    the LSH bucket key so an incremental batch prunes to its own
+    bands' directories.  Candidates come from band-bucket equality
+    (the same recall/precision trade as lsh_candidate_pairs; run the
+    exact jaccard index when you need exactness)."""
+    from strawboat_spark.table import Table
+
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes)
+    banded = _banded(sig, id_col, n_bands)
+    Table(spark, index_path).overwrite(
+        banded, bucket_by="bucket", num_buckets=num_buckets
+    )
+    return Table(spark, index_path)
+
+
+def minhash_index_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Band the new batch, join its (band, bucket) keys against the
+    directory-pruned index + itself for candidate pairs (id_a < id_b,
+    at least one side new), append the new bands (one CAS flip).
+    Returns the DISTINCT candidate pairs, lazily (the index read pins
+    the pre-append generation).  Degenerate buckets are capped like
+    lsh_candidate_pairs: members beyond max_bucket_size smallest ids
+    per (band, bucket) are dropped from pair EXPANSION (run
+    lsh_bucket_stats on the index for the audit)."""
+    from strawboat_spark.sources.datasource import bucket_spec, read_manifest
+    from strawboat_spark.table import Table
+
+    t = Table(spark, index_path)
+    new_banded = _banded(
+        minhash_signatures(new_df, text_col, id_col, n_hashes=n_hashes),
+        id_col,
+        n_bands,
+    ).persist()
+    try:
+        spec = bucket_spec(index_path)
+        gen = (read_manifest(index_path) or {}).get("generation")
+        idx = t.read(at_generation=gen)
+        if spec is not None:
+            bucket_ids = [
+                r[0]
+                for r in new_banded.select(
+                    F.pmod(
+                        F.crc32(F.col("bucket").cast("string").cast("binary")),
+                        F.lit(spec["n"]),
+                    )
+                    .cast("long")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = idx.filter(F.col(spec["dir_col"]).isin(bucket_ids))
+        universe = idx.select(id_col, "band", "bucket", F.lit(False).alias("is_new")).unionByName(
+            new_banded.select(id_col, "band", "bucket", F.lit(True).alias("is_new"))
+        )
+        # cap per (band, bucket) with the SAME deterministic rule as
+        # lsh_candidate_pairs (smallest ids kept), computed over the
+        # pruned universe — exact because a bucket's members all hash
+        # to the same directory
+        members = universe.groupBy("band", "bucket").agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(id_col, "is_new"))),
+                1,
+                max_bucket_size,
+            ).alias("ms")
+        )
+        pairs_expr = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x[id_col].alias("id_a"),
+                        y[id_col].alias("id_b"),
+                        (x["is_new"] | y["is_new"]).alias("any_new"),
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            members.filter(F.size("ms") >= 2)
+            .select(F.explode(pairs_expr).alias("p"))
+            .filter(F.col("p.any_new"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        t.append(new_banded)
+        return pairs
+    finally:
+        new_banded.unpersist()

@@ -662,3 +662,43 @@ def _stripes(spark, path, df):
     if vals is not None:
         r.pushFilters([In(("__bucket",), tuple(vals))])
     return r.partitions()
+
+
+def test_minhash_index_incremental_matches_batch_lsh(spark, tmp_path):
+    """Approximate twin of the jaccard index: the incremental band
+    index's candidates for a new batch equal the BATCH lsh candidates
+    over the union corpus, restricted to pairs involving the batch
+    (signatures and banding are deterministic)."""
+    from strawboat_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_index_append,
+        minhash_index_init,
+        minhash_signatures,
+    )
+    from strawboat_spark.table import Table
+
+    from tests.conftest import SF_CORRECT
+    from strawboat_spark.tables import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    old = d.filter("doc_id % 3 != 0")
+    new = d.filter("doc_id % 3 = 0")
+
+    p = str(tmp_path / "mh_idx")
+    minhash_index_init(spark, p, old, "text", "doc_id", num_buckets=16)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_index_append(spark, p, new, "text", "doc_id").collect()
+    }
+
+    batch = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(d, "text", "doc_id"), "doc_id"
+        ).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    }
+    assert inc == batch
+    assert inc, "fixture produced no near-dup candidates; weak test"
+    # index accrued both halves
+    assert Table(spark, p).read().select("doc_id").distinct().count() == d.count()
