@@ -436,3 +436,14 @@ def test_join_view_refresh_plan_no_python_no_cartesian(spark, registry):
     p = plans[0]
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "PythonUDF" not in p and "ArrowEval" not in p and "BatchEval" not in p
+
+
+def test_incremental_jaccard_index_plan_pure_jvm(spark, registry):
+    """The incremental dedup gate's pair plan stays JVM-side: no Python
+    eval nodes (the strawboat scan is a DataSource, not a UDF) and no
+    cartesian product — candidates come from the bucketed shingle join."""
+    df = registry["dedup_incremental_index"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") == 0
+    assert "Cartesian" not in plan
