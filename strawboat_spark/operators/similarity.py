@@ -619,3 +619,124 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index: a PERSISTENT inverted-file ANN index the corpus
+# grows into, instead of re-partitioning every vector per query batch.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_init(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Build the persistent IVF index: vectors land hive-partitioned by
+    their nearest-centroid cell (so a search's nprobe cells prune to
+    directories at PLANNING time), and the trained centroids ride the
+    table's manifest properties — searches and appends never retrain.
+
+    The 100 TB shape: ingest batches append into their cells (one CAS
+    flip), a query batch reads only nprobe/n_centroids of the index,
+    and the quantizer is versioned WITH the data it partitioned."""
+    import json
+
+    from strawboat_spark.table import Table
+
+    cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
+    assign1 = _probe_cells_udf(cents, 1)
+    rows = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("vec")
+    ).withColumn("cell", assign1("vec")[0].cast("int"))
+    t = Table(spark, index_path)
+    t.overwrite(
+        rows,
+        partition_by="cell",
+        manifest_properties=json.dumps(
+            {"ivf_centroids": [[float(x) for x in c] for c in cents]}
+        ),
+    )
+    return t
+
+
+def _ivf_index_centroids(index_path: str) -> list[list[float]]:
+    from strawboat_spark.sources.datasource import read_manifest
+
+    props = (read_manifest(index_path) or {}).get("properties") or {}
+    cents = props.get("ivf_centroids")
+    if not cents:
+        raise ValueError(
+            f"{index_path} is not an IVF index (no ivf_centroids property); "
+            f"build it with ivf_index_init"
+        )
+    return cents
+
+
+def ivf_index_append(spark, index_path: str, new_vecs: DataFrame, id_col: str, vec_col: str):
+    """Assign a new batch to the index's EXISTING cells (the quantizer
+    from the manifest — no retrain, so old cells stay valid) and append
+    in one CAS flip."""
+    from strawboat_spark.table import Table
+
+    cents = _ivf_index_centroids(index_path)
+    assign1 = _probe_cells_udf(cents, 1)
+    rows = new_vecs.select(
+        F.col(id_col), _as_double(vec_col).alias("vec")
+    ).withColumn("cell", assign1("vec")[0].cast("int"))
+    Table(spark, index_path).append(rows, partition_by="cell")
+
+
+def ivf_index_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search against the persistent index: queries probe
+    their nprobe nearest cells, the index scan prunes to those cell
+    DIRECTORIES (bounded metadata collect, <= n_centroids values), and
+    candidates rerank exactly.  Output schema matches cosine_topk."""
+    from strawboat_spark.table import Table
+
+    cents = _ivf_index_centroids(index_path)
+    probe_n = _probe_cells_udf(cents, nprobe)
+    q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    qe = q.select(
+        "query_id", "qv", "qn", F.explode(probe_n("qv")).alias("cell")
+    ).withColumn("cell", F.col("cell").cast("int")).persist()
+    try:
+        # bounded: distinct probed cells <= n_centroids
+        cells = [r[0] for r in qe.select("cell").distinct().collect()]
+        idx = (
+            Table(spark, index_path)
+            .read()
+            .filter(F.col("cell").isin(cells))  # hive directory pruning
+        )
+        c = idx.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("vec").alias("cv"),
+            _norm(F.col("vec")).alias("cn"),
+            "cell",
+        )
+        scored = (
+            c.join(broadcast(qe), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("score", F.round(_cosine("cv", "qv", "cn", "qn"), 6))
+            .select("query_id", "neighbor_id", "score")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    finally:
+        qe.unpersist()

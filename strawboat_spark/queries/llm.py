@@ -591,7 +591,8 @@ def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
 @query(
     "similarity_ann_recall",
     oracle="""
-    SELECT 'ivf_recall_at_10' AS metric, true AS recall_ge_080
+    SELECT 'ivf_incremental_recall_at_10' AS metric, true AS recall_ge_080
+    UNION ALL SELECT 'ivf_recall_at_10', true
     UNION ALL SELECT 'lsh_recall_at_10', true
     UNION ALL SELECT 'pq_recall_at_10', true
     ORDER BY metric
@@ -602,7 +603,9 @@ def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
         "must reach recall >= 0.8 — IVF (kmeans++ coarse quantizer, "
         "nprobe cells, exact rerank), multi-probe LSH (4x8 planes, "
         "Hamming ball r=3), PQ (8-byte codes, ADC shortlist, exact "
-        "rerank; measured 0.98)"
+        "rerank; measured 0.98), and the PERSISTENT incremental IVF "
+        "index (half the corpus indexed, half appended, search prunes "
+        "to nprobe cell directories)"
     ),
 )
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,11 +613,29 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic near-random embeddings are the worst case for all three
     (no cluster structure); probe/candidate budgets carry the margin —
     parameters unchanged from the pre-fold gates (r5-r6)."""
+    import tempfile as _tf
     from functools import reduce
 
-    from strawboat_spark.operators.similarity import ivf_cosine_topk, pq_cosine_topk
+    from strawboat_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index_append,
+        ivf_index_init,
+        ivf_index_search,
+        pq_cosine_topk,
+    )
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+
+    def _incremental_ivf(e, q):
+        p = f"{_tf.mkdtemp(prefix='strawboat_ivfidx_')}/emb"
+        ivf_index_init(spark, p, e.filter("vec_id % 2 = 0"), "vec_id", "embedding",
+                       n_centroids=16)
+        ivf_index_append(spark, p, e.filter("vec_id % 2 = 1"), "vec_id", "embedding")
+        return ivf_index_search(spark, p, q, "vec_id", "embedding", k=10, nprobe=12)
 
     gates = [
+        ("ivf_incremental_recall_at_10", _incremental_ivf),
         (
             "ivf_recall_at_10",
             lambda e, q: ivf_cosine_topk(

