@@ -665,6 +665,32 @@ def jaccard_index_init(
     return Table(spark, index_path)
 
 
+def _jaccard_new_rows(new_df: DataFrame, text_col: str, id_col: str, shingle_n: int):
+    post = shingle_postings(new_df, text_col, id_col, shingle_n)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
+    return post.join(sizes, id_col)
+
+
+def jaccard_index_ingest(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    **append_options,
+):
+    """Append a batch's postings WITHOUT computing pairs — the
+    streaming maintenance path, where the pairs leg already ran
+    against the pre-append generation and this commit carries the
+    caller's txn marker (append_options -> writer options)."""
+    from strawboat_spark.table import Table
+
+    Table(spark, index_path).append(
+        _jaccard_new_rows(new_df, text_col, id_col, shingle_n), **append_options
+    )
+
+
 def jaccard_index_append(
     spark,
     index_path: str,
@@ -674,6 +700,8 @@ def jaccard_index_append(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
+    ingest: bool = True,
+    **append_options,
 ) -> DataFrame:
     """Incrementally dedup `new_df` against the indexed corpus AND
     within itself, then append its postings to the index (one CAS
@@ -705,9 +733,7 @@ def jaccard_index_append(
     from strawboat_spark.sources.datasource import read_manifest
 
     t = Table(spark, index_path)
-    new_post = shingle_postings(new_df, text_col, id_col, shingle_n)
-    new_sizes = new_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
-    new_rows = new_post.join(new_sizes, id_col).persist()
+    new_rows = _jaccard_new_rows(new_df, text_col, id_col, shingle_n).persist()
     try:
         spec = bucket_spec(index_path)
         # PIN the pre-append generation: the returned pairs frame stays
@@ -715,7 +741,13 @@ def jaccard_index_append(
         # huge) and snapshot isolation keeps it correct after the
         # append below flips the head
         gen = (read_manifest(index_path) or {}).get("generation")
-        idx = t.read(at_generation=gen)
+        try:
+            idx = t.read(at_generation=gen)
+        except Exception:
+            # an index seeded from an EMPTY corpus has no data files
+            # yet — the first real batch dedups only against itself
+            idx = spark.createDataFrame([], new_rows.schema)
+            spec = None  # no layout to prune (and no __bucket column)
         if spec is not None:
             # bounded planner-side prune: the batch's shingles map to
             # <= num_buckets directories; everything outside them is
@@ -782,7 +814,12 @@ def jaccard_index_append(
                 ).alias("jaccard"),
             )
         )
-        t.append(new_rows)
+        if ingest:
+            # append_options pass through to the writer — a streaming
+            # caller attaches its txn marker here so the postings
+            # append and the marker commit in ONE generation flip
+            # (exactly-once under foreachBatch replays)
+            t.append(new_rows, **append_options)
         return pairs
     finally:
         new_rows.unpersist()

@@ -226,3 +226,103 @@ def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def maintain_dedup_index(
+    spark,
+    docs_path: str,
+    index_path: str,
+    pairs_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+):
+    """Continuously maintained near-dup detection: one availableNow
+    cycle streams NEW documents out of the strawboat table at
+    `docs_path` (file-set offsets — only unseen files per batch),
+    dedups each batch against the corpus via the incremental Jaccard
+    index, lands the candidate pairs in a `pairs_path` table, and
+    appends the batch's postings to the index.
+
+    Exactly-once under foreachBatch replays (the Delta txnAppId
+    pattern, per TABLE since two tables cannot commit atomically):
+    - the pairs append commits {app, batch} in ITS flip; a replayed
+      batch that already landed pairs skips them;
+    - the index append commits its own marker in ITS flip; pairs are
+      computed against the PRE-append generation, so the
+      crash-between-the-two case replays to the identical result
+      (pairs skipped, postings appended once).
+
+    Re-running with the same checkpoint processes only new documents —
+    a cron of this function is a continuously-deduped corpus."""
+    import json
+
+    from strawboat_spark.operators.dedup import (
+        jaccard_index_append,
+        jaccard_index_ingest,
+    )
+    from strawboat_spark.sources.datasource import read_manifest, register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    txn_app = f"dedup_index:{checkpoint}"
+
+    def _marker(path: str) -> int:
+        props = (read_manifest(path) or {}).get("properties") or {}
+        txn = props.get("txn") or {}
+        return txn.get("batch", -1) if txn.get("app") == txn_app else -1
+
+    def _props_with_marker(path: str, batch_id: int) -> str:
+        props = dict((read_manifest(path) or {}).get("properties") or {})
+        props["txn"] = {"app": txn_app, "batch": int(batch_id)}
+        return json.dumps(props)
+
+    def fold(batch_df, batch_id):
+        batch_df = batch_df.select(id_col, text_col)
+        pairs_done = _marker(pairs_path) >= batch_id
+        index_done = _marker(index_path) >= batch_id
+        if pairs_done and index_done:
+            return  # fully replayed batch
+        pairs = jaccard_index_append(
+            spark,
+            index_path,
+            batch_df,
+            text_col,
+            id_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            max_doc_freq=max_doc_freq,
+            # postings append (skipped entirely when already applied)
+            # carries ITS marker atomically; ingest LAST so the pairs
+            # computation below reads the pre-append generation
+            ingest=False,
+        )
+        if not pairs_done:
+            Table(spark, pairs_path).append(
+                pairs.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
+                manifest_properties=_props_with_marker(pairs_path, batch_id),
+            )
+        if not index_done:
+            jaccard_index_ingest(
+                spark,
+                index_path,
+                batch_df,
+                text_col,
+                id_col,
+                shingle_n=shingle_n,
+                manifest_properties=_props_with_marker(index_path, batch_id),
+            )
+
+    q = (
+        spark.readStream.format("strawboat")
+        .load(docs_path)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return Table(spark, pairs_path).read()

@@ -758,3 +758,71 @@ def test_cdf_generation_rate_limit(tmp_path, spark):
     # 3 data batches (plus possibly one trailing empty batch)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     assert data_batches == 3
+
+
+def test_maintain_dedup_index_streaming_exactly_once(spark, tmp_path):
+    """Streamed corpus dedup: new documents flow from a strawboat table
+    through foreachBatch into the incremental Jaccard index; candidate
+    pairs accumulate in a pairs table; a REPLAYED batch (same batch_id)
+    is a no-op on both tables (per-table txn markers)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.streaming.pipelines import maintain_dedup_index
+    from strawboat_spark.table import Table
+
+    register(spark)
+    docs_p = str(tmp_path / "docs")
+    index_p = str(tmp_path / "idx")
+    pairs_p = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "one two three four five six"),
+    ]
+    Table(spark, docs_p).overwrite(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    # seed the (empty) index + pairs tables
+    from strawboat_spark.operators.dedup import jaccard_index_init
+
+    jaccard_index_init(
+        spark, index_p, spark.createDataFrame([], "doc_id long, text string"),
+        "text", "doc_id",
+    )
+    Table(spark, pairs_p).overwrite(
+        spark.createDataFrame([], "id_a long, id_b long, jaccard double, batch_id long")
+    )
+
+    out1 = maintain_dedup_index(
+        spark, docs_p, index_p, pairs_p, "text", "doc_id", ckpt, threshold=0.3
+    )
+    assert out1.count() == 0  # nothing similar in the seed batch
+    assert Table(spark, index_p).read().select("doc_id").distinct().count() == 2
+
+    # a second corpus batch containing a near-dup of doc 0
+    more = [
+        (2, "alpha beta gamma delta zeta"),
+        (3, "completely unrelated words here"),
+    ]
+    Table(spark, docs_p).append(spark.createDataFrame(more, "doc_id long, text string"))
+    out2 = maintain_dedup_index(
+        spark, docs_p, index_p, pairs_p, "text", "doc_id", ckpt, threshold=0.3
+    )
+    got = {(r.id_a, r.id_b) for r in out2.collect()}
+    assert got == {(0, 2)}
+    assert Table(spark, index_p).read().select("doc_id").distinct().count() == 4
+
+    # replay: re-running the SAME checkpoint with no new docs is a
+    # no-op — no duplicate pairs, no duplicate postings, no new
+    # generations beyond the stream's own bookkeeping
+    gens_idx = len(Table(spark, index_p).history())
+    gens_pairs = len(Table(spark, pairs_p).history())
+    out3 = maintain_dedup_index(
+        spark, docs_p, index_p, pairs_p, "text", "doc_id", ckpt, threshold=0.3
+    )
+    assert {(r.id_a, r.id_b) for r in out3.collect()} == {(0, 2)}
+    assert Table(spark, index_p).read().count() == Table(spark, index_p).read().dropDuplicates(["doc_id", "shingle"]).count()
+    assert len(Table(spark, index_p).history()) == gens_idx
+    assert len(Table(spark, pairs_p).history()) == gens_pairs
