@@ -2557,3 +2557,39 @@ def test_ndv_metadata_and_merge_job_count(spark, tmp_path):
         _cdf.DataFrame.count = orig
     assert res["rows_updated"] == 10
     assert calls["n"] == 2, f"merge ran {calls['n']} count jobs, expected 2"
+
+
+def test_dv_sidecar_codec_roundtrip_property(tmp_path):
+    """Sidecar blobs: any sorted unique non-negative ordinal set
+    roundtrips bit-exact through write_dv_sidecar/read_dv_sidecar,
+    names are content-addressed (same set -> same file), and corrupt
+    magic is rejected loudly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from strawboat_spark.sources.datasource import (
+        read_dv_sidecar,
+        write_dv_sidecar,
+    )
+
+    root = str(tmp_path)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=300))
+    def roundtrip(s):
+        ordinals = sorted(s)
+        rel = write_dv_sidecar(root, ordinals)
+        assert read_dv_sidecar(f"{root}/{rel}") == tuple(ordinals)
+        assert write_dv_sidecar(root, ordinals) == rel  # content-addressed
+
+    roundtrip()
+
+    import os
+
+    import pytest as _pytest
+
+    bad = os.path.join(root, "bad.dv")
+    with open(bad, "wb") as fh:
+        fh.write(b"NOTDV!junk")
+    with _pytest.raises(ValueError, match="sidecar"):
+        read_dv_sidecar(bad)
