@@ -91,6 +91,17 @@ def _mode_suffix(rest: str) -> tuple[str, str]:
     return rest, "cow"
 
 
+def execute_sql_script(spark: SparkSession, script: str) -> list:
+    """Execute a ';'-separated script of statements in order (the
+    separator is string-aware — a ';' inside a quoted literal is
+    payload).  Returns the per-statement results."""
+    return [
+        execute_sql(spark, stmt)
+        for stmt in _split_top(_strip(script), ";")
+        if stmt.strip()
+    ]
+
+
 def execute_sql(spark: SparkSession, sql: str):
     """Execute one table-layer DML/maintenance statement.  Returns a
     DataFrame for DESCRIBE verbs, else the table method's stats dict.
@@ -180,6 +191,11 @@ def _insert(spark: SparkSession, s: str):
         q = f"SELECT * FROM ( {q} )"
     df = spark.sql(q)
     cols = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+    existing = Table(spark, _path(m))
+    try:
+        tcols = existing.read().columns
+    except Exception:
+        tcols = []
     if cols:
         if len(cols) != len(df.columns):
             raise ValueError(
@@ -189,13 +205,12 @@ def _insert(spark: SparkSession, s: str):
         df = df.toDF(*cols)
         # SQL INSERT semantics are positional-by-list; the table layer
         # appends by NAME in schema order — realign when it exists
-        existing = Table(spark, _path(m))
-        try:
-            tcols = existing.read().columns
-        except Exception:
-            tcols = []
         if set(tcols) == set(df.columns):
             df = df.select(*tcols)
+    elif tcols and len(tcols) == len(df.columns) and set(tcols) != set(df.columns):
+        # bare INSERT (e.g. VALUES' col1/col2 names): SQL semantics are
+        # positional — adopt the table's schema order by position
+        df = df.toDF(*tcols)
     n = df.count()
     if m.group("mode").upper() == "OVERWRITE":
         t.overwrite(df)

@@ -259,3 +259,26 @@ def test_sql_strip_is_string_aware(spark, tmp_path):
     res = execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE s = 'x  y'")
     assert res["rows_deleted"] == 1
     assert [r.s for r in t.read().collect()] == ["z"]
+
+
+def test_sql_script_multi_statement(spark, tmp_path):
+    from strawboat_spark.sql import execute_sql_script
+
+    p = str(tmp_path / "s")
+    results = execute_sql_script(
+        spark,
+        f"""
+        CREATE TABLE strawboat.`{p}` AS SELECT id AS k, id * 2 AS v FROM range(6);
+        UPDATE strawboat.`{p}` SET v = v + 1 WHERE k = 0;   -- comment
+        DELETE FROM strawboat.`{p}` WHERE k = 5;
+        INSERT INTO strawboat.`{p}` VALUES (CAST(100 AS bigint), CAST(0 AS bigint));
+        """,
+    )
+    assert len(results) == 4
+    t = Table(spark, p)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(0, 1), (1, 2), (2, 4), (3, 6), (4, 8), (100, 0)}
+    # ';' inside a literal is payload, not a separator
+    t.overwrite(spark.createDataFrame([(1, "a;b"), (2, "c")], "k long, s string"))
+    res = execute_sql_script(spark, f"DELETE FROM strawboat.`{p}` WHERE s = 'a;b'")
+    assert res[0]["rows_deleted"] == 1
