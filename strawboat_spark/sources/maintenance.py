@@ -1187,3 +1187,61 @@ def merge_when(
         "rows_updated": rows_updated,
         "rows_inserted": rows_inserted,
     }
+
+
+def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
+    """Delta `REORG TABLE ... APPLY (PURGE)` analog: rewrite ONLY the
+    files whose deletion-vector fraction is >= `threshold`,
+    materializing their deletes into clean files (no vectors); every
+    other file keeps its exact manifest entry with ZERO IO.
+
+    The 100 TB read-amplification lever for MOR tables: each masked row
+    still costs decode+filter on every scan, so once a file is
+    mostly-deleted it should be rewritten — but only that file.
+    Candidate selection is METADATA-only (entry n_deletes vs footer
+    num_rows — no data pages read to decide); the rewrite is one
+    `files`-pinned DV-subtracting scan per leaf; ONE CAS flip publishes
+    all rewrites (old files retained for time travel until vacuum).
+
+    Returns {"files_rewritten", "rows_purged"}."""
+    from strawboat_spark.sources.datasource import (
+        _cached_footer,
+        _list_files,
+        entry_abs,
+        entry_dv_count,
+        publish_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    man = read_manifest(path) or {"entries": []}
+    _list_files(path)  # seeds the footer cache from the manifest
+    part_cols = list(_part_layout(path))
+    candidates: list[str] = []
+    rows_purged = 0
+    for e in man["entries"]:
+        n_del = entry_dv_count(path, e)
+        if not n_del:
+            continue
+        n_rows = _cached_footer(entry_abs(path, e["path"]))[1].num_rows
+        if n_rows and n_del / n_rows >= threshold:
+            candidates.append(e["path"])
+            rows_purged += n_del
+    if not candidates:
+        return {"files_rewritten": 0, "rows_purged": 0}
+    by_leaf: dict[str, list[str]] = {}
+    for rel in candidates:
+        by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
+    moved: list[dict] = []
+    for reldir, rels in sorted(by_leaf.items()):
+        leaf = os.path.join(path, reldir) if reldir else path
+        tmp = leaf.rstrip("/") + ".__mutate__"
+        get_fs(tmp).remove_tree(tmp)
+        live = _read_files(spark, path, sorted(rels))
+        stored_cols = [c for c in live.columns if c not in part_cols]
+        live.select(*stored_cols).write.format("strawboat").mode("overwrite").save(tmp)
+        moved += _adopt_tmp(path, tmp, dest_dir=leaf)
+    _flip_generation(path, set(candidates), moved, "reorg-purge")
+    return {"files_rewritten": len(candidates), "rows_purged": int(rows_purged)}

@@ -133,6 +133,15 @@ def execute_sql(spark: SparkSession, sql: str):
         return Table(spark, _path(m)).detail()
     if up.startswith("ALTER TABLE "):
         return _alter(spark, s)
+    if up.startswith("REORG TABLE ") or up.startswith("REORG "):
+        m = _require(
+            rf"REORG (?:TABLE )?{_ID}\s+APPLY\s*\(\s*PURGE\s*\)"
+            r"(?:\s+WHERE\s+dv_fraction\s*>=\s*(?P<thr>[\d.]+))?",
+            s,
+            "REORG TABLE <table> APPLY (PURGE) [WHERE dv_fraction >= x]",
+        )
+        thr = float(m.group("thr")) if m.group("thr") else 0.2
+        return Table(spark, _path(m)).reorg_purge(threshold=thr)
     return spark.sql(sql)
 
 

@@ -1166,6 +1166,16 @@ class Table:
             where=where,
         )
 
+    def reorg_purge(self, threshold: float = 0.2) -> dict:
+        """Delta REORG ... APPLY (PURGE): rewrite only the files whose
+        deletion-vector fraction >= threshold, materializing their
+        deletes (see maintenance.reorg_purge — candidate selection is
+        metadata-only, untouched files keep their entries with zero
+        IO)."""
+        from strawboat_spark.sources.maintenance import reorg_purge
+
+        return reorg_purge(self.spark, self.path, threshold=threshold)
+
     def vacuum(self, grace_seconds: float = 3600.0, dry_run: bool = False) -> dict:
         from strawboat_spark.sources.maintenance import vacuum
 

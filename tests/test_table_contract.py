@@ -2593,3 +2593,50 @@ def test_dv_sidecar_codec_roundtrip_property(tmp_path):
         fh.write(b"NOTDV!junk")
     with _pytest.raises(ValueError, match="sidecar"):
         read_dv_sidecar(bad)
+
+
+def test_reorg_purge_rewrites_only_dv_heavy_files(spark, tmp_path):
+    """Delta REORG APPLY (PURGE): files past the DV-fraction threshold
+    rewrite clean (vectors materialized, entries lose their refs);
+    lightly-masked files keep their EXACT entries — zero IO; reads,
+    counts and time travel unchanged; selection is metadata-only."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import read_manifest
+    from strawboat_spark.sql import execute_sql
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    # two files: ids 0..99 (heavy deletes) and 100..199 (one delete)
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")).coalesce(1))
+    t.append(spark.range(100, 200).select(F.col("id").alias("k")).coalesce(1))
+    t.delete("k < 50", mode="mor")     # 50% of file 1
+    t.delete("k = 150", mode="mor")    # 1% of file 2
+    man0 = read_manifest(path)
+    entries0 = {e["path"]: e for e in man0["entries"]}
+    light = [p for p, e in entries0.items() if e.get("n_deletes", 0) == 1]
+    assert len(light) == 1
+
+    res = execute_sql(
+        spark, f"REORG TABLE strawboat.`{path}` APPLY (PURGE) WHERE dv_fraction >= 0.2"
+    )
+    assert res == {"files_rewritten": 1, "rows_purged": 50}
+
+    man1 = read_manifest(path)
+    entries1 = {e["path"]: e for e in man1["entries"]}
+    # the light file's entry is IDENTICAL (zero IO), still masked by DV
+    assert entries1[light[0]] == entries0[light[0]]
+    # the heavy file was replaced by clean file(s) — no refs, no inline
+    new_paths = set(entries1) - set(entries0)
+    assert new_paths and all(
+        not entries1[p].get("deletes_refs") and not entries1[p].get("deletes")
+        for p in new_paths
+    )
+    # data identical; metadata count agrees; pre-purge snapshot intact
+    assert {r.k for r in t.read().collect()} == set(range(50, 150)) | set(range(151, 200))
+    assert t.count_rows() == 149
+    assert t.read(at_generation=man0["generation"]).count() == 149
+    assert t.read(at_generation=2).count() == 200  # pre-delete epoch
+    # idempotent: nothing left above the threshold
+    assert t.reorg_purge(threshold=0.2) == {"files_rewritten": 0, "rows_purged": 0}
