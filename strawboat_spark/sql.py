@@ -19,6 +19,11 @@ this module closes the WRITE-side gap for users arriving from Delta:
     ALTER TABLE strawboat.`/path/t` ADD COLUMN x int [DEFAULT <json>]
     ALTER TABLE strawboat.`/path/t` DROP COLUMN x
     ALTER TABLE strawboat.`/path/t` ALTER COLUMN x TYPE bigint
+    INSERT INTO strawboat.`/path/t` [(cols)] SELECT ... | VALUES ...
+    INSERT OVERWRITE strawboat.`/path/t` SELECT ...
+    CREATE [OR REPLACE] TABLE strawboat.`/path/u`
+      [PARTITIONED BY (region, days(ts))] AS SELECT ...
+    REORG TABLE strawboat.`/path/t` APPLY (PURGE) [WHERE dv_fraction >= 0.3]
 
 Deliberately a THIN dispatcher: each statement parses into one
 `strawboat_spark.table.Table` method call — the scale/atomicity story
