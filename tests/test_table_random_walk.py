@@ -1,7 +1,8 @@
 """Model-based random walk over the table layer: a seeded sequence of
 append / COW delete / MOR delete / COW update / MOR update / MOR merge
-/ compact (count- and size-targeted) / vacuum / WAP stage-publish-or-
-discard / branch-then-fast-forward, each step checked against a plain
+/ compact (count- and size-targeted) / vacuum / reorg-purge / WAP
+stage-publish-or-discard / branch-then-fast-forward, each step checked
+against a plain
 in-memory model. Per-feature tests pin each verb; this pins their
 INTERACTIONS (vectors surviving compaction order, generation history
 under mixed verbs, counts after vacuum, staged/branched work invisible
@@ -41,7 +42,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         op = rng.choice(
             ["append", "cow_delete", "mor_delete", "cow_update", "mor_update",
              "mor_merge", "compact", "compact_bytes", "vacuum", "wap",
-             "branch_ff"]
+             "branch_ff", "reorg_purge"]
         )
         ops.append(op)
         if op == "append":
@@ -75,6 +76,10 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             t.compact(target_bytes=64 * 1024)  # bin-pack the small tail
         elif op == "vacuum":
             t.vacuum(grace_seconds=0.0)
+        elif op == "reorg_purge":
+            # read-amplification maintenance: purely physical, the
+            # model is untouched (r9 verb)
+            t.reorg_purge(threshold=0.2)
         elif op == "wap":
             rows = [(next_key + i, (next_key + i) * 10) for i in range(3)]
             next_key += 3
