@@ -936,3 +936,93 @@ def minhash_index_append(
         return pairs
     finally:
         new_banded.unpersist()
+
+
+def fingerprint_index_init(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+):
+    """Persistent EXACT-dedup index: one (fingerprint, survivor id) row
+    per distinct content, hash-bucketed by fingerprint — the first
+    filter of the incremental pipeline (exact copies are the bulk of
+    crawl duplication; near-dup indexes run on what survives)."""
+    from strawboat_spark.table import Table
+
+    rows = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"))
+    )
+    Table(spark, index_path).overwrite(rows, bucket_by="fp", num_buckets=num_buckets)
+    return Table(spark, index_path)
+
+
+def fingerprint_index_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Split a new batch into exact duplicates of the indexed corpus
+    and genuinely-new content; append the new fingerprints (one CAS
+    flip).  Returns (id, survivor_id, is_duplicate): duplicates point
+    at the indexed survivor, new content points at itself (its batch's
+    min id per content).  Per batch: the index scan prunes to the
+    batch's fingerprint buckets; everything else is one groupBy + one
+    join."""
+    from strawboat_spark.sources.datasource import bucket_spec, read_manifest
+    from strawboat_spark.table import Table
+
+    t = Table(spark, index_path)
+    new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp")).persist()
+    try:
+        spec = bucket_spec(index_path)
+        gen = (read_manifest(index_path) or {}).get("generation")
+        try:
+            idx = t.read(at_generation=gen)
+        except Exception:
+            idx = spark.createDataFrame([], "fp string, survivor_id long")
+            spec = None
+        if spec is not None:
+            bucket_ids = [
+                r[0]
+                for r in new_fp.select(
+                    F.pmod(
+                        F.crc32(F.col("fp").cast("string").cast("binary")),
+                        F.lit(spec["n"]),
+                    )
+                    .cast("long")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = idx.filter(F.col(spec["dir_col"]).isin(bucket_ids))
+        old = idx.select("fp", F.col("survivor_id").alias("__old_survivor"))
+        batch_min = new_fp.groupBy("fp").agg(F.min(id_col).alias("__batch_survivor"))
+        resolved = (
+            new_fp.join(batch_min, "fp")
+            .join(old, "fp", "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("__old_survivor", "__batch_survivor").alias("survivor_id"),
+                (
+                    F.col("__old_survivor").isNotNull()
+                    | (F.col(id_col) != F.col("__batch_survivor"))
+                ).alias("is_duplicate"),
+            )
+        )
+        # index grows by the batch's genuinely-new fingerprints only
+        fresh = (
+            batch_min.join(old.select("fp"), "fp", "left_anti")
+            .select("fp", F.col("__batch_survivor").alias("survivor_id"))
+        )
+        t.append(fresh)
+        return resolved
+    finally:
+        new_fp.unpersist()

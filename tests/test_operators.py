@@ -747,3 +747,46 @@ def test_ivf_index_lifecycle_prunes_cells(spark, tmp_path):
         approx.select("query_id", "neighbor_id")
     ).count()
     assert hit / exact.count() >= 0.8
+
+
+def test_fingerprint_index_incremental_exact_dedup(spark, tmp_path):
+    """Exact-dedup index: batch ids resolve to the corpus survivor for
+    known content, to the batch-min id for new content; the index
+    accrues one row per distinct fingerprint."""
+    from strawboat_spark.operators.dedup import (
+        fingerprint_index_append,
+        fingerprint_index_init,
+    )
+    from strawboat_spark.table import Table
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    fingerprint_index_init(
+        spark, str(tmp_path / "fpi"),
+        mk([(0, "hello world"), (1, "other text"), (2, "Hello   WORLD ")]),
+        "text", "doc_id", num_buckets=8,
+    )
+    p = str(tmp_path / "fpi")
+    got = {
+        (r.doc_id, r.survivor_id, r.is_duplicate)
+        for r in fingerprint_index_append(
+            spark, p,
+            mk([
+                (10, "hello world"),      # dup of indexed 0
+                (11, "brand new text"),   # new content, batch survivor
+                (12, "brand new text"),   # dup within the batch
+            ]),
+            "text", "doc_id",
+        ).collect()
+    }
+    assert got == {(10, 0, True), (11, 11, False), (12, 11, True)}
+    # second batch sees batch-1 content as indexed
+    got2 = {
+        (r.doc_id, r.survivor_id, r.is_duplicate)
+        for r in fingerprint_index_append(
+            spark, p, mk([(20, "brand new text")]), "text", "doc_id"
+        ).collect()
+    }
+    assert got2 == {(20, 11, True)}
+    # one index row per distinct content: hello/other + new = 3... plus
+    # normalization folds (2, 'Hello   WORLD ') into 0's fingerprint
+    assert Table(spark, p).read().count() == 3
