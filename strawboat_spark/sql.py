@@ -130,6 +130,15 @@ def execute_sql(spark: SparkSession, sql: str):
         return _optimize(spark, s)
     if up.startswith("VACUUM "):
         return _vacuum(spark, s)
+    if up.startswith("SHOW TBLPROPERTIES "):
+        m = _require(rf"SHOW TBLPROPERTIES {_ID}$", s, "SHOW TBLPROPERTIES <table>")
+        import json as _json
+
+        t = Table(spark, _path(m))
+        rows = [(k, _json.dumps(v)) for k, v in sorted((t.properties() or {}).items())]
+        return spark.createDataFrame(rows or [("", "")], "key string, value string").filter(
+            "key <> ''"
+        )
     if up.startswith("DESCRIBE HISTORY "):
         m = _require(rf"DESCRIBE HISTORY {_ID}$", s, "DESCRIBE HISTORY <table>")
         return Table(spark, _path(m)).history_df()
@@ -322,10 +331,16 @@ def _alter(spark: SparkSession, s: str):
     if m := re.fullmatch(r"ALTER COLUMN (\w+) (?:TYPE|SET DATA TYPE) (\w+)", rest, re.I):
         t.alter_column_type(m.group(1), m.group(2).lower())
         return {"widened": m.group(1)}
+    if m := re.fullmatch(r"ADD CONSTRAINT (\w+) CHECK\s*\((?P<e>.+)\)", rest, re.I):
+        t.add_constraint(m.group(1), m.group("e"))
+        return {"constraint_added": m.group(1)}
+    if m := re.fullmatch(r"DROP CONSTRAINT (\w+)", rest, re.I):
+        t.drop_constraint(m.group(1))
+        return {"constraint_dropped": m.group(1)}
     raise ValueError(
         f"strawboat SQL: unsupported ALTER TABLE clause {rest!r} (supported: "
         "RENAME COLUMN a TO b, ADD COLUMN x type [DEFAULT j], DROP COLUMN x, "
-        "ALTER COLUMN x TYPE t)"
+        "ALTER COLUMN x TYPE t, ADD CONSTRAINT n CHECK (e), DROP CONSTRAINT n)"
     )
 
 

@@ -170,11 +170,15 @@ class Table:
                     pass
         spec = bucket_spec(self.path)
         parts = [c for c in _part_layout(self.path) if not spec or c != spec["dir_col"]]
+        from strawboat_spark.sources.datasource import entry_dv_count
+
+        n_deleted = sum(entry_dv_count(self.path, e) for e in man.get("entries", ()))
         row = (
             self.path,
             int(man.get("generation", 0)),
             int(len(man.get("entries", ()))),
             int(self.count_rows()),
+            int(n_deleted),
             int(total),
             parts,
             None if spec is None else _json.dumps(spec, sort_keys=True),
@@ -186,7 +190,7 @@ class Table:
         return self.spark.createDataFrame(
             [row],
             "location string, generation long, n_files long, n_rows long, "
-            "size_bytes long, partition_columns array<string>, "
+            "n_deleted_rows long, size_bytes long, partition_columns array<string>, "
             "bucket_spec string, branches array<string>, tags array<string>, "
             "staged array<string>, properties string",
         )

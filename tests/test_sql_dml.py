@@ -282,3 +282,37 @@ def test_sql_script_multi_statement(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a;b"), (2, "c")], "k long, s string"))
     res = execute_sql_script(spark, f"DELETE FROM strawboat.`{p}` WHERE s = 'a;b'")
     assert res[0]["rows_deleted"] == 1
+
+
+def test_sql_constraints_and_tblproperties(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=4)
+    execute_sql(
+        spark, f"ALTER TABLE strawboat.`{path}` ADD CONSTRAINT pos CHECK (v >= 0)"
+    )
+    with pytest.raises(ValueError, match="pos"):
+        execute_sql(
+            spark,
+            f"INSERT INTO strawboat.`{path}` "
+            f"VALUES (CAST(99 AS bigint), CAST(0 AS bigint), CAST(-1 AS bigint))",
+        )
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` DROP CONSTRAINT pos")
+    execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` "
+        f"VALUES (CAST(99 AS bigint), CAST(0 AS bigint), CAST(-1 AS bigint))",
+    )
+    assert t.read().filter("v = -1").count() == 1
+
+    t.tag("v1")  # tags live in a side file, properties in the manifest
+    execute_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE strawboat.`{path}2` AS SELECT 1 AS x",
+    )
+    props = execute_sql(spark, f"SHOW TBLPROPERTIES strawboat.`{path}`")
+    assert props.columns == ["key", "value"]
+
+    d = execute_sql(spark, f"DESCRIBE DETAIL strawboat.`{path}`")
+    assert "n_deleted_rows" in d.columns
+    execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE k = 0 WITH (mode='mor')")
+    d2 = execute_sql(spark, f"DESCRIBE DETAIL strawboat.`{path}`").collect()[0]
+    assert d2.n_deleted_rows == 1 and d2.n_rows == 4
