@@ -2640,3 +2640,31 @@ def test_reorg_purge_rewrites_only_dv_heavy_files(spark, tmp_path):
     assert t.read(at_generation=2).count() == 200  # pre-delete epoch
     # idempotent: nothing left above the threshold
     assert t.reorg_purge(threshold=0.2) == {"files_rewritten": 0, "rows_purged": 0}
+
+
+def test_reorg_purge_hive_layout(spark, tmp_path):
+    """reorg_purge on a hive-partitioned table: rewrites stay inside
+    their leaf (layout preserved, pruning intact)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "h")
+    t = Table(spark, path)
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("region"), F.col("id").alias("k")
+    )
+    t.overwrite(df.coalesce(1), partition_by="region")  # one file per leaf
+    t.delete("k < 80 AND region = '0'", mode="mor")  # heavy in leaf 0 only
+    res = t.reorg_purge(threshold=0.2)
+    assert res["files_rewritten"] == 1 and res["rows_purged"] == 40
+    got = {(r.region, r.k) for r in t.read().collect()}
+    # hive partition values infer back as ints ("region=0" dirs)
+    want = {(i % 2, i) for i in range(200) if not (i < 80 and i % 2 == 0)}
+    assert got == want
+    # layout preserved: region still prunes as a partition column
+    assert t.read().filter("region = '1'").count() == 100
+    from strawboat_spark.sources.datasource import read_manifest
+
+    for e in read_manifest(path)["entries"]:
+        assert e["path"].startswith("region=")
