@@ -1245,3 +1245,129 @@ def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
     _flip_generation(path, set(candidates), moved, "reorg-purge")
     return {"files_rewritten": len(candidates), "rows_purged": int(rows_purged)}
+
+
+def consolidate_dv_refs(spark, path: str, max_refs: int = 8) -> dict:
+    """Deletion-vector REF consolidation: a file mutated by many small
+    MOR deletes accumulates one sidecar ref per mutation, and every
+    read of that file pays one ranged GET per ref.  For entries past
+    `max_refs`, EXECUTORS union the vectors into ONE sidecar each
+    (one task per file, bounded by that file's row count — positions
+    never transit the driver) and the manifest swap is pure metadata.
+
+    Race-safe without cross-commit coordination: the CAS callable
+    re-checks each entry's ref set against the freshly-read manifest
+    and SKIPS any entry a concurrent mutation touched (consolidation
+    is idempotent maintenance — the next run picks it up).
+
+    Returns {"files_consolidated", "refs_before", "refs_after"}."""
+    import pandas as pd
+
+    from strawboat_spark.sources.datasource import (
+        entry_dv_refs,
+        publish_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    if read_manifest(path) is None:
+        publish_manifest(path)
+    man = read_manifest(path) or {"entries": []}
+    hit = [
+        e
+        for e in man["entries"]
+        if len(e.get("deletes_refs") or ()) + (1 if e.get("deletes") else 0) > max_refs
+    ]
+    if not hit:
+        return {"files_consolidated": 0, "refs_before": 0, "refs_after": 0}
+    refs_before = sum(len(e.get("deletes_refs") or ()) for e in hit)
+    work = spark.createDataFrame(
+        [
+            (e["path"], e.get("deletes") or "", list(e.get("deletes_refs") or ()))
+            for e in hit
+        ],
+        "rel string, inline string, refs array<string>",
+    ).repartition(len(hit), "rel")
+
+    def _merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from strawboat_spark.sources.datasource import (
+            decode_deletes,
+            entry_abs,
+            read_dv_sidecar,
+            write_dv_sidecar,
+        )
+
+        out = []
+        for _, row in pdf.iterrows():
+            pos = set(decode_deletes(row["inline"] or None))
+            for r in row["refs"]:
+                pos.update(read_dv_sidecar(entry_abs(path, r)))
+            merged = sorted(pos)
+            out.append((row["rel"], write_dv_sidecar(path, merged), len(merged)))
+        return pd.DataFrame(out, columns=["rel", "sidecar", "n"])
+
+    merged_rows = work.groupBy("rel").applyInPandas(
+        lambda pdf: _merge(pdf), "rel string, sidecar string, n long"
+    ).collect()
+    consumed = {
+        e["path"]: (e.get("deletes") or None, tuple(e.get("deletes_refs") or ()))
+        for e in hit
+    }
+    by_rel = {r["rel"]: (r["sidecar"], int(r["n"])) for r in merged_rows}
+
+    done = {"n": 0}
+
+    def _swap(cur_man):
+        entries = {e["path"]: e for e in (cur_man or {"entries": []})["entries"]}
+        out = []
+        done["n"] = 0
+        for rel, (sidecar, n) in by_rel.items():
+            e = entries.get(rel)
+            if e is None:
+                continue  # rewritten away meanwhile — nothing to swap
+            cur = (e.get("deletes") or None, tuple(e.get("deletes_refs") or ()))
+            if cur != consumed[rel]:
+                continue  # a concurrent mutation added refs: skip this run
+            ne = dict(e)
+            ne.pop("deletes", None)
+            ne["deletes_refs"] = [sidecar]
+            ne["n_deletes"] = n
+            out.append(ne)
+            done["n"] += 1
+        return out
+
+    def _drops(cur_man):
+        return {e["path"] for e in _swap(cur_man)}
+
+    # one CAS flip: swapped entries replace themselves; untouched-by-us
+    # (or raced) entries carry through verbatim
+    from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        read_manifest as _rm,
+        write_manifest,
+    )
+
+    for _attempt in range(50):
+        cur = _rm(path)
+        swapped = _swap(cur)
+        drop = {e["path"] for e in swapped}
+        entries = [e for e in (cur["entries"] if cur else []) if e["path"] not in drop]
+        gen = (cur.get("generation", 0) + 1) if cur else 1
+        try:
+            write_manifest(
+                path,
+                entries + swapped,
+                generation=gen,
+                properties=(cur or {}).get("properties") or {},
+                operation="consolidate-dv",
+            )
+            break
+        except ManifestConflictError:
+            continue
+    else:
+        raise ManifestConflictError(f"consolidate_dv_refs({path}): lost 50 races")
+    return {
+        "files_consolidated": done["n"],
+        "refs_before": refs_before,
+        "refs_after": done["n"],
+    }

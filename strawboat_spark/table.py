@@ -1170,6 +1170,14 @@ class Table:
             where=where,
         )
 
+    def consolidate_dv_refs(self, max_refs: int = 8) -> dict:
+        """Union a many-times-mutated file's deletion-vector sidecars
+        into one (see maintenance.consolidate_dv_refs — executor-side,
+        race-skipping, idempotent).  Caps per-read ref fan-out."""
+        from strawboat_spark.sources.maintenance import consolidate_dv_refs
+
+        return consolidate_dv_refs(self.spark, self.path, max_refs=max_refs)
+
     def reorg_purge(self, threshold: float = 0.2) -> dict:
         """Delta REORG ... APPLY (PURGE): rewrite only the files whose
         deletion-vector fraction >= threshold, materializing their

@@ -2668,3 +2668,48 @@ def test_reorg_purge_hive_layout(spark, tmp_path):
 
     for e in read_manifest(path)["entries"]:
         assert e["path"].startswith("region=")
+
+
+def test_consolidate_dv_refs(spark, tmp_path):
+    """Ten tiny MOR deletes pile up ten sidecar refs on one file; after
+    consolidation the entry carries ONE ref whose positions equal the
+    union, counts/reads/time-travel unchanged, and the op is
+    executor-side + idempotent."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources import datasource as ds
+    from strawboat_spark.sources.datasource import read_dv_sidecar, read_manifest
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")).coalesce(1))
+    for i in range(10):
+        t.delete(f"k = {i * 7}", mode="mor")
+    e0 = next(e for e in read_manifest(path)["entries"] if e.get("deletes_refs"))
+    assert len(e0["deletes_refs"]) == 10
+
+    real = ds.encode_deletes
+
+    def _poisoned(ordinals):
+        raise AssertionError("driver-side DV encoding during consolidation")
+
+    ds.encode_deletes = _poisoned
+    try:
+        res = t.consolidate_dv_refs(max_refs=4)
+    finally:
+        ds.encode_deletes = real
+    assert res["files_consolidated"] == 1 and res["refs_before"] == 10
+    e1 = next(e for e in read_manifest(path)["entries"] if e.get("deletes_refs"))
+    assert len(e1["deletes_refs"]) == 1 and not e1.get("deletes")
+    assert e1["n_deletes"] == 10
+    assert read_dv_sidecar(f"{path}/{e1['deletes_refs'][0]}") == tuple(
+        i * 7 for i in range(10)
+    )
+    assert t.read().count() == 90 and t.count_rows() == 90
+    # pre-consolidation generations still read through their own refs
+    assert t.read(at_generation=6).count() == 95
+    # idempotent: below the cap now
+    assert t.consolidate_dv_refs(max_refs=4)["files_consolidated"] == 0
+    # history records the verb
+    assert any(h["operation"] == "consolidate-dv" for h in t.history())
