@@ -1287,7 +1287,8 @@ def consolidate_dv_refs(spark, path: str, max_refs: int = 8) -> dict:
             for e in hit
         ],
         "rel string, inline string, refs array<string>",
-    ).repartition(len(hit), "rel")
+    )  # groupBy("rel") below shuffles one file per group; no extra
+    # repartition (its partition count would track the hit-file count)
 
     def _merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         from strawboat_spark.sources.datasource import (
