@@ -40,6 +40,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_expr(hash_family: str, col: str, i: int, seed: int):
+    """The i-th member of the minhash family as a Column.
+
+    - 'xxhash64' (production): xxhash64(shingle, seed+i) — JVM-native
+      long arithmetic, fastest, but has no DuckDB twin.
+    - 'md5' (portable verification twin): the first 15 hex chars (60
+      bits — fits a BIGINT, so min() stays a HashAggregate exactly like
+      production; a 16-char string min would fall to SortAggregate) of
+      md5(shingle || ':' || i), parsed to a bigint.  Every engine with
+      md5() computes the identical value — DuckDB: ('0x' ||
+      substr(md5(s || ':' || i), 1, 15))::BIGINT — which is what lets
+      the LSH pipeline be hash-compared end-to-end (`seed` is not
+      used; the family is fully determined by i).
+    Both families ride the identical plan — only this leaf expression
+    differs."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(col, F.lit(seed + i))
+    if hash_family == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col(col), F.lit(f":{i}"))), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -47,16 +71,18 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures over word shingles.
 
     The i-th hash function is xxhash64(shingle, seed+i) — JVM-native
     long arithmetic (no Python, no wide decimals), one independent
-    64-bit hash family member per i. The whole signature costs ONE
-    explode + ONE groupBy with n_hashes min-aggregates regardless of
-    n_hashes (partial aggregation keeps the shuffle narrow: one row
-    per (doc, 32 longs)).
-    Output: (id_col, sig array<bigint> of length n_hashes).
+    64-bit hash family member per i (hash_family='md5' swaps in the
+    portable engine-independent family, see _minhash_expr). The whole
+    signature costs ONE explode + ONE groupBy with n_hashes
+    min-aggregates regardless of n_hashes (partial aggregation keeps
+    the shuffle narrow: one row per (doc, 32 longs)).
+    Output: (id_col, sig array of length n_hashes).
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     exploded = toked.select(
@@ -64,34 +90,35 @@ def minhash_signatures(
         F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
     )
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+        F.min(_minhash_expr(hash_family, "shingle", i, seed)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = exploded.groupBy(id_col).agg(*mins)
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
-def _banded(signatures: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+def _banded(signatures: DataFrame, id_col: str, n_bands: int, hash_family: str = "xxhash64") -> DataFrame:
     """(id, band, bucket) rows: one (band, band_hash) key per band."""
     sig = signatures.select(F.col(id_col), F.col("sig"))
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
+
+    def _bucket(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # md5 family: the bucket key is itself portable (a hex string)
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
+
     return sig.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
@@ -126,6 +153,7 @@ def lsh_candidate_pairs(
     id_col: str,
     n_bands: int = 8,
     max_bucket_size: int = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band.
 
@@ -150,7 +178,7 @@ def lsh_candidate_pairs(
     slice, which is why the buffer is fine even for a million-member
     degenerate bucket (8 MB), while its pair OUTPUT stays capped.
     """
-    banded = _banded(signatures, id_col, n_bands)
+    banded = _banded(signatures, id_col, n_bands, hash_family)
     members = banded.groupBy("band", "bucket").agg(
         F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket_size).alias("ids")
     )
@@ -180,22 +208,31 @@ def minhash_lsh_dedup(
     n_bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dedup: signatures -> LSH candidates.
     Output: candidate duplicate pairs with estimated jaccard (signature
-    agreement fraction)."""
+    agreement fraction — an exact k/n_hashes binary fraction, so it
+    compares bit-exactly across engines without rounding).
+
+    hash_family='md5' runs the identical pipeline on the portable
+    engine-independent hash family (_minhash_expr): that is the
+    verification twin the driver hash-compares against DuckDB;
+    'xxhash64' stays the production default."""
     # Signatures are referenced three times below (banding + both sides
     # of the pair join); persist so the shingle explode + 32-way min
     # aggregation runs once. Signatures are tiny relative to the corpus
     # (id + n_hashes longs per doc), so this holds at any scale.
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, seed, hash_family
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, hash_family=hash_family)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    # k/n_hashes with n_hashes a power of two is an EXACT binary
+    # fraction — no rounding, bit-identical in any IEEE-754 engine
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -204,7 +241,7 @@ def minhash_lsh_dedup(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
 
 

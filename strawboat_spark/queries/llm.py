@@ -110,14 +110,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures have no DuckDB twin
-    description="MinHash (32 hashes) + LSH banding (8 bands) near-dup candidates",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), hx AS (
+      SELECT doc_id, r.i AS i,
+             min(('0x' || substr(md5(shingle || ':' || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM sh CROSS JOIN range(0, 32) r(i)
+      GROUP BY doc_id, r.i
+    ), sigs AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hx GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, rb.b AS b,
+             md5(array_to_string(
+               sig[CAST(rb.b * 4 + 1 AS INT) : CAST(rb.b * 4 + 4 AS INT)], ',')) AS bucket
+      FROM sigs CROSS JOIN range(0, 8) rb(b)
+    ), ranked AS (
+      SELECT doc_id, b, bucket,
+             row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+      FROM bands
+    ), kept AS (
+      SELECT * FROM ranked WHERE rn <= 256
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM kept x
+      JOIN kept y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_filter(range(1, 33),
+               i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 32.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+    description=(
+        "MinHash (32 hashes) + LSH banding (8 bands) near-dup candidate "
+        "pairs on the PORTABLE md5-derived hash family (60 bits of "
+        "md5(shingle||':'||i) as BIGINT, so the signature agg stays a "
+        "HashAggregate and DuckDB replays the whole pipeline hash-exactly: "
+        "signatures, band buckets, 256-cap, pair expansion, est_jaccard "
+        "as an exact k/32 binary fraction).  xxhash64 stays the "
+        "production default family — same plan, different leaf hash "
+        "(r9 verdict item #1)"
+    ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, "text", "doc_id", n_hashes=32, n_bands=8).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_lsh_dedup(
+        d, "text", "doc_id", n_hashes=32, n_bands=8, hash_family="md5"
+    ).orderBy("id_a", "id_b")
 
 
 @query(

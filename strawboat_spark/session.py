@@ -25,6 +25,24 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_driver_mem() -> str:
+    """min(24g, ~60% of physical RAM), floor 2g: big enough that a
+    32-thread local session doesn't GC-thrash (the r9 adjudication),
+    small enough that hosts with less RAM than the dev box still
+    launch instead of failing at JVM start / getting OOM-killed."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "24g"
+    except OSError:
+        return "24g"
+    return f"{max(2, min(24, int(total_gb * 0.6)))}g"
+
+
 def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     if cpus is None:
@@ -49,7 +67,13 @@ def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> Spa
         # 8g heap GC-thrash under multi-query sessions (adjudicated r9:
         # the minhash bench regression tracked heap pressure + codegen
         # cache eviction, not a plan change — plans fingerprint-equal).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Clamped to ~60% of physical RAM so smaller hosts still launch
+        # (a fixed 24g default would OOM-kill an 8 GB laptop's JVM);
+        # SPARK_GRAFT_DRIVER_MEM stays the explicit override.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
+        )
         # Default compiled-class cache is 100 entries; a multi-query
         # session (19 headline queries x several codegen stages each)
         # evicts and recompiles hot stages every pass.  A long-lived

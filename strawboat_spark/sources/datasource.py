@@ -2081,6 +2081,15 @@ class StrawboatCDFStreamReaderImpl(DataSourceStreamReader):
                 else {"entries": []}
             )
             cur = read_manifest_at(self.path, g)
+            # DV-ref consolidation swaps many sidecar refs for ONE
+            # merged ref WITHOUT changing any decoded vector — pure
+            # metadata (Delta dataChange=false).  Diffing its ref sets
+            # would re-emit every historical deleted row of the file as
+            # a fresh delete event, so the generation is skipped
+            # outright (it never adds/removes files or positions by
+            # construction — maintenance.consolidate_dv_refs).
+            if cur.get("operation") == "consolidate-dv":
+                continue
             # A merge-on-read UPDATE generation identifies its changed
             # rows exactly: the DV delta is the pre-update versions,
             # the landed files are the post-update versions — so the

@@ -451,17 +451,42 @@ def delete_where(spark, path: str, condition: str, mode: str = "cow") -> dict:
     return _mutate_where(spark, path, condition, None)
 
 
-def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
+def _dv_snapshot(man: dict | None) -> dict:
+    """Per-file DV state (inline, ref tuple) of a manifest — captured
+    at mutation-scan time so the CAS merge can tell an untouched entry
+    (additive count is exact) from one a concurrent mutation raced
+    (counts may overlap — recompute from the decoded union)."""
+    return {
+        e["path"]: (e.get("deletes") or None, tuple(e.get("deletes_refs") or ()))
+        for e in (man or {"entries": []})["entries"]
+    }
+
+
+def _dv_entries(man: dict | None, per_rel: dict, path: str = "", snap: dict | None = None) -> list[dict]:
     """`man`'s entries for `per_rel`'s files with a new deletion-vector
     SIDECAR ref appended (per_rel: {rel: (sidecar_rel, n_new)}).  The
     sidecars were already written by EXECUTORS — this merge is pure
-    metadata: append the ref, bump the additive n_deletes count (refs
-    are pairwise disjoint by construction: the mutation scan subtracts
-    existing vectors, so re-deleting a masked row is impossible).
-    Takes the manifest as an argument — callers inside
-    _flip_generation's CAS loop must re-merge against each freshly-read
-    manifest, never a pre-race snapshot."""
-    from strawboat_spark.sources.datasource import ManifestConflictError, entry_dv_count
+    metadata: append the ref and bump the additive n_deletes count.
+
+    Additivity holds only SERIALLY (the mutation scan subtracts the
+    vectors it saw, so re-deleting an already-masked row is
+    impossible); two CONCURRENT mutations that both scanned generation
+    N can mark overlapping positions, and blindly adding the second
+    count would overstate n_deletes (count_rows / DESCRIBE DETAIL /
+    reorg's dv_fraction go wrong — reads stay correct, np.unique).
+    So when `snap` (the scan-time DV state, _dv_snapshot) shows a CAS
+    retry is merging onto an entry someone else changed, n_deletes is
+    recomputed from the DECODED union — rare race path, bounded by
+    that one file's row count.  Takes the manifest as an argument —
+    callers inside _flip_generation's CAS loop must re-merge against
+    each freshly-read manifest, never a pre-race snapshot."""
+    from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        dv_positions,
+        entry_abs,
+        entry_dv_count,
+        read_dv_sidecar,
+    )
 
     by_rel = {e["path"]: e for e in (man or {"entries": []})["entries"]}
     out = []
@@ -477,8 +502,15 @@ def _dv_entries(man: dict | None, per_rel: dict) -> list[dict]:
                 "vectors); re-run the mutation against the new generation"
             )
         e = dict(by_rel[rel])
-        root = ""  # counts only — entry_dv_count never touches refs' content
-        e["n_deletes"] = entry_dv_count(root, e) + int(n_new)
+        state = (e.get("deletes") or None, tuple(e.get("deletes_refs") or ()))
+        if snap is not None and state != snap.get(rel):
+            # raced: a concurrent mutation's vector may overlap ours
+            pos = set(dv_positions(path, e))
+            pos.update(read_dv_sidecar(entry_abs(path, sidecar_rel)))
+            e["n_deletes"] = len(pos)
+        else:
+            # counts only — entry_dv_count never touches refs' content
+            e["n_deletes"] = entry_dv_count("", e) + int(n_new)
         e["deletes_refs"] = list(e.get("deletes_refs") or ()) + [sidecar_rel]
         out.append(e)
     return out
@@ -492,6 +524,7 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
+    snap = _dv_snapshot(read_manifest(path))
     # ONE stats-pruned scan: matched (file, physical ordinal) pairs,
     # grouped per file on the EXECUTORS, which write one deletion-vector
     # sidecar blob each (content-addressed — task retries idempotent).
@@ -511,7 +544,8 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
         return {"files_marked": 0, "rows_deleted": 0}
     per_rel = {_rel(r["file"], path): (r["sidecar"], int(r["n"])) for r in hit}
     _flip_generation(
-        path, set(per_rel), lambda man: _dv_entries(man, per_rel), "delete-mor"
+        path, set(per_rel),
+        lambda man: _dv_entries(man, per_rel, path, snap), "delete-mor"
     )
     return {"files_marked": len(per_rel), "rows_deleted": int(sum(r["n"] for r in hit))}
 
@@ -572,6 +606,7 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
+    snap = _dv_snapshot(read_manifest(path))
     part_cols = list(_part_layout(path))
     df = (
         spark.read.format("strawboat")
@@ -612,7 +647,7 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         _flip_generation(
             path,
             set(per_rel),
-            lambda man: _dv_entries(man, per_rel) + new_entries,
+            lambda man: _dv_entries(man, per_rel, path, snap) + new_entries,
             "update-mor",
         )
         return {
@@ -828,6 +863,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
     register(spark)
     if read_manifest(path) is None:
         publish_manifest(path)
+    snap = _dv_snapshot(read_manifest(path))
     part_cols = list(_part_layout(path))
     source = source.cache()
     n_source = source.count()
@@ -877,7 +913,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
         _flip_generation(
             path,
             set(per_rel),
-            lambda man: _dv_entries(man, per_rel) + new_entries,
+            lambda man: _dv_entries(man, per_rel, path, snap) + new_entries,
             "merge-mor",
         )
         return {
@@ -1231,6 +1267,13 @@ def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
             rows_purged += n_del
     if not candidates:
         return {"files_rewritten": 0, "rows_purged": 0}
+    # DV state of every candidate AT SCAN TIME: the rewrite below bakes
+    # these vectors into clean files, so a concurrent MOR mutation that
+    # commits a new ref on a candidate before our flip would be
+    # silently resurrected if the static `moved` list were published
+    # anyway.  The CAS callable re-checks and ABORTS instead (reorg is
+    # idempotent maintenance — re-run picks up the merged state).
+    snap = _dv_snapshot(man)
     by_leaf: dict[str, list[str]] = {}
     for rel in candidates:
         by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
@@ -1243,7 +1286,27 @@ def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
         stored_cols = [c for c in live.columns if c not in part_cols]
         live.select(*stored_cols).write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
-    _flip_generation(path, set(candidates), moved, "reorg-purge")
+
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    def _checked_moved(cur_man):
+        cur = {e["path"]: e for e in (cur_man or {"entries": []})["entries"]}
+        for rel in candidates:
+            e = cur.get(rel)
+            state = (
+                None
+                if e is None
+                else (e.get("deletes") or None, tuple(e.get("deletes_refs") or ()))
+            )
+            if state != snap.get(rel):
+                raise ManifestConflictError(
+                    f"reorg_purge: candidate {rel!r} was mutated concurrently "
+                    "(its deletion vector changed after the rewrite scan); "
+                    "re-run reorg against the new generation"
+                )
+        return moved
+
+    _flip_generation(path, set(candidates), _checked_moved, "reorg-purge")
     return {"files_rewritten": len(candidates), "rows_purged": int(rows_purged)}
 
 

@@ -188,13 +188,16 @@ def _create(spark: SparkSession, s: str):
             f"(use CREATE OR REPLACE TABLE, or INSERT INTO)"
         )
     df = spark.sql(m.group("q"))
-    n = df.count()
     pb = ",".join(c.strip() for c in (m.group("pb") or "").split(",") if c.strip())
     if pb:
         t.overwrite(df, partition_by=pb)
     else:
         t.overwrite(df)
-    return {"rows_inserted": int(n)}
+    # count AFTER landing, from footer metadata (no data pages): a
+    # pre-write df.count() would execute the source query twice —
+    # wrong for non-deterministic queries (rand(), uuid()) and a full
+    # extra scan for every CTAS
+    return {"rows_inserted": int(t.count_rows())}
 
 
 def _insert(spark: SparkSession, s: str):
@@ -234,11 +237,20 @@ def _insert(spark: SparkSession, s: str):
         # bare INSERT (e.g. VALUES' col1/col2 names): SQL semantics are
         # positional — adopt the table's schema order by position
         df = df.toDF(*tcols)
-    n = df.count()
+    # rows_inserted derives from the manifest row-count delta AFTER the
+    # write lands (metadata-only): a pre-write df.count() executes the
+    # INSERT's source query twice — for non-deterministic sources
+    # (rand(), current_timestamp, uuid()) the rows written would differ
+    # from the rows counted, and every INSERT would pay an extra scan
     if m.group("mode").upper() == "OVERWRITE":
         t.overwrite(df)
+        n = t.count_rows()
     else:
+        from strawboat_spark.sources.datasource import read_manifest
+
+        before = t.count_rows() if read_manifest(t.path) is not None else 0
         t.append(df)
+        n = t.count_rows() - before
     return {"rows_inserted": int(n)}
 
 

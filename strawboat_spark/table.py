@@ -106,7 +106,11 @@ class Table:
         # a merge-on-read DELETE changes rows without changing file sets
         # (vectors compare DECODED, so legacy-list and dv1 encodings of
         # the same ordinals are equal)
-        from strawboat_spark.sources.datasource import decode_deletes, entry_dv_refs
+        from strawboat_spark.sources.datasource import (
+            decode_deletes,
+            dv_positions,
+            entry_dv_refs,
+        )
 
         def _dvkey(e):
             # inline decoded (normalizes legacy-list vs dv1 encodings);
@@ -114,10 +118,24 @@ class Table:
             # mean equal refs = equal vectors, no decode needed
             return (decode_deletes(e.get("deletes")), entry_dv_refs(self.path, e))
 
-        ent_a = {e["path"]: _dvkey(e) for e in man_a["entries"]}
-        ent_b = {e["path"]: _dvkey(e) for e in man_b["entries"]}
-        removed = sorted(p for p, d in ent_a.items() if ent_b.get(p, None) != d)
-        added = sorted(p for p, d in ent_b.items() if ent_a.get(p, None) != d)
+        ent_a = {e["path"]: e for e in man_a["entries"]}
+        ent_b = {e["path"]: e for e in man_b["entries"]}
+
+        def _differs(ea, eb):
+            # fast path: identical inline + ref paths means identical
+            # vectors.  When ref SETS differ the vectors may still be
+            # equal — consolidate_dv_refs swaps many refs for one merged
+            # sidecar without changing a single position — so fall back
+            # to comparing the DECODED union (change-sized driver work,
+            # only for surviving files whose refs were shuffled).
+            if ea is None or eb is None:
+                return True
+            if _dvkey(ea) == _dvkey(eb):
+                return False
+            return dv_positions(self.path, ea) != dv_positions(self.path, eb)
+
+        removed = sorted(p for p, e in ent_a.items() if _differs(e, ent_b.get(p)))
+        added = sorted(p for p, e in ent_b.items() if _differs(ent_a.get(p), e))
 
         def _scan(files: list[str], gen: int) -> DataFrame:
             return (

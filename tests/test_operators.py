@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
@@ -790,3 +791,44 @@ def test_fingerprint_index_incremental_exact_dedup(spark, tmp_path):
     # one index row per distinct content: hello/other + new = 3... plus
     # normalization folds (2, 'Hello   WORLD ') into 0's fingerprint
     assert Table(spark, p).read().count() == 3
+
+
+def test_minhash_hash_families_share_plan_and_semantics(spark):
+    """hash_family='md5' (the portable DuckDB-replayable verification
+    twin, r10) must ride the IDENTICAL physical plan as the xxhash64
+    production family — only the leaf hash expression differs — and
+    both must flag identical documents as certain duplicates with
+    est_jaccard exactly 1.0 (an exact binary fraction, no rounding)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2, F.lit("alpha beta gamma delta epsilon zeta"))
+        .when(F.col("id") < 4, F.lit("one two three four five six seven"))
+        .otherwise(F.concat(F.lit("unique text number "), F.col("id"),
+                            F.lit(" with different words entirely")))
+        .alias("text"),
+    )
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = re.findall(r"^\W*([A-Za-z]+)", plan, re.M)
+        return [o for o in ops if o not in ("InputAdapter", "WholeStageCodegen")]
+
+    prod = minhash_lsh_dedup(docs, "text", "doc_id", n_hashes=32, n_bands=8)
+    twin = minhash_lsh_dedup(
+        docs, "text", "doc_id", n_hashes=32, n_bands=8, hash_family="md5"
+    )
+    assert shape(prod) == shape(twin)
+
+    for fam_df in (prod, twin):
+        got = {(r.id_a, r.id_b): r.est_jaccard for r in fam_df.collect()}
+        assert got[(0, 1)] == 1.0 and got[(2, 3)] == 1.0
+        assert all(a < b for a, b in got)
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_lsh_dedup(docs, "text", "doc_id", hash_family="sha9000").collect()

@@ -316,3 +316,38 @@ def test_sql_constraints_and_tblproperties(spark, tmp_path):
     execute_sql(spark, f"DELETE FROM strawboat.`{path}` WHERE k = 0 WITH (mode='mor')")
     d2 = execute_sql(spark, f"DESCRIBE DETAIL strawboat.`{path}`").collect()[0]
     assert d2.n_deleted_rows == 1 and d2.n_rows == 4
+
+
+def test_insert_counts_landed_rows_not_precount(spark, tmp_path):
+    """INSERT's rows_inserted derives from the manifest row-count delta
+    AFTER the write lands (metadata-only) — a pre-write df.count()
+    would execute the source query twice, which is wrong for
+    non-deterministic sources and an extra scan for every INSERT."""
+    t, path = _tbl(spark, tmp_path, n=20)
+    # non-deterministic row COUNT: a second execution would almost
+    # surely land a different number of rows than the one counted
+    res = execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` "
+        "SELECT id AS k, id % 5 AS g, id * 10 AS v "
+        "FROM range(2000) WHERE rand() < 0.5",
+    )
+    assert res["rows_inserted"] == t.count_rows() - 20
+    before = t.count_rows()
+    res = execute_sql(
+        spark,
+        f"INSERT INTO strawboat.`{path}` "
+        "SELECT id AS k, id % 5 AS g, id * 10 AS v FROM range(7)",
+    )
+    assert res["rows_inserted"] == 7 == t.count_rows() - before
+
+
+def test_default_driver_memory_clamps_to_host(monkeypatch):
+    """The 24g local-session default clamps to ~60% of physical RAM so
+    hosts smaller than the dev box still launch a JVM."""
+    from strawboat_spark.session import _default_driver_mem
+
+    v = _default_driver_mem()
+    assert v.endswith("g")
+    n = int(v[:-1])
+    assert 2 <= n <= 24

@@ -2713,3 +2713,107 @@ def test_consolidate_dv_refs(spark, tmp_path):
     assert t.consolidate_dv_refs(max_refs=4)["files_consolidated"] == 0
     # history records the verb
     assert any(h["operation"] == "consolidate-dv" for h in t.history())
+
+
+def test_consolidation_is_pure_metadata_in_change_feeds(spark, tmp_path):
+    """DV-ref consolidation swaps many sidecar refs for one merged ref
+    without changing a single decoded position (Delta dataChange=false
+    analog) — so neither the batch CDF (Table.changes) nor the
+    streaming CDF may re-emit the file's historical deletes as fresh
+    change events across the consolidation generation."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import (
+        StrawboatCDFStreamReaderImpl,
+        read_manifest,
+    )
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")).coalesce(1))
+    for i in range(6):
+        t.delete(f"k = {i * 5}", mode="mor")
+    gen_pre = read_manifest(path)["generation"]
+    res = t.consolidate_dv_refs(max_refs=2)
+    assert res["files_consolidated"] == 1
+    gen_post = read_manifest(path)["generation"]
+    assert gen_post == gen_pre + 1
+
+    # batch feed across the consolidation: nothing changed
+    assert t.changes(gen_pre).count() == 0
+    # streaming feed: the consolidation generation plans ZERO partitions
+    impl = StrawboatCDFStreamReaderImpl({"path": path}, t.read().schema)
+    assert impl.partitions({"gen": gen_pre}, {"gen": gen_post}) == []
+    # and a feed SPANNING it still carries the real neighbors exactly:
+    # one more MOR delete after consolidation -> only its delta streams
+    t.delete("k = 51", mode="mor")
+    parts = impl.partitions({"gen": gen_pre}, {"gen": gen_post + 1})
+    assert len(parts) == 1 and parts[0].kind == "delete_rows"
+
+
+def test_dv_entries_recounts_union_when_raced(tmp_path):
+    """Two concurrent MOR mutations that both scanned generation N can
+    mark overlapping positions; the CAS retry must not double-count the
+    overlap into n_deletes (reads dedupe, but count_rows/DESCRIBE
+    DETAIL/reorg's dv_fraction would go wrong)."""
+    from strawboat_spark.sources.datasource import write_dv_sidecar
+    from strawboat_spark.sources.maintenance import _dv_entries
+
+    root = str(tmp_path)
+    ref_theirs = write_dv_sidecar(root, [1, 2, 3])
+    ref_ours = write_dv_sidecar(root, [2, 3, 4])
+
+    # scan-time snapshot: entry had NO vectors; fresh manifest shows a
+    # concurrent committer's ref -> raced -> recompute from the union
+    man = {"entries": [{"path": "f.sb", "deletes_refs": [ref_theirs], "n_deletes": 3}]}
+    out = _dv_entries(man, {"f.sb": (ref_ours, 3)}, root, {"f.sb": (None, ())})
+    assert out[0]["n_deletes"] == 4  # union {1,2,3,4}, not 3+3
+    assert out[0]["deletes_refs"] == [ref_theirs, ref_ours]
+
+    # serial path (snapshot matches): additive fast path, no decode
+    snap = {"f.sb": (None, (ref_theirs,))}
+    out = _dv_entries(man, {"f.sb": (ref_ours, 3)}, root, snap)
+    assert out[0]["n_deletes"] == 6  # disjoint-by-construction contract
+
+
+def test_reorg_purge_aborts_on_concurrent_dv_mutation(spark, tmp_path, monkeypatch):
+    """A MOR delete that commits on a REORG candidate between the
+    rewrite scan and the flip must not be silently resurrected by the
+    purge's pre-race rewrite: the flip re-checks each candidate's DV
+    state and aborts with a conflict; a re-run then succeeds."""
+    import pyspark.sql.functions as F
+
+    import strawboat_spark.sources.maintenance as mt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")).coalesce(1))
+    t.delete("k < 30", mode="mor")  # 30% deleted -> purge candidate
+
+    real = mt._read_files
+    state = {"fired": False}
+
+    def hooked(sp, p, rels):
+        df = real(sp, p, rels)
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent mutation lands AFTER reorg's candidate scan
+            Table(spark, path).delete("k = 50", mode="mor")
+        return df
+
+    monkeypatch.setattr(mt, "_read_files", hooked)
+    with pytest.raises(ManifestConflictError, match="mutated concurrently"):
+        t.reorg_purge(threshold=0.2)
+    monkeypatch.setattr(mt, "_read_files", real)
+
+    # the concurrent delete survived the aborted purge
+    assert t.read().filter("k = 50").count() == 0
+    assert t.count_rows() == 69
+    # re-run against the merged state succeeds and keeps both deletes
+    res = t.reorg_purge(threshold=0.2)
+    assert res["files_rewritten"] == 1
+    got = {r.k for r in t.read().collect()}
+    assert got == {i for i in range(100) if i >= 30 and i != 50}
