@@ -552,26 +552,39 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
 
 def _write_dv_sidecars(marked, root: str) -> list:
     """Executor-side deletion-vector construction: group `marked`
-    (_strawboat_file, _strawboat_pos) by file, each group's task packs
-    its ordinals into one sidecar blob under root/_strawboat_dv and
-    returns the metadata row.  Driver-side result is bounded by the
-    marked FILE count (manifest-scale), not the row count."""
-    import pandas as pd
+    (_strawboat_file, _strawboat_pos) by file, pack each file's
+    ordinals into one sidecar blob under root/_strawboat_dv and return
+    the metadata rows.  Driver-side result is bounded by the marked
+    FILE count (manifest-scale), not the row count.
 
-    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    The grouping runs JVM-side (groupBy + sort_array(collect_set) —
+    partial aggregation, one binary shuffle); Python sees ONE Arrow
+    row per file with its already-sorted position array and only packs
+    bytes + writes the blob.  The r9 applyInPandas formulation shipped
+    every matched ROW (file-path string included) through Arrow into
+    Python workers — at a 1% delete on 100 TB that is ~10^9 row
+    transfers vs file-count rows here (and it was the measured
+    r8→r9 uptick on the bench gate at sf0.1)."""
+    import pyspark.sql.functions as F
+
+    def _pack_iter(batches):
+        import pandas as pd
+
         from strawboat_spark.sources.datasource import write_dv_sidecar
 
-        pos = sorted(int(v) for v in pdf["_strawboat_pos"].unique())
-        rel = write_dv_sidecar(root, pos)
-        return pd.DataFrame(
-            {"file": [pdf["_strawboat_file"].iloc[0]], "sidecar": [rel], "n": [len(pos)]}
-        )
+        for pdf in batches:
+            out = []
+            for file, pos in zip(pdf["file"], pdf["positions"]):
+                rel = write_dv_sidecar(root, [int(v) for v in pos])
+                out.append((file, rel, len(pos)))
+            yield pd.DataFrame(out, columns=["file", "sidecar", "n"])
 
-    return (
-        marked.groupBy("_strawboat_file")
-        .applyInPandas(_pack, "file string, sidecar string, n long")
-        .collect()
+    agged = marked.groupBy(F.col("_strawboat_file").alias("file")).agg(
+        F.sort_array(F.collect_set("_strawboat_pos")).alias("positions")
     )
+    return agged.mapInPandas(
+        _pack_iter, "file string, sidecar string, n long"
+    ).collect()
 
 
 def update_where(
