@@ -547,6 +547,188 @@ class _FsspecFileSystem:
         )
 
 
+class _S3WriteHandle(io.BytesIO):
+    """Commit-at-close PUT (the object-store write model): bytes
+    buffer locally, one PutObject publishes atomically at close();
+    abort() discards without publishing.  `exclusive` adds
+    If-None-Match:* — the server-enforced CAS the manifest commit
+    protocol rides on (same contract the moto integration tests pin
+    for the fsspec adapter)."""
+
+    def __init__(self, fs: "S3FileSystem", bucket: str, key: str, exclusive: bool):
+        super().__init__()
+        self._s3fs = fs
+        self._bucket = bucket
+        self._obj_key = key
+        self._exclusive = exclusive
+        self._done = False
+
+    def close(self) -> None:
+        if self._done or self.closed:
+            return
+        self._done = True
+        body = self.getvalue()
+        super().close()
+        kw = {"IfNoneMatch": "*"} if self._exclusive else {}
+        try:
+            self._s3fs._client().put_object(
+                Bucket=self._bucket, Key=self._obj_key, Body=body, **kw
+            )
+        except Exception as e:  # noqa: BLE001 - classify by the server's answer
+            if self._exclusive and _is_precondition_failure(e):
+                raise FileExistsError(
+                    f"s3://{self._bucket}/{self._obj_key}: lost the conditional PUT"
+                ) from e
+            raise
+
+    def abort(self) -> None:
+        self._done = True
+        super().close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *_):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
+
+
+class S3FileSystem:
+    """boto3-backed S3 implementation of the filesystem seam — the
+    object-store twin of MemoryFileSystem (flat keys, no directories,
+    PUT-at-close publishes atomically, If-None-Match CAS).  Used when
+    fsspec/s3fs are absent; endpoint override via the
+    STRAWBOAT_S3_ENDPOINT env var (e.g. a moto server or MinIO),
+    credentials/region from the standard AWS env/config chain.
+
+    The client is built lazily PER PROCESS (pid-checked): Spark's
+    Python workers are separate processes and boto3 clients are not
+    fork-safe, so each worker constructs its own on first use.
+    open_read buffers the whole object — stripe-sized data files and
+    manifest/sidecar blobs, the only things the engine stores; the
+    planner's footer reads come from the manifest cache, not here."""
+
+    def __init__(self, scheme: str = "s3"):
+        self._scheme = scheme
+        self._c = None
+        self._pid = None
+
+    def _client(self):
+        if self._c is None or self._pid != os.getpid():
+            import boto3
+
+            self._c = boto3.client(
+                "s3", endpoint_url=os.environ.get("STRAWBOAT_S3_ENDPOINT") or None
+            )
+            self._pid = os.getpid()
+        return self._c
+
+    def _bk(self, path: str) -> tuple[str, str]:
+        rest = split_scheme(path)[1].rstrip("/")
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _url(self, bucket: str, key: str) -> str:
+        return f"{self._scheme}://{bucket}/{key}"
+
+    def open_read(self, path: str):
+        bucket, key = self._bk(path)
+        body = self._client().get_object(Bucket=bucket, Key=key)["Body"].read()
+        return io.BytesIO(body)
+
+    def create(self, path: str) -> _S3WriteHandle:
+        bucket, key = self._bk(path)
+        return _S3WriteHandle(self, bucket, key, exclusive=False)
+
+    def create_exclusive(self, path: str) -> _S3WriteHandle:
+        bucket, key = self._bk(path)
+        return _S3WriteHandle(self, bucket, key, exclusive=True)
+
+    def _iter_keys(self, bucket: str, prefix: str):
+        paginator = self._client().get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            yield from page.get("Contents", ())
+
+    def list_files(self, path: str, suffix: str) -> list[str]:
+        bucket, key = self._bk(path)
+        return sorted(
+            self._url(bucket, o["Key"])
+            for o in self._iter_keys(bucket, key + "/")
+            if o["Key"].endswith(suffix)
+        )
+
+    def isdir(self, path: str) -> bool:
+        bucket, key = self._bk(path)
+        return any(True for _ in self._iter_keys(bucket, key + "/"))
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._bk(path)
+        try:
+            self._client().head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:  # noqa: BLE001 - 404 classes vary by endpoint
+            return self.isdir(path)
+
+    def remove(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        # S3 DeleteObject is idempotent/silent on missing keys; the
+        # seam's contract (LocalFileSystem.remove) raises — check first
+        self._client().head_object(Bucket=bucket, Key=key)
+        self._client().delete_object(Bucket=bucket, Key=key)
+
+    def makedirs(self, path: str) -> None:
+        return None  # object stores have no directories
+
+    def _head(self, path: str):
+        bucket, key = self._bk(path)
+        return self._client().head_object(Bucket=bucket, Key=key)
+
+    def stat_sig(self, path: str) -> tuple:
+        h = self._head(path)
+        return (int(h["ContentLength"]), h["ETag"].strip('"'))
+
+    def mtime_ns(self, path: str) -> int:
+        return int(self._head(path)["LastModified"].timestamp() * 1e9)
+
+    def age_seconds(self, path: str) -> float:
+        import time
+
+        return time.time() - self._head(path)["LastModified"].timestamp()
+
+    def move(self, src: str, dst: str) -> None:
+        # object-store "rename": server-side copy + delete (no atomic
+        # rename exists; same model as MemoryFileSystem.move)
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dst)
+        c = self._client()
+        c.copy_object(Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk})
+        c.delete_object(Bucket=sb, Key=sk)
+
+    def remove_tree(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        batch = []
+        c = self._client()
+        for o in self._iter_keys(bucket, key + "/"):
+            batch.append({"Key": o["Key"]})
+            if len(batch) == 1000:
+                c.delete_objects(Bucket=bucket, Delete={"Objects": batch})
+                batch = []
+        if batch:
+            c.delete_objects(Bucket=bucket, Delete={"Objects": batch})
+
+    def list_dirs(self, path: str) -> list[str]:
+        bucket, key = self._bk(path)
+        prefix = key + "/"
+        dirs: set[str] = set()
+        for o in self._iter_keys(bucket, prefix):
+            parts = o["Key"][len(prefix):].split("/")[:-1]
+            for i in range(1, len(parts) + 1):
+                dirs.add(prefix + "/".join(parts[:i]))
+        return sorted(self._url(bucket, d) for d in dirs)
+
+
 _LOCAL = LocalFileSystem()
 _MEMORY = MemoryFileSystem()
 _REGISTRY: dict[str, object] = {"": _LOCAL, "file": _LOCAL, "memory": _MEMORY}
@@ -561,12 +743,26 @@ def get_fs(path: str):
     fs = _REGISTRY.get(scheme)
     if fs is not None:
         return fs
+    if scheme in ("s3", "s3a"):
+        # native boto3 backend first (present without fsspec/s3fs; the
+        # standard AWS env/config chain + STRAWBOAT_S3_ENDPOINT apply) —
+        # it must resolve identically in every Spark Python worker
+        # process, which all run this same fallback on first use
+        try:
+            import boto3  # noqa: F401
+
+            fs = S3FileSystem(scheme)
+            _REGISTRY[scheme] = fs
+            return fs
+        except ImportError:
+            pass
     try:
         fs = _FsspecFileSystem(scheme)
     except ImportError as e:
         raise ValueError(
-            f"no filesystem registered for scheme {scheme!r} and fsspec is "
-            f"not installed (register one via register_filesystem)"
+            f"no filesystem registered for scheme {scheme!r} and neither "
+            f"boto3 (s3) nor fsspec is installed (register one via "
+            f"register_filesystem)"
         ) from e
     _REGISTRY[scheme] = fs
     return fs
