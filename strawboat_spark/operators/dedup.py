@@ -45,23 +45,73 @@ def _minhash_expr(hash_family: str, col: str, i: int, seed: int):
 
     - 'xxhash64' (production): xxhash64(shingle, seed+i) — JVM-native
       long arithmetic, fastest, but has no DuckDB twin.
-    - 'md5' (portable verification twin): the first 15 hex chars (60
-      bits — fits a BIGINT, so min() stays a HashAggregate exactly like
-      production; a 16-char string min would fall to SortAggregate) of
-      md5(shingle || ':' || i), parsed to a bigint.  Every engine with
-      md5() computes the identical value — DuckDB: ('0x' ||
-      substr(md5(s || ':' || i), 1, 15))::BIGINT — which is what lets
-      the LSH pipeline be hash-compared end-to-end (`seed` is not
-      used; the family is fully determined by i).
-    Both families ride the identical plan — only this leaf expression
-    differs."""
+    - 'md5' (portable verification twin): ONE md5 per shingle (see
+      _md5_base_expr) + a per-i affine transform (_md5_member_expr);
+      that path is wired inside minhash_signatures because every i
+      shares the base column (`seed` is not used; the family is fully
+      determined by i).
+    Both families ride the identical plan — only the leaf expressions
+    differ."""
     if hash_family == "xxhash64":
         return F.xxhash64(col, F.lit(seed + i))
-    if hash_family == "md5":
-        return F.conv(
-            F.substring(F.md5(F.concat(F.col(col), F.lit(f":{i}"))), 1, 15), 16, 10
-        ).cast("bigint")
     raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+
+
+# ---- the portable ('md5') hash family ---------------------------------
+# r10's family was md5(shingle || ':' || i) — portable and exact, but 32
+# md5 invocations PER SHINGLE made the flagship gate ~1.6x slower
+# (BENCH_r10: 1.97 -> 3.08 s).  This family computes ONE md5 per shingle
+# and derives the i-th member as a Carter-Wegman transform over the
+# Mersenne prime M = 2^61-1:
+#
+#   hb  = 60 bits of md5(shingle)           -- one digest per row
+#   h_i = (A_i * hb + C_i) mod M
+#
+# The multiply wraps M about A_i/2 times (~2^30), fully scrambling the
+# order — a near-monotone transform (small coefficients, no wrap) would
+# let one globally-small-base shingle win the argmin for EVERY i,
+# collapsing signatures into band collisions (measured: 15x candidate-
+# pair explosion).  (A_i * hb) mod M is computed in pure signed-64
+# arithmetic both engines evaluate identically, via the Mersenne
+# rotation identity  x * 2^30 ≡ rot61(x, 30) (mod M), since 2^61 ≡ 1:
+#
+#   h1 = hb >> 30, h2 = hb & (2^30-1)            # hb = h1*2^30 + h2
+#   t  = (A_i * h1) mod M                        # A_i*h1 < 2^62
+#   u  = (t & (2^31-1)) * 2^30 + (t >> 31)       # ≡ t*2^30 (mod M)
+#   h_i = u + A_i * h2 + C_i                     # < 2^62: kept UNREDUCED
+#
+# u and h_i deliberately skip their `mod M` (they already fit signed
+# 64): members only feed min() and equality, which any consistent
+# representative serves, and one mod per member instead of three is
+# measurably cheaper at 32 members per shingle row.
+# A_i/C_i are < 2^31 and derived arithmetically from i, so the DuckDB
+# oracle inlines the same formulas instead of embedding 64 constants.
+_MERSENNE61 = (1 << 61) - 1
+_MD5_BASE_COL = "__strawboat_hb"
+
+
+def _md5_affine_consts(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % 2147483647 + 1
+    c = (3266489917 * (i + 13)) % 2147483647
+    return a, c
+
+
+def _md5_base_expr(col: str):
+    """60 bits of md5(col) as BIGINT (15 hex chars — fits signed 64, so
+    min() stays a HashAggregate exactly like production; DuckDB twin:
+    ('0x' || substr(md5(s), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def _md5_member_expr(i: int):
+    a, c = _md5_affine_consts(i)
+    M = F.lit(_MERSENNE61)
+    hb = F.col(_MD5_BASE_COL)
+    h1 = F.shiftright(hb, 30)  # hb is non-negative: >>30 == div 2^30
+    h2 = hb.bitwiseAND(F.lit((1 << 30) - 1))
+    t = (F.lit(a) * h1) % M
+    u = t.bitwiseAND(F.lit((1 << 31) - 1)) * F.lit(1 << 30) + F.shiftright(t, 31)
+    return u + F.lit(a) * h2 + F.lit(c)
 
 
 def minhash_signatures(
@@ -89,10 +139,16 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
     )
-    mins = [
-        F.min(_minhash_expr(hash_family, "shingle", i, seed)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_family == "md5":
+        # ONE digest per shingle row, materialized as a column so every
+        # member expression shares it (no reliance on codegen CSE)
+        exploded = exploded.withColumn(_MD5_BASE_COL, _md5_base_expr("shingle"))
+        mins = [F.min(_md5_member_expr(i)).alias(f"h{i}") for i in range(n_hashes)]
+    else:
+        mins = [
+            F.min(_minhash_expr(hash_family, "shingle", i, seed)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     sig = exploded.groupBy(id_col).agg(*mins)
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 

@@ -118,11 +118,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
                      for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
       FROM tok WHERE len(ts) >= 3
+    ), hb AS (
+      -- ONE md5 per shingle; members are Carter-Wegman transforms of
+      -- the base over M = 2^61-1, multiplied via the Mersenne rotation
+      -- identity (operators/dedup.py _md5_member_expr — identical
+      -- signed-64 arithmetic, all intermediates < 2^63)
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb FROM sh
+    ), ht AS (
+      SELECT doc_id, hb, r.i AS i,
+             ((2654435761 * (r.i + 1)) % 2147483647 + 1) AS a,
+             (3266489917 * (r.i + 13)) % 2147483647 AS c
+      FROM hb CROSS JOIN range(0, 32) r(i)
+    ), hu AS (
+      SELECT doc_id, hb, i, a, c,
+             (a * (hb // 1073741824)) % 2305843009213693951 AS t
+      FROM ht
     ), hx AS (
-      SELECT doc_id, r.i AS i,
-             min(('0x' || substr(md5(shingle || ':' || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS h
-      FROM sh CROSS JOIN range(0, 32) r(i)
-      GROUP BY doc_id, r.i
+      -- u and h stay UNREDUCED mod M (they fit signed 64; min/equality
+      -- only need a consistent representative — see _md5_member_expr)
+      SELECT doc_id, i,
+             min((t % 2147483648) * 1073741824 + t // 2147483648
+                + a * (hb % 1073741824) + c) AS h
+      FROM hu
+      GROUP BY doc_id, i
     ), sigs AS (
       SELECT doc_id, list(h ORDER BY i) AS sig FROM hx GROUP BY doc_id
     ), bands AS (
@@ -152,13 +170,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description=(
         "MinHash (32 hashes) + LSH banding (8 bands) near-dup candidate "
-        "pairs on the PORTABLE md5-derived hash family (60 bits of "
-        "md5(shingle||':'||i) as BIGINT, so the signature agg stays a "
-        "HashAggregate and DuckDB replays the whole pipeline hash-exactly: "
-        "signatures, band buckets, 256-cap, pair expansion, est_jaccard "
-        "as an exact k/32 binary fraction).  xxhash64 stays the "
-        "production default family — same plan, different leaf hash "
-        "(r9 verdict item #1)"
+        "pairs on the PORTABLE md5-derived hash family: ONE md5 per "
+        "shingle (60 bits as BIGINT) + per-i affine transforms mod "
+        "2^61-1, so the signature agg stays a HashAggregate and DuckDB "
+        "replays the whole pipeline hash-exactly: signatures, band "
+        "buckets, 256-cap, pair expansion, est_jaccard as an exact k/32 "
+        "binary fraction.  xxhash64 stays the production default family "
+        "— same plan, different leaf hash (r9 verdict item #1; one-md5 "
+        "family replaced r10's 32-md5-per-shingle after BENCH_r10 showed "
+        "the 1.6x cost)"
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

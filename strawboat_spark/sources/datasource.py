@@ -600,6 +600,26 @@ def read_manifest_at(root: str, generation: int) -> dict:
     )
 
 
+def find_commit(root: str, commit_uuid: str, after_generation: int = 0) -> dict | None:
+    """Locate the manifest generation a specific job published, by the
+    `commit_uuid` stamp it wrote (writer option of the same name).
+    Scans forward from `after_generation`+1 to the head — O(concurrent
+    commits) small JSON reads, exact under racing committers (each
+    commit is its own immutable generation file carrying its own
+    commit_metrics). Returns the manifest doc, or None when the stamp
+    is not found (e.g. the write path didn't plumb the option)."""
+    fs = get_fs(root)
+    cur = read_manifest(root)
+    head = cur.get("generation", 0) if cur else 0
+    for gen in range(after_generation + 1, head + 1):
+        man = _read_manifest_file(fs, _gen_path(root, gen))
+        if man is None and gen == head:
+            man = cur
+        if man is not None and man.get("commit_uuid") == commit_uuid:
+            return man
+    return None
+
+
 def list_generations(root: str) -> list[dict]:
     """Table history: [{generation, n_files, current}] for every
     generation still on disk, oldest first."""
@@ -668,6 +688,7 @@ def write_manifest(
     generation: int | None = None,
     properties: dict | None = None,
     operation: str | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Publish `entries` as the next manifest generation via CAS: the
     generation file is create-if-absent, so of two racing committers
@@ -708,6 +729,10 @@ def write_manifest(
         # commit verb (DESCRIBE HISTORY's operation column) — a fact
         # about THIS commit, never carried forward like properties
         doc["operation"] = operation
+    if extra:
+        # per-commit facts (commit_uuid stamp, commit_metrics) — like
+        # `operation`, they describe THIS commit and never carry forward
+        doc.update(extra)
     payload = json.dumps(doc).encode()
     try:
         with fs.create_exclusive(_gen_path(root, generation)) as h:
@@ -791,6 +816,7 @@ def publish_manifest(
     replace: bool = False,
     properties: dict | None = None,
     operation: str | None = None,
+    commit_uuid: str | None = None,
 ) -> None:
     """Commit-time manifest refresh: prior entries still on disk plus
     the just-committed files (with executor-provided footer meta).
@@ -826,6 +852,30 @@ def publish_manifest(
     # plain (/t/x.strb) — a raw string match would drop valid files.
     def _norm(p: str) -> str:
         return os.path.normpath(backend_path(p))
+
+    # Per-commit metrics from THIS commit's own messages (footer metas
+    # carry num_rows) — the exact "rows this INSERT landed" under
+    # concurrency, where a before/after table-wide count_rows() delta
+    # would attribute a racing committer's rows to this commit.
+    extra: dict | None = None
+    if messages:
+        rows_written = 0
+        files_added = 0
+        for m in messages:
+            if m is None:
+                continue
+            files_added += len(m.files)
+            for meta in m.metas or ():
+                if meta:
+                    rows_written += int(meta.get("num_rows", 0))
+        extra = {
+            "commit_metrics": {
+                "rows_written": rows_written,
+                "files_added": files_added,
+            }
+        }
+        if commit_uuid:
+            extra["commit_uuid"] = commit_uuid
 
     for _attempt in range(50):
         on_disk = (
@@ -890,6 +940,7 @@ def publish_manifest(
                 properties=props,
                 operation=operation
                 or ("adopt" if not messages else "overwrite" if replace else "append"),
+                extra=extra,
             )
             return
         except ManifestConflictError:
@@ -2256,6 +2307,11 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
 
         mp = options.get("manifest_properties")
         self.manifest_properties = json.loads(mp) if mp else None
+        # Caller-supplied stamp written into the committed manifest so
+        # the caller can find THE generation this job published (and
+        # its commit_metrics) under concurrent committers — the SQL
+        # INSERT rows_inserted path rides this.
+        self.commit_uuid = options.get("commit_uuid") or None
         # Runs on the driver: prepare the output directory.
         self.overwrite = overwrite
         fs = get_fs(self.path)
@@ -2393,36 +2449,47 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 open_files[reldir] = (h, w, final)
             return open_files[reldir][1]
 
-        for batch in iterator:
-            if batch.schema != arrow_schema:
-                batch = batch.cast(arrow_schema, safe=False)
-            tbl = pa.Table.from_batches([batch])
-            # distinct partition tuples in this batch (cheap: group_by on
-            # the already-in-memory arrow batch)
-            combos = tbl.select(part_cols).group_by(part_cols).aggregate([]).to_pylist()
-            for combo in combos:
-                mask = None
-                for c in part_cols:
-                    m = (
-                        pc.is_null(tbl[c])
-                        if combo[c] is None
-                        else pc.equal(tbl[c], pa.scalar(combo[c], type=tbl.schema.field(c).type))
+        try:
+            for batch in iterator:
+                if batch.schema != arrow_schema:
+                    batch = batch.cast(arrow_schema, safe=False)
+                tbl = pa.Table.from_batches([batch])
+                # distinct partition tuples in this batch (cheap: group_by on
+                # the already-in-memory arrow batch)
+                combos = tbl.select(part_cols).group_by(part_cols).aggregate([]).to_pylist()
+                for combo in combos:
+                    mask = None
+                    for c in part_cols:
+                        m = (
+                            pc.is_null(tbl[c])
+                            if combo[c] is None
+                            else pc.equal(tbl[c], pa.scalar(combo[c], type=tbl.schema.field(c).type))
+                        )
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                    sub = tbl.filter(pc.fill_null(mask, False)).select(stored.names)
+                    reldir = os.sep.join(
+                        f"{c}={_HIVE_NULL if combo[c] is None else urllib.parse.quote(str(combo[c]), safe='')}"
+                        for c in part_cols
                     )
-                    mask = m if mask is None else pc.and_kleene(mask, m)
-                sub = tbl.filter(pc.fill_null(mask, False)).select(stored.names)
-                reldir = os.sep.join(
-                    f"{c}={_HIVE_NULL if combo[c] is None else urllib.parse.quote(str(combo[c]), safe='')}"
-                    for c in part_cols
-                )
-                w = _writer_for(reldir)
-                for b in sub.to_batches():
-                    w.write_batch(b)
-        files = []
-        metas = []
-        for h, w, final in open_files.values():
-            metas.append(_meta_json_dict(w.finish()))
-            h.close()
-            files.append(final)
+                    w = _writer_for(reldir)
+                    for b in sub.to_batches():
+                        w.write_batch(b)
+            files = []
+            metas = []
+            for h, w, final in open_files.values():
+                metas.append(_meta_json_dict(w.finish()))
+                h.close()
+                files.append(final)
+        except BaseException:
+            # a failed task must DISCARD its open handles: on an object
+            # store close() publishes (PutObject), so the default
+            # close-on-GC path would durably PUT truncated files
+            for h, _w, _final in open_files.values():
+                try:
+                    getattr(h, "abort", h.close)()
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
+            raise
         return _Commit(
             files=files, metas=metas, schemas_b64=[_schema_b64(stored)] * len(files)
         )
@@ -2433,6 +2500,7 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
             messages,
             replace=self.overwrite,
             properties=self.manifest_properties,
+            commit_uuid=self.commit_uuid,
         )
         return None
 

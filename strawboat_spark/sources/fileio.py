@@ -187,6 +187,12 @@ class _MemoryWriteHandle(io.BytesIO):
         self._published = True  # discard without publishing
         super().close()
 
+    def __del__(self):
+        # GC of an abandoned handle must discard, not publish (the
+        # IOBase default would call close(), i.e. PUT) — same contract
+        # as _S3WriteHandle/_AtomicLocalFile.
+        self.abort()
+
     def __enter__(self):
         return self
 
@@ -347,6 +353,42 @@ _PRECONDITION_MARKERS = (
 def _is_precondition_failure(exc: BaseException) -> bool:
     s = str(exc).lower().replace(" ", "")
     return any(m.replace(" ", "") in s for m in _PRECONDITION_MARKERS)
+
+
+# The filesystem seam's error contract is OSError/FileNotFoundError
+# (LocalFileSystem raises exactly those); every race-tolerant caller —
+# vacuum, delete_manifest, writer abort, _read_manifest_file — guards
+# with `except (OSError, KeyError)`. botocore's ClientError is NOT an
+# OSError, so S3 must classify by the server's answer and re-raise
+# inside the contract, or a concurrently-deleted key crashes
+# maintenance on S3 while being tolerated on local/memory.
+_S3_MISSING_CODES = frozenset({"404", "NoSuchKey", "NoSuchBucket", "NotFound"})
+
+
+def _s3_error_code(exc: BaseException) -> str:
+    resp = getattr(exc, "response", None)
+    if not isinstance(resp, dict):
+        return ""
+    code = str((resp.get("Error") or {}).get("Code") or "")
+    if not code:
+        code = str((resp.get("ResponseMetadata") or {}).get("HTTPStatusCode") or "")
+    return code
+
+
+def _s3_reraise(exc: BaseException, path: str) -> None:
+    """Re-raise a botocore ClientError as the seam's contract types:
+    missing key/bucket -> FileNotFoundError, anything else (auth,
+    throttle, network-shaped 5xx) -> OSError."""
+    code = _s3_error_code(exc)
+    if code in _S3_MISSING_CODES:
+        raise FileNotFoundError(path) from exc
+    raise OSError(f"{path}: S3 {code or type(exc).__name__}: {exc}") from exc
+
+
+def _s3_client_error():
+    from botocore.exceptions import ClientError
+
+    return ClientError
 
 
 class _FsspecFileSystem:
@@ -579,11 +621,20 @@ class _S3WriteHandle(io.BytesIO):
                 raise FileExistsError(
                     f"s3://{self._bucket}/{self._obj_key}: lost the conditional PUT"
                 ) from e
+            if isinstance(e, _s3_client_error()):
+                _s3_reraise(e, f"s3://{self._bucket}/{self._obj_key}")
             raise
 
     def abort(self) -> None:
         self._done = True
         super().close()
+
+    def __del__(self):
+        # io.IOBase.__del__ would call close() — which PUBLISHES. A
+        # handle abandoned by a failed task must discard at GC, never
+        # durably PUT its partial buffer (matches _AtomicLocalFile,
+        # where GC leaves only an unpublished tmp).
+        self.abort()
 
     def __enter__(self):
         return self
@@ -635,7 +686,10 @@ class S3FileSystem:
 
     def open_read(self, path: str):
         bucket, key = self._bk(path)
-        body = self._client().get_object(Bucket=bucket, Key=key)["Body"].read()
+        try:
+            body = self._client().get_object(Bucket=bucket, Key=key)["Body"].read()
+        except _s3_client_error() as e:
+            _s3_reraise(e, path)
         return io.BytesIO(body)
 
     def create(self, path: str) -> _S3WriteHandle:
@@ -648,8 +702,15 @@ class S3FileSystem:
 
     def _iter_keys(self, bucket: str, prefix: str):
         paginator = self._client().get_paginator("list_objects_v2")
-        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
-            yield from page.get("Contents", ())
+        try:
+            for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+                yield from page.get("Contents", ())
+        except _s3_client_error() as e:
+            # a missing bucket lists as empty (the local/memory analog:
+            # glob over a missing dir is []); other codes keep the
+            # seam's OSError contract
+            if _s3_error_code(e) not in _S3_MISSING_CODES:
+                _s3_reraise(e, f"{self._scheme}://{bucket}/{prefix}")
 
     def list_files(self, path: str, suffix: str) -> list[str]:
         bucket, key = self._bk(path)
@@ -668,22 +729,34 @@ class S3FileSystem:
         try:
             self._client().head_object(Bucket=bucket, Key=key)
             return True
-        except Exception:  # noqa: BLE001 - 404 classes vary by endpoint
-            return self.isdir(path)
+        except _s3_client_error() as e:
+            # ONLY a definitive not-found means "no such object" — a
+            # 403/throttle/5xx must surface, not read as 'absent' (a
+            # transient HeadObject failure would otherwise make a
+            # populated table look manifest-less)
+            if _s3_error_code(e) in _S3_MISSING_CODES:
+                return self.isdir(path)
+            _s3_reraise(e, path)
 
     def remove(self, path: str) -> None:
         bucket, key = self._bk(path)
         # S3 DeleteObject is idempotent/silent on missing keys; the
         # seam's contract (LocalFileSystem.remove) raises — check first
-        self._client().head_object(Bucket=bucket, Key=key)
-        self._client().delete_object(Bucket=bucket, Key=key)
+        try:
+            self._client().head_object(Bucket=bucket, Key=key)
+            self._client().delete_object(Bucket=bucket, Key=key)
+        except _s3_client_error() as e:
+            _s3_reraise(e, path)
 
     def makedirs(self, path: str) -> None:
         return None  # object stores have no directories
 
     def _head(self, path: str):
         bucket, key = self._bk(path)
-        return self._client().head_object(Bucket=bucket, Key=key)
+        try:
+            return self._client().head_object(Bucket=bucket, Key=key)
+        except _s3_client_error() as e:
+            _s3_reraise(e, path)
 
     def stat_sig(self, path: str) -> tuple:
         h = self._head(path)
@@ -703,8 +776,11 @@ class S3FileSystem:
         sb, sk = self._bk(src)
         db, dk = self._bk(dst)
         c = self._client()
-        c.copy_object(Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk})
-        c.delete_object(Bucket=sb, Key=sk)
+        try:
+            c.copy_object(Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk})
+            c.delete_object(Bucket=sb, Key=sk)
+        except _s3_client_error() as e:
+            _s3_reraise(e, src)
 
     def remove_tree(self, path: str) -> None:
         bucket, key = self._bk(path)
@@ -736,6 +812,22 @@ _REGISTRY: dict[str, object] = {"": _LOCAL, "file": _LOCAL, "memory": _MEMORY}
 
 def register_filesystem(scheme: str, fs) -> None:
     _REGISTRY[scheme] = fs
+
+
+def move_file(src: str, dst: str) -> None:
+    """Scheme-aware move. Same backend: fs.move (atomic rename locally,
+    server-side copy+delete on object stores). ACROSS backends — e.g.
+    adopting a local tmp write into an s3:// table root — stream the
+    bytes through create(), whose commit-at-close keeps the destination
+    atomic, then remove the source. Whole-file buffering matches the
+    engine's storage model (stripe-sized data files, small blobs)."""
+    sfs, dfs = get_fs(src), get_fs(dst)
+    if sfs is dfs:
+        sfs.move(src, dst)
+        return
+    with sfs.open_read(src) as r, dfs.create(dst) as w:
+        w.write(r.read())
+    sfs.remove(src)
 
 
 def get_fs(path: str):

@@ -33,7 +33,12 @@ from __future__ import annotations
 import os
 
 from strawboat_spark.sources.datasource import FILE_EXT, entry_abs, register
-from strawboat_spark.sources.fileio import backend_path, get_fs, split_scheme
+from strawboat_spark.sources.fileio import (
+    backend_path,
+    get_fs,
+    move_file,
+    split_scheme,
+)
 
 _SCRATCH_SUFFIXES = (
     ".__compact__",
@@ -118,7 +123,9 @@ def _adopt_tmp(table_root: str, tmp: str, dest_dir: str | None = None) -> list[d
         d = os.path.dirname(dest)
         if d:
             get_fs(dest).makedirs(d)
-        fs.move(src, dest)
+        # scheme-aware: the tmp write is often a LOCAL scratch dir while
+        # the table root lives on an object store
+        move_file(src, dest)
         e = meta_by_rel.get(rel, {})
         moved.append(_manifest_entry(table_root, dest, e.get("meta"), e.get("schema_b64")))
     fs.remove_tree(tmp)

@@ -189,15 +189,26 @@ def _create(spark: SparkSession, s: str):
         )
     df = spark.sql(m.group("q"))
     pb = ",".join(c.strip() for c in (m.group("pb") or "").split(",") if c.strip())
+    # rows_inserted from THIS commit's own manifest metrics (see
+    # _insert): no double execution of non-deterministic sources, no
+    # attribution of a racing committer's rows, no extra scan.
+    import uuid as _uuid
+
+    from strawboat_spark.sources.datasource import find_commit
+
+    cu = _uuid.uuid4().hex
+    before = read_manifest(path)
+    before_gen = before.get("generation", 0) if before else 0
     if pb:
-        t.overwrite(df, partition_by=pb)
+        t.overwrite(df, partition_by=pb, commit_uuid=cu)
     else:
-        t.overwrite(df)
-    # count AFTER landing, from footer metadata (no data pages): a
-    # pre-write df.count() would execute the source query twice —
-    # wrong for non-deterministic queries (rand(), uuid()) and a full
-    # extra scan for every CTAS
-    return {"rows_inserted": int(t.count_rows())}
+        t.overwrite(df, commit_uuid=cu)
+    committed = find_commit(path, cu, before_gen)
+    if committed is not None:
+        n = committed.get("commit_metrics", {}).get("rows_written", 0)
+    else:
+        n = t.count_rows()
+    return {"rows_inserted": int(n)}
 
 
 def _insert(spark: SparkSession, s: str):
@@ -237,20 +248,31 @@ def _insert(spark: SparkSession, s: str):
         # bare INSERT (e.g. VALUES' col1/col2 names): SQL semantics are
         # positional — adopt the table's schema order by position
         df = df.toDF(*tcols)
-    # rows_inserted derives from the manifest row-count delta AFTER the
-    # write lands (metadata-only): a pre-write df.count() executes the
-    # INSERT's source query twice — for non-deterministic sources
-    # (rand(), current_timestamp, uuid()) the rows written would differ
-    # from the rows counted, and every INSERT would pay an extra scan
-    if m.group("mode").upper() == "OVERWRITE":
-        t.overwrite(df)
-        n = t.count_rows()
-    else:
-        from strawboat_spark.sources.datasource import read_manifest
+    # rows_inserted comes from THIS commit's own manifest entries: the
+    # write stamps a commit_uuid into the generation it publishes, whose
+    # commit_metrics.rows_written sums the new files' footer num_rows.
+    # Exact under concurrent committers (a before/after table-wide
+    # count_rows() delta attributes a racing commit's rows to this
+    # INSERT) and metadata-only (no extra scan, no double execution of
+    # non-deterministic sources).
+    import uuid as _uuid
 
-        before = t.count_rows() if read_manifest(t.path) is not None else 0
-        t.append(df)
-        n = t.count_rows() - before
+    from strawboat_spark.sources.datasource import find_commit, read_manifest
+
+    cu = _uuid.uuid4().hex
+    before = read_manifest(t.path)
+    before_gen = before.get("generation", 0) if before else 0
+    if m.group("mode").upper() == "OVERWRITE":
+        t.overwrite(df, commit_uuid=cu)
+    else:
+        t.append(df, commit_uuid=cu)
+    committed = find_commit(t.path, cu, before_gen)
+    if committed is not None:
+        n = committed.get("commit_metrics", {}).get("rows_written", 0)
+    elif m.group("mode").upper() == "OVERWRITE":
+        n = t.count_rows()  # stamp not found — metadata-only fallback
+    else:
+        n = t.count_rows() - (t.count_rows(before_gen) if before_gen else 0)
     return {"rows_inserted": int(n)}
 
 

@@ -1921,3 +1921,50 @@ def test_int_distinct_membership_pruning_and_exact_ndv(registered, tmp_path):
     from strawboat_spark.table import Table
 
     assert Table(spark, path).ndv_est()["code"] == 4
+
+
+def test_memory_abandoned_handle_discards_at_gc():
+    """A dropped write handle must DISCARD at GC, never publish its
+    partial buffer (io.IOBase.__del__ would otherwise call close(),
+    i.e. PUT) — same contract as _AtomicLocalFile/_S3WriteHandle."""
+    import gc
+
+    from strawboat_spark.sources.fileio import MemoryFileSystem
+
+    fs = MemoryFileSystem()
+    h = fs.create("memory://b/gc/abandoned.bin")
+    h.write(b"partial")
+    del h
+    gc.collect()
+    assert fs.exists("memory://b/gc/abandoned.bin") is False
+    with fs.create("memory://b/gc/abandoned.bin") as h2:
+        h2.write(b"committed")
+    assert fs.open_read("memory://b/gc/abandoned.bin").read() == b"committed"
+
+
+def test_find_commit_exact_under_concurrent_appends(spark, tmp_path):
+    """commit_uuid stamping: rows_inserted for a specific commit comes
+    from THAT generation's own commit_metrics — exact even when another
+    committer lands between the caller's before-read and its write
+    (a table-wide before/after count delta would mis-attribute)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import find_commit, read_manifest, register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+
+    before_gen = read_manifest(path)["generation"]
+    # a RACING committer lands after our before-read...
+    t.append(spark.range(100).select(F.col("id").alias("k")))
+    # ...then OUR stamped append
+    t.append(spark.range(7).select(F.col("id").alias("k")), commit_uuid="me-123")
+
+    man = find_commit(path, "me-123", before_gen)
+    assert man is not None
+    assert man["commit_metrics"]["rows_written"] == 7  # ours, not 107
+    assert man["commit_metrics"]["files_added"] >= 1
+    assert find_commit(path, "absent-uuid", before_gen) is None

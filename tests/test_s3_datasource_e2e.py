@@ -146,3 +146,52 @@ def test_s3_merge_and_maintenance_end_to_end(spark, s3_bucket):
     t.compact()
     assert t.read().count() == 250
     assert {r.k: r.v for r in t.read().collect()} == got
+
+
+def test_s3_seam_error_contract(s3_bucket):
+    """ADVICE r10: the seam's contract is OSError/FileNotFoundError —
+    every race-tolerant caller guards `except (OSError, KeyError)`, so
+    S3 must classify botocore ClientError into those types (a
+    concurrently-deleted key must be tolerated identically on every
+    backend)."""
+    from strawboat_spark.sources.fileio import S3FileSystem
+
+    fs = S3FileSystem("s3")
+    missing = f"s3://{BUCKET}/nope/missing.bin"
+
+    for op in (fs.remove, fs.open_read, fs.mtime_ns, fs.stat_sig, fs.age_seconds):
+        with pytest.raises(FileNotFoundError):
+            op(missing)
+        try:  # and the FileNotFoundError IS an OSError (guard-compatible)
+            op(missing)
+        except (OSError, KeyError):
+            pass
+
+    # exists() on a definitively-missing key: False, not an exception
+    assert fs.exists(missing) is False
+    # a missing bucket lists as empty (local analog: glob of missing dir)
+    assert fs.list_files("s3://no-such-bucket-strawboat/x", ".strb") == []
+    assert fs.isdir("s3://no-such-bucket-strawboat/x") is False
+
+
+def test_s3_abandoned_handle_discards_at_gc(s3_bucket):
+    """ADVICE r10: io.IOBase.__del__ calls close() — which publishes.
+    An abandoned handle (failed task, dropped reference) must DISCARD
+    its partial buffer at GC, never durably PUT a truncated object."""
+    import gc
+
+    from strawboat_spark.sources.fileio import S3FileSystem
+
+    fs = S3FileSystem("s3")
+    key = f"s3://{BUCKET}/gc/abandoned.bin"
+    h = fs.create(key)
+    h.write(b"partial bytes that must never land")
+    del h
+    gc.collect()
+    assert fs.exists(key) is False
+
+    # explicit close still publishes (the commit-at-close contract)
+    with fs.create(key) as h2:
+        h2.write(b"committed")
+    assert fs.open_read(key).read() == b"committed"
+    fs.remove(key)
