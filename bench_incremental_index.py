@@ -67,13 +67,31 @@ def main() -> None:
     def want(name):
         return args.only is None or args.only == name
 
+    def maybe_compact(p, k, rec):
+        """Halfway through, compact the index table: each append adds a
+        file per touched bucket, so batch k's bucket-pruned lookup reads
+        ~k files per bucket — the per-batch curve grows linearly until a
+        compaction folds each bucket dir back to ~1 file (hive-layout-
+        preserving). This is the production cadence knob: ingest cost is
+        flat when the index is compacted every N batches."""
+        from strawboat_spark.table import Table
+
+        if k == nb // 2:
+            t0 = time.perf_counter()
+            Table(spark, p).compact()
+            rec["compact_at_batch"] = k
+            rec["compact_s"] = round(time.perf_counter() - t0, 2)
+
+
     # --- fingerprint (exact) index ---------------------------------
     p = f"{root}/fp"
     t0 = time.perf_counter()
     fingerprint_index_init(spark, p, batch(0), "text", "doc_id")
     init_s = time.perf_counter() - t0
     per = []
+    rec: dict = {}
     for k in range(1, nb):
+        maybe_compact(p, k, rec)
         t0 = time.perf_counter()
         fingerprint_index_append(spark, p, batch(k), "text", "doc_id").count()
         per.append(round(time.perf_counter() - t0, 2))
@@ -84,6 +102,7 @@ def main() -> None:
         "init_s": round(init_s, 2),
         "per_batch_s": per,
         "full_rescan_s": round(rescan, 2),
+        **rec,
     }
 
     # --- jaccard (exact near-dup) index ----------------------------
@@ -92,7 +111,9 @@ def main() -> None:
     jaccard_index_init(spark, p, batch(0), "text", "doc_id", shingle_n=3)
     init_s = time.perf_counter() - t0
     per = []
+    rec: dict = {}
     for k in range(1, nb):
+        maybe_compact(p, k, rec)
         t0 = time.perf_counter()
         jaccard_index_append(
             spark, p, batch(k), "text", "doc_id", shingle_n=3,
@@ -106,6 +127,7 @@ def main() -> None:
         "init_s": round(init_s, 2),
         "per_batch_s": per,
         "full_rescan_s": round(rescan, 2),
+        **rec,
     }
 
     # --- minhash-LSH (approximate near-dup) index ------------------
@@ -114,7 +136,9 @@ def main() -> None:
     minhash_index_init(spark, p, batch(0), "text", "doc_id")
     init_s = time.perf_counter() - t0
     per = []
+    rec: dict = {}
     for k in range(1, nb):
+        maybe_compact(p, k, rec)
         t0 = time.perf_counter()
         minhash_index_append(spark, p, batch(k), "text", "doc_id").count()
         per.append(round(time.perf_counter() - t0, 2))
@@ -125,6 +149,7 @@ def main() -> None:
         "init_s": round(init_s, 2),
         "per_batch_s": per,
         "full_rescan_s": round(rescan, 2),
+        **rec,
     }
 
     shutil.rmtree(root, ignore_errors=True)

@@ -2579,8 +2579,33 @@ class StrawboatStreamWriterImpl(DataSourceStreamArrowWriter):
                         pass
 
 
+def ensure_active_session(spark) -> None:
+    """Pin `spark` as the ACTIVE session on the calling thread's JVM
+    twin. py4j pinned-thread mode (the default) maps every Python
+    thread to its own fresh JVM thread whose active SparkSession is
+    UNSET — a `.save()`/`.load()` of a Python data source from such a
+    thread then fails with DATA_SOURCE_NOT_FOUND (the JVM-side lookup
+    resolves Python sources through the active session's manager).
+    Cheap and idempotent; called by register() and Table._write so
+    every table verb is safe from concurrent committer threads."""
+    try:
+        jss = spark._jsparkSession
+    except Exception:  # pragma: no cover - connect-mode sessions
+        return
+    for cls in ("classic.SparkSession", "SparkSession"):
+        try:
+            obj = spark._jvm.org.apache.spark.sql
+            for part in cls.split("."):
+                obj = getattr(obj, part)
+            obj.setActiveSession(jss)
+            return
+        except Exception:
+            continue
+
+
 def register(spark) -> None:
     """Idempotently register the strawboat format with a session."""
+    ensure_active_session(spark)
     # pushFilters support requires this conf (runtime-settable).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:

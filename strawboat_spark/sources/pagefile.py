@@ -40,6 +40,8 @@ import pyarrow.compute as pc
 
 from strawboat_spark.sources.codecs import (
     Codec,
+    _compress_codes_into,
+    _compress_offsets_into,
     collect_stats,
     compress_binary,
     compress_boolean,
@@ -51,6 +53,7 @@ from strawboat_spark.sources.codecs import (
     decompress_double,
     decompress_fixed,
     decompress_integer,
+    write_block,
 )
 
 MAGIC = b"STRWBOT1"
@@ -344,6 +347,12 @@ class StrawboatWriter:
             {"forced": forced_snapshot} for _ in self._leaves
         ]
         self._pending: pa.Table | None = None
+        # Batch-level dictionary contexts (leaf_i -> ctx): low-card
+        # string/binary columns dictionary-encode ONCE per write_table
+        # call; each page then remaps a numpy slice of the batch codes
+        # instead of paying an Arrow probe + dictionary_encode per page
+        # (~2x on low-card string write throughput — FORMAT_BENCH r11).
+        self._dict_ctx: dict[int, dict] = {}
         self._num_rows = 0
         self._finished = False
 
@@ -353,6 +362,8 @@ class StrawboatWriter:
         self._pending = (
             table if self._pending is None else pa.concat_tables([self._pending, table])
         )
+        n_full = (self._pending.num_rows // self.page_size) * self.page_size
+        self._prepare_dict_ctx(n_full)
         while self._pending.num_rows >= self.page_size:
             page = self._pending.slice(0, self.page_size)
             self._pending = self._pending.slice(self.page_size)
@@ -363,6 +374,107 @@ class StrawboatWriter:
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
         self.write_table(pa.Table.from_batches([batch]))
+
+    def _prepare_dict_ctx(self, n_full: int) -> None:
+        """Batch-level dictionary pass for low-cardinality TOP-LEVEL
+        string/binary columns: probe + dictionary_encode ONCE over the
+        `n_full` rows about to be paged out (always a whole number of
+        pages), so each page's encode is a pure-numpy remap of a codes
+        slice — no per-page Arrow calls.  Pages stay bit-compatible
+        with the per-page Dict layout (self-describing; each page's
+        dictionary holds exactly its own values), and per-page stats
+        stay EXACT (distinct/ndv from the page's code set), so footer
+        NDV exactness and membership pruning are unchanged.
+
+        Disabled (falls back to the per-page chooser) for: nested
+        types, nullable slices, bloom-filter columns (they hash raw
+        segments), env-forced codecs, custom compress_ratio thresholds,
+        and DICT-forbidden writers."""
+        self._dict_ctx = {}
+        if (
+            n_full == 0
+            or Codec.DICT in self.forbidden
+            or self.compress_ratio is not None
+            or not self._codec_memo
+            or self._codec_memo[0]["forced"]
+        ):
+            return
+        for col_i in range(len(self.schema)):
+            node = self._fields_tree[col_i]
+            if node["kind"] != "binary":
+                continue
+            if self.schema.field(col_i).name in self.bloom_columns:
+                continue
+            col = self._pending.column(col_i).slice(0, n_full).combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                continue
+            sample_n = min(len(arr), 256)
+            if pc.count_distinct(arr.slice(0, sample_n)).as_py() * 3 >= max(sample_n, 3):
+                continue
+            denc = arr.dictionary_encode()
+            n_uniq = len(denc.dictionary)
+            if n_uniq * 3 >= len(arr):
+                continue  # sample lied: not actually low-card
+            d_off, d_data = _binary_parts(denc.dictionary)
+            self._dict_ctx[node["leaf"]] = {
+                "codes": denc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                "d_off": np.ascontiguousarray(d_off, dtype=np.int64),
+                "d_data": d_data,
+                "pyvals": denc.dictionary.to_pylist(),
+                "cursor": 0,
+                "rows": n_full,
+            }
+
+    def _encode_binary_dict_page(self, ctx: dict, n: int) -> tuple[bytes, "PageMeta"]:
+        """One page off a batch dictionary context: numpy-only remap of
+        the batch codes slice into a self-describing Dict page (same
+        payload layout compress_binary emits: validity + offsets block
+        + DICT block whose dictionary holds exactly this page's
+        values)."""
+        cur = ctx["cursor"]
+        ctx["cursor"] = cur + n
+        codes_page = ctx["codes"][cur : cur + n]
+        d_off, d_data = ctx["d_off"], ctx["d_data"]
+        out = bytearray(_pack_validity(None))
+        # Block 1: per-row offsets, rebased to 0 (monotone -> delta-bitpack)
+        row_lens = d_off[codes_page + 1] - d_off[codes_page]
+        page_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=page_offsets[1:])
+        _compress_offsets_into(out, page_offsets, self.default_codec, self.compress_ratio)
+        # Block 2: Dict payload over the page's own value set.
+        # bincount-based remap instead of np.unique: the batch
+        # cardinality K is small by construction (ctx exists only when
+        # K*3 < rows), so an O(n + K) counting pass beats the O(n log n)
+        # sort unique does.  uniqc ascends, exactly like np.unique.
+        counts = np.bincount(codes_page, minlength=len(ctx["pyvals"]))
+        uniqc = np.flatnonzero(counts)
+        lut = np.zeros(len(counts), dtype=np.int64)
+        lut[uniqc] = np.arange(len(uniqc))
+        inv = lut[codes_page]
+        n_uniq = len(uniqc)
+        lens_u = d_off[uniqc + 1] - d_off[uniqc]
+        po = np.zeros(n_uniq + 1, dtype=np.int64)
+        np.cumsum(lens_u, out=po[1:])
+        parts = [d_data[d_off[u] : d_off[u + 1]] for u in uniqc.tolist()]
+        body = bytearray()
+        body += struct.pack("<I", n_uniq)
+        body += po.tobytes()
+        body += b"".join(parts)
+        _compress_codes_into(body, inv.astype(np.int64), n_uniq, self.forbidden)
+        write_block(out, Codec.DICT, bytes(body), int(page_offsets[-1]))
+        # Page stats: EXACT — the page's value set is right here.
+        # (utf8 byte order == code point order, so min/max over the
+        # python values match pc.min_max on the raw page.)
+        vals = [ctx["pyvals"][int(u)] for u in uniqc]
+        mn, mx = _json_safe(min(vals)), _json_safe(max(vals))
+        distinct = None
+        if n_uniq <= 32:
+            safe = [_json_safe(v) for v in vals]
+            distinct = sorted(safe) if None not in safe else None
+        return bytes(out), PageMeta(
+            len(out), n, 0, mn, mx, distinct, None, ndv=n_uniq
+        )
 
     def _encode_page(self, page: pa.Table) -> None:
         self._num_rows += page.num_rows
@@ -470,6 +582,14 @@ class StrawboatWriter:
     def _encode_flat(self, arr: pa.Array, kind: str, leaf_i: int = -1) -> tuple[bytes, PageMeta]:
         n = len(arr)
         null_count = arr.null_count
+        if kind == "binary" and leaf_i >= 0:
+            ctx = self._dict_ctx.get(leaf_i)
+            # ctx covers exactly the whole-page rows of this write_table
+            # call (cursor advances page by page in slice order); the
+            # null-free guard is structural — ctx only exists when the
+            # whole covered slice had no nulls
+            if ctx is not None and null_count == 0 and ctx["cursor"] + n <= ctx["rows"]:
+                return self._encode_binary_dict_page(ctx, n)
         valid = _validity_np(arr)
         out = bytearray(_pack_validity(valid))
         mn = mx = None

@@ -758,6 +758,9 @@ class Table:
         return df, options
 
     def _write(self, df: DataFrame, mode: str, **options) -> None:
+        from strawboat_spark.sources.datasource import ensure_active_session
+
+        ensure_active_session(self.spark)  # thread-safe concurrent committers
         df, options = self._prepare_write(df, mode, options)
         w = df.write.format("strawboat").mode(mode)
         for k, v in options.items():

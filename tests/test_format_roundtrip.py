@@ -597,3 +597,82 @@ def test_corrupt_file_errors_are_clear():
     body[len(full) - 30] ^= 0xFF
     with pytest.raises(Exception):
         read_footer(io.BytesIO(bytes(body)))
+
+
+def test_batch_dict_fast_path_chunked_writes_and_stats():
+    """The batch-level dictionary fast path (r11): low-card string
+    columns must round-trip exactly when written through multiple
+    write_table calls with non-page-aligned sizes (ctx cursor realigns
+    per call; tails fall back to the per-page chooser), and the pages
+    must carry EXACT distinct/ndv stats like the per-page path did."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_spark.sources.codecs import Codec
+    from strawboat_spark.sources.pagefile import StrawboatReader, StrawboatWriter
+
+    rng = np.random.default_rng(7)
+    n = 10_000
+    vals = np.array([f"k{i}" for i in range(9)])
+    t = pa.table(
+        {
+            "s": pa.array(vals[rng.integers(0, 9, n)]),
+            "hi": pa.array([f"unique-{i}" for i in range(n)]),  # high-card: general path
+            "x": pa.array(rng.integers(0, 1000, n)),
+        }
+    )
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, t.schema, page_size=1024, default_codec=Codec.ZSTD)
+    # odd chunk sizes: leftovers cross write_table calls, tail at finish
+    for lo in range(0, n, 3000):
+        w.write_table(t.slice(lo, 3000))
+    meta = w.finish()
+    buf.seek(0)
+    back = pa.Table.from_batches(list(StrawboatReader(buf).iter_batches()))
+    assert back.equals(t)
+    # the low-card leaf's pages carry exact distinct sets -> exact NDV
+    leaf = meta.leaves[0]
+    assert leaf.ndv == 9
+    assert all(p.distinct is not None and p.min is not None for p in leaf.pages)
+    full = set()
+    for p in leaf.pages:
+        full.update(p.distinct)
+    assert full == set(vals.tolist())
+
+
+def test_batch_dict_fast_path_disabled_with_nulls_and_forced_codec(monkeypatch):
+    """Nullable slices and env-forced codecs must bypass the batch-dict
+    fast path (nulls: ctx is never built; forced: adaptive choice is
+    overridden) and still round-trip."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_spark.sources.codecs import Codec
+    from strawboat_spark.sources.pagefile import StrawboatReader, StrawboatWriter
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    vals = [None if i % 17 == 0 else f"v{i % 5}" for i in range(n)]
+    t = pa.table({"s": pa.array(vals, type=pa.string())})
+    buf = io.BytesIO()
+    w = StrawboatWriter(buf, t.schema, page_size=1024, default_codec=Codec.ZSTD)
+    assert not w._dict_ctx
+    w.write_table(t)
+    assert not w._dict_ctx  # nulls -> no ctx
+    w.finish()
+    buf.seek(0)
+    assert pa.Table.from_batches(list(StrawboatReader(buf).iter_batches())).equals(t)
+
+    monkeypatch.setenv("STRAWBOAT_RLE_COMPRESSION", "1")
+    t2 = pa.table({"s": pa.array([f"v{i % 5}" for i in range(n)])})
+    buf2 = io.BytesIO()
+    w2 = StrawboatWriter(buf2, t2.schema, page_size=1024, default_codec=Codec.ZSTD)
+    w2.write_table(t2)
+    assert not w2._dict_ctx  # forced codec -> adaptive fast path off
+    w2.finish()
+    buf2.seek(0)
+    assert pa.Table.from_batches(list(StrawboatReader(buf2).iter_batches())).equals(t2)
