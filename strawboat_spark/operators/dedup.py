@@ -301,6 +301,84 @@ def minhash_lsh_dedup(
     )
 
 
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    left_id: str,
+    right_id: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Cross-TABLE near-duplicate join: (left_id, right_id,
+    est_jaccard) for every left doc sharing an LSH band bucket with a
+    right doc — the FUZZY DECONTAMINATION shape (corpus docs that
+    near-duplicate an eval-set doc escape exact n-gram overlap checks
+    when lightly paraphrased; reference scope: same near-dup semantics
+    as minhash_lsh_dedup, lifted to two tables).
+
+    Scale shape (the asymmetry is the point): `left` is the 100 TB
+    corpus, `right` the small eval set. Both sides band independently
+    (one explode + one groupBy each); the candidate join is an
+    EQUI-join on (band, bucket) — never all-pairs — and each side's
+    bucket membership is capped at max_bucket_size (deterministic
+    smallest ids, same policy as lsh_candidate_pairs), so a degenerate
+    boilerplate bucket costs at most cap*cap pairs. With the md5
+    hash family the whole pipeline replays exactly in DuckDB."""
+    from pyspark import StorageLevel
+
+    ls = minhash_signatures(
+        left, text_col, left_id, n_hashes, shingle_n, seed, hash_family
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rs = minhash_signatures(
+        right, text_col, right_id, n_hashes, shingle_n, seed, hash_family
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lm = (
+        _banded(ls, left_id, n_bands, hash_family)
+        .groupBy("band", "bucket")
+        .agg(F.slice(F.array_sort(F.collect_list(left_id)), 1, max_bucket_size).alias("ids_l"))
+    )
+    rm = (
+        _banded(rs, right_id, n_bands, hash_family)
+        .groupBy("band", "bucket")
+        .agg(F.slice(F.array_sort(F.collect_list(right_id)), 1, max_bucket_size).alias("ids_r"))
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids_l"),
+            lambda x: F.transform(
+                F.col("ids_r"), lambda y: F.struct(x.alias("lid"), y.alias("rid"))
+            ),
+        )
+    )
+    pairs = (
+        lm.join(rm, ["band", "bucket"])  # equi-join on the bucket key
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.lid", "p.rid")
+        .distinct()
+    )
+    a = ls.select(F.col(left_id).alias("lid"), F.col("sig").alias("sig_a"))
+    b = rs.select(F.col(right_id).alias("rid"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")  # exact k/2^m binary fraction, engine-portable
+    return (
+        pairs.join(a, "lid")
+        .join(b, "rid")
+        .select(
+            F.col("lid").alias(left_id if left_id != right_id else f"left_{left_id}"),
+            F.col("rid").alias(right_id if left_id != right_id else f"right_{right_id}"),
+            est.alias("est_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

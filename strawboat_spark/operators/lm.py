@@ -79,9 +79,19 @@ def bigram_lm_scores(
     uni_counts = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni_counts.agg(F.count(F.lit(1)).alias("V"))
 
+    # Both count tables GROW WITH THE CORPUS (bigram types ~ O(corpus),
+    # vocab sub-linearly), so neither may ever be broadcast: Catalyst's
+    # post-aggregate size estimates sit under the broadcast threshold
+    # and it builds a HashedRelation of the whole model — measured at
+    # the r11 sf10 probe as the super-linearity source (sf1->sf10 was
+    # 12.2x for 10x data; with shuffle_hash hints it is 10.3x ~ linear:
+    # 96 -> 64 s at sf10, +0.07 s at sf0.1, -0.7 s at sf1).  The
+    # shuffle-hash join keys (w1,w2)/(w1) are the same partitioning the
+    # upstream aggregates already produce, and hot-token skew stays
+    # AQE-splittable.
     scored = (
-        doc_bi.join(bi_counts, ["w1", "w2"])
-        .join(uni_counts, "w1")
+        doc_bi.join(bi_counts.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni_counts.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "logp",

@@ -27,6 +27,7 @@ from strawboat_spark.functions.text import (
 from strawboat_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    minhash_lsh_join,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -186,6 +187,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         d, "text", "doc_id", n_hashes=32, n_bands=8, hash_family="md5"
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "corpus_decontam_neardup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), hb AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb FROM sh
+    ), ht AS (
+      SELECT doc_id, hb, r.i AS i,
+             ((2654435761 * (r.i + 1)) % 2147483647 + 1) AS a,
+             (3266489917 * (r.i + 13)) % 2147483647 AS c
+      FROM hb CROSS JOIN range(0, 32) r(i)
+    ), hu AS (
+      SELECT doc_id, hb, i, a, c,
+             (a * (hb // 1073741824)) % 2305843009213693951 AS t
+      FROM ht
+    ), hx AS (
+      SELECT doc_id, i,
+             min((t % 2147483648) * 1073741824 + t // 2147483648
+                + a * (hb % 1073741824) + c) AS h
+      FROM hu
+      GROUP BY doc_id, i
+    ), sigs AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hx GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, rb.b AS b,
+             md5(array_to_string(
+               sig[CAST(rb.b * 4 + 1 AS INT) : CAST(rb.b * 4 + 4 AS INT)], ',')) AS bucket
+      FROM sigs CROSS JOIN range(0, 8) rb(b)
+    ), lb AS (
+      SELECT doc_id, b, bucket,
+             row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+      FROM bands WHERE doc_id % 10 <> 0
+    ), rb2 AS (
+      SELECT doc_id, b, bucket,
+             row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+      FROM bands WHERE doc_id % 10 = 0
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS lid, y.doc_id AS rid
+      FROM lb x JOIN rb2 y ON x.b = y.b AND x.bucket = y.bucket
+      WHERE x.rn <= 256 AND y.rn <= 256
+    )
+    SELECT lid AS left_doc_id, rid AS right_doc_id,
+           len(list_filter(range(1, 33),
+               i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 32.0
+             AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = lid
+    JOIN sigs sb ON sb.doc_id = rid
+    ORDER BY left_doc_id, right_doc_id
+    """,
+    description=(
+        "FUZZY decontamination: cross-table minhash-LSH join — corpus "
+        "docs (doc_id % 10 <> 0) that near-duplicate an eval-set doc "
+        "(doc_id % 10 = 0) via any shared band bucket; catches paraphrases "
+        "that escape exact n-gram overlap (corpus_decontamination). "
+        "Equi-join on (band, bucket), per-side 256 caps, portable md5 "
+        "family — DuckDB replays the pipeline hash-exactly"
+    ),
+)
+def corpus_decontam_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py minhash_lsh_join — the two-table lift of
+    minhash_lsh_dedup. Scale shape: left = the 100 TB corpus, right =
+    the small eval set; both band independently, candidates come from
+    an equi-join on the bucket key (never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_join(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        "doc_id",
+        n_hashes=32,
+        n_bands=8,
+        hash_family="md5",
+    ).orderBy("left_doc_id", "right_doc_id")
 
 
 @query(

@@ -1504,9 +1504,24 @@ def _take_binary(
     uniq_offsets: np.ndarray, blob: bytes, codes: np.ndarray
 ) -> tuple[np.ndarray, bytes]:
     """Gather codes from a values table in Arrow C++; return (offsets,
-    data) for the reconstructed page."""
+    data) for the reconstructed page.
+
+    Inputs are validated FIRST: from_buffers performs no checking, so
+    non-monotone/out-of-range offsets or codes from a corrupted page
+    (Dict or Freq) would crash pc.take natively instead of raising —
+    the corruption-fuzz property test requires a clean Python error."""
     import pyarrow.compute as pc
 
+    k = len(uniq_offsets) - 1
+    if (
+        k < 0
+        or int(uniq_offsets[0]) != 0
+        or (k > 0 and bool((np.diff(uniq_offsets) < 0).any()))
+        or int(uniq_offsets[-1]) > len(blob)
+    ):
+        raise ValueError("corrupt page: invalid dictionary offsets")
+    if len(codes) and (k == 0 or int(codes.min()) < 0 or int(codes.max()) >= k):
+        raise ValueError("corrupt page: dictionary code out of range")
     uniq_arr = pa.LargeBinaryArray.from_buffers(
         pa.large_binary(),
         len(uniq_offsets) - 1,
@@ -1531,12 +1546,29 @@ def decompress_binary(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, by
     if codec == Codec.DICT:
         (n_uniq,) = struct.unpack_from("<I", payload, 0)
         off = 4
+        if 8 * (n_uniq + 1) > len(payload) - off:
+            raise ValueError("corrupt dict page: offsets table exceeds payload")
         uniq_offsets = np.frombuffer(payload, dtype=np.int64, count=n_uniq + 1, offset=off)
         off += 8 * (n_uniq + 1)
-        blob_len = int(uniq_offsets[-1])
+        blob_len = int(uniq_offsets[-1]) if n_uniq >= 0 else -1
+        # Validate BEFORE handing buffers to Arrow: from_buffers does no
+        # checking, and non-monotone/out-of-range offsets from a
+        # corrupted page crash pc.take natively instead of raising
+        # (found by the corruption fuzz property test).
+        if (
+            blob_len < 0
+            or blob_len > len(payload) - off
+            or int(uniq_offsets[0]) != 0
+            or (n_uniq > 0 and bool((np.diff(uniq_offsets) < 0).any()))
+        ):
+            raise ValueError("corrupt dict page: invalid value offsets")
         blob = bytes(payload[off : off + blob_len])
         off += blob_len
         codes, _ = decompress_integer(payload, off, n, np.dtype(np.int64))
+        if len(codes) and (
+            n_uniq == 0 or int(codes.min()) < 0 or int(codes.max()) >= n_uniq
+        ):
+            raise ValueError("corrupt dict page: code out of range")
         out_off, data = _take_binary(uniq_offsets, blob, codes)
         return out_off, data, nxt
     if codec == Codec.FREQ:

@@ -916,3 +916,40 @@ def test_incremental_index_reads_only_batch_bucket_dirs(spark, tmp_path):
     # sanity: an unpruned full read DOES hit the corruption
     with pytest.raises(Exception):
         spark.read.format("strawboat").load(p).count()
+
+
+def test_minhash_lsh_join_cross_table_semantics(spark):
+    """Cross-table LSH join (r11): identical docs across the two tables
+    must pair with est_jaccard exactly 1.0; unrelated docs must not
+    pair; same-name id columns get left_/right_ prefixes."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.dedup import minhash_lsh_join
+
+    corpus = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit("the quick brown fox jumps over the lazy dog"))
+        .when(F.col("id") == 1, F.lit("completely different text about spark engines"))
+        .otherwise(F.concat(F.lit("filler document number "), F.col("id"),
+                            F.lit(" with its own unrelated words")))
+        .alias("text"),
+    )
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    got = {
+        (r.left_doc_id, r.right_doc_id): r.est_jaccard
+        for r in minhash_lsh_join(
+            corpus, evalset, "text", "doc_id", "doc_id"
+        ).collect()
+    }
+    assert got == {(0, 100): 1.0}
+
+    # portable family produces the same pairing decision
+    got_md5 = {
+        (r.left_doc_id, r.right_doc_id): r.est_jaccard
+        for r in minhash_lsh_join(
+            corpus, evalset, "text", "doc_id", "doc_id", hash_family="md5"
+        ).collect()
+    }
+    assert got_md5 == {(0, 100): 1.0}
