@@ -403,7 +403,19 @@ def ngram_jaccard_pairs(
     df-filtered shingle space. The cut is an explicit, audited contract
     (ngram_df_stats reports every dropped shingle and the pair volume
     it avoided), mirroring lsh_candidate_pairs' bucket cap; per-shingle
-    join fan-out is bounded at max_doc_freq^2."""
+    join fan-out is bounded at max_doc_freq^2.
+
+    SCALE POSTURE (measured, BASELINE.md r11 audit): total work is
+    Σ_shingle min(df, max_doc_freq)² — duplicate clusters of size k
+    contribute k² through their shared shingles until the cut bites, so
+    heavily-replicated corpora grow SUPER-linearly (58x for 10x at
+    sf0.1→sf1) even though the work is all executor-parallel shuffle
+    joins with no driver state. Prefix filtering does not help at low
+    thresholds (t=0.12 keeps ~88% of each set), and lowering the cut
+    trades away dup-cluster recall. At 100 TB use minhash-LSH
+    (minhash_lsh_dedup, sub-linear on the same corpus) for discovery;
+    this exact operator is the verification twin and the
+    moderate-scale / high-threshold tool."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
