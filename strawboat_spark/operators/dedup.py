@@ -874,6 +874,34 @@ def jaccard_index_ingest(
     )
 
 
+def maybe_compact_index(spark, index_path: str, every: int) -> bool:
+    """Compaction cadence for the incremental indexes. Each append adds
+    one file per touched bucket, so batch k's bucket-pruned lookup
+    opens ~k files per bucket — the measured per-batch cost curve
+    climbs ~+0.7 s/batch at sf1 and a compaction RESETS it
+    (BASELINE.md r11 incremental-index table). With every=N, compact
+    once N appends have landed since the last compact/overwrite
+    (counted from the manifest history — no side state). Hive-layout-
+    preserving (per-bucket-dir rewrite) and executor-parallel; pinned
+    pre-append readers stay valid (generations are retained until
+    vacuum). Returns True when a compaction ran."""
+    if not every:
+        return False
+    from strawboat_spark.sources.datasource import list_generations
+    from strawboat_spark.table import Table
+
+    appends = 0
+    for g in reversed(list_generations(index_path)):
+        if g.get("operation") in ("append", "stream-append"):
+            appends += 1
+        else:
+            break
+    if appends < every:
+        return False
+    Table(spark, index_path).compact()
+    return True
+
+
 def jaccard_index_append(
     spark,
     index_path: str,
@@ -884,6 +912,7 @@ def jaccard_index_append(
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
     ingest: bool = True,
+    compact_every: int = 0,
     **append_options,
 ) -> DataFrame:
     """Incrementally dedup `new_df` against the indexed corpus AND
@@ -1003,6 +1032,7 @@ def jaccard_index_append(
             # append and the marker commit in ONE generation flip
             # (exactly-once under foreachBatch replays)
             t.append(new_rows, **append_options)
+            maybe_compact_index(spark, index_path, compact_every)
         return pairs
     finally:
         new_rows.unpersist()
@@ -1044,6 +1074,7 @@ def minhash_index_append(
     n_hashes: int = 32,
     n_bands: int = 8,
     max_bucket_size: int = 256,
+    compact_every: int = 0,
 ) -> DataFrame:
     """Band the new batch, join its (band, bucket) keys against the
     directory-pruned index + itself for candidate pairs (id_a < id_b,
@@ -1116,6 +1147,7 @@ def minhash_index_append(
             .distinct()
         )
         t.append(new_banded)
+        maybe_compact_index(spark, index_path, compact_every)
         return pairs
     finally:
         new_banded.unpersist()
@@ -1150,6 +1182,7 @@ def fingerprint_index_append(
     new_df: DataFrame,
     text_col: str,
     id_col: str,
+    compact_every: int = 0,
 ) -> DataFrame:
     """Split a new batch into exact duplicates of the indexed corpus
     and genuinely-new content; append the new fingerprints (one CAS
@@ -1206,6 +1239,7 @@ def fingerprint_index_append(
             .select("fp", F.col("__batch_survivor").alias("survivor_id"))
         )
         t.append(fresh)
+        maybe_compact_index(spark, index_path, compact_every)
         return resolved
     finally:
         new_fp.unpersist()

@@ -953,3 +953,41 @@ def test_minhash_lsh_join_cross_table_semantics(spark):
         ).collect()
     }
     assert got_md5 == {(0, 100): 1.0}
+
+
+def test_incremental_index_compaction_cadence(spark, tmp_path):
+    """compact_every=N (r11): once N appends have landed since the last
+    compact/overwrite, the next appending batch compacts the index —
+    bucket dirs fold back toward one file each (the measured per-batch
+    cost growth is file-count accumulation; BASELINE.md r11) — and
+    index content is unaffected."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.operators.dedup import (
+        fingerprint_index_append,
+        fingerprint_index_init,
+    )
+    from strawboat_spark.sources.datasource import list_generations, register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    docs = spark.range(160).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document body "), F.col("id")).alias("text"),
+    ).persist()
+    p = str(tmp_path / "fpidx")
+    fingerprint_index_init(spark, p, docs.filter("doc_id < 40"), "text", "doc_id")
+    for k in range(1, 4):
+        batch = docs.filter((F.col("doc_id") >= 40 * k) & (F.col("doc_id") < 40 * (k + 1)))
+        res = fingerprint_index_append(spark, p, batch, "text", "doc_id", compact_every=2)
+        assert not any(r.is_duplicate for r in res.collect())  # all new content
+    ops = [g["operation"] for g in list_generations(p)]
+    assert "compact" in ops, ops
+    # compaction must not lose index content: a replay of an earlier
+    # batch resolves every doc as a duplicate of ITSELF (the survivor)
+    out = fingerprint_index_append(
+        spark, p, docs.filter("doc_id < 40"), "text", "doc_id"
+    ).collect()
+    assert all(r.is_duplicate and r.survivor_id == r.doc_id for r in out)
+    assert Table(spark, p).count_rows() == 160  # one row per content
+    docs.unpersist()
