@@ -50,6 +50,9 @@ class Table:
             if at_generation is not None:
                 raise ValueError("read: pass at_generation OR at_timestamp, not both")
             at_generation = self._resolve_timestamp(at_timestamp)
+        from strawboat_spark.sources.datasource import ensure_active_session
+
+        ensure_active_session(self.spark)  # thread-safe concurrent readers
         rd = self.spark.read.format("strawboat")
         if at_generation is not None:
             rd = rd.option("at_generation", str(at_generation))
@@ -94,6 +97,10 @@ class Table:
         import json
 
         import pyspark.sql.functions as F
+
+        from strawboat_spark.sources.datasource import ensure_active_session
+
+        ensure_active_session(self.spark)  # thread-safe CDF readers
 
         from strawboat_spark.sources.datasource import read_manifest, read_manifest_at
 

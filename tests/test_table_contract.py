@@ -2887,3 +2887,32 @@ def test_mixed_verb_concurrent_committers_no_lost_rows(spark, tmp_path):
     total = t.read().count()
     assert total == len(got) == 150 + 100 + 100
     assert t.count_rows() == total  # metadata count agrees
+
+
+def test_table_read_from_worker_thread(spark, tmp_path):
+    """Bare Table.read()/collect from a fresh Python thread: py4j
+    pinned-thread mode gives the thread a JVM twin with no active
+    session — the Python data source lookup must still resolve
+    (ensure_active_session in Table.read)."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.table import Table
+
+    path = str(tmp_path / "t")
+    t = Table(spark, path)
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")))
+
+    out, errs = [], []
+
+    def reader():
+        try:
+            out.append(t.read().count())
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(repr(e))
+
+    th = threading.Thread(target=reader)
+    th.start(); th.join()
+    assert not errs, errs
+    assert out == [100]
