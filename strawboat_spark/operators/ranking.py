@@ -122,3 +122,49 @@ def bm25(
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib), 4).alias("score"))
     )
+
+
+def hashed_tf_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    map each token to one of `dim` buckets with a hash and accumulate
+    signed counts — the standard cheap text featurizer for quality /
+    domain classifiers over a training corpus (no vocabulary build, no
+    model, fixed dimensionality at ANY corpus size).
+
+    Returns SPARSE rows (id, bucket, weight): bucket = 60 bits of
+    md5(token) mod dim, sign = parity of the digest's 16th hex digit
+    (the signed variant makes the estimator unbiased; signed=False
+    gives plain hashed TF). Fully engine-portable — DuckDB replays it
+    bit-exactly, which is what lets the gate be hash-compared — and
+    the whole thing is one explode + one groupBy (map-side combined):
+    shuffle volume is at most docs*dim rows regardless of vocabulary.
+
+    100 TB shape: no driver state, no vocabulary broadcast (THE classic
+    scale hazard of count-vectorizers), output bounded per doc by
+    min(n_tokens, dim)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    bucket = F.pmod(h, F.lit(dim)).alias("bucket")
+    if signed:
+        sign = (
+            F.when(
+                F.conv(F.substring(F.md5("tok"), 16, 1), 16, 10).cast("bigint") % 2 == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).cast("bigint")
+    else:
+        sign = F.lit(1).cast("bigint")
+    return (
+        tok.select(F.col(id_col), bucket, sign.alias("s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .filter(F.col("weight") != 0)  # signed collisions can cancel
+    )

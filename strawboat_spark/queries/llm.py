@@ -190,6 +190,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 1000
+    ), t2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok WHERE tok <> ''
+    )
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+    FROM t2 GROUP BY doc_id, bucket
+    HAVING SUM(s) <> 0
+    ORDER BY doc_id, bucket
+    """,
+    description=(
+        "feature hashing (hashing trick): signed hashed-TF sparse "
+        "vectors, dim=32 — the vocabulary-free featurizer for quality/"
+        "domain classifiers; md5-derived bucket+sign replayed "
+        "bit-exactly by DuckDB; one explode + one groupBy, no "
+        "vocabulary broadcast at any corpus size"
+    ),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/ranking.py hashed_tf_features (Weinberger et al. 2009
+    hashing trick)."""
+    from strawboat_spark.operators.ranking import hashed_tf_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return hashed_tf_features(d, "text", "doc_id", dim=32).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+@query(
     "corpus_decontam_neardup",
     oracle="""
     WITH tok AS (
