@@ -386,6 +386,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -405,17 +406,33 @@ def ngram_jaccard_pairs(
     it avoided), mirroring lsh_candidate_pairs' bucket cap; per-shingle
     join fan-out is bounded at max_doc_freq^2.
 
-    SCALE POSTURE (measured, BASELINE.md r11 audit): total work is
-    Σ_shingle min(df, max_doc_freq)² — duplicate clusters of size k
-    contribute k² through their shared shingles until the cut bites, so
-    heavily-replicated corpora grow SUPER-linearly (58x for 10x at
-    sf0.1→sf1) even though the work is all executor-parallel shuffle
-    joins with no driver state. Prefix filtering does not help at low
-    thresholds (t=0.12 keeps ~88% of each set), and lowering the cut
-    trades away dup-cluster recall. At 100 TB use minhash-LSH
-    (minhash_lsh_dedup, sub-linear on the same corpus) for discovery;
-    this exact operator is the verification twin and the
-    moderate-scale / high-threshold tool."""
+    SCALE POSTURE (measured, BASELINE.md r11 audit): with
+    max_posting_size=None total work is Σ_shingle min(df, max_doc_freq)²
+    — duplicate clusters of size k contribute k² through their shared
+    shingles until the cut bites, so heavily-replicated corpora grow
+    SUPER-linearly (58x for 10x at sf0.1→sf1) even though the work is
+    all executor-parallel shuffle joins with no driver state. Prefix
+    filtering does not help at low thresholds (t=0.12 keeps ~88% of
+    each set), and lowering the cut trades away dup-cluster recall.
+
+    BOUNDED-WORK CONTRACT (r12): `max_posting_size` (the cap) gives the
+    verification twin the same discipline as lsh_candidate_pairs'
+    max_bucket_size. When set, candidate generation only pairs the
+    cap LOWEST ids of each shingle's posting list (deterministic —
+    array_sort + slice, exactly replayable in SQL via ROW_NUMBER), so
+    pair-generation work is Σ_shingle min(df, cap)² ≤ #shingles · cap².
+    The Jaccard reported for every SURVIVING pair stays EXACT over the
+    full df-filtered shingle space (candidates fan back out to the
+    uncapped posting lists to count |A∩B|); what the cap trades is
+    candidate RECALL: a pair is missed only if every shingle it shares
+    has one of the two members outside that shingle's cap window. The
+    drop is audited, never silent — ngram_posting_cap_stats reports
+    each capped shingle and the within-shingle pair mass excluded, so
+    a 1 TB verification slice is a bounded job with a quantified
+    recall statement. At 100 TB use minhash-LSH (minhash_lsh_dedup,
+    sub-linear on the same corpus) for discovery; this exact operator
+    is the verification twin and the moderate-scale / high-threshold
+    tool."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(
         F.col(id_col),
@@ -434,12 +451,46 @@ def ngram_jaccard_pairs(
     )
     sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_posting_size is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # Capped candidate generation: cap LOWEST ids per shingle
+        # (array_sort + slice == ROW_NUMBER ... ORDER BY id <= cap in
+        # the SQL replay), pairs expanded ARRAY-side — the collect_list
+        # is bounded by the df-cut (<= max_doc_freq rows per group) and
+        # the pair arrays by cap², so no unbounded state anywhere.
+        kept = sh.groupBy("shingle").agg(
+            F.slice(F.array_sort(F.collect_list(id_col)), 1, max_posting_size).alias("ids")
+        )
+        cand = (
+            kept.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        # Exact |A∩B| for each candidate over the FULL df-filtered
+        # posting lists: fan out to A's shingles, equi-join B's —
+        # work = Σ_candidates |A|, bounded by the cap² candidate count.
+        sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            cand.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -491,6 +542,46 @@ def ngram_df_stats(
             "shingle",
             "doc_freq",
             (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2).cast("bigint").alias("n_pairs_avoided"),
+        )
+    )
+
+
+def ngram_posting_cap_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    max_doc_freq: int = 1000,
+    max_posting_size: int = 64,
+) -> DataFrame:
+    """Audit companion to ngram_jaccard_pairs' per-shingle pair budget
+    (`max_posting_size`) — the analog of ngram_df_stats for the cap
+    tier (cap < df <= max_doc_freq; shingles above max_doc_freq are
+    the df-cut's audit, not this one). One row per shingle whose
+    posting list was truncated for candidate generation, with its
+    document frequency, the kept count, and the within-shingle pair
+    mass excluded: C(df,2) - C(cap,2). A pair counted here may still
+    be discovered via another shared shingle — this is the per-shingle
+    drop mass, the quantity a recall statement is built from.
+    Output: (shingle, doc_freq, n_kept, n_pairs_dropped)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("__toks", shingle_n))).alias("shingle"),
+    )
+    cap_pairs = max_posting_size * (max_posting_size - 1) // 2
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter((F.col("doc_freq") > max_posting_size) & (F.col("doc_freq") <= max_doc_freq))
+        .select(
+            "shingle",
+            "doc_freq",
+            F.lit(max_posting_size).cast("bigint").alias("n_kept"),
+            (
+                (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2).cast("bigint")
+                - F.lit(cap_pairs)
+            ).alias("n_pairs_dropped"),
         )
     )
 

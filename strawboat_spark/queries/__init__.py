@@ -70,17 +70,20 @@ def _load_all_modules() -> None:
 # it next round; nothing to maintain.
 
 
-def _driver_history() -> dict[str, tuple[int, bool]]:
-    """name -> (last round with a driver row, that row passed).
+def _driver_history() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (last round with a driver row, passed, was rows-only).
 
     A no_oracle row counts as passed: the driver's rows-only check is
-    the strongest signal that query can ever get, so it rotates like a
-    verified one."""
+    the strongest signal that query can ever get *while it has no
+    oracle*. The third element records that the row was rows-only so
+    the ordering can re-front a query whose oracle landed AFTER its
+    last driver observation (r11 lesson: dedup_minhash_lsh gained an
+    exact oracle in r10 but rotated on age for two rounds)."""
     import json
     import re
     from pathlib import Path
 
-    history: dict[str, tuple[int, bool]] = {}
+    history: dict[str, tuple[int, bool, bool]] = {}
     root = Path(__file__).resolve().parents[2]
     try:
         files = sorted(root.glob("CORRECTNESS_r*.json"))
@@ -96,10 +99,11 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            rows_only = row.get("err") == "no_oracle"
+            ok = bool(row.get("hash_match")) or rows_only
             prev = history.get(name)
             if prev is None or rnd >= prev[0]:
-                history[name] = (rnd, ok)
+                history[name] = (rnd, ok, rows_only)
     return history
 
 
@@ -109,11 +113,16 @@ def all_queries() -> dict[str, QueryDef]:
     reg_order = {n: i for i, n in enumerate(_REGISTRY)}
 
     def key(item: tuple[str, QueryDef]):
-        name = item[0]
+        name, qdef = item
         row = history.get(name)
         if row is None:
             return (0, 0, reg_order[name])  # never driver-checked
-        rnd, ok = row
+        rnd, ok, rows_only = row
+        if rows_only and qdef.oracle is not None:
+            # The oracle landed after the last driver row: the exact
+            # check is still owed, regardless of how recent the weaker
+            # rows-only row is. Front it like a never-checked entry.
+            return (0, rnd, reg_order[name])
         if not ok:
             return (1, rnd, reg_order[name])  # last driver row failed
         return (2, rnd, reg_order[name])  # verified: oldest round first

@@ -1,12 +1,12 @@
 """LLM training-data pipeline queries (dedup / similarity / text /
 multimodal) over the documents + embeddings tables — SURVEY.md §2C ⊕.
 
-Oracle policy: operators whose semantics are SQL-expressible carry an
-exact DuckDB oracle (exact dedup, n-gram jaccard, brute-force cosine,
-text analytics). Hash-dependent ops (minhash/simhash/LSH — xxhash64
-has no DuckDB twin) are declared without oracles → the driver records
-the weaker rows-only check, and their *estimates* are cross-validated
-by the exact oracle-backed queries (jaccard vs minhash).
+Oracle policy: every gate in this module carries an exact DuckDB
+oracle — the rows-only set has been empty since r11 (see COVERAGE.md).
+Hash-dependent ops (minhash/simhash/LSH) use a portable hash family:
+ONE md5 per shingle + Carter-Wegman affine transforms mod 2^61-1,
+computed identically in Spark SQL and DuckDB SQL, so even the banding
+paths are hash-exact under the driver's value-hash compare.
 """
 
 from __future__ import annotations
@@ -447,6 +447,93 @@ def dedup_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
         F.col("doc_freq").alias("l1"),
         F.col("n_pairs_avoided").alias("l2"),
+    )
+    return stats.unionByName(pairs).orderBy("gate", "k1", "k2")
+
+
+@query(
+    "dedup_ngram_capped",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ts[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+                     for i in range(1, greatest(len(ts) - 1, 1))]) AS shingle
+      FROM tok WHERE len(ts) >= 3
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ), kept AS (
+      -- per-shingle pair budget: cap LOWEST ids, deterministic
+      SELECT * FROM sh QUALIFY ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id) <= 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), common AS (
+      -- exact |A∩B| over the FULL df-filtered posting lists
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT 'cap_stats' AS gate, shingle AS k1, NULL AS k2,
+             CAST(NULL AS DOUBLE) AS v,
+             COUNT(*) AS l1,
+             CAST(COUNT(*) * (COUNT(*) - 1) / 2 - 6 AS BIGINT) AS l2
+      FROM sh GROUP BY shingle HAVING COUNT(*) > 4
+      UNION ALL
+      SELECT 'pairs', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
+             CAST(ROUND(n_common * 10000.0 / (sa.n + sb.n - n_common)) AS BIGINT)
+               / 10000.0,
+             NULL, NULL
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.12
+    ) ORDER BY gate, k1, k2
+    """,
+    description=(
+        "bounded-work exact n-gram Jaccard (r12): per-shingle pair "
+        "budget max_posting_size=4 — candidates from the 4 lowest ids "
+        "per shingle (work <= #shingles*cap²), Jaccard still exact over "
+        "the full df-filtered space for every surviving pair, plus the "
+        "audited-drop rows (capped shingles + excluded pair mass)"
+    ),
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-bounded verification twin: same exact-Jaccard
+    semantics as dedup_ngram_suite for every emitted pair, but
+    candidate generation is capped per shingle so the job is bounded
+    at any corpus size (the r11 audit measured the UNCAPPED operator at
+    58x for 10x data — structural Σdf²; this gate's plan is
+    Σ min(df, cap)²). The oracle replays the identical deterministic
+    cap (ROW_NUMBER ... ORDER BY doc_id <= 4 == array_sort+slice)."""
+    from strawboat_spark.operators.dedup import ngram_posting_cap_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.12, max_posting_size=4
+    ).select(
+        F.lit("pairs").alias("gate"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("jaccard").alias("v"),
+        F.lit(None).cast("bigint").alias("l1"),
+        F.lit(None).cast("bigint").alias("l2"),
+    )
+    stats = ngram_posting_cap_stats(
+        d, "text", "doc_id", shingle_n=3, max_posting_size=4
+    ).select(
+        F.lit("cap_stats").alias("gate"),
+        F.col("shingle").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("doc_freq").alias("l1"),
+        F.col("n_pairs_dropped").alias("l2"),
     )
     return stats.unionByName(pairs).orderBy("gate", "k1", "k2")
 

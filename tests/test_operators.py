@@ -354,6 +354,79 @@ def test_ngram_df_cut_preserves_normal_corpus(spark):
     assert capped and capped == uncapped
 
 
+def test_ngram_posting_cap_bounds_pair_generation(spark):
+    """The r12 bounded-work contract: max_posting_size caps candidate
+    generation per shingle (deterministic lowest-ids selection), the
+    Jaccard of every SURVIVING pair stays exact over the full
+    df-filtered space, emitted pairs are a subset of the uncapped run,
+    and ngram_posting_cap_stats audits exactly the truncated shingles
+    (the r11 measured scale-killer gets LSH's discipline)."""
+    from strawboat_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_posting_cap_stats,
+    )
+    from strawboat_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.12
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.12, max_posting_size=2
+        ).collect()
+    }
+    assert capped, "cap=2 must still discover pairs via some shingle"
+    assert set(capped) <= set(uncapped), "capped candidates ⊆ uncapped"
+    for pair, j in capped.items():
+        # exactness: the cap trades recall, never the reported value
+        assert j == uncapped[pair], (pair, j, uncapped[pair])
+
+    stats = ngram_posting_cap_stats(
+        docs, "text", "doc_id", max_posting_size=2
+    ).collect()
+    assert stats, "corpus has shingles with df > 2 — audit must be non-empty"
+    for r in stats:
+        assert r["doc_freq"] > 2
+        assert r["n_kept"] == 2
+        assert r["n_pairs_dropped"] == r["doc_freq"] * (r["doc_freq"] - 1) // 2 - 1
+
+
+def test_ngram_posting_cap_boilerplate_is_bounded(spark):
+    """With the df-cut DISABLED, a 300-doc boilerplate shingle used to
+    be a C(300,2) join; the posting cap alone bounds it to C(cap,2)
+    candidates while still emitting those (exact) pairs."""
+    from strawboat_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved unique"),
+            F.col("id").cast("string"),
+            F.lit(" tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.01,
+        max_doc_freq=1 << 30,
+        max_posting_size=4,
+    ).collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    # only the 4 lowest doc_ids can appear: C(4,2) = 6 pairs max
+    assert ids <= {0, 1, 2, 3}
+    assert len(pairs) == 6
+
+
 def test_pq_codes_compress_and_rerank_recall(spark):
     """PQ: codes are m small ints (the 32x memory story), encoding is
     deterministic, and ADC shortlist + exact rerank clears 0.8
