@@ -590,12 +590,28 @@ class _FsspecFileSystem:
 
 
 class _S3WriteHandle(io.BytesIO):
-    """Commit-at-close PUT (the object-store write model): bytes
-    buffer locally, one PutObject publishes atomically at close();
-    abort() discards without publishing.  `exclusive` adds
-    If-None-Match:* — the server-enforced CAS the manifest commit
-    protocol rides on (same contract the moto integration tests pin
-    for the fsspec adapter)."""
+    """Commit-at-close write (the object-store model): bytes buffer
+    locally; close() publishes atomically; abort() discards without
+    publishing.  `exclusive` adds If-None-Match:* — the server-enforced
+    CAS the manifest commit protocol rides on (same contract the moto
+    integration tests pin for the fsspec adapter).
+
+    MULTIPART (r12): a non-exclusive handle that buffers past the part
+    threshold streams the buffer out as UploadPart calls instead of
+    holding the whole object — a multi-GB strawboat data file neither
+    sits in executor memory nor hits the 5 GB single-PutObject ceiling
+    (the reference's ranged-IO posture on the write side,
+    /root/reference/src/read/reader.rs:168-225 is the read twin).
+    Publication stays atomic: parts are invisible until
+    CompleteMultipartUpload, and abort()/GC/close-failure abort the
+    upload so no visible object and no orphaned parts remain.
+    Exclusive handles (manifests — small by construction) keep the
+    single conditional PUT: S3 enforces If-None-Match on PutObject,
+    and the CAS is the whole point of that path."""
+
+    # S3 requires every part but the last to be >= 5 MiB; the env knob
+    # (STRAWBOAT_S3_MULTIPART_PART_SIZE, bytes) is floored there.
+    _MIN_PART = 5 << 20
 
     def __init__(self, fs: "S3FileSystem", bucket: str, key: str, exclusive: bool):
         super().__init__()
@@ -604,6 +620,56 @@ class _S3WriteHandle(io.BytesIO):
         self._obj_key = key
         self._exclusive = exclusive
         self._done = False
+        self._upload_id: str | None = None
+        self._parts: list[dict] = []
+        try:
+            env = int(os.environ.get("STRAWBOAT_S3_MULTIPART_PART_SIZE", "0"))
+        except ValueError:
+            env = 0
+        self._part_size = max(env, self._MIN_PART) if env else (64 << 20)
+
+    def write(self, b) -> int:  # type: ignore[override]
+        n = super().write(b)
+        if not self._exclusive and self.getbuffer().nbytes >= self._part_size:
+            self._flush_part()
+        return n
+
+    def _flush_part(self) -> None:
+        """Ship the whole buffer as one part (5 MiB..5 GiB — callers
+        write sequentially, so the buffer IS the next part) and reset."""
+        data = self.getvalue()
+        client = self._s3fs._client()
+        try:
+            if self._upload_id is None:
+                self._upload_id = client.create_multipart_upload(
+                    Bucket=self._bucket, Key=self._obj_key
+                )["UploadId"]
+            num = len(self._parts) + 1
+            etag = client.upload_part(
+                Bucket=self._bucket,
+                Key=self._obj_key,
+                PartNumber=num,
+                UploadId=self._upload_id,
+                Body=data,
+            )["ETag"]
+        except _s3_client_error() as e:
+            self._abort_upload()
+            self._done = True
+            _s3_reraise(e, f"s3://{self._bucket}/{self._obj_key}")
+        self._parts.append({"PartNumber": num, "ETag": etag})
+        self.seek(0)
+        self.truncate(0)
+
+    def _abort_upload(self) -> None:
+        if self._upload_id is None:
+            return
+        upload_id, self._upload_id = self._upload_id, None
+        try:
+            self._s3fs._client().abort_multipart_upload(
+                Bucket=self._bucket, Key=self._obj_key, UploadId=upload_id
+            )
+        except Exception:  # noqa: BLE001 - abort is best-effort cleanup
+            pass
 
     def close(self) -> None:
         if self._done or self.closed:
@@ -611,9 +677,34 @@ class _S3WriteHandle(io.BytesIO):
         self._done = True
         body = self.getvalue()
         super().close()
+        client = self._s3fs._client()
+        if self._upload_id is not None:
+            try:
+                if body:
+                    num = len(self._parts) + 1
+                    etag = client.upload_part(
+                        Bucket=self._bucket,
+                        Key=self._obj_key,
+                        PartNumber=num,
+                        UploadId=self._upload_id,
+                        Body=body,
+                    )["ETag"]
+                    self._parts.append({"PartNumber": num, "ETag": etag})
+                client.complete_multipart_upload(
+                    Bucket=self._bucket,
+                    Key=self._obj_key,
+                    UploadId=self._upload_id,
+                    MultipartUpload={"Parts": self._parts},
+                )
+            except Exception as e:  # noqa: BLE001 - abort, then classify
+                self._abort_upload()
+                if isinstance(e, _s3_client_error()):
+                    _s3_reraise(e, f"s3://{self._bucket}/{self._obj_key}")
+                raise
+            return
         kw = {"IfNoneMatch": "*"} if self._exclusive else {}
         try:
-            self._s3fs._client().put_object(
+            client.put_object(
                 Bucket=self._bucket, Key=self._obj_key, Body=body, **kw
             )
         except Exception as e:  # noqa: BLE001 - classify by the server's answer
@@ -627,6 +718,7 @@ class _S3WriteHandle(io.BytesIO):
 
     def abort(self) -> None:
         self._done = True
+        self._abort_upload()
         super().close()
 
     def __del__(self):

@@ -1,0 +1,149 @@
+"""Multipart S3 writes against a real S3 API implementation (moto).
+
+The r11 verdict's posture note: _S3WriteHandle buffered the WHOLE
+object and published with one PutObject — correct, but a multi-GB
+strawboat data file would sit fully in executor memory and hit the
+5 GB single-PUT ceiling. The r12 contract: non-exclusive handles
+stream parts >= the part threshold via Create/UploadPart/Complete;
+abort (explicit, GC, or complete-failure) leaves NO visible object and
+NO in-progress upload. Exclusive (CAS manifest) handles stay
+single-PUT — If-None-Match rides PutObject.
+
+Skipped when moto/boto3 are absent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+from strawboat_spark.sources.fileio import S3FileSystem  # noqa: E402
+
+BUCKET = "strawboat-mpu"
+PART = 5 << 20  # the S3 minimum part size — the handle floors here
+
+
+@pytest.fixture(scope="module")
+def s3_env(tmp_path_factory):
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server._server.server_address
+    endpoint = f"http://{host}:{port}"
+    client = boto3.client(
+        "s3",
+        endpoint_url=endpoint,
+        aws_access_key_id="test",
+        aws_secret_access_key="test",
+        region_name="us-east-1",
+    )
+    client.create_bucket(Bucket=BUCKET)
+    import os
+
+    old = {
+        k: os.environ.get(k)
+        for k in (
+            "STRAWBOAT_S3_ENDPOINT",
+            "STRAWBOAT_S3_MULTIPART_PART_SIZE",
+            "AWS_ACCESS_KEY_ID",
+            "AWS_SECRET_ACCESS_KEY",
+            "AWS_DEFAULT_REGION",
+        )
+    }
+    os.environ["STRAWBOAT_S3_ENDPOINT"] = endpoint
+    os.environ["STRAWBOAT_S3_MULTIPART_PART_SIZE"] = str(PART)
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "test")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "test")
+    os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+    yield client
+    for k, v in old.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    server.stop()
+
+
+def _inflight(client, key_prefix: str) -> list:
+    resp = client.list_multipart_uploads(Bucket=BUCKET)
+    return [
+        u for u in resp.get("Uploads", []) if u["Key"].startswith(key_prefix)
+    ]
+
+
+def test_large_write_streams_parts_and_publishes(s3_env):
+    fs = S3FileSystem()
+    data = bytes(range(256)) * (12 * (1 << 20) // 256)  # 12 MiB
+    h = fs.create(f"s3://{BUCKET}/data/big.strawboat")
+    for i in range(0, len(data), 1 << 20):
+        h.write(data[i : i + (1 << 20)])
+    # two 5 MiB parts already shipped; 2 MiB still buffered
+    assert h._upload_id is not None
+    assert len(h._parts) == 2
+    assert h.getbuffer().nbytes == 2 * (1 << 20)
+    h.close()
+    got = s3_env.get_object(Bucket=BUCKET, Key="data/big.strawboat")["Body"].read()
+    assert got == data
+    assert not _inflight(s3_env, "data/big.strawboat")
+
+
+def test_small_write_stays_single_put(s3_env):
+    fs = S3FileSystem()
+    with fs.create(f"s3://{BUCKET}/data/small.bin") as h:
+        h.write(b"tiny payload")
+        assert h._upload_id is None
+    assert (
+        s3_env.get_object(Bucket=BUCKET, Key="data/small.bin")["Body"].read()
+        == b"tiny payload"
+    )
+
+
+def test_abort_after_parts_leaves_nothing_visible(s3_env):
+    fs = S3FileSystem()
+    h = fs.create(f"s3://{BUCKET}/data/aborted.bin")
+    h.write(b"x" * (6 << 20))  # one part flushed
+    assert h._upload_id is not None
+    h.abort()
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/aborted.bin")
+    assert not _inflight(s3_env, "data/aborted.bin")
+
+
+def test_gc_discards_inflight_upload(s3_env):
+    fs = S3FileSystem()
+    h = fs.create(f"s3://{BUCKET}/data/leaked.bin")
+    h.write(b"y" * (6 << 20))
+    assert h._upload_id is not None
+    del h  # abandoned by a failed task: __del__ must abort, not publish
+    import gc
+
+    gc.collect()
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/leaked.bin")
+    assert not _inflight(s3_env, "data/leaked.bin")
+
+
+def test_exclusive_stays_single_put_with_cas(s3_env):
+    fs = S3FileSystem()
+    h = fs.create_exclusive(f"s3://{BUCKET}/meta/manifest.json")
+    h.write(b"m" * (6 << 20))  # past the threshold — must NOT go multipart
+    assert h._upload_id is None
+    h.close()
+    loser = fs.create_exclusive(f"s3://{BUCKET}/meta/manifest.json")
+    loser.write(b"other")
+    with pytest.raises(FileExistsError):
+        loser.close()
+
+
+def test_context_exit_on_error_aborts(s3_env):
+    fs = S3FileSystem()
+    with pytest.raises(RuntimeError):
+        with fs.create(f"s3://{BUCKET}/data/ctx.bin") as h:
+            h.write(b"z" * (6 << 20))
+            raise RuntimeError("task died")
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/ctx.bin")
+    assert not _inflight(s3_env, "data/ctx.bin")
