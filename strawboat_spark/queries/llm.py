@@ -469,13 +469,14 @@ def dedup_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id
     ), common AS (
-      -- exact |A∩B| over the FULL df-filtered posting lists
-      SELECT id_a, id_b, COUNT(*) AS n_common
+      -- exact |A∩B| over the FULL df-filtered shingle sets
+      SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS n_common
       FROM cand
-      JOIN sh sa ON sa.doc_id = cand.id_a
-      JOIN sh sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
-      GROUP BY 1, 2
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     )
@@ -536,6 +537,126 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs_dropped").alias("l2"),
     )
     return stats.unionByName(pairs).orderBy("gate", "k1", "k2")
+
+
+@query(
+    "text_nb_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+      FROM tok WHERE tok <> ''
+    ), db AS (
+      SELECT doc_id, bucket, COUNT(*) AS k FROM tk GROUP BY 1, 2
+    ), doc_stats AS (
+      SELECT doc_id, SUM(k) AS n_toks FROM db GROUP BY 1
+    ), bc AS (
+      SELECT lang AS label, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), ls AS (
+      SELECT d.lang AS label, COUNT(*) AS n_docs,
+             COALESCE(SUM(t.n), 0) AS n_tokens
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1) t USING (doc_id)
+      GROUP BY 1
+    ), s1 AS (
+      SELECT db.doc_id, bc.label, SUM(db.k * ln(bc.c + 1)) AS s1
+      FROM db JOIN bc USING (bucket) GROUP BY 1, 2
+    ), scored AS (
+      SELECT ds.doc_id, l.label,
+             ROUND(ln(l.n_docs::DOUBLE / (SELECT SUM(n_docs) FROM ls))
+                   - ds.n_toks * ln((l.n_tokens + 64)::DOUBLE)
+                   + COALESCE(s1.s1, 0), 4) AS score
+      FROM doc_stats ds
+      CROSS JOIN ls l
+      LEFT JOIN s1 ON s1.doc_id = ds.doc_id AND s1.label = l.label
+    ), pred AS (
+      SELECT doc_id, label AS pred_label, score
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) = 1
+    )
+    SELECT p.doc_id, d.lang AS actual, p.pred_label, p.score
+    FROM pred p JOIN documents d USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    description=(
+        "multinomial Naive Bayes language classifier (r12) over hashed "
+        "token buckets (dim=64): train = one groupBy, model bounded at "
+        "n_labels*dim rows (broadcast safe at ANY corpus size — the "
+        "anti-pattern lm.py's corpus-growing model must avoid), predict "
+        "= bounded join + engine-stable argmax on the rounded score"
+    ),
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/classify.py multinomial NB (McCallum & Nigam 1998 +
+    the Weinberger 2009 hashing trick): self-scored language ID over
+    the documents corpus, per-doc argmax hash-exact vs DuckDB."""
+    from strawboat_spark.operators.classify import nb_predict, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    bc, ls = nb_train(d, "text", "lang", dim=64)
+    pred = nb_predict(d, bc, ls, "text", "doc_id", dim=64)
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select("doc_id", "actual", "pred_label", "score")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_dsir_selection",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 128 AS bucket
+      FROM tok WHERE tok <> ''
+    ), db AS (
+      SELECT doc_id, bucket, COUNT(*) AS k FROM tk GROUP BY 1, 2
+    ), tmodel AS (
+      SELECT bucket, COUNT(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1
+    ), rmodel AS (
+      SELECT bucket, COUNT(*) AS cr FROM tk GROUP BY 1
+    ), w AS (
+      SELECT db.doc_id, CAST(SUM(db.k) AS BIGINT) AS n_toks,
+             ROUND(SUM(db.k * (
+               ln((COALESCE(t.ct, 0) + 1)::DOUBLE
+                  / ((SELECT SUM(ct) FROM tmodel) + 128))
+               - ln((COALESCE(r.cr, 0) + 1)::DOUBLE
+                    / ((SELECT SUM(cr) FROM rmodel) + 128))
+             )), 4) AS log_w
+      FROM db
+      LEFT JOIN tmodel t USING (bucket)
+      LEFT JOIN rmodel r USING (bucket)
+      GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_toks, log_w FROM w
+    ORDER BY log_w DESC, doc_id LIMIT 100
+    """,
+    description=(
+        "DSIR importance resampling (Xie et al. 2023, r12): per-doc "
+        "log p_target/p_raw under hashed-unigram bag models (dim=128, "
+        "target = lang='en' sample) — the published pretraining data-"
+        "selection recipe; both models bounded by dim (broadcast safe), "
+        "top-100 most target-like docs, deterministic tie-break"
+    ),
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/classify.py dsir_importance_weights: select raw-corpus
+    docs matching the English target domain."""
+    from strawboat_spark.operators.classify import dsir_importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    w = dsir_importance_weights(d, target, "text", "doc_id", dim=128)
+    return w.orderBy(F.col("log_w").desc(), "doc_id").limit(100)
 
 
 @query(

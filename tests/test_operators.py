@@ -427,6 +427,49 @@ def test_ngram_posting_cap_boilerplate_is_bounded(spark):
     assert len(pairs) == 6
 
 
+def test_naive_bayes_learns_injected_signal(spark):
+    """The driver gate (text_nb_langid) proves exact mechanics against
+    DuckDB; the testdata's lang label is RANDOM (no signal), so model
+    quality needs a corpus with signal: per-label marker tokens →
+    near-perfect self-classification, and the model tables stay bounded
+    by n_labels x dim (the broadcast-safety invariant)."""
+    from strawboat_spark.operators.classify import nb_predict, nb_train
+
+    markers = {"de": "der die und", "fr": "le la et", "en": "the of and"}
+    rows = []
+    for i in range(300):
+        lab = ["de", "fr", "en"][i % 3]
+        rows.append((i, lab, f"shared words here {markers[lab]} {markers[lab]} tail{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    bc, ls = nb_train(df, "text", "lang", dim=256)
+    assert bc.count() <= 3 * 256  # model bounded by labels x dim
+    pred = nb_predict(df, bc, ls, "text", "doc_id", dim=256)
+    joined = pred.join(df.select("doc_id", "lang"), "doc_id")
+    acc = joined.filter(F.col("pred_label") == F.col("lang")).count() / 300
+    assert acc > 0.95, acc
+
+
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    """DSIR importance weights: docs sharing the target domain's
+    distinctive tokens must outrank generic docs (Xie et al. 2023
+    recipe: log p_target - log p_raw over hashed unigram models)."""
+    from strawboat_spark.operators.classify import dsir_importance_weights
+
+    raw_rows = [
+        (i, "medical clinical patient dosage trial" if i < 50 else "sports game score team season")
+        for i in range(200)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, "clinical trial patient outcomes dosage") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = dsir_importance_weights(raw, target, "text", "doc_id", dim=512)
+    top = [r["doc_id"] for r in w.orderBy(F.col("log_w").desc(), "doc_id").limit(50).collect()]
+    assert set(top) == set(range(50)), "medical docs must fill the top-50"
+
+
 def test_pq_codes_compress_and_rerank_recall(spark):
     """PQ: codes are m small ints (the 32x memory story), encoding is
     deterministic, and ADC shortlist + exact rerank clears 0.8
