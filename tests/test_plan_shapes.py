@@ -114,6 +114,38 @@ def test_strawboat_scan_stays_columnar(spark):
     assert "BatchScan strawboat" in r.text
 
 
+def test_nb_predict_broadcasts_only_bounded_models(spark, registry):
+    """The NB model tables are bounded BY CONSTRUCTION (n_labels x dim
+    rows at any corpus size) so their broadcasts are pinned as hints —
+    the exact opposite posture from lm.py's corpus-growing model (the
+    r11 measured scale-killer, which must NEVER broadcast). Three
+    hinted broadcasts: bucket_counts, label_stats, total_docs."""
+    df = registry["text_nb_langid"].fn(spark, SF_CORRECT)
+    assert _n_broadcast_hints(df) == 3
+    r = audit(df)
+    # the scalar crossJoins compile to BroadcastNestedLoopJoin
+    assert r.n_broadcast_joins + r.n_nested_loop_joins >= 3, r.text[:2000]
+
+
+def test_dsir_broadcasts_only_dim_bounded_models(spark, registry):
+    """DSIR's two bag models and their totals are <= dim rows each —
+    four hinted broadcasts, nothing corpus-sized on a build side."""
+    df = registry["corpus_dsir_selection"].fn(spark, SF_CORRECT)
+    assert _n_broadcast_hints(df) == 4
+    r = audit(df)
+    assert r.n_broadcast_joins + r.n_nested_loop_joins >= 4, r.text[:2000]
+
+
+def test_ngram_capped_no_cartesian_no_python(spark, registry):
+    """The bounded-work exact-Jaccard plan: candidate generation is an
+    array-side explode (no self-join), intersection is array_intersect
+    (JVM) — no nested-loop/cartesian join and no Python eval anywhere."""
+    df = registry["dedup_ngram_capped"].fn(spark, SF_CORRECT)
+    r = audit(df)
+    assert r.n_nested_loop_joins == 0, r.text[:2000]
+    assert "BatchEvalPython" not in r.text and "ArrowEvalPython" not in r.text
+
+
 def test_salted_join_matches_plain_join(spark):
     import pyspark.sql.functions as F
 
