@@ -48,16 +48,21 @@ def _bucket(tok_col, dim: int):
 
 
 def _doc_buckets(df: DataFrame, text_col: str, id_col: str, dim: int) -> DataFrame:
-    """(id, bucket, k): per-doc hashed-token multiplicities. One
-    explode + one map-side-combined groupBy; output bounded per doc by
-    min(n_tokens, dim)."""
+    """(id, bucket, k): per-doc hashed-token multiplicities.
+
+    The md5 runs once per DISTINCT (doc, token), not per token
+    instance (the lm.py r8 rework, same rationale): natural text
+    repeats tokens heavily, so pre-aggregating to per-doc token counts
+    before hashing cuts the dominant map-side cost; the bucket sum of
+    the counts is byte-identical to hashing every instance."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
+    tc = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("k"))
     return (
-        tok.select(F.col(id_col), _bucket("tok", dim).alias("bucket"))
+        tc.select(F.col(id_col), _bucket("tok", dim).alias("bucket"), "k")
         .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum("k").alias("k"))
     )
 
 
@@ -73,10 +78,12 @@ def nb_train(
     tok = df.select(
         F.col(label_col).alias("label"), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
+    # one md5 per DISTINCT (label, token) — see _doc_buckets
+    tc = tok.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("k"))
     bucket_counts = (
-        tok.select("label", _bucket("tok", dim).alias("bucket"))
+        tc.select("label", _bucket("tok", dim).alias("bucket"), "k")
         .groupBy("label", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("k").alias("c"))
     )
     label_stats = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -169,10 +176,12 @@ def dsir_importance_weights(
         tok = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
             F.col("tok") != ""
         )
+        # one md5 per DISTINCT token — see _doc_buckets
+        tc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("k"))
         counts = (
-            tok.select(_bucket("tok", dim).alias("bucket"))
+            tc.select(_bucket("tok", dim).alias("bucket"), "k")
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("k").alias("c"))
         )
         total = counts.agg(F.sum("c").alias(total_name))
         return counts, total
