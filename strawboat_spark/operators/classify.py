@@ -118,19 +118,52 @@ def nb_predict(
     argmax on the ROUNDED score, ties to the lexicographically first
     label — engine-stable, replayed exactly by the SQL oracle)."""
     db = _doc_buckets(df, text_col, id_col, dim)
-    doc_stats = db.groupBy(id_col).agg(F.sum("k").alias("n_toks"))
     total_docs = label_stats.agg(F.sum("n_docs").alias("N"))
 
-    s1 = (
-        db.join(F.broadcast(bucket_counts), "bucket")
-        .groupBy(id_col, "label")
-        .agg(F.sum(F.col("k") * F.log(F.col("c") + F.lit(1).cast("double")))
-             .alias("s1"))
+    # The label list is a MODEL property (bounded like the model
+    # itself), so collecting it is a scalar-class collect; it lets the
+    # model pivot to ONE row per bucket and the per-label log-count
+    # sums become column arithmetic on the db stream. The naive
+    # formulation joined db x bucket_counts on bucket — fanning the
+    # per-doc bucket stream out x n_labels through the (id, label)
+    # aggregate (160M rows at sf10 for 5 labels); this keeps the
+    # stream at |db| rows with n_labels columns, then explodes only
+    # the FINAL per-doc vector (n_labels rows per doc). Identical
+    # sums: a (label, bucket) the model never saw is NULL in the
+    # pivot and contributes log(0 + 1) = 0.
+    labels = sorted(r["label"] for r in label_stats.select("label").collect())
+    pivoted = (
+        bucket_counts.groupBy("bucket").pivot("label", labels).agg(F.first("c"))
     )
+    logc = [
+        F.sum(
+            F.col("k")
+            * F.log(F.coalesce(F.col(f"`{lab}`"), F.lit(0)).cast("double") + F.lit(1.0))
+        ).alias(f"__s1_{i}")
+        for i, lab in enumerate(labels)
+    ]
+    s1_vec = (
+        db.join(F.broadcast(pivoted), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum("k").alias("n_toks"), *logc)
+    )
+    per_label = s1_vec.select(
+        F.col(id_col),
+        F.col("n_toks"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lab).alias("label"), F.col(f"__s1_{i}").alias("s1")
+                    )
+                    for i, lab in enumerate(labels)
+                ]
+            )
+        ).alias("ls"),
+    ).select(id_col, "n_toks", F.col("ls.label").alias("label"), F.col("ls.s1").alias("s1"))
     expanded = (
-        doc_stats.crossJoin(F.broadcast(label_stats))
+        per_label.join(F.broadcast(label_stats), "label")
         .crossJoin(F.broadcast(total_docs))
-        .join(s1, [id_col, "label"], "left")
         .withColumn(
             "score",
             F.round(
