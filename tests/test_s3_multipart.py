@@ -138,6 +138,68 @@ def test_exclusive_stays_single_put_with_cas(s3_env):
         loser.close()
 
 
+class _FailingClient:
+    """Proxy that fails a chosen operation with a server-style error,
+    delegating everything else to the real moto client."""
+
+    def __init__(self, real, fail_op: str):
+        self._real = real
+        self._fail_op = fail_op
+
+    def __getattr__(self, name):
+        if name == self._fail_op:
+            def boom(**kw):
+                from botocore.exceptions import ClientError
+
+                raise ClientError(
+                    {"Error": {"Code": "InternalError", "Message": "injected"}},
+                    name,
+                )
+
+            return boom
+        return getattr(self._real, name)
+
+
+def test_upload_part_failure_aborts_and_classifies(s3_env):
+    """A part-upload failure mid-write must surface as the seam's
+    OSError contract AND abort the in-flight upload (a retrying task
+    must not leave billing-visible orphan parts behind)."""
+    fs = S3FileSystem()
+    h = fs.create(f"s3://{BUCKET}/data/partfail.bin")
+    h.write(b"a" * (6 << 20))  # first part succeeds
+    assert h._upload_id is not None
+    real = fs._client()
+    fs._c = _FailingClient(real, "upload_part")
+    with pytest.raises(OSError):
+        h.write(b"b" * (6 << 20))
+    fs._c = real
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/partfail.bin")
+    assert not _inflight(s3_env, "data/partfail.bin")
+    # handle is done: a later close() must not resurrect anything
+    h.close()
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/partfail.bin")
+
+
+def test_complete_failure_aborts(s3_env):
+    """CompleteMultipartUpload failing at close() must abort the
+    upload and re-raise under the seam's contract — never a visible
+    half-object."""
+    fs = S3FileSystem()
+    h = fs.create(f"s3://{BUCKET}/data/completefail.bin")
+    h.write(b"c" * (6 << 20))
+    assert h._upload_id is not None
+    real = fs._client()
+    fs._c = _FailingClient(real, "complete_multipart_upload")
+    with pytest.raises(OSError):
+        h.close()
+    fs._c = real
+    with pytest.raises(Exception):
+        s3_env.head_object(Bucket=BUCKET, Key="data/completefail.bin")
+    assert not _inflight(s3_env, "data/completefail.bin")
+
+
 def test_context_exit_on_error_aborts(s3_env):
     fs = S3FileSystem()
     with pytest.raises(RuntimeError):
