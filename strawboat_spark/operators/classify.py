@@ -182,6 +182,99 @@ def nb_predict(
     )
 
 
+def _nb_model_rows(df: DataFrame, text_col: str, label_col: str, dim: int) -> DataFrame:
+    """A batch's ADDITIVE model rows, one unioned frame:
+    ('b', label, bucket, c)   hashed token counts,
+    ('d', label, -1, n_docs)  doc counts,
+    ('t', label, -1, n_toks)  token totals.
+    Every row kind is a sum — appending batch rows to the model table
+    and re-summing reads IS batch training on the union (the property
+    that makes the incremental model exact, not approximate)."""
+    bc, ls = nb_train(df, text_col, label_col, dim)
+    b = bc.select(
+        F.lit("b").alias("kind"), "label", "bucket", F.col("c").cast("long").alias("c")
+    )
+    d = ls.select(
+        F.lit("d").alias("kind"),
+        "label",
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("c"),
+    )
+    t = ls.select(
+        F.lit("t").alias("kind"),
+        "label",
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("n_tokens").cast("long").alias("c"),
+    )
+    return b.unionByName(d).unionByName(t)
+
+
+def nb_model_init(
+    spark, model_path: str, df: DataFrame, text_col: str, label_col: str, dim: int = 1024
+):
+    """Create the PERSISTENT incremental NB model: a strawboat table of
+    additive count rows (see _nb_model_rows). The table is bounded at
+    ~appends x (n_labels x dim + 2 x n_labels) rows between
+    compactions — model size never scales with the corpus, only with
+    the append count until maybe_compact_index folds it.
+
+    Same contract as the incremental dedup indexes (dedup.py
+    jaccard_index_init family): batches must be doc-disjoint; each
+    append is one CAS generation flip; pinned readers keep their
+    generation."""
+    from strawboat_spark.table import Table
+
+    Table(spark, model_path).overwrite(_nb_model_rows(df, text_col, label_col, dim))
+    return Table(spark, model_path)
+
+
+def nb_model_append(
+    spark,
+    model_path: str,
+    batch: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 1024,
+    compact_every: int = 0,
+    **append_options,
+) -> None:
+    """Fold a new labeled batch into the model — ONE append (the
+    count rows are additive; no read-modify-write, so concurrent
+    appenders compose under the manifest CAS like any other table).
+    compact_every=N folds the per-append file growth on the same
+    cadence knob as the dedup indexes."""
+    from strawboat_spark.operators.dedup import maybe_compact_index
+    from strawboat_spark.table import Table
+
+    Table(spark, model_path).append(
+        _nb_model_rows(batch, text_col, label_col, dim), **append_options
+    )
+    maybe_compact_index(spark, model_path, compact_every)
+
+
+def nb_model_read(spark, model_path: str) -> tuple[DataFrame, DataFrame]:
+    """(bucket_counts, label_stats) summed from the model table —
+    drop-in for nb_train's output, byte-identical to batch training on
+    the union of every ingested batch."""
+    from strawboat_spark.table import Table
+
+    rows = Table(spark, model_path).read()
+    bucket_counts = (
+        rows.filter(F.col("kind") == "b")
+        .groupBy("label", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    label_stats = (
+        rows.filter(F.col("kind") != "b")
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("kind") == "d", F.col("c"))).alias("n_docs"),
+            F.sum(F.when(F.col("kind") == "t", F.col("c"))).alias("n_tokens"),
+        )
+    )
+    return bucket_counts, label_stats
+
+
 def dsir_importance_weights(
     raw: DataFrame,
     target: DataFrame,

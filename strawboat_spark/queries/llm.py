@@ -539,9 +539,7 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(pairs).orderBy("gate", "k1", "k2")
 
 
-@query(
-    "text_nb_langid",
-    oracle="""
+_NB_LANGID_ORACLE = """
     WITH tok AS (
       SELECT doc_id, lang,
              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -582,7 +580,12 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.doc_id, d.lang AS actual, p.pred_label, p.score
     FROM pred p JOIN documents d USING (doc_id)
     ORDER BY p.doc_id
-    """,
+    """
+
+
+@query(
+    "text_nb_langid",
+    oracle=_NB_LANGID_ORACLE,
     description=(
         "multinomial Naive Bayes language classifier (r12) over hashed "
         "token buckets (dim=64): train = one groupBy, model bounded at "
@@ -599,6 +602,48 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bc, ls = nb_train(d, "text", "lang", dim=64)
+    pred = nb_predict(d, bc, ls, "text", "doc_id", dim=64)
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select("doc_id", "actual", "pred_label", "score")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_nb_incremental",
+    oracle=_NB_LANGID_ORACLE,
+    description=(
+        "persistent incremental NB model (r12): the corpus is ingested "
+        "in three doc-disjoint appends to a strawboat model table of "
+        "ADDITIVE count rows (one CAS flip each, compaction cadence on "
+        "the last), read back and summed — byte-identical to batch "
+        "training on the union, so the oracle IS the batch oracle"
+    ),
+)
+def text_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/classify.py nb_model_init/append/read: counts are
+    additive, so incremental == batch EXACTLY — the gate shares
+    text_nb_langid's oracle verbatim."""
+    import tempfile
+
+    from strawboat_spark.operators.classify import (
+        nb_model_append,
+        nb_model_init,
+        nb_model_read,
+        nb_predict,
+    )
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    path = tempfile.mkdtemp(prefix="strawboat_nbm_") + "/model"
+    d = load_table(spark, sf_dir, "documents")
+    nb_model_init(spark, path, d.filter("doc_id % 3 = 0"), "text", "lang", dim=64)
+    nb_model_append(spark, path, d.filter("doc_id % 3 = 1"), "text", "lang", dim=64)
+    nb_model_append(
+        spark, path, d.filter("doc_id % 3 = 2"), "text", "lang", dim=64, compact_every=2
+    )
+    bc, ls = nb_model_read(spark, path)
     pred = nb_predict(d, bc, ls, "text", "doc_id", dim=64)
     return (
         pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")

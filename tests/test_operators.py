@@ -450,6 +450,43 @@ def test_naive_bayes_learns_injected_signal(spark):
     assert acc > 0.95, acc
 
 
+def test_nb_incremental_model_equals_batch_train(spark, tmp_path):
+    """The persistent NB model is ADDITIVE count rows: init + appends
+    + compaction read back EXACTLY what batch training on the union
+    produces — same bucket counts, same label stats, row for row."""
+    from strawboat_spark.operators.classify import (
+        nb_model_append,
+        nb_model_init,
+        nb_model_read,
+        nb_train,
+    )
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    markers = {"de": "der die und", "fr": "le la et", "en": "the of and"}
+    rows = [
+        (i, ["de", "fr", "en"][i % 3], f"w{i} shared {markers[['de','fr','en'][i % 3]]}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    path = str(tmp_path / "nbm")
+    nb_model_init(spark, path, df.filter("doc_id < 40"), "text", "lang", dim=128)
+    nb_model_append(spark, path, df.filter("doc_id >= 40 and doc_id < 80"), "text", "lang", dim=128)
+    nb_model_append(
+        spark, path, df.filter("doc_id >= 80"), "text", "lang", dim=128, compact_every=2
+    )
+    inc_bc, inc_ls = nb_model_read(spark, path)
+    bat_bc, bat_ls = nb_train(df, "text", "lang", dim=128)
+    assert sorted(map(tuple, inc_bc.collect())) == sorted(map(tuple, bat_bc.collect()))
+    assert sorted(map(tuple, inc_ls.collect())) == sorted(map(tuple, bat_ls.collect()))
+    # the compaction cadence actually fired (2 appends since overwrite)
+    from strawboat_spark.sources.datasource import list_generations
+
+    ops = [g.get("operation") for g in list_generations(path)]
+    assert "compact" in ops or "optimize" in ops, ops
+
+
 def test_dsir_weights_rank_target_like_docs_first(spark):
     """DSIR importance weights: docs sharing the target domain's
     distinctive tokens must outrank generic docs (Xie et al. 2023
