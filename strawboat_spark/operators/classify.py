@@ -133,14 +133,19 @@ def nb_predict(
     # pivot and contributes log(0 + 1) = 0.
     labels = sorted(r["label"] for r in label_stats.select("label").collect())
     pivoted = (
-        bucket_counts.groupBy("bucket").pivot("label", labels).agg(F.first("c"))
+        bucket_counts.groupBy("bucket")
+        .pivot("label", labels)
+        .agg(F.first("c"))
+        # positional rename: label strings are DATA, not identifiers —
+        # a label with a backtick/dot would break column references
+        .toDF("bucket", *[f"__c_{i}" for i in range(len(labels))])
     )
     logc = [
         F.sum(
             F.col("k")
-            * F.log(F.coalesce(F.col(f"`{lab}`"), F.lit(0)).cast("double") + F.lit(1.0))
+            * F.log(F.coalesce(F.col(f"__c_{i}"), F.lit(0)).cast("double") + F.lit(1.0))
         ).alias(f"__s1_{i}")
-        for i, lab in enumerate(labels)
+        for i in range(len(labels))
     ]
     s1_vec = (
         db.join(F.broadcast(pivoted), "bucket", "left")

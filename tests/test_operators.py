@@ -450,6 +450,24 @@ def test_naive_bayes_learns_injected_signal(spark):
     assert acc > 0.95, acc
 
 
+def test_nb_handles_hostile_label_strings(spark):
+    """Labels are DATA: a label containing dots/backticks/spaces must
+    not break the pivoted scoring plan (columns are renamed
+    positionally, never derived from label text)."""
+    from strawboat_spark.operators.classify import nb_predict, nb_train
+
+    rows = [
+        (i, "a.b `x`" if i % 2 == 0 else "plain", "evens mark" if i % 2 == 0 else "odds tail")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    bc, ls = nb_train(df, "text", "lang", dim=64)
+    pred = nb_predict(df, bc, ls, "text", "doc_id", dim=64)
+    got = {r["doc_id"]: r["pred_label"] for r in pred.collect()}
+    assert len(got) == 40
+    assert got[0] == "a.b `x`" and got[1] == "plain"
+
+
 def test_nb_incremental_model_equals_batch_train(spark, tmp_path):
     """The persistent NB model is ADDITIVE count rows: init + appends
     + compaction read back EXACTLY what batch training on the union
