@@ -644,9 +644,18 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         if not hit:
             return {"files_marked": 0, "rows_updated": 0}
         data_cols = [c for c in df.columns if not c.startswith("_strawboat_")]
+        # Assignment expressions CAST to the column's declared type
+        # (SQL UPDATE store-assignment; COW gets this implicitly from
+        # its when/otherwise + rewrite path). Without the cast an int
+        # literal lands an int32 replacement file in a bigint column
+        # and the table-wide read schema silently flips to the newest
+        # footer's type — caught as a flaky parquet-sink mismatch in
+        # the CDF streaming test (r12).
         updated_rows = matched.select(
             *[
-                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
                 for c in data_cols
             ]
         )
@@ -722,9 +731,16 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         src = src.withColumn("__m", cond)
         if assignments is None:
             return src.filter(~matched).drop(*drop)
+        # cast back to the column's declared type (store-assignment) —
+        # the when/otherwise coercion can WIDEN (v/2 -> double) and the
+        # rewritten file's footer must keep the table schema, same bug
+        # class as the r12 _update_mor / merge_when fixes
         return src.select(
             *[
-                F.when(matched, F.expr(expr)).otherwise(F.col(c)).alias(c)
+                F.when(matched, F.expr(expr))
+                .otherwise(F.col(c))
+                .cast(df.schema[c].dataType)
+                .alias(c)
                 if (expr := assignments.get(c)) is not None
                 else F.col(c)
                 for c in src.columns
@@ -1197,10 +1213,16 @@ def merge_when(
             rows_deleted += int(counts["d"] or 0)
             rows_updated += int(counts["u"] or 0)
             kept = joined.filter(~(matched & del_cond))
+            # the when/otherwise coerces to the COMMON type (int+bigint
+            # -> bigint, but bigint+double -> double), so the result is
+            # cast back to the column's declared type — SQL UPDATE
+            # store-assignment; without it a widening expression (v/2)
+            # flips the table's read schema to the newest footer's
+            # type (same bug class as the r12 _update_mor fix)
             outs = [
                 F.when(
                     matched & upd_cond, F.expr(matched_update[1][c])
-                ).otherwise(F.col(c)).alias(c)
+                ).otherwise(F.col(c)).cast(df.schema[c].dataType).alias(c)
                 if matched_update and c in matched_update[1]
                 else F.col(c)
                 for c in stored_cols

@@ -2916,3 +2916,51 @@ def test_table_read_from_worker_thread(spark, tmp_path):
     th.start(); th.join()
     assert not errs, errs
     assert out == [100]
+
+
+def test_mutation_assignments_preserve_column_types(spark, tmp_path):
+    """SQL UPDATE store-assignment: an assignment expression whose
+    natural Spark type differs from the column's declared type (int
+    literal into bigint; division widening to double) must CAST to the
+    declared type in every mutation verb — a replacement file carrying
+    a different footer type silently flips the table's read schema to
+    whichever footer is sampled first (found as a flaky parquet-sink
+    mismatch in the r12 CDF streaming test: MOR update with an int
+    literal turned a bigint column into int)."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+
+    def fresh(name):
+        t = Table(spark, str(tmp_path / name))
+        t.overwrite(
+            spark.range(10).select(F.col("id"), (F.col("id") * 10).alias("v"))
+        )
+        return t
+
+    t = fresh("mor_lit")
+    t.update("id = 2", {"v": "222"}, mode="mor")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert t.read().filter("id = 2").collect()[0]["v"] == 222
+
+    t = fresh("mor_widen")
+    t.update("id = 2", {"v": "v / 2"}, mode="mor")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert t.read().filter("id = 2").collect()[0]["v"] == 10
+
+    t = fresh("cow_widen")
+    t.update("id = 3", {"v": "v / 4"}, mode="cow")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+
+    t = fresh("merge_widen")
+    t.merge_when(
+        spark.range(5).select("id"),
+        on=["id"],
+        matched_update=(None, {"v": "v / 2"}),
+    )
+    r = t.read()
+    assert dict(r.dtypes)["v"] == "bigint"
+    assert sorted(x["v"] for x in r.filter("id < 5").collect()) == [0, 5, 10, 15, 20]
