@@ -767,6 +767,25 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     return {"files_rewritten": len(candidates), key: n_rows}
 
 
+def _cast_source_to_target(source, target_schema, cols):
+    """Store-assignment for MERGE sources (Delta's implicit casting):
+    overlapping columns are cast to the target's declared types, so
+    files adopted from a source-typed write can never flip the table's
+    read schema (an int32/double source column used to — same bug
+    class as the r12 update/merge_when assignment fix). Non-target
+    columns (auto_evolve already declared them upstream) pass
+    through untouched."""
+    import pyspark.sql.functions as F
+
+    types = {f.name: f.dataType for f in target_schema.fields}
+    return source.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in cols and c in types else F.col(c)
+            for c in source.columns
+        ]
+    )
+
+
 def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> dict:
     """MERGE (upsert): target rows whose `on` key appears in `source`
     are replaced by the source row; unmatched source rows are
@@ -818,6 +837,7 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
     missing = [c for c in out_cols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_upsert: source is missing target columns {missing}")
+    source = _cast_source_to_target(source, df.schema, set(out_cols))
     bounds = source.agg(
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
@@ -916,6 +936,7 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
     missing = [c for c in out_cols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_upsert: source is missing target columns {missing}")
+    source = _cast_source_to_target(source, df.schema, set(out_cols))
     bounds = source.agg(
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]
@@ -1148,11 +1169,14 @@ def merge_when(
     if n_source == 0:
         source.unpersist()
         return {"files_rewritten": 0, "rows_deleted": 0, "rows_updated": 0, "rows_inserted": 0}
-    src = source.select([F.col(c).alias(f"src_{c}") for c in source.columns])
-    src_on = [f"src_{c}" for c in on]
-
     df = spark.read.format("strawboat").option("with_file_path", "true").load(path)
     out_cols = [c for c in df.columns if c != "_strawboat_file"]
+    # store-assignment for the source (Delta MERGE implicit casting):
+    # the insert leg adopts source-typed files, and clause expressions
+    # see src_<col> — both must carry the target's declared types
+    source = _cast_source_to_target(source, df.schema, set(out_cols))
+    src = source.select([F.col(c).alias(f"src_{c}") for c in source.columns])
+    src_on = [f"src_{c}" for c in on]
     bounds = source.agg(
         *[F.min(c).alias(f"lo_{c}") for c in on], *[F.max(c).alias(f"hi_{c}") for c in on]
     ).collect()[0]

@@ -2964,3 +2964,40 @@ def test_mutation_assignments_preserve_column_types(spark, tmp_path):
     r = t.read()
     assert dict(r.dtypes)["v"] == "bigint"
     assert sorted(x["v"] for x in r.filter("id < 5").collect()) == [0, 5, 10, 15, 20]
+
+
+def test_merge_source_types_cast_to_target(spark, tmp_path):
+    """Delta MERGE implicit casting: a source whose overlapping columns
+    carry different types (int32 upsert values, double deltas) must be
+    cast to the target's declared types in every merge flavor — the
+    insert/replacement files land through adopted tmp writes that
+    bypass append's schema check, so an uncast source used to flip the
+    table's read schema."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+
+    def fresh(name):
+        t = Table(spark, str(tmp_path / name))
+        t.overwrite(
+            spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+        )
+        return t
+
+    dsrc = spark.range(3, 8).select("id", F.lit(7.5).cast("double").alias("v"))
+    for mode in ("cow", "mor"):
+        t = fresh(f"m_{mode}")
+        t.merge(dsrc, on=["id"], mode=mode)
+        r = t.read()
+        assert dict(r.dtypes)["v"] == "bigint", mode
+        assert sorted(x["v"] for x in r.collect()) == [0, 7, 7, 7, 7, 7, 10, 20], mode
+
+    t = fresh("mw_ins")
+    isrc = spark.range(10, 13).select("id", F.lit(9).cast("int").alias("v"))
+    t.merge_when(isrc, on=["id"], not_matched_insert="true")
+    r = t.read()
+    assert dict(r.dtypes)["v"] == "bigint"
+    assert sorted(x["v"] for x in r.collect()) == [0, 9, 9, 9, 10, 20, 30, 40]
