@@ -881,6 +881,37 @@ class Table:
             raise ValueError("stage_append: stage onto a committed table "
                              "(overwrite first); the audit diff needs a base")
         df, options = self._prepare_write(df, "append", options)
+        # Same schema contract as a direct append: the staging write
+        # lands in a FRESH directory (datasource sees mode=overwrite,
+        # so its append-time check never runs) and publish_staged
+        # ADOPTS the files — without this check a mismatched-type
+        # staged frame flips the table's read schema at publish (the
+        # r12 store-assignment bug class, WAP edition).
+        pcols = {
+            c.strip()
+            for c in str(options.get("partition_by", "")).split(",")
+            if c.strip()
+        }
+        have = [
+            (f.name, f.dataType)
+            for f in self.read().schema.fields
+            if f.name not in pcols
+        ]
+        incoming = [
+            (f.name, f.dataType) for f in df.schema.fields if f.name not in pcols
+        ]
+        if str(options.get("merge_schema", "")).lower() == "true":
+            ht = dict(have)
+            for n, dt in incoming:
+                if n in ht and ht[n] != dt:
+                    raise ValueError(
+                        f"stage_append type conflict on {n!r}: {ht[n]} vs {dt}"
+                    )
+        elif have != incoming:
+            raise ValueError(
+                "stage_append schema mismatch — table "
+                f"{have} vs staged {incoming}"
+            )
         sid = _uuid.uuid4().hex[:12]
         tmp = f"{self.path}/{self._STAGING_DIR}/{sid}"
         w = df.write.format("strawboat").mode("overwrite")

@@ -1820,9 +1820,13 @@ def test_write_audit_publish_staging(tmp_path, spark):
     assert vacuum(p, grace_seconds=0)["removed"] == 0  # staged files pinned
     assert t.read_staged(sid).count() == 150
 
-    # constraints reject at STAGE time, nothing is left behind
+    # constraints reject at STAGE time, nothing is left behind (the
+    # literal carries the column's declared type — a mismatched-type
+    # frame is refused EARLIER by the r12 schema check, like append)
     with _pytest.raises(ValueError, match="v_nonneg"):
-        t.stage_append(spark.range(3).select(F.col("id"), F.lit(-1).alias("v")))
+        t.stage_append(
+            spark.range(3).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+        )
 
     files_before = sorted(glob.glob(f"{p}/*.strb"))
     t.publish_staged(sid)
@@ -1834,13 +1838,13 @@ def test_write_audit_publish_staging(tmp_path, spark):
         t.publish_staged(sid)  # already published
 
     # discard removes everything
-    sid2 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).alias("v")))
+    sid2 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).cast("long").alias("v")))
     t.discard_staged(sid2)
     assert t.staged_ids() == [] and not glob.glob(f"{p}/_strawboat_staging/*")
     assert t.read().count() == 150
 
     # crashed stage (marker lost): vacuum reclaims the orphan tree
-    sid3 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).alias("v")))
+    sid3 = t.stage_append(spark.range(5).select(F.col("id"), F.lit(0).cast("long").alias("v")))
     get_fs(p).remove(f"{p}/_strawboat_staged_{sid3}.json")
     assert vacuum(p, grace_seconds=0)["removed"] >= 1
     assert not glob.glob(f"{p}/_strawboat_staging/*")
@@ -3001,3 +3005,25 @@ def test_merge_source_types_cast_to_target(spark, tmp_path):
     r = t.read()
     assert dict(r.dtypes)["v"] == "bigint"
     assert sorted(x["v"] for x in r.collect()) == [0, 9, 9, 9, 10, 20, 30, 40]
+
+
+def test_stage_append_enforces_table_schema(spark, tmp_path):
+    """WAP edition of the store-assignment contract: the staging write
+    lands in a fresh directory (no datasource append check) and
+    publish ADOPTS the files, so stage_append itself must refuse a
+    mismatched-type frame exactly like a direct append would."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v")))
+    with _pytest.raises(ValueError, match="stage_append schema mismatch"):
+        t.stage_append(spark.range(5, 8).select("id", F.lit(7).cast("int").alias("v")))
+    sid = t.stage_append(spark.range(5, 8).select("id", (F.col("id") * 10).alias("v")))
+    t.publish_staged(sid)
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert t.read().count() == 8
