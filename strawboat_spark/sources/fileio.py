@@ -738,6 +738,143 @@ class _S3WriteHandle(io.BytesIO):
             self.close()
 
 
+class _S3RangedReadHandle:
+    """Seekable read handle that issues ranged GETs on demand — the
+    read twin of the multipart write path (the reference's ranged-IO
+    posture, /root/reference/src/read/reader.rs:168-225): the format
+    reader's column pruning and page skipping translate into byte-range
+    requests instead of a whole-object download, so scanning 2 of 20
+    columns of a multi-GB strawboat file fetches ~2/20 of its bytes.
+
+    Opening costs ONE suffix-range GET of the object tail: that single
+    round-trip learns the total size (Content-Range) AND caches the
+    region the format's open sequence reads first (trailer + footer),
+    so small objects — manifests, sidecars — are fully served by it.
+    An object whose size comes back <= the whole-object threshold is
+    fetched completely on the first cache miss (one more GET) — ranged
+    IO only pays off past a few MiB.  Misses below the tail fetch
+    max(want, readahead) bytes forward from the miss position, which
+    coalesces the reader's ascending page-run reads into few requests.
+
+    Env knobs (bytes): STRAWBOAT_S3_READ_TAIL (default 256 KiB),
+    STRAWBOAT_S3_READAHEAD (default 4 MiB),
+    STRAWBOAT_S3_RANGED_READ_MIN (default 8 MiB; objects at or below
+    buffer whole on first miss).  `range_gets` / `bytes_fetched`
+    counters expose the IO shape to tests."""
+
+    def __init__(self, fs: "S3FileSystem", bucket: str, key: str):
+        self._s3fs = fs
+        self._bucket = bucket
+        self._obj_key = key
+        self._path = f"{fs._scheme}://{bucket}/{key}"
+        self._tail_bytes = _env_bytes("STRAWBOAT_S3_READ_TAIL", 256 << 10)
+        self._readahead = _env_bytes("STRAWBOAT_S3_READAHEAD", 4 << 20)
+        self._whole_min = _env_bytes("STRAWBOAT_S3_RANGED_READ_MIN", 8 << 20)
+        self._pos = 0
+        self._win = b""
+        self._win_start = 0
+        self._closed = False
+        self.range_gets = 0
+        self.bytes_fetched = 0
+        self._tail, self._size = self._fetch_tail()
+        self._tail_start = self._size - len(self._tail)
+
+    def _get_range(self, header: str) -> tuple[bytes, str]:
+        try:
+            resp = self._s3fs._client().get_object(
+                Bucket=self._bucket, Key=self._obj_key, Range=header
+            )
+            body = resp["Body"].read()
+        except _s3_client_error() as e:
+            if _s3_error_code(e) in ("InvalidRange", "416"):
+                # suffix range on a zero-byte object: the object exists
+                # but has no bytes to range over
+                return b"", "bytes 0--1/0"
+            _s3_reraise(e, self._path)
+        self.range_gets += 1
+        self.bytes_fetched += len(body)
+        return body, str(resp.get("ContentRange") or "")
+
+    def _fetch_tail(self) -> tuple[bytes, int]:
+        body, crange = self._get_range(f"bytes=-{max(self._tail_bytes, 1)}")
+        # Content-Range: "bytes <start>-<end>/<total>"
+        try:
+            total = int(crange.rpartition("/")[2])
+        except ValueError:
+            total = len(body)  # server returned the whole object (200)
+        return body, total
+
+    def _chunk_at(self, pos: int, want: int) -> bytes:
+        if pos >= self._tail_start:
+            off = pos - self._tail_start
+            return self._tail[off : off + want]
+        if self._win_start <= pos < self._win_start + len(self._win):
+            off = pos - self._win_start
+            return self._win[off : off + want]
+        ahead = self._size if self._size <= self._whole_min else self._readahead
+        start = 0 if ahead >= self._size else pos
+        end = min(start + max(want + (pos - start), ahead), self._size)
+        self._win, _ = self._get_range(f"bytes={start}-{end - 1}")
+        self._win_start = start
+        off = pos - start
+        return self._win[off : off + want]
+
+    def read(self, n: int = -1) -> bytes:
+        if self._closed:
+            raise ValueError("I/O operation on closed file")
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        out = bytearray()
+        while n > 0:
+            chunk = self._chunk_at(self._pos, n)
+            if not chunk:  # defensive: never spin on a short range
+                break
+            out += chunk
+            self._pos += len(chunk)
+            n -= len(chunk)
+        return bytes(out)
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._size)[whence]
+        self._pos = max(0, base + offset)
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        self._closed = True
+        self._win = b""
+        self._tail = b""
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *_):
+        self.close()
+
+
+def _env_bytes(name: str, default: int) -> int:
+    try:
+        v = int(os.environ.get(name, "0"))
+    except ValueError:
+        v = 0
+    return v if v > 0 else default
+
+
 class S3FileSystem:
     """boto3-backed S3 implementation of the filesystem seam — the
     object-store twin of MemoryFileSystem (flat keys, no directories,
@@ -749,9 +886,11 @@ class S3FileSystem:
     The client is built lazily PER PROCESS (pid-checked): Spark's
     Python workers are separate processes and boto3 clients are not
     fork-safe, so each worker constructs its own on first use.
-    open_read buffers the whole object — stripe-sized data files and
-    manifest/sidecar blobs, the only things the engine stores; the
-    planner's footer reads come from the manifest cache, not here."""
+    open_read returns a seekable ranged-GET handle
+    (_S3RangedReadHandle): one suffix GET serves manifests and footers,
+    data-file page runs fetch as byte ranges with readahead, and
+    objects under STRAWBOAT_S3_RANGED_READ_MIN buffer whole.
+    STRAWBOAT_S3_RANGED_READ=0 restores whole-object buffering."""
 
     def __init__(self, scheme: str = "s3"):
         self._scheme = scheme
@@ -778,11 +917,15 @@ class S3FileSystem:
 
     def open_read(self, path: str):
         bucket, key = self._bk(path)
-        try:
-            body = self._client().get_object(Bucket=bucket, Key=key)["Body"].read()
-        except _s3_client_error() as e:
-            _s3_reraise(e, path)
-        return io.BytesIO(body)
+        if os.environ.get("STRAWBOAT_S3_RANGED_READ", "1") == "0":
+            try:
+                body = self._client().get_object(Bucket=bucket, Key=key)[
+                    "Body"
+                ].read()
+            except _s3_client_error() as e:
+                _s3_reraise(e, path)
+            return io.BytesIO(body)
+        return _S3RangedReadHandle(self, bucket, key)
 
     def create(self, path: str) -> _S3WriteHandle:
         bucket, key = self._bk(path)
