@@ -1933,6 +1933,62 @@ def strawboat_days_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strawboat_partition_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+    ), kept AS (
+      SELECT * FROM unioned WHERE lang <> 'zh'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS epoch1_rows
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    description=(
+        "partition-spec EVOLUTION (Iceberg analog): unpartitioned "
+        "epoch, metadata-only set_partition_layout('lang') then "
+        "('source') — zero files rewritten; appends land each epoch's "
+        "layout, a MOR delete and the final scan cross all three "
+        "(pages vs directory storage per file), result exact"
+    ),
+)
+def strawboat_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.py set_partition_layout + datasource partition_layout +
+    the per-leaf rewrite discipline (maintenance._leaf_dir_cols);
+    contract in tests/test_partition_evolution.py."""
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_pe_")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = Table(spark, f"{root}/docs")
+    t.overwrite(d.filter("doc_id % 3 = 0"))  # epoch 1: lang in pages
+    t.set_partition_layout("lang")
+    t.append(d.filter("doc_id % 3 = 1"))  # epoch 2: lang= dirs
+    t.set_partition_layout("source")
+    t.append(d.filter("doc_id % 3 = 2"))  # epoch 3: source= dirs
+    t.delete("lang = 'zh'", mode="mor")  # crosses all three epochs
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("epoch1_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "strawboat_merge_evolve",
     oracle="""
     WITH tgt AS (

@@ -257,6 +257,24 @@ def bucket_spec(
     return ((man or {}).get("properties") or {}).get("bucket")
 
 
+def partition_layout(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> list[str] | None:
+    """Declared plain-column hive layout (Iceberg partition-spec
+    analog): the column list bare appends derive their directory
+    layout from.  Declared by an overwrite's explicit partition_by or
+    EVOLVED by Table.set_partition_layout — a metadata-only flip, so
+    files written under earlier specs keep their layout (directory
+    values where they had them, in-file pages where they didn't) and
+    are never rewritten.  The read side is per-file already: a stripe
+    renders a partition column from its own directory when present,
+    from its pages otherwise, and planning's _value_may_match keeps
+    any file whose layout doesn't encode the filtered column."""
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
+    return ((man or {}).get("properties") or {}).get("partition_layout")
+
+
 def transform_spec(
     root: str, at_generation: int | None = None, man=_UNSET_MAN
 ) -> dict | None:
@@ -926,10 +944,11 @@ def publish_manifest(
             if replace:
                 props.pop("column_mapping", None)
                 # an overwrite's layout is whatever IT declares — a
-                # carried-forward bucket/transform spec from the
+                # carried-forward bucket/transform/plain spec from the
                 # replaced epoch would mis-prune the new files
                 props.pop("bucket", None)
                 props.pop("partition_transform", None)
+                props.pop("partition_layout", None)
         try:
             # explicit properties (e.g. an incremental-view txn marker)
             # land atomically with this commit
@@ -2388,10 +2407,29 @@ class StrawboatWriterImpl(DataSourceArrowWriter):
                 elif [
                     (f.name, f.dataType) for f in have_spark.fields
                 ] != [(f.name, f.dataType) for f in incoming.fields]:
-                    raise ValueError(
-                        "strawboat: append schema mismatch — existing "
-                        f"{have_spark.simpleString()} vs incoming {incoming.simpleString()}"
+                    # Partition-spec evolution: a column may legitimately
+                    # move between page storage and directory storage
+                    # across epochs (set_partition_layout). The LOGICAL
+                    # column set must still match — stored ∪ directory on
+                    # the probe file vs stored ∪ this write's partition
+                    # cols — and any column physically stored by BOTH
+                    # epochs must keep its type.
+                    log_have = {f.name for f in have_spark.fields} | set(
+                        _partition_values(existing[0], self.path)
                     )
+                    log_inc = {f.name for f in schema.fields}
+                    inc_types = {f.name: f.dataType for f in incoming.fields}
+                    conflict = [
+                        f.name
+                        for f in have_spark.fields
+                        if f.name in inc_types and inc_types[f.name] != f.dataType
+                    ]
+                    if log_have != log_inc or conflict:
+                        raise ValueError(
+                            "strawboat: append schema mismatch — existing "
+                            f"{have_spark.simpleString()} vs incoming "
+                            f"{incoming.simpleString()}"
+                        )
 
     def write(self, iterator):
         from pyspark.sql.pandas.types import to_arrow_schema

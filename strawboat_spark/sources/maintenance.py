@@ -180,6 +180,29 @@ def _part_layout(path: str) -> dict[str, str]:
     return dict(_infer_partition_fields(path, _list_files(path)))
 
 
+def _leaf_dir_cols(reldir: str) -> list[str]:
+    """Column names encoded in THIS leaf directory's own path segments.
+
+    Per-leaf, never table-wide: under partition-spec evolution
+    (Table.set_partition_layout) different leaves encode different
+    column sets — an old-epoch file stores in its PAGES the very column
+    a new leaf encodes in its directory.  A rewrite that dropped the
+    table-wide inferred set would silently erase those stored values
+    (the column reads back null); dropping only the leaf's own dir
+    columns keeps every epoch's storage choice intact."""
+    return [seg.split("=", 1)[0] for seg in reldir.split(os.sep) if "=" in seg]
+
+
+def _landing_layout(path: str, inferred: list[str]) -> list[str]:
+    """Directory layout for NEWLY LANDED files (merge sources, MOR
+    replacement rows): the DECLARED spec when the table has one —
+    post-evolution writes must follow the new spec, not the union of
+    directory columns history left behind — else the inferred layout."""
+    from strawboat_spark.sources.datasource import partition_layout
+
+    return partition_layout(path) or inferred
+
+
 def compact(
     spark, path: str, target_files: int = 1, target_bytes: int | None = None
 ) -> dict:
@@ -208,7 +231,6 @@ def compact(
     # writes) are neither folded into the output nor deleted here —
     # that is vacuum()'s job, with its grace window.
     root_man = read_manifest(path) or {"entries": []}
-    part_cols = list(_part_layout(path))
     by_leaf: dict[str, list[str]] = {}
     for e in root_man["entries"]:
         by_leaf.setdefault(os.path.dirname(e["path"]), []).append(e["path"])
@@ -241,10 +263,12 @@ def compact(
         tmp = leaf.rstrip("/") + ".__compact__"
         get_fs(tmp).remove_tree(tmp)  # crashed-run leftovers
         df = _read_files(spark, path, rewrite)
-        if part_cols:
-            # partition values live in the leaf's directory name, not
-            # in stored pages — drop the reattached constants
-            df = df.drop(*part_cols)
+        leaf_cols = _leaf_dir_cols(reldir)
+        if leaf_cols:
+            # partition values live in THIS leaf's directory name, not
+            # in stored pages — drop the reattached constants (per-leaf:
+            # other epochs may store the same column in pages)
+            df = df.drop(*leaf_cols)
         (
             df.coalesce(n_out)
             .write.format("strawboat")
@@ -663,12 +687,13 @@ def _update_mor(spark, path: str, condition: str, assignments: dict[str, str]) -
         # then adopt them — invisible until the single CAS flip below
         tmp = tempfile.mkdtemp(prefix="strawboat_morupd_") + "/t"
         w = updated_rows.write.format("strawboat").mode("overwrite")
-        if part_cols:
+        land = _landing_layout(path, part_cols)
+        if land:
             # hive layouts: replacement rows land in their (possibly
             # NEW) leaves — unlike COW, a MOR update may assign
             # partition columns, because the old version is masked
             # wherever it lives and the new one lands where it belongs
-            w = w.option("partition_by", ",".join(part_cols))
+            w = w.option("partition_by", ",".join(land))
         w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
@@ -725,9 +750,8 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     cand_rel = sorted(_rel(f, path) for f in candidates)
 
     matched = F.coalesce(F.col("__m"), F.lit(False))
-    drop = ["__m", *part_types]
 
-    def _rewrite(src):
+    def _rewrite(src, drop):
         src = src.withColumn("__m", cond)
         if assignments is None:
             return src.filter(~matched).drop(*drop)
@@ -758,7 +782,9 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         leaf = os.path.join(path, reldir) if reldir else path
         tmp = leaf.rstrip("/") + ".__mutate__"
         get_fs(tmp).remove_tree(tmp)  # crashed-run leftovers
-        out = _rewrite(_read_files(spark, path, rels))
+        out = _rewrite(
+            _read_files(spark, path, rels), ["__m", *_leaf_dir_cols(reldir)]
+        )
         out.write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
     _flip_generation(
@@ -862,7 +888,6 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
     candidates = sorted(r["_strawboat_file"] for r in hit)
     rows_updated = sum(r["n"] for r in hit)
     cand_rel = sorted(_rel(f, path) for f in candidates)
-    stored_cols = [c for c in out_cols if c not in part_cols]
     moved = []
     matched_src = 0
     if candidates:
@@ -878,20 +903,22 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
             leaf = os.path.join(path, reldir) if reldir else path
             tmp = leaf.rstrip("/") + ".__merge__"
             get_fs(tmp).remove_tree(tmp)
+            leaf_cols = set(_leaf_dir_cols(reldir))
             survivors = (
                 _read_files(spark, path, rels)
                 .join(jkeys, on=on, how="left_anti")
-                .select(*stored_cols)
+                .select(*[c for c in out_cols if c not in leaf_cols])
             )
             survivors.write.format("strawboat").mode("overwrite").save(tmp)
             moved += _adopt_tmp(path, tmp, dest_dir=leaf)
     # the source (updates + inserts together) lands as fresh files,
-    # partitioned by the table's hive layout when it has one
+    # partitioned by the table's (declared, post-evolution) layout
     tmp_src = path.rstrip("/") + ".__merge_src__"
     get_fs(tmp_src).remove_tree(tmp_src)
     w = source.select(*out_cols).write.format("strawboat").mode("overwrite")
-    if part_cols:
-        w = w.option("partition_by", ",".join(part_cols))
+    land = _landing_layout(path, part_cols)
+    if land:
+        w = w.option("partition_by", ",".join(land))
     w.save(tmp_src)
     moved += _adopt_tmp(path, tmp_src)
     _flip_generation(path, set(cand_rel), moved, "merge_upsert")
@@ -961,8 +988,9 @@ def _merge_mor(spark, path: str, source, on: list[str]) -> dict:
 
         tmp = tempfile.mkdtemp(prefix="strawboat_mormrg_") + "/t"
         w = source.select(*out_cols).write.format("strawboat").mode("overwrite")
-        if part_cols:
-            w = w.option("partition_by", ",".join(part_cols))
+        land = _landing_layout(path, part_cols)
+        if land:
+            w = w.option("partition_by", ",".join(land))
         w.save(tmp)
         new_entries = _adopt_tmp(path, tmp)
 
@@ -1087,7 +1115,8 @@ def optimize(
         tmp = leaf_dir.rstrip("/") + ".__optimize__"
         get_fs(tmp).remove_tree(tmp)
         df = _read_files(spark, path, sorted(rels))
-        stored = [c for c in df.columns if c not in part_cols]
+        leaf_cols = set(_leaf_dir_cols(leaf))
+        stored = [c for c in df.columns if c not in leaf_cols]
         if zorder_by and len(zorder_by) == 1:
             # 1-D Z-order degenerates to a range-clustered sort
             (
@@ -1194,7 +1223,6 @@ def merge_when(
         .collect()
     )
     cand_rel = sorted(_rel(r["_strawboat_file"], path) for r in hit)
-    stored_cols = [c for c in out_cols if c not in part_cols]
 
     jsrc = F.broadcast(src) if n_source <= _merge_broadcast_max_keys() else src
     rows_deleted = rows_updated = 0
@@ -1243,13 +1271,15 @@ def merge_when(
             # store-assignment; without it a widening expression (v/2)
             # flips the table's read schema to the newest footer's
             # type (same bug class as the r12 _update_mor fix)
+            leaf_cols = set(_leaf_dir_cols(reldir))
             outs = [
                 F.when(
                     matched & upd_cond, F.expr(matched_update[1][c])
                 ).otherwise(F.col(c)).cast(df.schema[c].dataType).alias(c)
                 if matched_update and c in matched_update[1]
                 else F.col(c)
-                for c in stored_cols
+                for c in out_cols
+                if c not in leaf_cols
             ]
             kept.select(*outs).write.format("strawboat").mode("overwrite").save(tmp)
             moved += _adopt_tmp(path, tmp, dest_dir=leaf)
@@ -1275,8 +1305,9 @@ def merge_when(
             tmp_src = path.rstrip("/") + ".__merge_src__"
             get_fs(tmp_src).remove_tree(tmp_src)
             w = ins.select(*out_cols).write.format("strawboat").mode("overwrite")
-            if part_cols:
-                w = w.option("partition_by", ",".join(part_cols))
+            land = _landing_layout(path, part_cols)
+            if land:
+                w = w.option("partition_by", ",".join(land))
             w.save(tmp_src)
             moved += _adopt_tmp(path, tmp_src)
 
@@ -1320,7 +1351,6 @@ def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
         publish_manifest(path)
     man = read_manifest(path) or {"entries": []}
     _list_files(path)  # seeds the footer cache from the manifest
-    part_cols = list(_part_layout(path))
     candidates: list[str] = []
     rows_purged = 0
     for e in man["entries"]:
@@ -1349,7 +1379,8 @@ def reorg_purge(spark, path: str, threshold: float = 0.2) -> dict:
         tmp = leaf.rstrip("/") + ".__mutate__"
         get_fs(tmp).remove_tree(tmp)
         live = _read_files(spark, path, sorted(rels))
-        stored_cols = [c for c in live.columns if c not in part_cols]
+        leaf_cols = set(_leaf_dir_cols(reldir))
+        stored_cols = [c for c in live.columns if c not in leaf_cols]
         live.select(*stored_cols).write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
 

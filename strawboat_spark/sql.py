@@ -19,6 +19,7 @@ this module closes the WRITE-side gap for users arriving from Delta:
     ALTER TABLE strawboat.`/path/t` ADD COLUMN x int [DEFAULT <json>]
     ALTER TABLE strawboat.`/path/t` DROP COLUMN x
     ALTER TABLE strawboat.`/path/t` ALTER COLUMN x TYPE bigint
+    ALTER TABLE strawboat.`/path/t` SET PARTITIONED BY (lang) | ()
     INSERT INTO strawboat.`/path/t` [(cols)] SELECT ... | VALUES ...
     INSERT OVERWRITE strawboat.`/path/t` SELECT ...
     CREATE [OR REPLACE] TABLE strawboat.`/path/u`
@@ -371,10 +372,19 @@ def _alter(spark: SparkSession, s: str):
     if m := re.fullmatch(r"DROP CONSTRAINT (\w+)", rest, re.I):
         t.drop_constraint(m.group(1))
         return {"constraint_dropped": m.group(1)}
+    if m := re.fullmatch(
+        r"SET PARTITIONED BY \(\s*([\w,\s]*?)\s*\)", rest, re.I
+    ):
+        # partition-spec evolution (Iceberg's REPLACE PARTITION FIELD
+        # analog): () drops the layout — metadata-only either way
+        cols = ",".join(c.strip() for c in m.group(1).split(",") if c.strip())
+        t.set_partition_layout(cols or None)
+        return {"partition_layout": cols or None}
     raise ValueError(
         f"strawboat SQL: unsupported ALTER TABLE clause {rest!r} (supported: "
         "RENAME COLUMN a TO b, ADD COLUMN x type [DEFAULT j], DROP COLUMN x, "
-        "ALTER COLUMN x TYPE t, ADD CONSTRAINT n CHECK (e), DROP CONSTRAINT n)"
+        "ALTER COLUMN x TYPE t, ADD CONSTRAINT n CHECK (e), DROP CONSTRAINT n, "
+        "SET PARTITIONED BY (a, b) / ())"
     )
 
 

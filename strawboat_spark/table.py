@@ -684,12 +684,132 @@ class Table:
         for wname, wddl in widened_columns(self.path).items():
             if wname in df.columns:
                 df = df.withColumn(wname, F.col(wname).cast(wddl))
+        df, options = self._apply_partition_layout(df, mode, options)
         df, options = self._apply_bucketing(df, mode, options)
         df, options = self._apply_partition_transform(df, mode, options)
         cons = self.constraints()
         if cons:
             self._check_rows(df, cons)
         return df, options
+
+    def _apply_partition_layout(self, df: DataFrame, mode: str, options: dict):
+        """Plain-column layout declaration + inheritance (the
+        partition-spec-evolution write side): an overwrite's explicit
+        partition_by records the layout in the manifest, and a bare
+        append derives it back — same contract the days()/months()
+        transform and the bucket spec already have, extended to plain
+        hive columns so set_partition_layout has something to evolve.
+        Runs BEFORE bucketing/transform so the recorded layout never
+        contains derived directory columns."""
+        import json
+        import re as _re
+
+        from strawboat_spark.sources.datasource import (
+            partition_layout,
+            transform_spec,
+        )
+
+        pb = str(options.get("partition_by", "") or "")
+        comps = [c.strip() for c in pb.split(",") if c.strip()]
+        has_transform = any(
+            _re.fullmatch(r"(days|months)\(\w+\)", c) for c in comps
+        )
+        if mode == "append":
+            if transform_spec(self.path) is not None or has_transform:
+                return df, options  # the transform's own layout drives
+            declared = partition_layout(self.path)
+            if declared is None:
+                return df, options
+            if comps and comps != declared:
+                raise ValueError(
+                    f"append: table layout is PARTITIONED BY "
+                    f"({', '.join(declared)}); an append cannot "
+                    f"re-partition — set_partition_layout() evolves the "
+                    f"spec for future writes"
+                )
+            missing = [c for c in declared if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"append: partition column(s) {missing} absent from "
+                    f"the dataframe"
+                )
+            options["partition_by"] = ",".join(declared)
+            return df, options
+        if comps and not has_transform:
+            props = json.loads(options.get("manifest_properties", "{}") or "{}")
+            props["partition_layout"] = comps
+            options["manifest_properties"] = json.dumps(props)
+        return df, options
+
+    def set_partition_layout(self, spec: str | None) -> None:
+        """Partition-spec EVOLUTION (Iceberg analog): one metadata-only
+        manifest flip re-declares the hive layout future appends derive
+        — 'lang', 'lang,source', or None to stop partitioning.  NO data
+        file is touched at any table size: files written under earlier
+        specs keep their layout, and the read side is per-file — a
+        stripe renders a partition column from its own directory when
+        it has one, from its stored pages otherwise, and planning never
+        directory-prunes a file whose epoch didn't encode the filtered
+        column (those keep their page-stats pruning instead).  Columns
+        must exist in the current logical schema; days()/months()
+        transforms keep their overwrite-declared path (two layout
+        authorities on one table would conflict)."""
+        from strawboat_spark.sources.datasource import (
+            ManifestConflictError,
+            read_manifest,
+            transform_spec,
+            write_manifest,
+        )
+
+        comps = [c.strip() for c in str(spec or "").split(",") if c.strip()]
+        if any("(" in c for c in comps):
+            raise ValueError(
+                "set_partition_layout: plain columns only — evolve a "
+                "days()/months() transform with overwrite(partition_by=...)"
+            )
+        if transform_spec(self.path) is not None:
+            raise ValueError(
+                "set_partition_layout: table has a hidden-partitioning "
+                "transform; overwrite(partition_by=...) re-declares it"
+            )
+        if read_manifest(self.path) is None:
+            raise ValueError(
+                f"set_partition_layout: {self.path} has no committed data"
+            )
+        if comps:
+            cols = self.read().columns
+            unknown = [c for c in comps if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"set_partition_layout: no column(s) {unknown} in the "
+                    f"table schema"
+                )
+        for _attempt in range(50):
+            man = read_manifest(self.path)
+            if man is None:
+                raise ValueError(
+                    f"set_partition_layout: {self.path} has no committed data"
+                )
+            props = dict(man.get("properties") or {})
+            if comps:
+                props["partition_layout"] = comps
+            else:
+                props.pop("partition_layout", None)
+            try:
+                write_manifest(
+                    self.path,
+                    man["entries"],
+                    generation=man.get("generation", 0) + 1,
+                    properties=props,
+                    operation="set-partition-layout",
+                )
+                return
+            except ManifestConflictError:
+                continue
+        raise ManifestConflictError(
+            f"set_partition_layout({self.path}): lost the generation race "
+            f"50 times"
+        )
 
     def _apply_partition_transform(self, df: DataFrame, mode: str, options: dict):
         """Hidden time partitioning (Iceberg `days(ts)` transform):

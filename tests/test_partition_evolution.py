@@ -1,0 +1,153 @@
+"""Partition-spec evolution (Iceberg analog): Table.set_partition_layout
+re-declares the hive layout with ONE metadata flip — no file rewritten.
+Files written under earlier specs keep their layout; the read side is
+per-file (directory constant where the file has one, stored pages
+otherwise), so scans, filters, and mutations stay exact over
+mixed-epoch tables. Plain-column layouts also gain the inheritance the
+transform/bucket specs already had: a bare append derives the declared
+directory layout instead of silently landing unpartitioned files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from strawboat_spark.table import Table
+
+
+def _files(root: str) -> list[str]:
+    return sorted(
+        os.path.relpath(f, root)
+        for f in glob.glob(f"{root}/**/*.strb", recursive=True)
+        if "_strawboat" not in f
+    )
+
+
+def _rows(t: Table) -> set[tuple]:
+    cols = sorted(t.read().columns)
+    return {tuple(r[c] for c in cols) for r in t.read().collect()}
+
+
+def _mk(spark, path, rows, **opts) -> Table:
+    t = Table(spark, path)
+    t.overwrite(spark.createDataFrame(rows, "k long, lang string, v long"), **opts)
+    return t
+
+
+R1 = [(1, "en", 10), (2, "fr", 20), (3, "en", 30)]
+R2 = [(4, "de", 40), (5, "en", 50)]
+R3 = [(6, "fr", 60)]
+
+
+def test_evolve_unpartitioned_to_partitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    assert all("=" not in f for f in _files(root))
+    t.set_partition_layout("lang")
+    # metadata only: nothing moved, nothing rewritten
+    assert all("=" not in f for f in _files(root))
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    langs = {f.split(os.sep)[0] for f in _files(root) if "=" in f}
+    assert langs == {"lang=de", "lang=en"}
+    want = {(k, la, v) for k, la, v in R1 + R2}
+    assert _rows(t) == want
+    # filters stay exact over the mixed epochs: old files render lang
+    # from pages, new ones from the directory — and the root files are
+    # never directory-pruned
+    got = {(r.k, r.v) for r in t.read().filter("lang = 'en'").select("k", "v").collect()}
+    assert got == {(1, 10), (3, 30), (5, 50)}
+    assert t.history()[-2]["operation"] == "set-partition-layout"
+
+
+def test_bare_append_inherits_declared_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1, partition_by="lang")
+    assert {f.split(os.sep)[0] for f in _files(root)} == {"lang=en", "lang=fr"}
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    assert {f.split(os.sep)[0] for f in _files(root)} == {
+        "lang=de", "lang=en", "lang=fr"
+    }
+    assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2}
+
+
+def test_append_conflicting_layout_refused(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), R1, partition_by="lang")
+    src = spark.createDataFrame(R2, "k long, lang string, v long")
+    with pytest.raises(ValueError, match="cannot re-partition"):
+        t.append(src, partition_by="k")
+    t.append(src, partition_by="lang")  # matching explicit spec is fine
+    assert t.count_rows() == 5
+
+
+def test_evolve_across_columns_and_off(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1, partition_by="lang")
+    t.set_partition_layout("k")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    assert {f.split(os.sep)[0] for f in _files(root)} >= {"k=4", "k=5"}
+    t.set_partition_layout(None)
+    t.append(spark.createDataFrame(R3, "k long, lang string, v long"))
+    assert any(os.sep not in f for f in _files(root))  # landed at root
+    assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2 + R3}
+    # numeric dir values read back typed from the directory epoch too
+    assert {r.k for r in t.read().filter("k >= 4").collect()} == {4, 5, 6}
+
+
+def test_mixed_epoch_mutations_stay_exact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    model = {k: (la, v) for k, la, v in R1 + R2}
+    t.delete("lang = 'fr'", mode="mor")
+    model = {k: x for k, x in model.items() if x[0] != "fr"}
+    t.update("k % 2 = 1", {"v": "v + 1"}, mode="cow")
+    model = {k: (la, v + 1 if k % 2 == 1 else v) for k, (la, v) in model.items()}
+    t.merge(
+        spark.createDataFrame([(2, "es", 99), (7, "es", 70)], "k long, lang string, v long"),
+        on=["k"],
+        mode="mor",
+    )
+    model[2] = ("es", 99)
+    model[7] = ("es", 70)
+    assert _rows(t) == {(k, la, v) for k, (la, v) in model.items()}
+    t.compact(target_files=1)
+    assert _rows(t) == {(k, la, v) for k, (la, v) in model.items()}
+
+
+def test_set_partition_layout_refusals(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), R1)
+    with pytest.raises(ValueError, match="no column"):
+        t.set_partition_layout("nope")
+    with pytest.raises(ValueError, match="plain columns only"):
+        t.set_partition_layout("days(k)")
+    t2 = Table(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no committed data"):
+        t2.set_partition_layout("lang")
+
+
+def test_transform_tables_keep_their_own_authority(spark, tmp_path):
+    import datetime
+
+    t = Table(spark, str(tmp_path / "tr"))
+    rows = [(1, datetime.datetime(2024, 3, 1, 12)), (2, datetime.datetime(2024, 3, 2, 9))]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, ts timestamp"),
+        partition_by="days(ts)",
+    )
+    with pytest.raises(ValueError, match="transform"):
+        t.set_partition_layout("k")
+
+
+def test_time_travel_spans_the_evolution(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    g0 = t.history()[-1]["generation"]
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    old = {tuple(r) for r in t.read(at_generation=g0).select("k", "lang", "v").collect()}
+    assert old == {(k, la, v) for k, la, v in R1}
+    assert t.count_rows(at_generation=g0) == 3
+    assert t.count_rows() == 5

@@ -151,6 +151,23 @@ def test_sql_alter_table_verbs(spark, tmp_path):
     assert "w2" not in t.read().columns
 
 
+def test_sql_set_partitioned_by(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=4)
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` SET PARTITIONED BY (k)")
+    t.append(spark.createDataFrame([(100, 0, 1), (101, 1, 2)], t.read().schema))
+    import glob
+    import os
+
+    dirs = {
+        os.path.basename(os.path.dirname(f))
+        for f in glob.glob(f"{path}/**/*.strb", recursive=True)
+    }
+    assert {"k=100", "k=101"} <= dirs
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` SET PARTITIONED BY ()")
+    t.append(spark.createDataFrame([(102, 2, 3)], t.read().schema))
+    assert t.count_rows() == 7
+
+
 def test_sql_select_falls_through(spark):
     assert execute_sql(spark, "SELECT 1 AS x").collect()[0].x == 1
 
