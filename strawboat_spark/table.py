@@ -158,6 +158,13 @@ class Table:
         gen_b = man_b.get("generation", from_generation)
         old_rows = _scan(removed, from_generation) if removed else self.read().limit(0)
         new_rows = _scan(added, gen_b) if added else self.read().limit(0)
+        # exceptAll resolves POSITIONALLY — under partition-spec
+        # evolution the two sides can order columns differently (a file
+        # scan appends directory-derived columns after stored ones), so
+        # align both to the table's column order
+        cols = self.read().columns
+        old_rows = old_rows.select(*cols)
+        new_rows = new_rows.select(*cols)
         inserts = new_rows.exceptAll(old_rows).withColumn("_change_type", F.lit("insert"))
         deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)

@@ -151,3 +151,46 @@ def test_time_travel_spans_the_evolution(spark, tmp_path):
     assert old == {(k, la, v) for k, la, v in R1}
     assert t.count_rows(at_generation=g0) == 3
     assert t.count_rows() == 5
+
+
+def test_change_feed_spans_the_evolution(spark, tmp_path):
+    """Table.changes and the streaming CDF resolve each file by ITS OWN
+    layout epoch: inserts from a directory-partitioned generation carry
+    the column as a constant, old-epoch deletes render it from pages —
+    the feed stays row-exact across set_partition_layout."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    t.delete("k = 1", mode="mor")  # old-epoch row (lang stored in pages)
+    feed = t.changes(1)
+    got = {(r.k, r.lang, r.v, r._change_type) for r in feed.collect()}
+    want = {(k, la, v, "insert") for k, la, v in R2} | {(1, "en", 10, "delete")}
+    assert got == want
+
+    # streaming CDF twin over the same generations
+    from strawboat_spark.sources.datasource import register
+
+    register(spark)
+    out = (
+        spark.readStream.format("strawboat")
+        .option("change_feed", "true")
+        .option("starting_generation", "1")
+        .load(root)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pe_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k, lang, v, _change_type FROM pe_cdf").collect()
+    got_s = {(r.k, r.lang, r.v, r._change_type) for r in rows}
+    # the stream replays from generation 0: initial snapshot inserts too
+    want_s = (
+        {(k, la, v, "insert") for k, la, v in R1 + R2}
+        | {(1, "en", 10, "delete")}
+    )
+    assert got_s == want_s
