@@ -275,6 +275,21 @@ def partition_layout(
     return ((man or {}).get("properties") or {}).get("partition_layout")
 
 
+def partition_layout_types(
+    root: str, at_generation: int | None = None, man=_UNSET_MAN
+) -> dict:
+    """{column: 'bigint'|'double'|'string'} recorded with the declared
+    layout — the TYPE AUTHORITY for partition columns.  Directory-name
+    inference alone mistypes an evolved column: a STRING column with
+    numeric values ('0','1','2') infers bigint from its directory
+    names, silently flipping the logical type against the epochs that
+    store it in pages.  The declaration knows the real column type, so
+    it overrides inference wherever partition fields are typed."""
+    if man is _UNSET_MAN:
+        man = _manifest_for(root, at_generation)
+    return ((man or {}).get("properties") or {}).get("partition_layout_types") or {}
+
+
 def transform_spec(
     root: str, at_generation: int | None = None, man=_UNSET_MAN
 ) -> dict | None:
@@ -461,10 +476,15 @@ def _partition_values(file: str, root: str) -> dict[str, str | None]:
     return vals
 
 
-def _infer_partition_fields(root: str, files: list[str]) -> list[tuple[str, str]]:
+def _infer_partition_fields(
+    root: str, files: list[str], man=_UNSET_MAN
+) -> list[tuple[str, str]]:
     """(name, spark_type) for each hive partition column, inferred like
     Spark's parquet source: all-long -> bigint, all-numeric -> double,
-    else string. Nulls don't veto a numeric type."""
+    else string. Nulls don't veto a numeric type. A declared layout's
+    recorded types OVERRIDE inference (partition_layout_types) —
+    directory names alone mistype string columns with numeric values."""
+    declared = partition_layout_types(root, man=man)
     cols: dict[str, list[str | None]] = {}
     for f in files:
         for k, v in _partition_values(f, root).items():
@@ -481,7 +501,7 @@ def _infer_partition_fields(root: str, files: list[str]) -> list[tuple[str, str]
             return "double"
         return "string"
 
-    return [(k, _type(v)) for k, v in cols.items()]
+    return [(k, declared.get(k) or _type(v)) for k, v in cols.items()]
 
 
 def _cast_partition_value(v: str | None, spark_type: str):
@@ -949,6 +969,7 @@ def publish_manifest(
                 props.pop("bucket", None)
                 props.pop("partition_transform", None)
                 props.pop("partition_layout", None)
+                props.pop("partition_layout_types", None)
         try:
             # explicit properties (e.g. an incremental-view txn marker)
             # land atomically with this commit
@@ -1084,7 +1105,7 @@ class StrawboatDataSource(DataSource):
         from pyspark.sql.types import DoubleType, LongType, StringType
 
         spark_types = {"bigint": LongType(), "double": DoubleType(), "string": StringType()}
-        for name, tp in _infer_partition_fields(path, all_files):
+        for name, tp in _infer_partition_fields(path, all_files, man=man):
             if name not in schema.fieldNames():
                 schema = schema.add(name, spark_types[tp])
         if self.options.get("with_file_path", "").lower() == "true":
@@ -1377,7 +1398,7 @@ class StrawboatReaderImpl(DataSourceReader):
         # separate read is a round-trip on an object store.
         man = _manifest_for(self.path, self.at_generation)
         files = _list_files(self.path, self.at_generation, man=man)
-        part_types = dict(_infer_partition_fields(self.path, files))
+        part_types = dict(_infer_partition_fields(self.path, files, man=man))
         cmap = tuple(
             (lg, tuple(aliases))
             for lg, aliases in column_mapping(self.path, man=man).items()

@@ -26,6 +26,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _layout_type_family(simple: str) -> str:
+    """Spark simpleString -> the partition-value family the planner's
+    _cast_partition_value understands (directory names are strings;
+    this decides what they parse back to)."""
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if simple in ("float", "double"):
+        return "double"
+    return "string"
+
+
 class Table:
     def __init__(self, spark: SparkSession, path: str):
         from strawboat_spark.sources.datasource import register
@@ -745,6 +756,10 @@ class Table:
         if comps and not has_transform:
             props = json.loads(options.get("manifest_properties", "{}") or "{}")
             props["partition_layout"] = comps
+            types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            props["partition_layout_types"] = {
+                c: _layout_type_family(types[c]) for c in comps if c in types
+            }
             options["manifest_properties"] = json.dumps(props)
         return df, options
 
@@ -783,14 +798,31 @@ class Table:
             raise ValueError(
                 f"set_partition_layout: {self.path} has no committed data"
             )
+        ltypes: dict[str, str] = {}
         if comps:
-            cols = self.read().columns
-            unknown = [c for c in comps if c not in cols]
+            types = dict(self.read().dtypes)
+            unknown = [c for c in comps if c not in types]
             if unknown:
                 raise ValueError(
                     f"set_partition_layout: no column(s) {unknown} in the "
                     f"table schema"
                 )
+            # same whitelist as bucket keys: only types whose string
+            # form is identical in the Spark write expression and the
+            # Python planner (directory names ARE the values; floats
+            # have no stable form, timestamps belong to days()/months())
+            bad = {
+                c: types[c]
+                for c in comps
+                if types[c] not in ("tinyint", "smallint", "int", "bigint", "string")
+            }
+            if bad:
+                raise ValueError(
+                    f"set_partition_layout: unsupported partition column "
+                    f"type(s) {bad}; use int/string columns (time columns "
+                    f"partition via overwrite(partition_by='days(col)'))"
+                )
+            ltypes = {c: _layout_type_family(types[c]) for c in comps}
         for _attempt in range(50):
             man = read_manifest(self.path)
             if man is None:
@@ -802,6 +834,13 @@ class Table:
                 props["partition_layout"] = comps
             else:
                 props.pop("partition_layout", None)
+            # type authority MERGES and outlives the layout: directories
+            # written under an earlier spec stay on disk after an
+            # evolution, and their columns must keep their declared
+            # types (only an overwrite clears the accumulated map)
+            merged = {**(props.get("partition_layout_types") or {}), **ltypes}
+            if merged:
+                props["partition_layout_types"] = merged
             try:
                 write_manifest(
                     self.path,
@@ -1684,11 +1723,14 @@ class Table:
             raise ValueError(f"rename_column: no column {old!r} (have {cols})")
         if new in cols:
             raise ValueError(f"rename_column: column {new!r} already exists")
-        parts = _part_layout(self.path)
+        from strawboat_spark.sources.datasource import partition_layout
+
+        parts = set(_part_layout(self.path)) | set(partition_layout(self.path) or ())
         if old in parts or new in parts:
             raise ValueError(
                 "rename_column: hive partition columns are physical directory "
-                "names and cannot be renamed in place"
+                "names (or the declared layout resolves them by name) and "
+                "cannot be renamed in place — set_partition_layout first"
             )
         from strawboat_spark.sources.datasource import bucket_spec
 

@@ -194,3 +194,44 @@ def test_change_feed_spans_the_evolution(spark, tmp_path):
         | {(1, "en", 10, "delete")}
     )
     assert got_s == want_s
+
+
+def test_numeric_string_partition_values_keep_their_type(spark, tmp_path):
+    """Directory inference alone would type a STRING column holding
+    '0'/'1'/'2' as bigint — flipping the logical type against the
+    epochs that store it in pages. The declared layout records the
+    type authority, which persists after further evolutions (the old
+    directories stay on disk)."""
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    rows = [(k, str(k % 3), k * 10) for k in range(9)]
+    t.overwrite(spark.createDataFrame(rows, "k long, g string, v long"))
+    t.set_partition_layout("g")
+    t.append(
+        spark.createDataFrame(
+            [(k, str(k % 3), k * 10) for k in range(9, 15)],
+            "k long, g string, v long",
+        )
+    )
+    assert dict(t.read().dtypes)["g"] == "string"
+    got = {(r.k, r.g) for r in t.read().filter("g = '2'").collect()}
+    assert got == {(k, "2") for k in range(15) if k % 3 == 2}
+    # evolve away: g's directories remain, so its type authority must too
+    t.set_partition_layout(None)
+    t.append(
+        spark.createDataFrame([(15, "0", 150)], "k long, g string, v long")
+    )
+    assert dict(t.read().dtypes)["g"] == "string"
+    assert t.read().count() == 16
+
+
+def test_layout_column_type_whitelist_and_rename_refusal(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 0.5, "a")], "k long, f double, s string")
+    )
+    with pytest.raises(ValueError, match="unsupported partition column type"):
+        t.set_partition_layout("f")
+    t.set_partition_layout("s")
+    with pytest.raises(ValueError, match="cannot be renamed"):
+        t.rename_column("s", "s2")

@@ -235,3 +235,53 @@ def test_s3_vacuum_and_time_travel_end_to_end(spark, s3_bucket):
     got = {r.k: r.v for r in t.read().collect()}
     assert len(got) == 390 and 5 not in got and got[399] == 1197
     assert t.count_rows() == 390
+
+
+def test_s3_partition_evolution_end_to_end(spark, s3_bucket):
+    """set_partition_layout on an s3:// table: the metadata flip, the
+    bare-append layout derivation, cross-epoch scans, a MOR delete and
+    a compact all run against the object store — pins that the
+    per-leaf rewrite discipline (_leaf_dir_cols) and _adopt_tmp's
+    hive-dir destinations survive the scheme change."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.table import Table
+
+    register(spark)
+    path = f"s3://{BUCKET}/warehouse/pe"
+    t = Table(spark, path)
+    t.overwrite(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    t.set_partition_layout("g")
+    t.append(
+        spark.range(40, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    keys = {
+        o["Key"]
+        for page in s3_bucket.get_paginator("list_objects_v2").paginate(
+            Bucket=BUCKET, Prefix="warehouse/pe/"
+        )
+        for o in page.get("Contents", ())
+    }
+    assert any("/g=0/" in k for k in keys)  # epoch-2 files under g= dirs
+    model = {k: (str(k % 3), k * 10) for k in range(60)}
+    t.delete("g = '1'", mode="mor")  # crosses both epochs
+    model = {k: x for k, x in model.items() if x[0] != "1"}
+    assert {r.k: (r.g, r.v) for r in t.read().collect()} == model
+    # filter on the evolved column: old files page-pruned, new dir-pruned
+    assert {r.k for r in t.read().filter("g = '2'").collect()} == {
+        k for k, (g, _) in model.items() if g == "2"
+    }
+    t.compact(target_files=1)
+    assert {r.k: (r.g, r.v) for r in t.read().collect()} == model
+    assert t.count_rows() == len(model)

@@ -2663,8 +2663,10 @@ def test_reorg_purge_hive_layout(spark, tmp_path):
     res = t.reorg_purge(threshold=0.2)
     assert res["files_rewritten"] == 1 and res["rows_purged"] == 40
     got = {(r.region, r.k) for r in t.read().collect()}
-    # hive partition values infer back as ints ("region=0" dirs)
-    want = {(i % 2, i) for i in range(200) if not (i < 80 and i % 2 == 0)}
+    # the declared layout records region's TYPE (string), so the
+    # "region=0" directory values read back as the strings the writer
+    # stored — before the type authority they lossily inferred as ints
+    want = {(str(i % 2), i) for i in range(200) if not (i < 80 and i % 2 == 0)}
     assert got == want
     # layout preserved: region still prunes as a partition column
     assert t.read().filter("region = '1'").count() == 100
