@@ -273,6 +273,46 @@ class Table:
             "path string, n_rows long, n_deleted int, n_live long, n_pages int",
         )
 
+    def partitions(self, at_generation: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg `.partitions` analog): one row per
+        leaf directory — its hive partition values (JSON; files an
+        epoch stored unpartitioned group under `{}`), file/row/live
+        counts and byte total — driver-side manifest walk, zero data
+        pages at any table size. Under partition-spec evolution this is
+        the table's epoch map: which layouts exist and how much data
+        each still holds (the input to an optimize(where=...) that
+        retires an old layout leaf by leaf)."""
+        import json as _json
+
+        from strawboat_spark.sources.datasource import (
+            _cached_footer,
+            _deletes_by_rel,
+            _list_files,
+            _partition_values,
+        )
+
+        files = _list_files(self.path, at_generation)
+        dmap = _deletes_by_rel(self.path, at_generation)
+        agg: dict[str, list] = {}
+        for f in sorted(files):
+            key = _json.dumps(_partition_values(f, self.path), sort_keys=True)
+            meta = _cached_footer(f)[1]
+            n_del = dmap[f].n if f in dmap else 0
+            sizes = sum(
+                pg.length
+                for lf in meta.leaves
+                for pg in lf.pages
+            )
+            row = agg.setdefault(key, [0, 0, 0, 0])
+            row[0] += 1
+            row[1] += int(meta.num_rows)
+            row[2] += int(meta.num_rows) - n_del
+            row[3] += sizes
+        return self.spark.createDataFrame(
+            [(k, *v) for k, v in sorted(agg.items())],
+            "partition string, n_files int, n_rows long, n_live long, bytes long",
+        )
+
     def ndv_est(self, at_generation: int | None = None) -> dict[str, int]:
         """Per-column NDV estimates from METADATA alone (the footers'
         per-leaf ndv, summed across files) — no distinct-count job at

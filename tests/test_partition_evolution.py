@@ -235,3 +235,27 @@ def test_layout_column_type_whitelist_and_rename_refusal(spark, tmp_path):
     t.set_partition_layout("s")
     with pytest.raises(ValueError, match="cannot be renamed"):
         t.rename_column("s", "s2")
+
+
+def test_partitions_metadata_table_maps_the_epochs(spark, tmp_path):
+    """t.partitions(): per-leaf file/row/live/byte counts, driver-side
+    only — the epoch map of an evolved table."""
+    import json
+
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    t.delete("k = 1", mode="mor")
+    got = {
+        json.dumps(json.loads(r.partition), sort_keys=True): (
+            r.n_rows,
+            r.n_live,
+        )
+        for r in t.partitions().collect()
+    }
+    assert got["{}"] == (3, 2)  # epoch-1 root leaf, one row masked
+    assert got[json.dumps({"lang": "de"})] == (1, 1)
+    assert got[json.dumps({"lang": "en"})] == (1, 1)
+    assert sum(r.n_files for r in t.partitions().collect()) == len(_files(root))
+    assert all(r.bytes > 0 for r in t.partitions().collect())
