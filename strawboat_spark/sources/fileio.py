@@ -1049,19 +1049,35 @@ def register_filesystem(scheme: str, fs) -> None:
     _REGISTRY[scheme] = fs
 
 
+_COPY_CHUNK = 8 << 20
+
+
+def copy_bytes(src: str, dst: str) -> None:
+    """Stream a file between paths/backends in BOUNDED memory: chunked
+    reads (ranged GETs on S3) feed the destination handle, whose
+    multipart path ships parts as the buffer passes the part threshold
+    — a multi-GB deep-clone copy holds ~one chunk + one pending part,
+    not the whole object. Publication stays atomic (commit-at-close /
+    CompleteMultipartUpload); an error aborts the write unpublished."""
+    with get_fs(src).open_read(src) as r, get_fs(dst).create(dst) as w:
+        while True:
+            chunk = r.read(_COPY_CHUNK)
+            if not chunk:
+                break
+            w.write(chunk)
+
+
 def move_file(src: str, dst: str) -> None:
     """Scheme-aware move. Same backend: fs.move (atomic rename locally,
     server-side copy+delete on object stores). ACROSS backends — e.g.
     adopting a local tmp write into an s3:// table root — stream the
-    bytes through create(), whose commit-at-close keeps the destination
-    atomic, then remove the source. Whole-file buffering matches the
-    engine's storage model (stripe-sized data files, small blobs)."""
+    bytes through copy_bytes (bounded memory, atomic at close), then
+    remove the source."""
     sfs, dfs = get_fs(src), get_fs(dst)
     if sfs is dfs:
         sfs.move(src, dst)
         return
-    with sfs.open_read(src) as r, dfs.create(dst) as w:
-        w.write(r.read())
+    copy_bytes(src, dst)
     sfs.remove(src)
 
 

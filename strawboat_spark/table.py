@@ -1524,9 +1524,10 @@ class Table:
             rel = os.path.join("_strawboat_dv", os.path.basename(backend_path(ref)))
             dst = os.path.join(dest, rel)
             if not get_fs(dst).exists(dst):
+                from strawboat_spark.sources.fileio import copy_bytes
+
                 get_fs(dst).makedirs(os.path.dirname(dst))
-                with get_fs(src_abs).open_read(src_abs) as r, get_fs(dst).create(dst) as w:
-                    w.write(r.read())
+                copy_bytes(src_abs, dst)
             return rel
 
         entries = []
@@ -1544,10 +1545,9 @@ class Table:
                 d = os.path.dirname(dst)
                 if d:
                     get_fs(dst).makedirs(d)
-                with get_fs(src_abs).open_read(src_abs) as r, get_fs(dst).create(
-                    dst
-                ) as w:
-                    w.write(r.read())
+                from strawboat_spark.sources.fileio import copy_bytes
+
+                copy_bytes(src_abs, dst)
                 ne = {**e, "path": rel}
                 if e.get("deletes_refs"):
                     ne["deletes_refs"] = [_copy_dv(r) for r in e["deletes_refs"]]
@@ -1686,8 +1686,9 @@ class Table:
                     get_fs(dst).makedirs(d)
                 dfs_ = get_fs(dst)
                 if not dfs_.exists(dst):  # content-addressed DVs may repeat
-                    with get_fs(absf).open_read(absf) as r, dfs_.create(dst) as w:
-                        w.write(r.read())
+                    from strawboat_spark.sources.fileio import copy_bytes
+
+                    copy_bytes(absf, dst)
                 return rel
             if norm.startswith(mroot + _os.sep):
                 # still a main file: back to a root-relative reference

@@ -179,3 +179,23 @@ def test_column_pruned_format_read_fetches_a_fraction(s3_env, knobs):
         assert got.column("id").to_pylist() == list(range(2000))
         assert h.bytes_fetched < size // 4, (h.bytes_fetched, size)
         assert h.range_gets < 20
+
+
+def test_copy_bytes_streams_chunked_between_backends(s3_env, knobs, tmp_path, monkeypatch):
+    """copy_bytes: local->S3 and S3->local stream in bounded chunks —
+    the S3 leg exercises multipart (tiny part size) and ranged reads
+    (tiny readahead) end to end, byte-identical."""
+    import strawboat_spark.sources.fileio as fio
+
+    monkeypatch.setattr(fio, "_COPY_CHUNK", 64 << 10)
+    rng = random.Random(5)
+    body = bytes(rng.getrandbits(8) for _ in range(512 << 10))
+    src = tmp_path / "src.bin"
+    src.write_bytes(body)
+    fio.copy_bytes(str(src), f"s3://{BUCKET}/copied.bin")
+    assert (
+        s3_env.get_object(Bucket=BUCKET, Key="copied.bin")["Body"].read() == body
+    )
+    back = tmp_path / "back.bin"
+    fio.copy_bytes(f"s3://{BUCKET}/copied.bin", str(back))
+    assert back.read_bytes() == body
