@@ -15,6 +15,7 @@ this module closes the WRITE-side gap for users arriving from Delta:
     VACUUM strawboat.`/path/t` RETAIN 168 HOURS [DRY RUN]
     DESCRIBE HISTORY strawboat.`/path/t`
     DESCRIBE DETAIL strawboat.`/path/t`
+    DESCRIBE PARTITIONS strawboat.`/path/t`
     ALTER TABLE strawboat.`/path/t` RENAME COLUMN a TO b
     ALTER TABLE strawboat.`/path/t` ADD COLUMN x int [DEFAULT <json>]
     ALTER TABLE strawboat.`/path/t` DROP COLUMN x
@@ -146,6 +147,11 @@ def execute_sql(spark: SparkSession, sql: str):
     if up.startswith("DESCRIBE DETAIL "):
         m = _require(rf"DESCRIBE DETAIL {_ID}$", s, "DESCRIBE DETAIL <table>")
         return Table(spark, _path(m)).detail()
+    if up.startswith("DESCRIBE PARTITIONS "):
+        m = _require(
+            rf"DESCRIBE PARTITIONS {_ID}$", s, "DESCRIBE PARTITIONS <table>"
+        )
+        return Table(spark, _path(m)).partitions()
     if up.startswith("ALTER TABLE "):
         return _alter(spark, s)
     if up.startswith("REORG TABLE ") or up.startswith("REORG "):

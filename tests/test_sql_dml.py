@@ -368,3 +368,17 @@ def test_default_driver_memory_clamps_to_host(monkeypatch):
     assert v.endswith("g")
     n = int(v[:-1])
     assert 2 <= n <= 24
+
+
+def test_sql_describe_partitions(spark, tmp_path):
+    t, path = _tbl(spark, tmp_path, n=10)
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` SET PARTITIONED BY (g)")
+    t.append(
+        spark.createDataFrame([(100, 0, 1), (101, 1, 2)], t.read().schema)
+    )
+    rows = execute_sql(
+        spark, f"DESCRIBE PARTITIONS strawboat.`{path}`"
+    ).collect()
+    parts = {r.partition: r.n_live for r in rows}
+    assert parts["{}"] == 10  # the unpartitioned epoch
+    assert parts['{"g": "0"}'] == 1 and parts['{"g": "1"}'] == 1
