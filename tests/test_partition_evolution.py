@@ -259,3 +259,30 @@ def test_partitions_metadata_table_maps_the_epochs(spark, tmp_path):
     assert got[json.dumps({"lang": "en"})] == (1, 1)
     assert sum(r.n_files for r in t.partitions().collect()) == len(_files(root))
     assert all(r.bytes > 0 for r in t.partitions().collect())
+
+
+def test_evolution_composes_with_bucketing(spark, tmp_path):
+    """A bucketed table can evolve a plain layout on top: appends land
+    lang=<v>/__bucket=<n>/ while the pre-evolution epoch keeps its
+    __bucket-only leaves; bucket pruning and scans stay exact across
+    both epochs."""
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1, "k long, lang string, v long"),
+        bucket_by="k",
+        num_buckets=4,
+    )
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    leaves = {os.path.dirname(f) for f in _files(root)}
+    assert any(l.startswith("lang=") and "__bucket=" in l for l in leaves)
+    assert any(l.startswith("__bucket=") for l in leaves)
+    got = {
+        (r.k, r.lang, r.v)
+        for r in t.read().select("k", "lang", "v").collect()
+    }
+    assert got == {(k, la, v) for k, la, v in R1 + R2}
+    # bucket point-lookup still exact over both epochs
+    assert {r.k for r in t.read().filter("k = 4").collect()} == {4}
+    assert {r.k for r in t.read().filter("k = 1").collect()} == {1}
