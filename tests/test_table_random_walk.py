@@ -158,7 +158,7 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path, seed):
         op = rng.choice(
             ["append", "add_column", "widen", "rename_v", "rename_extra",
              "drop_extra", "update_v", "update_extra", "mor_delete",
-             "cow_delete", "merge", "compact", "vacuum"]
+             "cow_delete", "merge", "compact", "vacuum", "set_layout"]
         )
         ops.append(op)
         if op == "append":
@@ -249,6 +249,13 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path, seed):
             t.compact(target_files=2)
         elif op == "vacuum":
             t.vacuum(grace_seconds=0.0)
+        elif op == "set_layout":
+            # partition-spec evolution in the middle of everything
+            # else: a metadata flip that must not change a single row
+            # image, while every later mutation works over the mixed
+            # epochs it creates (k is the one whitelisted stable
+            # column — v/extras rename and drop)
+            t.set_partition_layout(rng.choice([None, "k"]))
         got = _rows_as_set(t)
         want = _model_rows_as_set(model)
         assert got == want, (
