@@ -286,3 +286,26 @@ def test_evolution_composes_with_bucketing(spark, tmp_path):
     # bucket point-lookup still exact over both epochs
     assert {r.k for r in t.read().filter("k = 4").collect()} == {4}
     assert {r.k for r in t.read().filter("k = 1").collect()} == {1}
+
+
+def test_optimize_where_scopes_by_directory_epoch(spark, tmp_path):
+    """OPTIMIZE ... WHERE selects leaves by their DIRECTORY values
+    (Delta semantics): files from an epoch that stored the column in
+    pages have no matching directory and are deliberately out of
+    scope — the recipe for retiring an old layout is optimize on the
+    OLD epoch's own directory columns, or a plain compact."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)  # epoch 1: unpartitioned, lang in pages
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    t.append(spark.createDataFrame(R3, "k long, lang string, v long"))
+    before = set(_files(root))
+    res = t.optimize(where="lang = 'fr'")
+    after = set(_files(root))
+    # only the lang=fr leaf was rewritten; root (epoch-1) files — which
+    # DO contain fr rows — stayed, by the documented directory scoping
+    assert all(f in after for f in before if "lang=" not in f)
+    assert any(f not in after for f in before if "lang=fr" in f.split(os.sep)[0]) or (
+        res.get("before", 0) <= 1  # single-file leaf: nothing to compact
+    )
+    assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2 + R3}
