@@ -309,3 +309,21 @@ def test_optimize_where_scopes_by_directory_epoch(spark, tmp_path):
         res.get("before", 0) <= 1  # single-file leaf: nothing to compact
     )
     assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2 + R3}
+
+
+def test_wap_staging_inherits_the_evolved_layout(spark, tmp_path):
+    """stage_append applies the full facade at stage time — including
+    the declared layout — so published files land in their leaves, not
+    at the root."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    sid = t.stage_append(
+        spark.createDataFrame([(7, "de", 70)], "k long, lang string, v long")
+    )
+    n_staged = t.read_staged(sid).count()  # materialize BEFORE publish
+    assert n_staged == 4  # committed 3 + staged 1
+    assert _rows(t) == {(k, la, v) for k, la, v in R1}  # staged invisible
+    t.publish_staged(sid)
+    assert any(f.startswith("lang=de") for f in _files(root))
+    assert _rows(t) == {(k, la, v) for k, la, v in R1} | {(7, "de", 70)}
