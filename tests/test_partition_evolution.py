@@ -327,3 +327,19 @@ def test_wap_staging_inherits_the_evolved_layout(spark, tmp_path):
     t.publish_staged(sid)
     assert any(f.startswith("lang=de") for f in _files(root))
     assert _rows(t) == {(k, la, v) for k, la, v in R1} | {(7, "de", 70)}
+
+
+def test_branch_fast_forward_preserves_evolved_leaves(spark, tmp_path):
+    """A branch forked after an evolution inherits the declared layout
+    (properties travel with the fork); fast_forward MOVES its files
+    back leaf-intact, and the branch's MOR deletes ride along."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    b = t.branch("etl")
+    b.append(spark.createDataFrame([(7, "de", 70)], "k long, lang string, v long"))
+    b.delete("k = 1", mode="mor")
+    assert _rows(t) == {(k, la, v) for k, la, v in R1}  # branch invisible
+    t.fast_forward("etl")
+    assert _rows(t) == {(2, "fr", 20), (3, "en", 30), (7, "de", 70)}
+    assert any(f.startswith("lang=de") for f in _files(root))
