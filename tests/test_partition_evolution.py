@@ -343,3 +343,21 @@ def test_branch_fast_forward_preserves_evolved_leaves(spark, tmp_path):
     t.fast_forward("etl")
     assert _rows(t) == {(2, "fr", 20), (3, "en", 30), (7, "de", 70)}
     assert any(f.startswith("lang=de") for f in _files(root))
+
+
+def test_deep_clone_carries_the_declared_layout(spark, tmp_path):
+    """Deep clone copies bytes AND properties: the clone keeps the
+    declared layout (its appends land in leaves) and the type
+    authority (string partition values stay strings). Shallow clones
+    of hive layouts keep their existing refusal."""
+    t = _mk(spark, str(tmp_path / "t"), R1)
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    with pytest.raises(ValueError, match="deep=True"):
+        t.clone(str(tmp_path / "s"))
+    c = t.clone(str(tmp_path / "c"), deep=True)
+    c.append(spark.createDataFrame([(9, "zh", 90)], "k long, lang string, v long"))
+    assert any(f.startswith("lang=zh") for f in _files(str(tmp_path / "c")))
+    assert dict(c.read().dtypes)["lang"] == "string"
+    assert _rows(c) == {(k, la, v) for k, la, v in R1 + R2} | {(9, "zh", 90)}
+    assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2}  # source untouched
