@@ -14,6 +14,13 @@ Adjudication machinery (r9):
 - a canary guard: q6 (pure scan+agg, plan-stable since r1) is compared
   against its rolling floor; a >40% excess marks the round's JSON with
   "loaded_host": true so noisy rounds are labeled in-band.
+- a PYTHON-WORKER canary (r13): q6 is pure JVM, so it is blind to
+  Python-worker-side contention — the axis the r12 drift concentrated
+  on (the regressors skewed mapInArrow/pandas-UDF-heavy while q6 was
+  flat).  A fixed tiny mapInArrow round-trip is timed once per pass;
+  its excess over floor is reported as "canary_py" with its own
+  loaded_host_py flag, so driver-vs-self comparisons can separate JVM
+  noise from Python-worker noise with data.
 """
 
 from __future__ import annotations
@@ -34,6 +41,30 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 # since r1.  Rolling floor over BENCH_r01..r08 driver runs: 0.29 s.
 CANARY = "q6_forecast_revenue"
 CANARY_FLOOR = 0.29
+
+# Python-worker canary: 8 tasks x one Arrow batch through mapInArrow.
+# Pure worker round-trip (serialize -> Python -> deserialize), compute
+# negligible.  Floor calibrated on an idle local[32] host (r13): 0.23 s
+# best-of-3 after warmup.
+PY_CANARY_FLOOR = 0.23
+
+
+def _py_canary_once(spark) -> float:
+    """One timed mapInArrow round-trip through the Python worker pool."""
+    import pyspark.sql.functions as F
+
+    def _ident(batches):
+        yield from batches
+
+    df = (
+        spark.range(0, 200_000, 1, 8)
+        .select(F.col("id"), (F.col("id") * 2).alias("y"))
+        .mapInArrow(_ident, "id long, y long")
+        .agg(F.sum("y").alias("s"))
+    )
+    t0 = time.perf_counter()
+    df.collect()
+    return round(time.perf_counter() - t0, 3)
 
 # Headline set: scan-heavy agg, multi-join, window, as-of, dedup,
 # similarity, text — the operators whose plans matter at 100 TB.
@@ -136,8 +167,10 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "330"))
     runs: dict[str, list[float]] = {n: [] for n in names}
     plans: dict[str, str | None] = {}
+    py_canary_runs: list[float] = []
     t_start = time.perf_counter()
     passes = 0
+    _py_canary_once(spark)  # warm (not timed)
     for _ in range(N_RUNS):
         for name in names:
             t0 = time.perf_counter()
@@ -146,6 +179,7 @@ def main() -> None:
             runs[name].append(round(time.perf_counter() - t0, 3))
             if name not in plans:
                 plans[name] = _plan_fingerprint(df)
+        py_canary_runs.append(_py_canary_once(spark))
         passes += 1
         if time.perf_counter() - t_start > budget:
             break
@@ -158,6 +192,10 @@ def main() -> None:
         sf_val = sf
     canary_sec = timings.get(CANARY)
     loaded = bool(canary_sec is not None and canary_sec > CANARY_FLOOR * 1.4)
+    py_canary_sec = min(py_canary_runs) if py_canary_runs else None
+    loaded_py = bool(
+        py_canary_sec is not None and py_canary_sec > PY_CANARY_FLOOR * 1.4
+    )
     print(
         json.dumps(
             {
@@ -174,6 +212,13 @@ def main() -> None:
                     "sec": canary_sec,
                     "floor": CANARY_FLOOR,
                     "loaded_host": loaded,
+                },
+                "canary_py": {
+                    "query": "mapInArrow_roundtrip_8tasks",
+                    "sec": py_canary_sec,
+                    "floor": PY_CANARY_FLOOR,
+                    "loaded_host_py": loaded_py,
+                    "runs": py_canary_runs,
                 },
             }
         )

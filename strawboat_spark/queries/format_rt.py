@@ -1989,6 +1989,66 @@ def strawboat_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "strawboat_epoch_rewrite",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang <> 'zh' AND lang IN ('en', 'fr')
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(0 AS BIGINT) AS n_nonconforming
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    description=(
+        "epoch REWRITE (Iceberg rewrite_data_files analog): "
+        "unpartitioned epoch + set_partition_layout('lang') + "
+        "second epoch + MOR delete, then rewrite_epoch migrates the "
+        "old epoch's files under lang= directories (DVs materialize, "
+        "one flip) — post-rewrite every entry conforms "
+        "(n_nonconforming=0 is asserted from the manifest) and the "
+        "lang filter directory-prunes the whole table, result exact"
+    ),
+)
+def strawboat_epoch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance.rewrite_epoch + table.py rewrite_epoch (contract in
+    tests/test_epoch_rewrite.py).  Reference bar: metadata-driven
+    skipping (src/read/reader.rs:91-146) restored for migrated data."""
+    import os as _os
+
+    from strawboat_spark.sources.datasource import read_manifest, register
+    from strawboat_spark.sources.maintenance import _leaf_dir_cols
+    from strawboat_spark.table import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="strawboat_er_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table(spark, f"{root}/docs")
+    t.overwrite(d.filter("doc_id % 2 = 0"))  # epoch 1: lang in pages
+    t.set_partition_layout("lang")
+    t.append(d.filter("doc_id % 2 = 1"))  # epoch 2: lang= dirs
+    t.delete("lang = 'zh'", mode="mor")  # DV crossing both epochs
+    t.rewrite_epoch()
+    bad = sum(
+        1
+        for e in read_manifest(t.path)["entries"]
+        if _leaf_dir_cols(_os.path.dirname(e["path"])) != ["lang"]
+    )
+    return (
+        t.read()
+        .filter(F.col("lang").isin("en", "fr"))  # directory-prunes now
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .withColumn("n_nonconforming", F.lit(bad).cast("long"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "strawboat_merge_evolve",
     oracle="""
     WITH tgt AS (

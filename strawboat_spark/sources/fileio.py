@@ -896,15 +896,20 @@ class S3FileSystem:
         self._scheme = scheme
         self._c = None
         self._pid = None
+        self._endpoint = None
 
     def _client(self):
-        if self._c is None or self._pid != os.getpid():
+        endpoint = os.environ.get("STRAWBOAT_S3_ENDPOINT") or None
+        if (
+            self._c is None
+            or self._pid != os.getpid()
+            or self._endpoint != endpoint
+        ):
             import boto3
 
-            self._c = boto3.client(
-                "s3", endpoint_url=os.environ.get("STRAWBOAT_S3_ENDPOINT") or None
-            )
+            self._c = boto3.client("s3", endpoint_url=endpoint)
             self._pid = os.getpid()
+            self._endpoint = endpoint
         return self._c
 
     def _bk(self, path: str) -> tuple[str, str]:

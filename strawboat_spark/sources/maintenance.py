@@ -1144,6 +1144,98 @@ def optimize(
     return {"before": before, "after": len(moved), "leaves": len(selected)}
 
 
+def rewrite_epoch(
+    spark, path: str, target_files: int = 4, page_size: int = 8192
+) -> dict:
+    """Iceberg `rewrite_data_files` analog for partition-spec
+    evolution: rewrite every data file whose DIRECTORY layout differs
+    from the table's DECLARED spec so its rows land under the declared
+    hive directories — retiring the old layout epoch(s).
+
+    set_partition_layout() is metadata-only by design: files written
+    under earlier specs keep their layout, and a filter on the evolved
+    column falls back to page-stats pruning for them.  At 100 TB a
+    mixed-epoch table that stays mixed forever slowly loses directory
+    pruning on the old epochs' files; this verb migrates them — after
+    the flip every surviving file encodes the declared layout and a
+    filter on a declared column directory-prunes the whole table
+    again.  (Metadata-driven skipping is the reference's core
+    read-side idea, src/read/reader.rs:91-146; this restores it for
+    migrated data.)
+
+    Mechanics: old-epoch entries are detected from the manifest alone
+    (a leaf dir whose `k=` components differ from the declared spec —
+    zero IO); they read back in ONE `files`-pinned scan, where each
+    file renders its partition columns from its own directory or
+    stored pages and DELETION VECTORS APPLY — MOR deletes materialize
+    in the rewrite and their sidecar refs retire with the dropped
+    entries.  Rows land hive-partitioned by the declared spec in a tmp
+    table (`repartition(target_files, *spec)` clusters each leaf value
+    into one task → one file per migrated leaf) and adopt in ONE
+    atomic CAS generation flip; conforming files keep their entries
+    with zero IO, pre-rewrite generations stay time-travel-readable
+    until vacuum().  A skewed leaf value is one write task here —
+    right-size it afterwards with optimize(where=...), which scopes by
+    directory.
+    """
+    from strawboat_spark.sources.datasource import (
+        partition_layout,
+        read_manifest,
+        transform_spec,
+    )
+
+    register(spark)
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(f"rewrite_epoch: {path} has no committed data")
+    if transform_spec(path) is not None:
+        raise ValueError(
+            "rewrite_epoch: table has a hidden-partitioning transform; "
+            "its days()/months() layout is the only authority — nothing "
+            "to migrate"
+        )
+    declared = partition_layout(path)
+    if not declared:
+        raise ValueError(
+            "rewrite_epoch: no declared partition layout "
+            "(set_partition_layout first; compact() bin-packs "
+            "unpartitioned tables)"
+        )
+    old = [
+        e
+        for e in man["entries"]
+        if _leaf_dir_cols(os.path.dirname(e["path"])) != declared
+    ]
+    if not old:
+        return {"rewritten": 0, "files_added": 0, "conforming": len(man["entries"])}
+    import tempfile
+
+    rels = sorted(e["path"] for e in old)
+    df = _read_files(spark, path, rels)
+    missing = [c for c in declared if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rewrite_epoch: declared partition column(s) {missing} "
+            f"absent from the table schema"
+        )
+    tmp = tempfile.mkdtemp(prefix="strawboat_epochrw_") + "/t"
+    (
+        df.repartition(max(1, target_files), *declared)
+        .write.format("strawboat")
+        .option("partition_by", ",".join(declared))
+        .option("page_size", str(page_size))
+        .mode("overwrite")
+        .save(tmp)
+    )
+    moved = _adopt_tmp(path, tmp)
+    _flip_generation(path, set(rels), moved, "rewrite-epoch")
+    return {
+        "rewritten": len(rels),
+        "files_added": len(moved),
+        "conforming": len(man["entries"]) - len(old),
+    }
+
+
 def merge_when(
     spark,
     path: str,

@@ -1435,6 +1435,17 @@ class Table:
             where=where,
         )
 
+    def rewrite_epoch(self, target_files: int = 4) -> dict:
+        """Iceberg `rewrite_data_files` analog: rewrite the files whose
+        directory layout differs from the DECLARED spec into it,
+        retiring old layout epochs so directory pruning covers the
+        whole table again (see maintenance.rewrite_epoch — one pinned
+        scan, DVs materialize, one atomic flip; conforming files keep
+        their entries with zero IO)."""
+        from strawboat_spark.sources.maintenance import rewrite_epoch
+
+        return rewrite_epoch(self.spark, self.path, target_files=target_files)
+
     def consolidate_dv_refs(self, max_refs: int = 8) -> dict:
         """Union a many-times-mutated file's deletion-vector sidecars
         into one (see maintenance.consolidate_dv_refs — executor-side,

@@ -1,0 +1,180 @@
+"""Epoch rewrite (Iceberg `rewrite_data_files` analog for partition-
+spec evolution): Table.rewrite_epoch() rewrites the files whose
+directory layout differs from the DECLARED spec so their rows land
+under the declared hive directories.  set_partition_layout stays
+metadata-only; this is the tool that RETIRES old layout epochs, so a
+filter on the declared column directory-prunes the whole table again
+instead of falling back to page stats on old-epoch files.  MOR deletes
+materialize in the rewrite; conforming files keep their entries with
+zero IO; the pre-rewrite generation stays time-travel-readable."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from strawboat_spark.table import Table
+
+
+def _files(root: str) -> list[str]:
+    return sorted(
+        os.path.relpath(f, root)
+        for f in glob.glob(f"{root}/**/*.strb", recursive=True)
+        if "_strawboat" not in f
+    )
+
+
+def _rows(t: Table) -> set[tuple]:
+    cols = sorted(t.read().columns)
+    return {tuple(r[c] for c in cols) for r in t.read().collect()}
+
+
+def _mk(spark, path, rows, **opts) -> Table:
+    t = Table(spark, path)
+    t.overwrite(spark.createDataFrame(rows, "k long, lang string, v long"), **opts)
+    return t
+
+
+R1 = [(1, "en", 10), (2, "fr", 20), (3, "en", 30)]
+R2 = [(4, "de", 40), (5, "en", 50)]
+R3 = [(6, "fr", 60), (7, "de", 70)]
+
+
+def _manifest_rels(t: Table) -> set[str]:
+    from strawboat_spark.sources.datasource import read_manifest
+
+    return {e["path"] for e in read_manifest(t.path)["entries"]}
+
+
+def test_rewrite_migrates_old_epochs_into_declared_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)  # epoch 1: unpartitioned root files
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    assert any("=" not in f for f in _files(root))  # mixed epochs
+    res = t.rewrite_epoch()
+    assert res["rewritten"] > 0 and res["files_added"] > 0
+    # every manifest entry now encodes the declared layout
+    assert all(f.startswith("lang=") for f in _manifest_rels(t))
+    assert _rows(t) == {(k, la, v) for k, la, v in R1 + R2}
+    assert t.history()[-1]["operation"] == "rewrite-epoch"
+
+
+def test_rewrite_recovers_directory_pruning(spark, tmp_path):
+    """The point of the verb: pre-rewrite, old-epoch files can only
+    page-prune a filter on the declared column (and with interleaved
+    values they can't even do that); post-rewrite the planner drops
+    them at directory level."""
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+
+    root = str(tmp_path / "t")
+    # ONE old-epoch file mixing all langs, so page stats cannot prune it
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1 + R3, "k long, lang string, v long").coalesce(1)
+    )
+    t.set_partition_layout("lang")
+    schema = t.read().schema
+
+    def planned_files(filters) -> set[str]:
+        r = StrawboatReaderImpl({"path": root}, schema)
+        if filters:
+            r.pushFilters(filters)
+        return {p.file for p in r.partitions()}
+
+    pre = planned_files([EqualTo(("lang",), "en")])
+    assert pre == planned_files([])  # old epoch: nothing prunable
+    t.rewrite_epoch()
+    post = planned_files([EqualTo(("lang",), "en")])
+    allf = planned_files([])
+    assert 0 < len(post) < len(allf)
+    assert all("lang=en" in f for f in post)
+    got = {(r.k, r.v) for r in t.read().filter("lang = 'en'").select("k", "v").collect()}
+    assert got == {(1, 10), (3, 30)}
+
+
+def test_rewrite_materializes_mor_deletes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    t.delete("k = 2", mode="mor")  # DV against an old-epoch file
+    from strawboat_spark.sources.datasource import read_manifest
+
+    assert any(e.get("deletes") or e.get("deletes_refs") for e in read_manifest(root)["entries"])
+    t.rewrite_epoch()
+    man = read_manifest(root)
+    assert not any(e.get("deletes") or e.get("deletes_refs") for e in man["entries"])
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
+
+
+def test_conforming_files_keep_entries_zero_io(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1, partition_by="lang")
+    before = _manifest_rels(t)
+    res = t.rewrite_epoch()
+    assert res == {"rewritten": 0, "files_added": 0, "conforming": len(before)}
+    assert _manifest_rels(t) == before  # byte-identical entry set
+
+    # mixed: add an old-epoch append, then rewrite — conforming files
+    # keep their exact entries while the stragglers migrate
+    t2 = Table(spark, str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.createDataFrame(R1, "k long, lang string, v long"),
+        partition_by="lang",
+    )
+    keep = _manifest_rels(t2)
+    t2.set_partition_layout("k")  # evolve AWAY from lang
+    t2.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    res = t2.rewrite_epoch()
+    assert res["rewritten"] == len(keep)  # the lang= files now mismatch
+    assert all(f.startswith("k=") for f in _manifest_rels(t2))
+    assert _rows(t2) == {(k, la, v) for k, la, v in R1 + R2}
+
+
+def test_rewrite_refusals(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), R1)
+    with pytest.raises(ValueError, match="no declared partition layout"):
+        t.rewrite_epoch()
+    import datetime as dt
+
+    t2 = Table(spark, str(tmp_path / "t2"))
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3)) for i in range(6)]
+    t2.overwrite(
+        spark.createDataFrame(rows, "k long, ts timestamp"),
+        partition_by="days(ts)",
+    )
+    with pytest.raises(ValueError, match="hidden-partitioning transform"):
+        t2.rewrite_epoch()
+
+
+def test_pre_rewrite_generation_stays_readable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    gen_before = t.history()[-1]["generation"]
+    t.rewrite_epoch()
+    old = t.read(at_generation=gen_before)
+    assert {(r.k, r.lang, r.v) for r in old.collect()} == set(R1)
+    assert _rows(t) == set(R1)
+
+
+def test_multi_column_spec_and_optimize_composition(spark, tmp_path):
+    """Two-column declared spec; rewrite lands nested dirs, and
+    optimize(where=...) can then right-size one migrated leaf —
+    the documented skew follow-up."""
+    root = str(tmp_path / "t")
+    rows = [(i, ["en", "fr"][i % 2], i * 10) for i in range(20)]
+    t = _mk(spark, root, rows)
+    t.set_partition_layout("lang,k")
+    t.rewrite_epoch()
+    rels = _manifest_rels(t)
+    assert all(f.split(os.sep)[0].startswith("lang=") for f in rels)
+    assert all(f.split(os.sep)[1].startswith("k=") for f in rels)
+    assert _rows(t) == {(k, la, v) for k, la, v in rows}
+    res = t.optimize(where="lang = 'en'", target_files=1)
+    assert res["leaves"] >= 1
+    assert _rows(t) == {(k, la, v) for k, la, v in rows}
