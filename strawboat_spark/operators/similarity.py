@@ -627,6 +627,128 @@ def pq_cosine_topk(
 # ---------------------------------------------------------------------------
 
 
+def seed_centroids(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+    """Deterministic centroid set: the n lowest-id rows' vectors, with
+    cluster ordinal = their id rank.  SQL-replayable by construction
+    (ORDER BY id LIMIT n + ROW_NUMBER), which is what makes the
+    semdedup gate exact-oracle-checkable; kmeans centroids are the
+    production default (semdedup(centroids="kmeans"))."""
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n)
+        .select(
+            (F.row_number().over(w) - 1).alias("__cluster"),
+            _as_double(vec_col).alias("__cvec"),
+        )
+        .withColumn("__cnrm", _norm(F.col("__cvec")))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    max_cluster_droppers: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    embeddings into n_clusters cells, then WITHIN each cell drop every
+    item that has a higher-priority near-duplicate at cosine >=
+    threshold.  Priority is ascending id (deterministic; the paper
+    keeps the member farthest from the centroid — same neighborhoods,
+    different representative, noted as a deviation).  The drop rule is
+    non-recursive — x drops iff SOME smaller-id same-cell y has
+    cos(x, y) >= threshold, whether or not y itself survives — so the
+    result is order-independent and exactly SQL-replayable.
+
+    Returns (id, cluster, kept, dup_of, score): dup_of = the smallest
+    dominating id (null when kept), score = cosine to it, rounded 6.
+
+    Scale shape: pairs form ONLY inside a cell via an equi-join on the
+    cluster id — never all-pairs; per-cell cost is |cell|^2, tuned by
+    n_clusters (the paper runs 50k clusters at web scale).
+    `max_cluster_droppers` bounds the join's build side per cell (the
+    cap-lowest ids keep dropping power; beyond-cap members can still BE
+    dropped but not drop others — the lsh_candidate_pairs cap
+    discipline, documented recall caveat).  Centroid assignment:
+    "kmeans" trains on a bounded 2048-row sample (_kmeans_centroids)
+    and assigns with one Arrow-batched matmul per batch; "seed" uses
+    the n lowest-id vectors and a broadcast join + window argmax — all
+    JVM, which is what the exact-oracle gate replays.
+    """
+    u = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(vec_col).alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+
+    if centroids == "seed":
+        cent = seed_centroids(df, id_col, vec_col, n_clusters)
+        scored = u.crossJoin(broadcast(cent)).withColumn(
+            "__s", _cosine("__v", "__cvec", "__n", "__cnrm")
+        )
+        wa = Window.partitionBy("__id").orderBy(
+            F.desc("__s"), F.asc("__cluster")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", "__n", "__cluster")
+        )
+    elif centroids == "kmeans":
+        cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
+        assign1 = _probe_cells_udf(cents, 1)
+        assigned = u.withColumn("__cluster", assign1("__v")[0])
+    else:
+        raise ValueError(f"semdedup: centroids must be kmeans|seed, got {centroids!r}")
+
+    droppers = assigned
+    if max_cluster_droppers is not None:
+        wc = Window.partitionBy("__cluster").orderBy(F.asc("__id"))
+        droppers = (
+            assigned.withColumn("__crn", F.row_number().over(wc))
+            .filter(F.col("__crn") <= max_cluster_droppers)
+            .drop("__crn")
+        )
+    b = droppers.select(
+        F.col("__cluster"),
+        F.col("__id").alias("__yid"),
+        F.col("__v").alias("__yv"),
+        F.col("__n").alias("__yn"),
+    )
+    dominated = (
+        assigned.join(b, "__cluster")
+        .filter(F.col("__yid") < F.col("__id"))
+        .withColumn("__s", F.round(_cosine("__v", "__yv", "__n", "__yn"), 6))
+        .filter(F.col("__s") >= threshold)
+        .groupBy("__id")
+        .agg(F.min("__yid").alias("dup_of"))
+    )
+    out = (
+        assigned.join(dominated, "__id", "left")
+        .join(
+            u.select(F.col("__id").alias("dup_of"), F.col("__v").alias("__dv"), F.col("__n").alias("__dn")),
+            "dup_of",
+            "left",
+        )
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__cluster").cast("int").alias("cluster"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            F.when(
+                F.col("dup_of").isNotNull(),
+                F.round(_cosine("__v", "__dv", "__n", "__dn"), 6),
+            ).alias("score"),
+        )
+    )
+    return out
+
+
 def ivf_index_init(
     spark,
     index_path: str,

@@ -35,6 +35,7 @@ from strawboat_spark.operators.similarity import (
     cosine_neardup_pairs_blas,
     cosine_topk,
     lsh_cosine_topk,
+    semdedup,
 )
 from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
@@ -1125,6 +1126,69 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+@query(
+    "corpus_semdedup",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster, v
+      FROM (SELECT id, v FROM u ORDER BY id LIMIT 8)
+    ),
+    scored AS (
+      SELECT u.id, c.cluster, list_cosine_similarity(u.v, c.v) AS s
+      FROM u CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cluster) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.id AS x, b.id AS y,
+             ROUND(list_cosine_similarity(ua.v, ub.v), 6) AS s
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND b.id < a.id
+      JOIN u ua ON ua.id = a.id
+      JOIN u ub ON ub.id = b.id
+    ),
+    dom AS (SELECT x, MIN(y) AS dup_of FROM pairs WHERE s >= 0.35 GROUP BY x)
+    SELECT a.id AS id, CAST(a.cluster AS INTEGER) AS cluster,
+           dom.x IS NULL AS kept, dom.dup_of,
+           CASE WHEN dom.dup_of IS NOT NULL
+                THEN ROUND(list_cosine_similarity(uu.v, ud.v), 6) END AS score
+    FROM assign a
+    JOIN u uu ON uu.id = a.id
+    LEFT JOIN dom ON dom.x = a.id
+    LEFT JOIN u ud ON ud.id = dom.dup_of
+    ORDER BY a.id
+    """,
+    description=(
+        "SemDeDup (Abbas et al. 2023): cluster embeddings into cells, "
+        "drop every member with a smaller-id same-cell neighbor at "
+        ">= 0.35 cosine — pairs form only inside a cell (never "
+        "all-pairs; n_clusters tunes |cell|^2). Gate runs the "
+        "deterministic seed-centroid mode so assignment + drop rule "
+        "replay exactly in SQL; kmeans is the production default"
+    ),
+)
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py semdedup (contract in
+    tests/test_operators.py::test_semdedup_*)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        e,
+        "vec_id",
+        "embedding",
+        n_clusters=8,
+        threshold=0.35,
+        centroids="seed",
+    ).orderBy("id")
 
 
 @query(

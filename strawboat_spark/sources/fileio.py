@@ -781,7 +781,7 @@ class _S3RangedReadHandle:
 
     def _get_range(self, header: str) -> tuple[bytes, str]:
         try:
-            resp = self._s3fs._client().get_object(
+            resp = self._s3fs._get_object(
                 Bucket=self._bucket, Key=self._obj_key, Range=header
             )
             body = resp["Body"].read()
@@ -912,6 +912,20 @@ class S3FileSystem:
             self._endpoint = endpoint
         return self._c
 
+    def _get_object(self, **kw):
+        """All S3 GETs funnel here.  STRAWBOAT_S3_SIM_LATENCY_MS (debug
+        knob) sleeps before each request to simulate per-GET round-trip
+        latency — bench_s3_latency.py uses it to quantify where ranged
+        reads beat the whole-object path as latency grows (env vars
+        reach Spark's local-mode Python workers, so the shim applies
+        executor-side too)."""
+        ms = os.environ.get("STRAWBOAT_S3_SIM_LATENCY_MS")
+        if ms:
+            import time as _time
+
+            _time.sleep(float(ms) / 1000.0)
+        return self._client().get_object(**kw)
+
     def _bk(self, path: str) -> tuple[str, str]:
         rest = split_scheme(path)[1].rstrip("/")
         bucket, _, key = rest.partition("/")
@@ -924,7 +938,7 @@ class S3FileSystem:
         bucket, key = self._bk(path)
         if os.environ.get("STRAWBOAT_S3_RANGED_READ", "1") == "0":
             try:
-                body = self._client().get_object(Bucket=bucket, Key=key)[
+                body = self._get_object(Bucket=bucket, Key=key)[
                     "Body"
                 ].read()
             except _s3_client_error() as e:

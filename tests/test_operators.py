@@ -1162,3 +1162,105 @@ def test_incremental_index_compaction_cadence(spark, tmp_path):
     assert all(r.is_duplicate and r.survivor_id == r.doc_id for r in out)
     assert Table(spark, p).count_rows() == 160  # one row per content
     docs.unpersist()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) — semantic dedup over embedding clusters
+# --------------------------------------------------------------------------
+
+
+def _semdedup_vecs(spark):
+    # cluster structure by construction: axis-ish directions; ids 0 and 1
+    # seed two centroids, the rest fall near one of them
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),   # near 0 → dropped by 0 at high threshold
+        (3, [0.1, 0.99, 0.0]),   # near 1 → dropped by 1
+        (4, [0.7, 0.7, 0.2]),    # diagonal: assigned somewhere, far enough
+        (5, [0.98, 0.12, 0.05]), # near 0 AND near 2: dup_of must be MIN id
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "id long, vec array<float>"
+    )
+
+
+def test_semdedup_seed_mode_drop_rule_exact(spark):
+    from strawboat_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        _semdedup_vecs(spark), "id", "vec",
+        n_clusters=2, threshold=0.95, centroids="seed",
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[0].kept and by_id[1].kept
+    assert not by_id[2].kept and by_id[2].dup_of == 0
+    assert not by_id[3].kept and by_id[3].dup_of == 1
+    assert by_id[4].kept
+    # non-recursive smallest-dominator rule: 5 is near both 0 and 2;
+    # dup_of is the SMALLEST dominating id, and 2 being dropped itself
+    # does not spare 5
+    assert not by_id[5].kept and by_id[5].dup_of == 0
+    # pairs only form inside a cell: every dropped row shares its
+    # cluster with its dominator
+    for r in out:
+        if not r.kept:
+            assert by_id[r.dup_of].cluster == r.cluster
+    # scores ride along, rounded
+    assert by_id[2].score is not None and 0.9 < by_id[2].score <= 1.0
+
+
+def test_semdedup_kmeans_mode_same_neighborhood_semantics(spark):
+    from strawboat_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        _semdedup_vecs(spark), "id", "vec",
+        n_clusters=2, threshold=0.95, centroids="kmeans", seed=7,
+    ).collect()
+    by_id = {r.id: r for r in out}
+    # kmeans centroids differ from seed centroids, but the drop rule is
+    # the same: 2 and 5 sit within 0.95 of id 0 and must not survive
+    # alongside it whenever they share its cell
+    dropped = {r.id for r in out if not r.kept}
+    assert 0 not in dropped and 1 not in dropped
+    for r in out:
+        if not r.kept:
+            assert by_id[r.dup_of].cluster == r.cluster
+            assert r.dup_of < r.id
+
+
+def test_semdedup_dropper_cap_bounds_build_side(spark):
+    from strawboat_spark.operators.similarity import semdedup
+
+    import pyspark.sql.functions as F
+
+    # 30 near-identical vectors in one direction: uncapped, every id>0
+    # is dominated by id 0. With cap=1 only id 0 can drop — result is
+    # identical here (the cap keeps the smallest ids as droppers), and
+    # the beyond-cap members are still DROPPABLE
+    df = spark.range(30).select(
+        F.col("id"),
+        F.array(
+            (F.lit(1.0) + F.col("id").cast("double") / 1e6).cast("float"),
+            F.lit(0.001).cast("float"),
+            F.lit(0.0).cast("float"),
+        ).alias("vec"),
+    )
+    uncapped = semdedup(df, "id", "vec", n_clusters=1, threshold=0.99,
+                        centroids="seed").collect()
+    capped = semdedup(df, "id", "vec", n_clusters=1, threshold=0.99,
+                      centroids="seed", max_cluster_droppers=1).collect()
+    assert {(r.id, r.kept, r.dup_of) for r in uncapped} == {
+        (r.id, r.kept, r.dup_of) for r in capped
+    }
+    assert sum(1 for r in capped if r.kept) == 1
+
+
+def test_semdedup_plan_has_no_cartesian_pair_join(spark):
+    from strawboat_spark.operators.similarity import semdedup
+
+    df = _semdedup_vecs(spark)
+    plan = semdedup(
+        df, "id", "vec", n_clusters=2, threshold=0.9, centroids="seed"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -62,3 +62,39 @@ def test_window_50_contains_oldest_cohort():
     stale = [n for n in names if n in history and history[n][0] == oldest]
     missing = [n for n in stale if n not in window]
     assert not missing, f"oldest cohort (r{oldest}) not fully in window: {missing}"
+
+
+def test_rotation_horizon_is_bounded():
+    """Freshness bound (r13): with a 50-entry driver window and LRU
+    ordering, steady-state worst-case staleness is ceil(N/50) rounds.
+    Two assertions keep the horizon under control as the registry
+    grows:
+
+    1. structural — the registry must stay small enough that the
+       steady-state bound is <= 4 rounds (N <= 200). When this trips,
+       fold sibling gates into composites (the per-codec multimodal
+       family already has composite twins) instead of widening debt.
+    2. observed — no entry's CURRENT staleness (rounds since its last
+       driver row, measured against the newest round on disk) may
+       exceed 4. The LRU ordering fronts the oldest cohort every
+       round, so a violation means the ordering (or the window) broke.
+    """
+    import math
+
+    history = _driver_history()
+    names = list(all_queries())
+    horizon = math.ceil(len(names) / 50)
+    assert horizon <= 4, (
+        f"registry has {len(names)} gates: steady-state rotation "
+        f"staleness {horizon} rounds exceeds the 4-round bound — fold "
+        f"sibling gates into composites"
+    )
+    if not history:
+        return
+    newest = max(rnd for rnd, _, _ in history.values())
+    over = {
+        n: newest - history[n][0]
+        for n in names
+        if n in history and newest - history[n][0] > 4
+    }
+    assert not over, f"entries >4 rounds driver-unverified: {over}"
