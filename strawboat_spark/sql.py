@@ -12,6 +12,7 @@ this module closes the WRITE-side gap for users arriving from Delta:
     RESTORE TABLE strawboat.`/path/t` TO VERSION AS OF 2
     RESTORE TABLE strawboat.`/path/t` TO TIMESTAMP AS OF '2026-01-01'
     OPTIMIZE strawboat.`/path/t` WHERE region = 'eu' ZORDER BY (a, b)
+    OPTIMIZE strawboat.`/path/t` REWRITE EPOCH
     VACUUM strawboat.`/path/t` RETAIN 168 HOURS [DRY RUN]
     DESCRIBE HISTORY strawboat.`/path/t`
     DESCRIBE DETAIL strawboat.`/path/t`
@@ -324,11 +325,20 @@ def _restore(spark: SparkSession, s: str):
 
 
 def _optimize(spark: SparkSession, s: str):
+    # OPTIMIZE <t> REWRITE EPOCH — the Iceberg rewrite_data_files
+    # analog: migrate files whose directory layout differs from the
+    # declared partition spec (see Table.rewrite_epoch)
+    me = re.fullmatch(
+        rf"OPTIMIZE {_ID}\s+REWRITE\s+EPOCH", s, re.I | re.S
+    )
+    if me:
+        return Table(spark, _path(me)).rewrite_epoch()
     m = _require(
         rf"OPTIMIZE {_ID}(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+ZORDER BY\s*\(?(?P<z>[\w\s,]+?)\)?)?",
         s,
-        "OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (a, b)]",
+        "OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (a, b)] | "
+        "OPTIMIZE <table> REWRITE EPOCH",
     )
     z = [c.strip() for c in (m.group("z") or "").split(",") if c.strip()]
     return Table(spark, _path(m)).optimize(

@@ -382,3 +382,20 @@ def test_sql_describe_partitions(spark, tmp_path):
     parts = {r.partition: r.n_live for r in rows}
     assert parts["{}"] == 10  # the unpartitioned epoch
     assert parts['{"g": "0"}'] == 1 and parts['{"g": "1"}'] == 1
+
+
+def test_sql_optimize_rewrite_epoch(spark, tmp_path):
+    """OPTIMIZE <t> REWRITE EPOCH — the Iceberg rewrite_data_files
+    analog as SQL: migrates pre-evolution files under the declared
+    layout (Table.rewrite_epoch; contract in test_epoch_rewrite.py)."""
+    import os
+
+    from strawboat_spark.sources.datasource import read_manifest
+
+    t, path = _tbl(spark, tmp_path, n=10)
+    execute_sql(spark, f"ALTER TABLE strawboat.`{path}` SET PARTITIONED BY (g)")
+    res = execute_sql(spark, f"OPTIMIZE strawboat.`{path}` REWRITE EPOCH")
+    assert res["rewritten"] > 0
+    rels = [e["path"] for e in read_manifest(path)["entries"]]
+    assert rels and all(r.split(os.sep)[0].startswith("g=") for r in rels)
+    assert t.read().count() == 10
