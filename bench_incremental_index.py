@@ -125,7 +125,9 @@ def main() -> None:
         ).count()
         per.append(round(time.perf_counter() - t0, 2))
         note(f"jaccard batch {k}: {per[-1]} s")
-    rescan = float("nan")
+    # None (json null) when skipped — NaN is not strict JSON and breaks
+    # jq / json.loads(allow_nan=False) on the harness output
+    rescan = None
     if not args.skip_rescan:
         t0 = time.perf_counter()
         ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).count()
@@ -133,7 +135,7 @@ def main() -> None:
     out["jaccard"] = {
         "init_s": round(init_s, 2),
         "per_batch_s": per,
-        "full_rescan_s": round(rescan, 2),
+        "full_rescan_s": None if rescan is None else round(rescan, 2),
         **rec,
     }
 

@@ -193,6 +193,50 @@ def _leaf_dir_cols(reldir: str) -> list[str]:
     return [seg.split("=", 1)[0] for seg in reldir.split(os.sep) if "=" in seg]
 
 
+def _leaves_matching_where(spark, verb: str, where: str, leaves, part_fields):
+    """Subset of `leaves` whose DIRECTORY values satisfy the SQL
+    predicate `where` over partition columns (Delta's OPTIMIZE WHERE
+    semantics, shared by optimize and rewrite_epoch). Driver-side over
+    leaf directory names only — zero data IO; a leaf that does not
+    encode a referenced column carries NULL for it and falls out of
+    the selection unless the predicate says otherwise."""
+    import urllib.parse
+
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import _HIVE_NULL
+
+    part_cols = [c for c, _ in part_fields]
+    if not part_cols:
+        raise ValueError(
+            f"{verb}: where= requires a hive-partitioned table "
+            f"(the predicate selects partitions to rewrite)"
+        )
+    rows = []
+    for leaf in sorted(leaves):
+        vals: dict[str, str | None] = {}
+        for seg in leaf.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+        rows.append([leaf] + [vals.get(c) for c in part_cols])
+    pdf = spark.createDataFrame(
+        rows,
+        schema=", ".join(
+            ["__leaf string"] + [f"`{c}` string" for c in part_cols]
+        ),
+    )
+    for c, t in part_fields:
+        pdf = pdf.withColumn(c, F.col(c).cast(t))
+    try:
+        return {r["__leaf"] for r in pdf.filter(F.expr(where)).collect()}
+    except Exception as e:
+        raise ValueError(
+            f"{verb}: where= must reference partition columns only "
+            f"({part_cols}); analysis failed: {e}"
+        ) from e
+
+
 def _landing_layout(path: str, inferred: list[str]) -> list[str]:
     """Directory layout for NEWLY LANDED files (merge sources, MOR
     replacement rows): the DECLARED spec when the table has one —
@@ -1039,11 +1083,8 @@ def optimize(
     new ones after, and the pre-optimize generation stays readable
     until vacuum().  Returns {"before", "after", "leaves"}.
     """
-    import pyspark.sql.functions as F
-
     from strawboat_spark.operators.layout import write_zordered
     from strawboat_spark.sources.datasource import (
-        _HIVE_NULL,
         _infer_partition_fields,
         _list_files,
         publish_manifest,
@@ -1072,36 +1113,9 @@ def optimize(
 
     selected = set(by_leaf)
     if where is not None:
-        if not part_cols:
-            raise ValueError(
-                "optimize: where= requires a hive-partitioned table "
-                "(the predicate selects partitions to rewrite)"
-            )
-        import urllib.parse
-
-        rows = []
-        for leaf in by_leaf:
-            vals: dict[str, str | None] = {}
-            for seg in leaf.split(os.sep):
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
-            rows.append([leaf] + [vals.get(c) for c in part_cols])
-        pdf = spark.createDataFrame(
-            rows,
-            schema=", ".join(
-                ["__leaf string"] + [f"`{c}` string" for c in part_cols]
-            ),
+        selected = _leaves_matching_where(
+            spark, "optimize", where, set(by_leaf), part_fields
         )
-        for c, t in part_fields:
-            pdf = pdf.withColumn(c, F.col(c).cast(t))
-        try:
-            selected = {r["__leaf"] for r in pdf.filter(F.expr(where)).collect()}
-        except Exception as e:
-            raise ValueError(
-                f"optimize: where= must reference partition columns only "
-                f"({part_cols}); analysis failed: {e}"
-            ) from e
 
     before = 0
     moved: list[dict] = []
@@ -1144,8 +1158,24 @@ def optimize(
     return {"before": before, "after": len(moved), "leaves": len(selected)}
 
 
+def _entry_dv_sig(e: dict) -> tuple:
+    """Deletion-vector identity of a manifest entry — everything a MOR
+    delete can change. Compared pin-time vs flip-time by rewrite_epoch
+    so a delete that landed on an old-epoch file mid-rewrite aborts
+    the flip instead of being silently resurrected."""
+    return (
+        e.get("deletes"),
+        tuple(e.get("deletes_refs") or ()),
+        e.get("n_deletes"),
+    )
+
+
 def rewrite_epoch(
-    spark, path: str, target_files: int = 4, page_size: int = 8192
+    spark,
+    path: str,
+    target_files: int = 4,
+    page_size: int = 8192,
+    where: str | None = None,
 ) -> dict:
     """Iceberg `rewrite_data_files` analog for partition-spec
     evolution: rewrite every data file whose DIRECTORY layout differs
@@ -1177,8 +1207,36 @@ def rewrite_epoch(
     until vacuum().  A skewed leaf value is one write task here —
     right-size it afterwards with optimize(where=...), which scopes by
     directory.
+
+    `where=` scopes the migration (same directory-epoch discipline as
+    optimize): a SQL predicate over directory columns selects which
+    OLD-epoch leaves migrate in THIS call, so a 100 TB layout
+    migration proceeds partition-by-partition — one bounded rewrite
+    and one CAS flip per scope, the manifest consistent (mixed but
+    correct) between calls, and a final bare call sweeps stragglers.
+    Old leaves that do not encode a referenced column carry NULL for
+    it (the pre-evolution root epoch is selected by `where="lang IS
+    NULL"`-style predicates, never by a value match).
+
+    Bucketed tables: a conforming post-evolution leaf carries the
+    declared columns PLUS the bucket directory (`lang=v/__bucket=n`);
+    the rewrite re-derives the bucket id for migrated rows with the
+    same crc32 expression appends use, so bucket point-lookup pruning
+    survives the migration.
+
+    Concurrency: the flip re-reads the head manifest and aborts
+    (ManifestConflictError) if any pinned old entry gained, lost, or
+    changed deletion vectors — or vanished — since the pinned scan; a
+    blind flip there would resurrect concurrently-deleted rows.  On
+    abort the tmp files already adopted into the table dir are
+    unreferenced by any generation (invisible to readers); re-run the
+    verb after the concurrent writer settles.
     """
+    import pyspark.sql.functions as F
+
     from strawboat_spark.sources.datasource import (
+        ManifestConflictError,
+        bucket_spec,
         partition_layout,
         read_manifest,
         transform_spec,
@@ -1201,16 +1259,49 @@ def rewrite_epoch(
             "(set_partition_layout first; compact() bin-packs "
             "unpartitioned tables)"
         )
+    bspec = bucket_spec(path)
+    # conforming leaves on a bucketed table end in the bucket dir —
+    # comparing against the declared columns alone would misclassify
+    # EVERY post-evolution file as nonconforming and rewrite the whole
+    # table while silently dropping the declared bucket layout
+    conforming = list(declared) + ([bspec["dir_col"]] if bspec else [])
     old = [
         e
         for e in man["entries"]
-        if _leaf_dir_cols(os.path.dirname(e["path"])) != declared
+        if _leaf_dir_cols(os.path.dirname(e["path"])) != conforming
     ]
+    if where is not None and old:
+        from strawboat_spark.sources.datasource import (
+            _infer_partition_fields,
+            _list_files,
+            partition_layout_types,
+        )
+
+        part_fields = _infer_partition_fields(path, _list_files(path))
+        # the predicate may also reference DECLARED columns no directory
+        # encodes yet (a fully-unpartitioned epoch-1 table): old leaves
+        # carry NULL for them, so a value match is a consistent no-op
+        # rather than an analysis error
+        ptypes = partition_layout_types(path)
+        part_fields = list(part_fields) + [
+            (c, ptypes.get(c, "string"))
+            for c in declared
+            if c not in {n for n, _ in part_fields}
+        ]
+        sel = _leaves_matching_where(
+            spark,
+            "rewrite_epoch",
+            where,
+            {os.path.dirname(e["path"]) for e in old},
+            part_fields,
+        )
+        old = [e for e in old if os.path.dirname(e["path"]) in sel]
     if not old:
         return {"rewritten": 0, "files_added": 0, "conforming": len(man["entries"])}
     import tempfile
 
     rels = sorted(e["path"] for e in old)
+    pinned_dv = {e["path"]: _entry_dv_sig(e) for e in old}
     df = _read_files(spark, path, rels)
     missing = [c for c in declared if c not in df.columns]
     if missing:
@@ -1218,17 +1309,48 @@ def rewrite_epoch(
             f"rewrite_epoch: declared partition column(s) {missing} "
             f"absent from the table schema"
         )
+    if bspec:
+        if bspec["col"] not in df.columns:
+            raise ValueError(
+                f"rewrite_epoch: bucket key column {bspec['col']!r} "
+                f"absent from the table schema"
+            )
+        # same expression _apply_bucketing writes with (and the planner
+        # re-hashes in Python): migrated rows land in the bucket an
+        # equality lookup will probe
+        df = df.drop(bspec["dir_col"]).withColumn(
+            bspec["dir_col"],
+            F.pmod(
+                F.crc32(F.col(bspec["col"]).cast("string").cast("binary")),
+                F.lit(int(bspec["n"])),
+            ).cast("long"),
+        )
     tmp = tempfile.mkdtemp(prefix="strawboat_epochrw_") + "/t"
     (
-        df.repartition(max(1, target_files), *declared)
+        df.repartition(max(1, target_files), *conforming)
         .write.format("strawboat")
-        .option("partition_by", ",".join(declared))
+        .option("partition_by", ",".join(conforming))
         .option("page_size", str(page_size))
         .mode("overwrite")
         .save(tmp)
     )
     moved = _adopt_tmp(path, tmp)
-    _flip_generation(path, set(rels), moved, "rewrite-epoch")
+
+    def _adds(fresh):
+        cur = {e["path"]: e for e in (fresh["entries"] if fresh else [])}
+        for rel in rels:
+            e = cur.get(rel)
+            if e is None or _entry_dv_sig(e) != pinned_dv[rel]:
+                raise ManifestConflictError(
+                    f"rewrite_epoch({path}): {rel} was "
+                    f"{'dropped' if e is None else 'mutated (deletion vectors changed)'} "
+                    f"by a concurrent committer after the pinned scan; "
+                    f"aborting the flip (a blind commit would resurrect "
+                    f"deleted rows) — re-run rewrite_epoch"
+                )
+        return moved
+
+    _flip_generation(path, set(rels), _adds, "rewrite-epoch")
     return {
         "rewritten": len(rels),
         "files_added": len(moved),

@@ -329,10 +329,12 @@ def _optimize(spark: SparkSession, s: str):
     # analog: migrate files whose directory layout differs from the
     # declared partition spec (see Table.rewrite_epoch)
     me = re.fullmatch(
-        rf"OPTIMIZE {_ID}\s+REWRITE\s+EPOCH", s, re.I | re.S
+        rf"OPTIMIZE {_ID}\s+REWRITE\s+EPOCH(?:\s+WHERE\s+(?P<where>.+?))?",
+        s,
+        re.I | re.S,
     )
     if me:
-        return Table(spark, _path(me)).rewrite_epoch()
+        return Table(spark, _path(me)).rewrite_epoch(where=me.group("where"))
     m = _require(
         rf"OPTIMIZE {_ID}(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+ZORDER BY\s*\(?(?P<z>[\w\s,]+?)\)?)?",

@@ -1435,16 +1435,22 @@ class Table:
             where=where,
         )
 
-    def rewrite_epoch(self, target_files: int = 4) -> dict:
+    def rewrite_epoch(
+        self, target_files: int = 4, where: str | None = None
+    ) -> dict:
         """Iceberg `rewrite_data_files` analog: rewrite the files whose
         directory layout differs from the DECLARED spec into it,
         retiring old layout epochs so directory pruning covers the
         whole table again (see maintenance.rewrite_epoch — one pinned
         scan, DVs materialize, one atomic flip; conforming files keep
-        their entries with zero IO)."""
+        their entries with zero IO). `where=` scopes the migration to
+        the old-epoch leaves matching a directory-column predicate —
+        the partition-by-partition path a 100 TB migration takes."""
         from strawboat_spark.sources.maintenance import rewrite_epoch
 
-        return rewrite_epoch(self.spark, self.path, target_files=target_files)
+        return rewrite_epoch(
+            self.spark, self.path, target_files=target_files, where=where
+        )
 
     def consolidate_dv_refs(self, max_refs: int = 8) -> dict:
         """Union a many-times-mutated file's deletion-vector sidecars

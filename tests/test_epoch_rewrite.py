@@ -178,3 +178,124 @@ def test_multi_column_spec_and_optimize_composition(spark, tmp_path):
     res = t.optimize(where="lang = 'en'", target_files=1)
     assert res["leaves"] >= 1
     assert _rows(t) == {(k, la, v) for k, la, v in rows}
+
+
+def test_rewrite_respects_bucket_layout(spark, tmp_path):
+    """Bucketed + evolved table: conforming post-evolution leaves are
+    lang=<v>/__bucket=<n> — rewrite_epoch must migrate ONLY the
+    pre-evolution __bucket-only leaves, re-derive the bucket id for
+    migrated rows (same crc32 expression appends use), and leave the
+    declared bucket layout intact so point-lookup pruning survives."""
+    from pyspark.sql.datasource import EqualTo
+
+    from strawboat_spark.sources.datasource import StrawboatReaderImpl
+
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1, "k long, lang string, v long"),
+        bucket_by="k",
+        num_buckets=4,
+    )
+    t.set_partition_layout("lang")
+    t.append(spark.createDataFrame(R2, "k long, lang string, v long"))
+    conforming_before = {f for f in _manifest_rels(t) if f.startswith("lang=")}
+    old_epoch = {f for f in _manifest_rels(t) if not f.startswith("lang=")}
+    assert old_epoch and conforming_before  # genuinely mixed epochs
+    res = t.rewrite_epoch()
+    # only the pre-evolution leaves migrated; conforming entries intact
+    assert res["rewritten"] == len(old_epoch)
+    assert conforming_before <= _manifest_rels(t)
+    # every surviving file encodes declared layout AND bucket layout
+    assert all(
+        f.startswith("lang=") and f"{os.sep}__bucket=" in f
+        for f in _manifest_rels(t)
+    )
+    got = {
+        (r.k, r.lang, r.v)
+        for r in t.read().select("k", "lang", "v").collect()
+    }
+    assert got == {(k, la, v) for k, la, v in R1 + R2}
+    # bucket point-lookup pruning still exact AND still prunes
+    schema = t.read().schema
+
+    def planned_files(filters) -> set[str]:
+        r = StrawboatReaderImpl({"path": root}, schema)
+        if filters:
+            r.pushFilters(filters)
+        return {p.file for p in r.partitions()}
+
+    for k in (1, 2, 3, 4, 5):
+        assert {r.k for r in t.read().filter(f"k = {k}").collect()} == {k}
+    assert len(planned_files([EqualTo(("k",), 1)])) < len(planned_files([]))
+    # the zero-IO no-op invariant now holds for bucketed tables
+    res2 = t.rewrite_epoch()
+    assert res2["rewritten"] == 0 and res2["files_added"] == 0
+
+
+def test_rewrite_where_scopes_migration(spark, tmp_path):
+    """where= migrates one old-epoch leaf per call (the 100 TB
+    partition-by-partition path): the manifest stays consistent —
+    mixed but correct — between scoped calls, and a final bare call
+    sweeps the stragglers."""
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1 + R3, "k long, lang string, v long"),
+        partition_by="lang",
+    )
+    t.set_partition_layout("k")  # evolve AWAY from lang
+    all_rows = {(k, la, v) for k, la, v in R1 + R3}
+    old = {f for f in _manifest_rels(t) if f.startswith("lang=")}
+    n_en = len([f for f in old if f.startswith("lang=en")])
+    res = t.rewrite_epoch(where="lang = 'en'")
+    assert res["rewritten"] == n_en
+    rels = _manifest_rels(t)
+    # mixed mid-migration: fr/de leaves untouched, en rows now under k=
+    assert any(f.startswith("lang=fr") for f in rels)
+    assert not any(f.startswith("lang=en") for f in rels)
+    assert _rows(t) == all_rows
+    assert {r.k for r in t.read().filter("lang = 'en'").collect()} == {1, 3}
+    res = t.rewrite_epoch(where="lang = 'fr'")
+    assert res["rewritten"] > 0
+    assert _rows(t) == all_rows
+    res = t.rewrite_epoch()  # bare call sweeps the de leaf
+    assert res["rewritten"] > 0
+    assert all(f.startswith("k=") for f in _manifest_rels(t))
+    assert _rows(t) == all_rows
+    # predicate must reference directory columns only
+    with pytest.raises(ValueError, match="partition columns only"):
+        Table(spark, root).optimize(where="v > 3")
+
+
+def test_rewrite_aborts_on_concurrent_mor_delete(spark, tmp_path):
+    """A MOR delete that lands on a pinned old-epoch file between the
+    pinned scan and the CAS flip must ABORT the flip (a blind commit
+    would republish the pre-delete rows, resurrecting them)."""
+    import strawboat_spark.sources.maintenance as mnt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    root = str(tmp_path / "t")
+    t = _mk(spark, root, R1)
+    t.set_partition_layout("lang")
+    orig_adopt = mnt._adopt_tmp
+
+    def adopt_then_concurrent_delete(*a, **kw):
+        moved = orig_adopt(*a, **kw)
+        mnt._adopt_tmp = orig_adopt  # no recursion if delete compacts
+        t.delete("k = 2", mode="mor")  # DV lands on a pinned old file
+        return moved
+
+    mnt._adopt_tmp = adopt_then_concurrent_delete
+    try:
+        with pytest.raises(ManifestConflictError, match="deletion vectors"):
+            t.rewrite_epoch()
+    finally:
+        mnt._adopt_tmp = orig_adopt
+    # the concurrent delete survived; the table stayed consistent
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
+    # a re-run after the concurrent writer settles succeeds
+    res = t.rewrite_epoch()
+    assert res["rewritten"] > 0
+    assert all(f.startswith("lang=") for f in _manifest_rels(t))
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}

@@ -394,6 +394,13 @@ def test_sql_optimize_rewrite_epoch(spark, tmp_path):
 
     t, path = _tbl(spark, tmp_path, n=10)
     execute_sql(spark, f"ALTER TABLE strawboat.`{path}` SET PARTITIONED BY (g)")
+    # scoped form first: the unpartitioned epoch's leaves carry NULL
+    # directory values, so a value-match predicate selects nothing —
+    # the call is a consistent no-op (directory-epoch discipline)
+    res = execute_sql(
+        spark, f"OPTIMIZE strawboat.`{path}` REWRITE EPOCH WHERE g = -1"
+    )
+    assert res["rewritten"] == 0
     res = execute_sql(spark, f"OPTIMIZE strawboat.`{path}` REWRITE EPOCH")
     assert res["rewritten"] > 0
     rels = [e["path"] for e in read_manifest(path)["entries"]]
