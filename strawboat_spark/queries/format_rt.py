@@ -1385,23 +1385,7 @@ def strawboat_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "strawboat_rename_column",
-    oracle="""
-    SELECT o_orderstatus AS status,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS revenue
-    FROM orders
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "metadata-only column RENAME (Delta column-mapping analog): "
-        "o_totalprice -> revenue without touching a data file; "
-        "pre-rename files resolve by alias, a post-rename append "
-        "stores the logical name, the mixed-epoch aggregate is exact"
-    ),
-)
-def strawboat_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strawboat_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py rename_column + datasource column_mapping: alias
     resolution covers schema(), stats/page pruning and assembly; the
     gate splits orders across the rename so BOTH file epochs feed the
@@ -1432,22 +1416,7 @@ def strawboat_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "strawboat_drop_column",
-    oracle="""
-    SELECT o_orderstatus AS status,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-    FROM orders WHERE o_orderkey % 3 = 0
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    description=(
-        "metadata-only DROP COLUMN: o_totalprice tombstoned in one "
-        "manifest flip (no file touched), reads render the remaining "
-        "columns across pre- and post-drop file epochs exactly"
-    ),
-)
-def strawboat_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strawboat_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py drop_column: tombstone mapping owns the dropped
     column's stored names (re-add refused on append, freed by
     overwrite; time travel renders pre-drop schemas) — contract in
@@ -1478,23 +1447,7 @@ def strawboat_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "strawboat_add_column_default",
-    oracle="""
-    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'standard' ELSE 'express' END AS tier,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders WHERE o_orderkey % 11 = 0
-    GROUP BY 1 ORDER BY tier
-    """,
-    description=(
-        "metadata-only ADD COLUMN DEFAULT (Delta existingDefault): "
-        "tier declared with default 'standard' after epoch-1 files "
-        "exist (read-time fill, no rewrite), epoch-2 appended with "
-        "explicit 'express' — the mixed-epoch group-by is exact"
-    ),
-)
-def strawboat_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strawboat_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py add_column + datasource declared_columns: pre-
     declaration files render the default, post-declaration writes
     store real values (contract in
@@ -1524,29 +1477,7 @@ def strawboat_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "strawboat_widen_type",
-    oracle="""
-    WITH src AS (
-        SELECT CAST(o_custkey AS BIGINT) AS cust, o_totalprice
-        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
-        UNION ALL
-        SELECT o_custkey + 3000000000, o_totalprice
-        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 1
-    )
-    SELECT CAST(cust % 3 AS BIGINT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(cust) AS BIGINT) AS total_cust
-    FROM src GROUP BY 1 ORDER BY bucket
-    """,
-    description=(
-        "metadata-only TYPE WIDENING (Delta analog): cust stored int32 "
-        "in epoch-1 files, widened to bigint with zero rewrites, "
-        "epoch-2 appends values only bigint can hold — the mixed-epoch "
-        "aggregate is exact"
-    ),
-)
-def strawboat_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strawboat_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py alter_column_type + datasource widened_columns: old
     narrow files upcast losslessly at read time, new files store the
     declared wide type (contract in tests/test_table_contract.py::
@@ -1579,6 +1510,80 @@ def strawboat_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "strawboat_schema_evolution_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'rename' AS gate, o_orderstatus AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(o_totalprice), 2) AS metric
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'drop', o_orderstatus,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(CAST(SUM(o_orderkey) AS BIGINT) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 2
+      UNION ALL
+      SELECT 'add_default',
+             CASE WHEN o_orderkey % 2 = 0 THEN 'standard' ELSE 'express' END,
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(o_totalprice), 2)
+      FROM orders WHERE o_orderkey % 11 = 0 GROUP BY 2
+      UNION ALL
+      SELECT 'widen', CAST(bucket AS VARCHAR), n, CAST(total_cust AS DOUBLE)
+      FROM (
+        WITH src AS (
+            SELECT CAST(o_custkey AS BIGINT) AS cust
+            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_custkey + 3000000000
+            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 1
+        )
+        SELECT CAST(cust % 3 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cust) AS BIGINT) AS total_cust
+        FROM src GROUP BY 1
+      )
+    ) ORDER BY gate, grp
+    """,
+    description=(
+        "composite metadata-only schema-evolution gate (r14 fold of "
+        "strawboat_{rename_column,drop_column,add_column_default,"
+        "widen_type}): RENAME resolves pre-rename files by alias; DROP "
+        "tombstones in one manifest flip; ADD COLUMN DEFAULT fills old "
+        "epochs at read time; TYPE WIDENING upcasts int32 epochs "
+        "losslessly — each member splits its table across the "
+        "evolution so BOTH file epochs feed the exact mixed-epoch "
+        "aggregate, labeled per verb (sums stay < 2^53 so the DOUBLE "
+        "metric column is exact)"
+    ),
+)
+def strawboat_schema_evolution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, all four metadata-only schema-evolution verbs; a red
+    row's `gate` column names the broken member. Per-verb contracts
+    stay pinned in tests/test_table_contract.py (rename/drop/add/widen
+    each have a dedicated metadata-only test)."""
+    members = [
+        ("rename", _strawboat_rename_column(spark, sf_dir)
+         .select(F.col("status").alias("grp"), "n",
+                 F.col("revenue").alias("metric"))),
+        ("drop", _strawboat_drop_column(spark, sf_dir)
+         .select(F.col("status").alias("grp"), "n",
+                 F.col("key_sum").cast("double").alias("metric"))),
+        ("add_default", _strawboat_add_column_default(spark, sf_dir)
+         .select(F.col("tier").alias("grp"), "n",
+                 F.col("total").alias("metric"))),
+        ("widen", _strawboat_widen_type(spark, sf_dir)
+         .select(F.col("bucket").cast("string").alias("grp"), "n",
+                 F.col("total_cust").cast("double").alias("metric"))),
+    ]
+    out = None
+    for label, df in members:
+        part = df.select(F.lit(label).alias("gate"), "grp", "n", "metric")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("gate", "grp")
 
 
 @query(
@@ -1885,24 +1890,57 @@ def strawboat_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "strawboat_days_partition",
+    "strawboat_hidden_partition_suite",
     oracle="""
-    WITH b AS (SELECT MIN(ts) AS lo FROM events)
-    SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
-    FROM events, b
-    WHERE ts >= b.lo AND ts < b.lo + INTERVAL 3 DAY
-    GROUP BY 1 ORDER BY cohort
+    SELECT * FROM (
+      WITH b AS (SELECT MIN(ts) AS lo FROM events)
+      SELECT 'days' AS kind,
+             CAST(user_id % 5 AS BIGINT) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+      FROM events, b
+      WHERE ts >= b.lo AND ts < b.lo + INTERVAL 3 DAY
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT 'months', cohort, n, cents FROM (
+        WITH e6 AS (
+            SELECT user_id, value,
+                   ts + INTERVAL (event_id % 6) MONTH AS ts
+            FROM events
+        ), b2 AS (SELECT MIN(ts) AS lo FROM e6)
+        SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
+        FROM e6, b2
+        WHERE ts >= b2.lo AND ts < b2.lo + INTERVAL 40 DAY
+        GROUP BY 1
+      )
+    ) ORDER BY kind, cohort
     """,
     description=(
-        "hidden time partitioning (Iceberg days(ts) transform): ISO "
-        "day directories, a 3-day range filter on the RAW timestamp "
-        "prunes whole days at planning (tz-safe one-day slack) — the "
-        "canonical 100 TB event-table layout, result exact"
+        "composite hidden-time-partitioning gate (r14 fold of "
+        "strawboat_days_partition + strawboat_months_partition): "
+        "days(ts) = ISO day directories with a 3-day raw-timestamp "
+        "range filter pruning whole days at planning (tz-safe one-day "
+        "slack, the canonical 100 TB event-table layout); months(ts) = "
+        "'YYYY-MM' directories with a 40-day filter pruning whole "
+        "months — both results exact, labeled per transform"
     ),
 )
-def strawboat_days_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def strawboat_hidden_partition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, both Iceberg-style time transforms; a red row's
+    `kind` column names the broken member (contracts in
+    tests/test_table_contract.py::test_{days,months}_transform_hidden_partitioning)."""
+    d = _strawboat_days_partition(spark, sf_dir).select(
+        F.lit("days").alias("kind"), "*"
+    )
+    m = _strawboat_months_partition(spark, sf_dir).select(
+        F.lit("months").alias("kind"), "*"
+    )
+    return d.unionByName(m).orderBy("kind", "cohort")
+
+
+def _strawboat_days_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py _apply_partition_transform + datasource
     transform_spec/_transform_prunable (contract in
     tests/test_table_contract.py::test_days_transform_hidden_partitioning)."""
@@ -2104,31 +2142,10 @@ def strawboat_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "strawboat_months_partition",
-    oracle="""
-    WITH e6 AS (
-        SELECT user_id, value,
-               ts + INTERVAL (event_id % 6) MONTH AS ts
-        FROM events
-    ), b AS (SELECT MIN(ts) AS lo FROM e6)
-    SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS cents
-    FROM e6, b
-    WHERE ts >= b.lo AND ts < b.lo + INTERVAL 40 DAY
-    GROUP BY 1 ORDER BY cohort
-    """,
-    description=(
-        "months(ts) hidden partitioning: 'YYYY-MM' directories, a "
-        "40-day range filter on the raw timestamp prunes whole months "
-        "(one-month slack) — archival-granularity twin of days(ts), "
-        "result exact"
-    ),
-)
-def strawboat_months_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strawboat_months_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table.py months() transform (contract in
-    tests/test_table_contract.py::test_months_transform_hidden_partitioning)."""
+    tests/test_table_contract.py::test_months_transform_hidden_partitioning).
+    Member of the strawboat_hidden_partition_suite composite (r14 fold)."""
     import datetime as dt
 
     from strawboat_spark.sources.datasource import register

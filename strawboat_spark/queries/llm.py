@@ -584,21 +584,11 @@ _NB_LANGID_ORACLE = """
     """
 
 
-@query(
-    "text_nb_langid",
-    oracle=_NB_LANGID_ORACLE,
-    description=(
-        "multinomial Naive Bayes language classifier (r12) over hashed "
-        "token buckets (dim=64): train = one groupBy, model bounded at "
-        "n_labels*dim rows (broadcast safe at ANY corpus size — the "
-        "anti-pattern lm.py's corpus-growing model must avoid), predict "
-        "= bounded join + engine-stable argmax on the rounded score"
-    ),
-)
 def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/classify.py multinomial NB (McCallum & Nigam 1998 +
     the Weinberger 2009 hashing trick): self-scored language ID over
-    the documents corpus, per-doc argmax hash-exact vs DuckDB."""
+    the documents corpus, per-doc argmax hash-exact vs DuckDB.
+    Member of the text_nb_suite composite gate (r14 fold)."""
     from strawboat_spark.operators.classify import nb_predict, nb_train
 
     d = load_table(spark, sf_dir, "documents")
@@ -611,21 +601,11 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_nb_incremental",
-    oracle=_NB_LANGID_ORACLE,
-    description=(
-        "persistent incremental NB model (r12): the corpus is ingested "
-        "in three doc-disjoint appends to a strawboat model table of "
-        "ADDITIVE count rows (one CAS flip each, compaction cadence on "
-        "the last), read back and summed — byte-identical to batch "
-        "training on the union, so the oracle IS the batch oracle"
-    ),
-)
 def text_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/classify.py nb_model_init/append/read: counts are
     additive, so incremental == batch EXACTLY — the gate shares
-    text_nb_langid's oracle verbatim."""
+    text_nb_langid's oracle verbatim.
+    Member of the text_nb_suite composite gate (r14 fold)."""
     import tempfile
 
     from strawboat_spark.operators.classify import (
@@ -651,6 +631,36 @@ def text_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "actual", "pred_label", "score")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_nb_suite",
+    oracle=f"""
+    SELECT 'batch' AS mode, q.* FROM ({_NB_LANGID_ORACLE}) q
+    UNION ALL
+    SELECT 'incremental' AS mode, q.* FROM ({_NB_LANGID_ORACLE}) q
+    ORDER BY mode, doc_id
+    """,
+    description=(
+        "composite Naive Bayes gate (r14 fold of text_nb_langid + "
+        "text_nb_incremental): batch = multinomial NB over hashed "
+        "token buckets (dim=64, model bounded at n_labels*dim rows, "
+        "broadcast safe at ANY corpus size), incremental = three "
+        "doc-disjoint CAS appends to a persistent additive model "
+        "table — byte-identical to batch by construction, so both "
+        "modes replay the SAME oracle, labeled per mode"
+    ),
+)
+def text_nb_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, both NB training paths (batch + persistent
+    incremental); a red row's `mode` column names the broken member."""
+    batch = text_nb_langid(spark, sf_dir).select(
+        F.lit("batch").alias("mode"), "*"
+    )
+    inc = text_nb_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("mode"), "*"
+    )
+    return batch.unionByName(inc).orderBy("mode", "doc_id")
 
 
 @query(
@@ -1586,41 +1596,7 @@ def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_audio_chunks",
-    oracle="""
-    WITH payloads AS (
-      SELECT doc_id, encode(text) AS payload FROM documents
-    ), chunked AS (
-      SELECT doc_id,
-             CAST(unnest(generate_series(
-               0, greatest(CAST(ceil(octet_length(payload) / 4096.0) AS INT) - 1, 0)
-             )) AS INT) AS chunk_idx,
-             octet_length(payload) AS n
-      FROM payloads
-    )
-    SELECT doc_id, chunk_idx,
-           CAST(chunk_idx * 4096 AS BIGINT) AS byte_start,
-           CAST(least(4096, n - chunk_idx * 4096) AS BIGINT) AS byte_len
-    FROM chunked ORDER BY doc_id, chunk_idx
-    """,
-    description="audio chunk fan-out: payload → fixed 4KiB byte windows (JVM-side binary slicing)",
-)
-def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.multimodal import audio_chunk_plan
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    return (
-        audio_chunk_plan(d, "doc_id", "payload", chunk_bytes=4096)
-        .select("doc_id", "chunk_idx", "byte_start", "byte_len")
-        .orderBy("doc_id", "chunk_idx")
-    )
-
-
-
-@query(
-    "multimodal_audio_features",
+    "multimodal_audio_chunk_suite",
     oracle="""
     -- documents.text is pure ASCII (verified: octet_length(encode(text))
     -- == length(text) for every row), so byte windows == char windows
@@ -1642,21 +1618,39 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sliced
     )
     SELECT doc_id, chunk_idx,
-           ROUND(sqrt(avg(ord(substring(chunk, CAST(i AS INT) + 1, 1)) ** 2)), 4) AS rms,
-           CAST(max(n_bytes) AS BIGINT) AS n_bytes
+           CAST(chunk_idx * 4096 AS BIGINT) AS byte_start,
+           CAST(max(n_bytes) AS BIGINT) AS byte_len,
+           ROUND(sqrt(avg(ord(substring(chunk, CAST(i AS INT) + 1, 1)) ** 2)), 4) AS rms
     FROM bytes GROUP BY doc_id, chunk_idx
     ORDER BY doc_id, chunk_idx
     """,
-    description="per-chunk RMS over raw bytes via Arrow-batched mapInPandas (decode-stage stand-in)",
+    description=(
+        "composite audio-chunk gate (r14 fold of multimodal_audio_chunks"
+        " + multimodal_audio_features): payload → fixed 4KiB byte "
+        "windows (JVM-side binary slicing) joined with the per-chunk "
+        "RMS from the Arrow-batched feature extractor — window geometry "
+        "AND feature values verified in one pass"
+    ),
 )
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strawboat_spark.operators.multimodal import audio_chunk_plan, extract_audio_features
+def multimodal_audio_chunk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk plan (byte_start/byte_len) and chunk features (rms) over
+    the same 4KiB windows, equi-joined on (doc_id, chunk_idx): a wrong
+    slice boundary breaks byte_len, a wrong decode breaks rms."""
+    from strawboat_spark.operators.multimodal import (
+        audio_chunk_plan,
+        extract_audio_features,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     chunks = audio_chunk_plan(d, "doc_id", "payload", chunk_bytes=4096)
-    return extract_audio_features(chunks).orderBy("doc_id", "chunk_idx")
+    feats = extract_audio_features(chunks).select("doc_id", "chunk_idx", "rms")
+    return (
+        chunks.select("doc_id", "chunk_idx", "byte_start", "byte_len")
+        .join(feats, ["doc_id", "chunk_idx"])
+        .orderBy("doc_id", "chunk_idx")
+    )
 
 
 @query(
@@ -2442,9 +2436,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "multimodal_g711_decode",
-    oracle="""
+_G711_ORACLE = """
     WITH dims AS (
       SELECT doc_id, CAST(300 + doc_id % 150 AS BIGINT) AS n_samples
       FROM documents
@@ -2466,19 +2458,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_samples,
            ROUND(sqrt(list_avg(list_transform(samples, s -> s * s))), 4) AS rms
     FROM decoded ORDER BY doc_id
-    """,
-    description=(
-        "REAL G.711 mu-law decode (ITU-T telephony log-PCM, WAV format "
-        "tag 7): the oracle replicates the complement/segment/mantissa "
-        "bit arithmetic literally in SQL — exact, no tables"
-    ),
-)
+    """
+
+
 def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 gate: executors synthesize μ-law WAVs (code byte i =
     (i*7 + doc_id) % 256), decode_wav dispatches format tag 7 through
     operators/g711.py's vectorized expansion, and DuckDB recomputes
     every decoded sample from the bit-field formula — the decode is
-    pure integer arithmetic, so the oracle is exact to the LSB."""
+    pure integer arithmetic, so the oracle is exact to the LSB.
+    Member of the multimodal_telephony_codecs composite (r14 fold)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2623,17 +2612,10 @@ def _adpcm_oracle() -> str:
     """
 
 
-@query(
-    "multimodal_adpcm_decode",
-    oracle=_adpcm_oracle(),
-    description=(
-        "REAL IMA ADPCM decode (4:1 compressed audio, WAV format tag "
-        "0x11): the oracle replays the 89-step predictor state machine "
-        "in SQL via list_reduce — exact to the LSB"
-    ),
-)
 def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMA ADPCM gate: executors synthesize one-block fmt-0x11 WAVs
+    """Member of the multimodal_telephony_codecs composite (r14 fold).
+
+    IMA ADPCM gate: executors synthesize one-block fmt-0x11 WAVs
     (code k = (k*7 + doc_id) % 16, predictor/index 0), decode them with
     operators/adpcm.py's block decoder (dispatched through decode_wav's
     format-tag switch like G.711), and DuckDB replays the identical
@@ -2670,6 +2652,50 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         schema="doc_id long, sample_rate int, n_samples long, mean_sample double",
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_telephony_codecs",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'adpcm' AS codec, doc_id, sample_rate, n_samples,
+             mean_sample AS metric
+      FROM ({_adpcm_oracle()})
+      UNION ALL
+      SELECT 'g711' AS codec, doc_id, sample_rate, n_samples,
+             rms AS metric
+      FROM ({_G711_ORACLE})
+    ) ORDER BY codec, doc_id
+    """,
+    description=(
+        "composite telephony-codec gate (r14 fold of "
+        "multimodal_adpcm_decode + multimodal_g711_decode): REAL IMA "
+        "ADPCM (WAV fmt 0x11, 89-step predictor state machine replayed "
+        "in SQL via list_reduce) and G.711 mu-law (fmt 7, "
+        "complement/segment/mantissa bit arithmetic in SQL) — both "
+        "pure-integer codecs, exact to the LSB, labeled per codec"
+    ),
+)
+def multimodal_telephony_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, both telephony decoders; `metric` is the member's
+    headline statistic (adpcm: mean_sample, g711: rms). A red row's
+    `codec` column names the broken member; per-member mechanics stay
+    pinned by tests/test_adpcm.py and operators/g711.py's unit tests."""
+    a = multimodal_adpcm_decode(spark, sf_dir).select(
+        F.lit("adpcm").alias("codec"),
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.col("mean_sample").alias("metric"),
+    )
+    g = multimodal_g711_decode(spark, sf_dir).select(
+        F.lit("g711").alias("codec"),
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.col("rms").alias("metric"),
+    )
+    return a.unionByName(g).orderBy("codec", "doc_id")
 
 
 

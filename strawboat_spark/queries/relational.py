@@ -877,21 +877,6 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scalar_string_funcs",
-    oracle="""
-    SELECT p_partkey,
-           UPPER(p_brand)                                   AS brand_upper,
-           SUBSTRING(p_name, 1, 5)                          AS name_prefix,
-           CAST(LENGTH(p_name) AS INT)                      AS name_len,
-           CONCAT(p_brand, ':', p_type)                     AS brand_type,
-           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
-           REPLACE(p_type, 'ECONOMY', 'ECO')                AS type_short,
-           TRIM(LOWER(p_type))                              AS type_lower
-    FROM part ORDER BY p_partkey
-    """,
-    description="string function battery (substr/concat/regexp/replace/case)",
-)
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return p.select(
@@ -906,20 +891,6 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@query(
-    "scalar_date_funcs",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INT)                      AS order_year,
-           CAST(month(o_orderdate) AS INT)                     AS order_month,
-           CAST(dayofmonth(o_orderdate) AS INT)                AS order_day,
-           CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
-           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
-           strftime(o_orderdate, '%Y-%m')                      AS ym
-    FROM orders ORDER BY o_orderkey
-    """,
-    description="date/time function battery",
-)
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.select(
@@ -935,21 +906,6 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@query(
-    "scalar_math_funcs",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ROUND(ABS(l_extendedprice - l_quantity * 1000), 2) AS abs_diff,
-           ROUND(SQRT(l_quantity), 4)                         AS sqrt_qty,
-           ROUND(POW(1 + l_discount, 2), 6)                   AS disc_sq,
-           CAST(FLOOR(l_quantity / 10) AS BIGINT)             AS qty_bucket,
-           CAST(CEIL(l_tax * 100) AS BIGINT)                  AS tax_pct,
-           ROUND(LN(l_extendedprice), 4)                      AS ln_price,
-           CAST(l_quantity AS INT) % 7                        AS qty_mod
-    FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber
-    """,
-    description="math function battery",
-)
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
     return li.select(
@@ -963,6 +919,129 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_funcs_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'string:brand_upper' AS gate, CAST(p_partkey AS BIGINT) AS k1,
+             CAST(0 AS BIGINT) AS k2, UPPER(p_brand) AS sval,
+             CAST(NULL AS DOUBLE) AS nval FROM part
+      UNION ALL SELECT 'string:name_prefix', p_partkey, 0,
+             SUBSTRING(p_name, 1, 5), NULL FROM part
+      UNION ALL SELECT 'string:name_len', p_partkey, 0,
+             NULL, CAST(LENGTH(p_name) AS DOUBLE) FROM part
+      UNION ALL SELECT 'string:brand_type', p_partkey, 0,
+             CONCAT(p_brand, ':', p_type), NULL FROM part
+      UNION ALL SELECT 'string:brand_num', p_partkey, 0,
+             NULL, CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS DOUBLE)
+             FROM part
+      UNION ALL SELECT 'string:type_short', p_partkey, 0,
+             REPLACE(p_type, 'ECONOMY', 'ECO'), NULL FROM part
+      UNION ALL SELECT 'string:type_lower', p_partkey, 0,
+             TRIM(LOWER(p_type)), NULL FROM part
+      UNION ALL SELECT 'date:order_year', o_orderkey, 0,
+             NULL, CAST(year(o_orderdate) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'date:order_month', o_orderkey, 0,
+             NULL, CAST(month(o_orderdate) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'date:order_day', o_orderkey, 0,
+             NULL, CAST(dayofmonth(o_orderdate) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'date:month_start', o_orderkey, 0,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR),
+             NULL FROM orders
+      UNION ALL SELECT 'date:days_since_95', o_orderkey, 0,
+             NULL,
+             CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS DOUBLE)
+             FROM orders
+      UNION ALL SELECT 'date:ym', o_orderkey, 0,
+             strftime(o_orderdate, '%Y-%m'), NULL FROM orders
+      UNION ALL SELECT 'math:abs_diff', l_orderkey, l_linenumber,
+             NULL, ROUND(ABS(l_extendedprice - l_quantity * 1000), 2)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:sqrt_qty', l_orderkey, l_linenumber,
+             NULL, ROUND(SQRT(l_quantity), 4)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:disc_sq', l_orderkey, l_linenumber,
+             NULL, ROUND(POW(1 + l_discount, 2), 6)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:qty_bucket', l_orderkey, l_linenumber,
+             NULL, CAST(FLOOR(l_quantity / 10) AS DOUBLE)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:tax_pct', l_orderkey, l_linenumber,
+             NULL, CAST(CEIL(l_tax * 100) AS DOUBLE)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:ln_price', l_orderkey, l_linenumber,
+             NULL, ROUND(LN(l_extendedprice), 4)
+             FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL SELECT 'math:qty_mod', l_orderkey, l_linenumber,
+             NULL, CAST(CAST(l_quantity AS INT) % 7 AS DOUBLE)
+             FROM lineitem WHERE l_orderkey <= 100
+    ) ORDER BY gate, k1, k2
+    """,
+    description=(
+        "composite scalar-function gate (r14 fold of scalar_string_funcs"
+        " + scalar_date_funcs + scalar_math_funcs): the three batteries "
+        "unpivoted to one long format (gate, keys, string value, "
+        "numeric value) — every per-row function value keeps exact hash "
+        "coverage (ints < 2^53 are exact in the DOUBLE column; rounded "
+        "doubles pass through unchanged), labeled member:field"
+    ),
+)
+def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate, 20 scalar functions across string/date/math; a red
+    row's `gate` column names member and field. Members stay separate
+    fns; the suite unpivots each with stack() — JVM-side, no UDF."""
+    s = scalar_string_funcs(spark, sf_dir).select(
+        F.col("p_partkey").cast("bigint").alias("k1"),
+        F.lit(0).cast("bigint").alias("k2"),
+        F.expr(
+            "stack(7,"
+            " 'string:brand_upper', brand_upper, CAST(NULL AS DOUBLE),"
+            " 'string:name_prefix', name_prefix, CAST(NULL AS DOUBLE),"
+            " 'string:name_len', CAST(NULL AS STRING), CAST(name_len AS DOUBLE),"
+            " 'string:brand_type', brand_type, CAST(NULL AS DOUBLE),"
+            " 'string:brand_num', CAST(NULL AS STRING), CAST(brand_num AS DOUBLE),"
+            " 'string:type_short', type_short, CAST(NULL AS DOUBLE),"
+            " 'string:type_lower', type_lower, CAST(NULL AS DOUBLE)"
+            ") AS (gate, sval, nval)"
+        ),
+    )
+    d = scalar_date_funcs(spark, sf_dir).select(
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.lit(0).cast("bigint").alias("k2"),
+        F.expr(
+            "stack(6,"
+            " 'date:order_year', CAST(NULL AS STRING), CAST(order_year AS DOUBLE),"
+            " 'date:order_month', CAST(NULL AS STRING), CAST(order_month AS DOUBLE),"
+            " 'date:order_day', CAST(NULL AS STRING), CAST(order_day AS DOUBLE),"
+            " 'date:month_start', CAST(month_start AS STRING), CAST(NULL AS DOUBLE),"
+            " 'date:days_since_95', CAST(NULL AS STRING), CAST(days_since_95 AS DOUBLE),"
+            " 'date:ym', ym, CAST(NULL AS DOUBLE)"
+            ") AS (gate, sval, nval)"
+        ),
+    )
+    m = scalar_math_funcs(spark, sf_dir).select(
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.expr(
+            "stack(7,"
+            " 'math:abs_diff', CAST(NULL AS STRING), abs_diff,"
+            " 'math:sqrt_qty', CAST(NULL AS STRING), sqrt_qty,"
+            " 'math:disc_sq', CAST(NULL AS STRING), disc_sq,"
+            " 'math:qty_bucket', CAST(NULL AS STRING), CAST(qty_bucket AS DOUBLE),"
+            " 'math:tax_pct', CAST(NULL AS STRING), CAST(tax_pct AS DOUBLE),"
+            " 'math:ln_price', CAST(NULL AS STRING), ln_price,"
+            " 'math:qty_mod', CAST(NULL AS STRING), CAST(qty_mod AS DOUBLE)"
+            ") AS (gate, sval, nval)"
+        ),
+    )
+    return (
+        s.unionByName(d)
+        .unionByName(m)
+        .select("gate", "k1", "k2", "sval", "nval")
+        .orderBy("gate", "k1", "k2")
+    )
 
 
 

@@ -53,7 +53,9 @@ EXEMPT = {
     "multimodal_pcm_audio_decode": "exact 6-decimal multiple rounded at 6",
     # ABS(2-decimal price - integer*1000) is an exact 2-decimal
     # multiple rounded at 2 — same no-sub-unit-digits argument.
-    "scalar_math_funcs": "exact 2-decimal multiple rounded at 2",
+    # (r14: the string/date/math batteries folded into one composite;
+    # the only non-scale-0 ROUNDs are the math member's, same argument)
+    "scalar_funcs_suite": "exact 2-decimal multiple rounded at 2",
     # The '/' the scanner sees lives inside CASE *predicates*; the
     # rounded value is a sum of 0.1-multiples whose accumulated float
     # error (~1e-16) is 13 orders of magnitude below half the rounding

@@ -120,7 +120,11 @@ def test_nb_predict_broadcasts_only_bounded_models(spark, registry):
     the exact opposite posture from lm.py's corpus-growing model (the
     r11 measured scale-killer, which must NEVER broadcast). Three
     hinted broadcasts: bucket_counts, label_stats, total_docs."""
-    df = registry["text_nb_langid"].fn(spark, SF_CORRECT)
+    # r14: text_nb_langid folded into text_nb_suite; the batch member
+    # keeps its own fn — pin ITS plan (the suite unions both modes)
+    from strawboat_spark.queries.llm import text_nb_langid
+
+    df = text_nb_langid(spark, SF_CORRECT)
     assert _n_broadcast_hints(df) == 3
     r = audit(df)
     # the scalar crossJoins compile to BroadcastNestedLoopJoin
