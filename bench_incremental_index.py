@@ -63,7 +63,7 @@ def main() -> None:
     def batch(k):
         return docs.filter(F.col("doc_id") % nb == k)
 
-    out: dict = {"n_docs": n_docs, "n_batches": nb, "sf": 1}
+    out: dict = {"n_docs": n_docs, "n_batches": nb, "src": args.src}
 
     def note(msg):
         print(msg, file=sys.stderr, flush=True)

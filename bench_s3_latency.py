@@ -99,6 +99,35 @@ def _read_small(path: str, ranged: bool) -> tuple[float, int, int]:
     return wall, gets, fetched
 
 
+def _write_object(n_mib: int, part_size: int | None, key: str) -> tuple[float, int, int]:
+    """(wall_sec, put_requests, bytes_sent) for writing an n_mib object
+    through the format's write handle — single conditional-free PUT when
+    the buffer never crosses the part threshold, multipart otherwise.
+    `part_size=None` leaves the 64 MiB default; a huge value forces the
+    single-PUT path; 5 MiB (the S3 floor) maximizes part count."""
+    import numpy as np
+
+    from strawboat_spark.sources.fileio import S3FileSystem
+
+    if part_size is None:
+        os.environ.pop("STRAWBOAT_S3_MULTIPART_PART_SIZE", None)
+    else:
+        os.environ["STRAWBOAT_S3_MULTIPART_PART_SIZE"] = str(part_size)
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, size=n_mib << 20, dtype=np.uint8).tobytes()
+    fs = S3FileSystem()
+    t0 = time.perf_counter()
+    h = fs.create(f"s3://{BUCKET}/{key}")
+    # stream in 4 MiB slices like the page writer does, so the handle's
+    # own part threshold decides when parts ship
+    for i in range(0, len(payload), 4 << 20):
+        h.write(payload[i : i + (4 << 20)])
+    h.close()
+    wall = time.perf_counter() - t0
+    os.environ.pop("STRAWBOAT_S3_MULTIPART_PART_SIZE", None)
+    return wall, h.put_requests, h.bytes_sent
+
+
 def main() -> None:
     try:
         from moto.server import ThreadedMotoServer
@@ -154,6 +183,35 @@ def main() -> None:
                         wall + fetched / (bw * 1e6), 3
                     )
                 rows.append(row)
+    # --- write leg (r14): single PUT vs multipart under the same shim.
+    # Equal bytes cross the wire either way, so the modeled total at
+    # bandwidth BW differs only by the extra round trips multipart pays
+    # (create + complete + one per part) — what it buys is bounded
+    # writer memory (one part, not the object) and no 5 GB PUT ceiling.
+    wrows = []
+    for lat in LATENCIES_MS:
+        os.environ["STRAWBOAT_S3_SIM_LATENCY_MS"] = str(lat)
+        for label, psize in (
+            ("put-94MiB", 1 << 40),        # never crosses → single PUT
+            ("multipart-64MiB", None),     # default part size → 2 parts
+            ("multipart-5MiB", 5 << 20),   # floor part size → ~19 parts
+        ):
+            best = None
+            for _ in range(3):
+                wall, reqs, sent = _write_object(94, psize, f"w_{label}_{lat}.bin")
+                if best is None or wall < best[0]:
+                    best = (wall, reqs, sent)
+            wall, reqs, sent = best
+            row = {
+                "case": label,
+                "latency_ms": lat,
+                "wall_s": round(wall, 3),
+                "puts": reqs,
+                "mib": round(sent / (1 << 20), 2),
+            }
+            for bw in BANDWIDTHS_MBPS:
+                row[f"total_s@{bw}MBps"] = round(wall + sent / (bw * 1e6), 3)
+            wrows.append(row)
     os.environ.pop("STRAWBOAT_S3_SIM_LATENCY_MS", None)
     os.environ["STRAWBOAT_S3_RANGED_READ"] = "1"
     server.stop()
@@ -165,12 +223,21 @@ def main() -> None:
     print("|" + "---|" * len(hdr))
     for r in rows:
         print("| " + " | ".join(str(r[c]) for c in hdr) + " |")
+    whdr = ["case", "latency_ms", "wall_s", "puts", "mib"] + [
+        f"total_s@{bw}MBps" for bw in BANDWIDTHS_MBPS
+    ]
+    print()
+    print("| " + " | ".join(whdr) + " |")
+    print("|" + "---|" * len(whdr))
+    for r in wrows:
+        print("| " + " | ".join(str(r[c]) for c in whdr) + " |")
     print(
         json.dumps(
             {
                 "object_mib": round(size / (1 << 20), 2),
                 "object_large_mib": round(size_lg / (1 << 20), 2),
                 "rows": rows,
+                "write_rows": wrows,
             }
         )
     )

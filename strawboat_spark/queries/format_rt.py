@@ -2046,7 +2046,11 @@ def strawboat_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "old epoch's files under lang= directories (DVs materialize, "
         "one flip) — post-rewrite every entry conforms "
         "(n_nonconforming=0 is asserted from the manifest) and the "
-        "lang filter directory-prunes the whole table, result exact"
+        "lang filter directory-prunes the whole table, result exact. "
+        "r14: the migration runs through the SCOPED path "
+        "(where='lang IS NULL' selects the unpartitioned epoch's "
+        "leaves) and the follow-up bare call must be a zero-IO no-op — "
+        "both invariants fold into n_nonconforming"
     ),
 )
 def strawboat_epoch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,8 +2071,12 @@ def strawboat_epoch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.set_partition_layout("lang")
     t.append(d.filter("doc_id % 2 = 1"))  # epoch 2: lang= dirs
     t.delete("lang = 'zh'", mode="mor")  # DV crossing both epochs
-    t.rewrite_epoch()
-    bad = sum(
+    # scoped migration (r14): old-epoch root leaves carry NULL for the
+    # declared column, so IS NULL is the directory-epoch selector; the
+    # bare sweep after it must find nothing left to rewrite
+    t.rewrite_epoch(where="lang IS NULL")
+    swept = t.rewrite_epoch()["rewritten"]  # 0 iff the scope covered all
+    bad = swept + sum(
         1
         for e in read_manifest(t.path)["entries"]
         if _leaf_dir_cols(_os.path.dirname(e["path"])) != ["lang"]

@@ -622,6 +622,12 @@ class _S3WriteHandle(io.BytesIO):
         self._done = False
         self._upload_id: str | None = None
         self._parts: list[dict] = []
+        # write-side observability twins of the read handle's
+        # range_gets/bytes_fetched: every S3 request this handle makes
+        # (create/upload_part/complete or the single PUT) and the bytes
+        # it shipped — bench_s3_latency.py's write leg reads them
+        self.put_requests = 0
+        self.bytes_sent = 0
         try:
             env = int(os.environ.get("STRAWBOAT_S3_MULTIPART_PART_SIZE", "0"))
         except ValueError:
@@ -641,10 +647,15 @@ class _S3WriteHandle(io.BytesIO):
         client = self._s3fs._client()
         try:
             if self._upload_id is None:
+                self._s3fs._sim_latency()
+                self.put_requests += 1
                 self._upload_id = client.create_multipart_upload(
                     Bucket=self._bucket, Key=self._obj_key
                 )["UploadId"]
             num = len(self._parts) + 1
+            self._s3fs._sim_latency()
+            self.put_requests += 1
+            self.bytes_sent += len(data)
             etag = client.upload_part(
                 Bucket=self._bucket,
                 Key=self._obj_key,
@@ -682,6 +693,9 @@ class _S3WriteHandle(io.BytesIO):
             try:
                 if body:
                     num = len(self._parts) + 1
+                    self._s3fs._sim_latency()
+                    self.put_requests += 1
+                    self.bytes_sent += len(body)
                     etag = client.upload_part(
                         Bucket=self._bucket,
                         Key=self._obj_key,
@@ -690,6 +704,8 @@ class _S3WriteHandle(io.BytesIO):
                         Body=body,
                     )["ETag"]
                     self._parts.append({"PartNumber": num, "ETag": etag})
+                self._s3fs._sim_latency()
+                self.put_requests += 1
                 client.complete_multipart_upload(
                     Bucket=self._bucket,
                     Key=self._obj_key,
@@ -704,6 +720,9 @@ class _S3WriteHandle(io.BytesIO):
             return
         kw = {"IfNoneMatch": "*"} if self._exclusive else {}
         try:
+            self._s3fs._sim_latency()
+            self.put_requests += 1
+            self.bytes_sent += len(body)
             client.put_object(
                 Bucket=self._bucket, Key=self._obj_key, Body=body, **kw
             )
@@ -912,11 +931,13 @@ class S3FileSystem:
             self._endpoint = endpoint
         return self._c
 
-    def _get_object(self, **kw):
-        """All S3 GETs funnel here.  STRAWBOAT_S3_SIM_LATENCY_MS (debug
-        knob) sleeps before each request to simulate per-GET round-trip
-        latency — bench_s3_latency.py uses it to quantify where ranged
-        reads beat the whole-object path as latency grows (env vars
+    @staticmethod
+    def _sim_latency() -> None:
+        """STRAWBOAT_S3_SIM_LATENCY_MS (debug knob): sleep before a
+        request to simulate per-request round-trip latency.  Applied to
+        every GET and every write-side request (PutObject, UploadPart,
+        Create/CompleteMultipartUpload) so bench_s3_latency.py can
+        quantify both directions under the same latency model (env vars
         reach Spark's local-mode Python workers, so the shim applies
         executor-side too)."""
         ms = os.environ.get("STRAWBOAT_S3_SIM_LATENCY_MS")
@@ -924,6 +945,10 @@ class S3FileSystem:
             import time as _time
 
             _time.sleep(float(ms) / 1000.0)
+
+    def _get_object(self, **kw):
+        """All S3 GETs funnel here (latency shim: _sim_latency)."""
+        self._sim_latency()
         return self._client().get_object(**kw)
 
     def _bk(self, path: str) -> tuple[str, str]:
