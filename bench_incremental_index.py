@@ -88,78 +88,81 @@ def main() -> None:
 
 
     # --- fingerprint (exact) index ---------------------------------
-    p = f"{root}/fp"
-    t0 = time.perf_counter()
-    fingerprint_index_init(spark, p, batch(0), "text", "doc_id")
-    init_s = time.perf_counter() - t0
-    per = []
-    rec: dict = {}
-    for k in range(1, nb):
-        maybe_compact(p, k, rec)
+    if want("fingerprint"):
+        p = f"{root}/fp"
         t0 = time.perf_counter()
-        fingerprint_index_append(spark, p, batch(k), "text", "doc_id").count()
-        per.append(round(time.perf_counter() - t0, 2))
-    t0 = time.perf_counter()
-    exact_dedup(docs, "text", "doc_id").count()
-    rescan = time.perf_counter() - t0
-    out["fingerprint"] = {
-        "init_s": round(init_s, 2),
-        "per_batch_s": per,
-        "full_rescan_s": round(rescan, 2),
-        **rec,
-    }
+        fingerprint_index_init(spark, p, batch(0), "text", "doc_id")
+        init_s = time.perf_counter() - t0
+        per = []
+        rec: dict = {}
+        for k in range(1, nb):
+            maybe_compact(p, k, rec)
+            t0 = time.perf_counter()
+            fingerprint_index_append(spark, p, batch(k), "text", "doc_id").count()
+            per.append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        exact_dedup(docs, "text", "doc_id").count()
+        rescan = time.perf_counter() - t0
+        out["fingerprint"] = {
+            "init_s": round(init_s, 2),
+            "per_batch_s": per,
+            "full_rescan_s": round(rescan, 2),
+            **rec,
+        }
 
     # --- jaccard (exact near-dup) index ----------------------------
-    p = f"{root}/jc"
-    t0 = time.perf_counter()
-    jaccard_index_init(spark, p, batch(0), "text", "doc_id", shingle_n=3)
-    init_s = time.perf_counter() - t0
-    per = []
-    rec: dict = {}
-    for k in range(1, nb):
-        maybe_compact(p, k, rec)
+    if want("jaccard"):
+        p = f"{root}/jc"
         t0 = time.perf_counter()
-        jaccard_index_append(
-            spark, p, batch(k), "text", "doc_id", shingle_n=3,
-            threshold=0.5, max_doc_freq=1000,
-        ).count()
-        per.append(round(time.perf_counter() - t0, 2))
-        note(f"jaccard batch {k}: {per[-1]} s")
-    # None (json null) when skipped — NaN is not strict JSON and breaks
-    # jq / json.loads(allow_nan=False) on the harness output
-    rescan = None
-    if not args.skip_rescan:
-        t0 = time.perf_counter()
-        ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).count()
-        rescan = time.perf_counter() - t0
-    out["jaccard"] = {
-        "init_s": round(init_s, 2),
-        "per_batch_s": per,
-        "full_rescan_s": None if rescan is None else round(rescan, 2),
-        **rec,
-    }
+        jaccard_index_init(spark, p, batch(0), "text", "doc_id", shingle_n=3)
+        init_s = time.perf_counter() - t0
+        per = []
+        rec: dict = {}
+        for k in range(1, nb):
+            maybe_compact(p, k, rec)
+            t0 = time.perf_counter()
+            jaccard_index_append(
+                spark, p, batch(k), "text", "doc_id", shingle_n=3,
+                threshold=0.5, max_doc_freq=1000,
+            ).count()
+            per.append(round(time.perf_counter() - t0, 2))
+            note(f"jaccard batch {k}: {per[-1]} s")
+        # None (json null) when skipped — NaN is not strict JSON and breaks
+        # jq / json.loads(allow_nan=False) on the harness output
+        rescan = None
+        if not args.skip_rescan:
+            t0 = time.perf_counter()
+            ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).count()
+            rescan = time.perf_counter() - t0
+        out["jaccard"] = {
+            "init_s": round(init_s, 2),
+            "per_batch_s": per,
+            "full_rescan_s": None if rescan is None else round(rescan, 2),
+            **rec,
+        }
 
     # --- minhash-LSH (approximate near-dup) index ------------------
-    p = f"{root}/mh"
-    t0 = time.perf_counter()
-    minhash_index_init(spark, p, batch(0), "text", "doc_id")
-    init_s = time.perf_counter() - t0
-    per = []
-    rec: dict = {}
-    for k in range(1, nb):
-        maybe_compact(p, k, rec)
+    if want("minhash"):
+        p = f"{root}/mh"
         t0 = time.perf_counter()
-        minhash_index_append(spark, p, batch(k), "text", "doc_id").count()
-        per.append(round(time.perf_counter() - t0, 2))
-    t0 = time.perf_counter()
-    minhash_lsh_dedup(docs, "text", "doc_id").count()
-    rescan = time.perf_counter() - t0
-    out["minhash"] = {
-        "init_s": round(init_s, 2),
-        "per_batch_s": per,
-        "full_rescan_s": round(rescan, 2),
-        **rec,
-    }
+        minhash_index_init(spark, p, batch(0), "text", "doc_id")
+        init_s = time.perf_counter() - t0
+        per = []
+        rec: dict = {}
+        for k in range(1, nb):
+            maybe_compact(p, k, rec)
+            t0 = time.perf_counter()
+            minhash_index_append(spark, p, batch(k), "text", "doc_id").count()
+            per.append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        minhash_lsh_dedup(docs, "text", "doc_id").count()
+        rescan = time.perf_counter() - t0
+        out["minhash"] = {
+            "init_s": round(init_s, 2),
+            "per_batch_s": per,
+            "full_rescan_s": round(rescan, 2),
+            **rec,
+        }
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
