@@ -173,6 +173,51 @@ def _flip_generation(path: str, drop_rel: set[str], add_entries, verb: str) -> N
     raise ManifestConflictError(f"{verb}({path}): lost the generation race 50 times")
 
 
+def _entry_dv_sig(e: dict) -> tuple:
+    """Deletion-vector identity of a manifest entry — everything a MOR
+    delete can change. Compared pin-time vs flip-time by the rewriting
+    verbs so a delete that landed on a pinned file mid-rewrite aborts
+    the flip instead of being silently resurrected."""
+    return (
+        e.get("deletes"),
+        tuple(e.get("deletes_refs") or ()),
+        e.get("n_deletes"),
+    )
+
+
+def _dv_guarded_adds(path: str, pinned: dict, moved: list, verb: str):
+    """Callable `add_entries` for _flip_generation used by every verb
+    that REWRITES existing files (compact/optimize/rewrite_epoch, COW
+    delete/update/merge): at flip time, re-read the head manifest and
+    verify each entry being dropped still exists with the deletion-
+    vector state it had when its data was pinned for the rewrite
+    (`pinned`: rel -> _entry_dv_sig). On any mismatch the flip ABORTS
+    with ManifestConflictError — a blind static-add commit there would
+    republish pre-delete rows (resurrecting a concurrent MOR delete)
+    or duplicate rows another rewriter already moved. The same window
+    on the MOR side is closed by _dv_entries' snapshot check; this is
+    its rewrite-side twin. Aborts are safe to retry: adopted-but-
+    unpublished tmp files are invisible to readers (no generation
+    lists them)."""
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    def _adds(fresh):
+        cur = {e["path"]: e for e in (fresh["entries"] if fresh else [])}
+        for rel, sig in pinned.items():
+            e = cur.get(rel)
+            if e is None or _entry_dv_sig(e) != sig:
+                raise ManifestConflictError(
+                    f"{verb}({path}): {rel} was "
+                    f"{'dropped' if e is None else 'mutated (deletion vectors changed)'} "
+                    f"by a concurrent committer after the pinned scan; "
+                    f"aborting the flip (a blind commit would resurrect "
+                    f"deleted rows) — re-run {verb}"
+                )
+        return moved
+
+    return _adds
+
+
 def _part_layout(path: str) -> dict[str, str]:
     """{partition column: spark type} for the table's hive layout."""
     from strawboat_spark.sources.datasource import _infer_partition_fields, _list_files
@@ -275,6 +320,7 @@ def compact(
     # writes) are neither folded into the output nor deleted here —
     # that is vacuum()'s job, with its grace window.
     root_man = read_manifest(path) or {"entries": []}
+    dv_sigs = {e["path"]: _entry_dv_sig(e) for e in root_man["entries"]}
     by_leaf: dict[str, list[str]] = {}
     for e in root_man["entries"]:
         by_leaf.setdefault(os.path.dirname(e["path"]), []).append(e["path"])
@@ -320,7 +366,12 @@ def compact(
             .save(tmp)
         )
         moved = _adopt_tmp(path, tmp, dest_dir=leaf)
-        _flip_generation(path, set(rewrite), moved, "compact")
+        _flip_generation(
+            path,
+            set(rewrite),
+            _dv_guarded_adds(path, {r: dv_sigs[r] for r in rewrite}, moved, "compact"),
+            "compact",
+        )
         after += len(moved)
     return {"before": before, "after": after}
 
@@ -792,6 +843,12 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     candidates = sorted(r["_strawboat_file"] for r in hit)
     n_rows = sum(r["n"] for r in hit)
     cand_rel = sorted(_rel(f, path) for f in candidates)
+    pin_man = read_manifest(path) or {"entries": []}
+    dv_sigs = {
+        e["path"]: _entry_dv_sig(e)
+        for e in pin_man["entries"]
+        if e["path"] in set(cand_rel)
+    }
 
     matched = F.coalesce(F.col("__m"), F.lit(False))
 
@@ -831,8 +888,9 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         )
         out.write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
+    verb = "delete" if assignments is None else "update"
     _flip_generation(
-        path, set(cand_rel), moved, "delete" if assignments is None else "update"
+        path, set(cand_rel), _dv_guarded_adds(path, dv_sigs, moved, verb), verb
     )
     return {"files_rewritten": len(candidates), key: n_rows}
 
@@ -932,6 +990,12 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
     candidates = sorted(r["_strawboat_file"] for r in hit)
     rows_updated = sum(r["n"] for r in hit)
     cand_rel = sorted(_rel(f, path) for f in candidates)
+    pin_man = read_manifest(path) or {"entries": []}
+    dv_sigs = {
+        e["path"]: _entry_dv_sig(e)
+        for e in pin_man["entries"]
+        if e["path"] in set(cand_rel)
+    }
     moved = []
     matched_src = 0
     if candidates:
@@ -965,7 +1029,12 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
         w = w.option("partition_by", ",".join(land))
     w.save(tmp_src)
     moved += _adopt_tmp(path, tmp_src)
-    _flip_generation(path, set(cand_rel), moved, "merge_upsert")
+    _flip_generation(
+        path,
+        set(cand_rel),
+        _dv_guarded_adds(path, dv_sigs, moved, "merge_upsert"),
+        "merge_upsert",
+    )
     keys.unpersist()
     source.unpersist()
     return {
@@ -1097,6 +1166,7 @@ def optimize(
     if read_manifest(path) is None:
         publish_manifest(path)  # snapshot the old generation first
     root_man = read_manifest(path) or {"entries": []}
+    dv_sigs = {e["path"]: _entry_dv_sig(e) for e in root_man["entries"]}
     part_fields = _infer_partition_fields(path, _list_files(path))
     part_cols = [c for c, _ in part_fields]
     if zorder_by:
@@ -1154,20 +1224,13 @@ def optimize(
         moved += _adopt_tmp(path, tmp, dest_dir=leaf_dir)
         drop |= set(rels)
     if drop:
-        _flip_generation(path, drop, moved, "optimize")
+        _flip_generation(
+            path,
+            drop,
+            _dv_guarded_adds(path, {r: dv_sigs[r] for r in drop}, moved, "optimize"),
+            "optimize",
+        )
     return {"before": before, "after": len(moved), "leaves": len(selected)}
-
-
-def _entry_dv_sig(e: dict) -> tuple:
-    """Deletion-vector identity of a manifest entry — everything a MOR
-    delete can change. Compared pin-time vs flip-time by rewrite_epoch
-    so a delete that landed on an old-epoch file mid-rewrite aborts
-    the flip instead of being silently resurrected."""
-    return (
-        e.get("deletes"),
-        tuple(e.get("deletes_refs") or ()),
-        e.get("n_deletes"),
-    )
 
 
 def rewrite_epoch(
@@ -1235,7 +1298,6 @@ def rewrite_epoch(
     import pyspark.sql.functions as F
 
     from strawboat_spark.sources.datasource import (
-        ManifestConflictError,
         bucket_spec,
         partition_layout,
         read_manifest,
@@ -1335,22 +1397,12 @@ def rewrite_epoch(
         .save(tmp)
     )
     moved = _adopt_tmp(path, tmp)
-
-    def _adds(fresh):
-        cur = {e["path"]: e for e in (fresh["entries"] if fresh else [])}
-        for rel in rels:
-            e = cur.get(rel)
-            if e is None or _entry_dv_sig(e) != pinned_dv[rel]:
-                raise ManifestConflictError(
-                    f"rewrite_epoch({path}): {rel} was "
-                    f"{'dropped' if e is None else 'mutated (deletion vectors changed)'} "
-                    f"by a concurrent committer after the pinned scan; "
-                    f"aborting the flip (a blind commit would resurrect "
-                    f"deleted rows) — re-run rewrite_epoch"
-                )
-        return moved
-
-    _flip_generation(path, set(rels), _adds, "rewrite-epoch")
+    _flip_generation(
+        path,
+        set(rels),
+        _dv_guarded_adds(path, pinned_dv, moved, "rewrite_epoch"),
+        "rewrite-epoch",
+    )
     return {
         "rewritten": len(rels),
         "files_added": len(moved),
@@ -1437,6 +1489,12 @@ def merge_when(
         .collect()
     )
     cand_rel = sorted(_rel(r["_strawboat_file"], path) for r in hit)
+    pin_man = read_manifest(path) or {"entries": []}
+    dv_sigs = {
+        e["path"]: _entry_dv_sig(e)
+        for e in pin_man["entries"]
+        if e["path"] in set(cand_rel)
+    }
 
     jsrc = F.broadcast(src) if n_source <= _merge_broadcast_max_keys() else src
     rows_deleted = rows_updated = 0
@@ -1525,7 +1583,12 @@ def merge_when(
             w.save(tmp_src)
             moved += _adopt_tmp(path, tmp_src)
 
-    _flip_generation(path, set(cand_rel), moved, "merge_when")
+    _flip_generation(
+        path,
+        set(cand_rel),
+        _dv_guarded_adds(path, dv_sigs, moved, "merge_when"),
+        "merge_when",
+    )
     keys.unpersist()
     source.unpersist()
     return {

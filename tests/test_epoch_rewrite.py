@@ -299,3 +299,64 @@ def test_rewrite_aborts_on_concurrent_mor_delete(spark, tmp_path):
     assert res["rewritten"] > 0
     assert all(f.startswith("lang=") for f in _manifest_rels(t))
     assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
+
+
+def test_compact_aborts_on_concurrent_mor_delete(spark, tmp_path):
+    """The rewrite-side race guard generalizes (r14): compact's flip
+    must also abort when a MOR delete lands on a file it pinned — the
+    same resurrection window rewrite_epoch had, one leaf narrower."""
+    import strawboat_spark.sources.maintenance as mnt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    df = spark.createDataFrame(R1, "k long, lang string, v long")
+    t.overwrite(df.repartition(3))  # several files, one leaf
+    orig_adopt = mnt._adopt_tmp
+
+    def adopt_then_concurrent_delete(*a, **kw):
+        moved = orig_adopt(*a, **kw)
+        mnt._adopt_tmp = orig_adopt
+        t.delete("k = 2", mode="mor")
+        return moved
+
+    mnt._adopt_tmp = adopt_then_concurrent_delete
+    try:
+        with pytest.raises(ManifestConflictError, match="deletion vectors"):
+            t.compact()
+    finally:
+        mnt._adopt_tmp = orig_adopt
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}  # delete survived
+    res = t.compact()  # clean re-run succeeds and materializes the DV
+    assert res["after"] <= res["before"]
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
+
+
+def test_cow_update_aborts_on_concurrent_mor_delete(spark, tmp_path):
+    """COW update rewrites candidate files from a pinned scan; a MOR
+    delete landing on a candidate mid-rewrite must abort the flip, not
+    be resurrected by it."""
+    import strawboat_spark.sources.maintenance as mnt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(spark.createDataFrame(R1, "k long, lang string, v long").coalesce(1))
+    orig_adopt = mnt._adopt_tmp
+
+    def adopt_then_concurrent_delete(*a, **kw):
+        moved = orig_adopt(*a, **kw)
+        mnt._adopt_tmp = orig_adopt
+        t.delete("k = 2", mode="mor")
+        return moved
+
+    mnt._adopt_tmp = adopt_then_concurrent_delete
+    try:
+        with pytest.raises(ManifestConflictError, match="deletion vectors"):
+            t.update("k = 1", {"v": "v + 1"})
+    finally:
+        mnt._adopt_tmp = orig_adopt
+    # neither lost: the delete survived and the aborted update is absent
+    assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
+    t.update("k = 1", {"v": "v + 1"})  # clean re-run applies
+    assert _rows(t) == {(1, "en", 11), (3, "en", 30)}
