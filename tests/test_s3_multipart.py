@@ -209,3 +209,35 @@ def test_context_exit_on_error_aborts(s3_env):
     with pytest.raises(Exception):
         s3_env.head_object(Bucket=BUCKET, Key="data/ctx.bin")
     assert not _inflight(s3_env, "data/ctx.bin")
+
+
+def test_sim_latency_shim_covers_writes_and_counters(s3_env, monkeypatch):
+    """r14: STRAWBOAT_S3_SIM_LATENCY_MS applies to EVERY write-side
+    request (create/upload_part/complete or the single PUT), and write
+    handles expose put_requests/bytes_sent — the observability twins of
+    the read handle's range_gets/bytes_fetched that bench_s3_latency's
+    write leg reads."""
+    import time
+
+    monkeypatch.setenv("STRAWBOAT_S3_MULTIPART_PART_SIZE", str(PART))
+    fs = S3FileSystem()
+
+    # single PUT: one request, all bytes counted
+    monkeypatch.setenv("STRAWBOAT_S3_SIM_LATENCY_MS", "40")
+    h = fs.create(f"s3://{BUCKET}/lat_single.bin")
+    h.write(b"x" * 1024)
+    t0 = time.perf_counter()
+    h.close()
+    assert time.perf_counter() - t0 >= 0.04
+    assert h.put_requests == 1 and h.bytes_sent == 1024
+
+    # multipart: create + 2 parts + complete = 4 requests >= 4 sleeps
+    h = fs.create(f"s3://{BUCKET}/lat_mpu.bin")
+    t0 = time.perf_counter()
+    h.write(b"a" * PART)       # flushes part 1 (+ create)
+    h.write(b"b" * (1 << 20))  # buffered tail -> part 2 at close
+    h.close()
+    assert time.perf_counter() - t0 >= 4 * 0.04
+    assert h.put_requests == 4
+    assert h.bytes_sent == PART + (1 << 20)
+    monkeypatch.delenv("STRAWBOAT_S3_SIM_LATENCY_MS")
