@@ -360,3 +360,77 @@ def test_cow_update_aborts_on_concurrent_mor_delete(spark, tmp_path):
     assert _rows(t) == {(1, "en", 10), (3, "en", 30)}
     t.update("k = 1", {"v": "v + 1"})  # clean re-run applies
     assert _rows(t) == {(1, "en", 11), (3, "en", 30)}
+
+
+@pytest.mark.parametrize(
+    "history",
+    [
+        # (steps applied in order; each table starts empty)
+        ["ow_flat", "evolve_lang", "append", "mor_delete"],
+        ["ow_lang", "evolve_k", "append", "evolve_lang", "append"],
+        ["ow_bucketed", "evolve_lang", "append", "mor_delete", "append"],
+        ["ow_flat", "evolve_lang", "append", "evolve_k", "mor_delete"],
+    ],
+    ids=["flat+mor", "double-evolve", "bucketed+mor", "evolve-twice+mor"],
+)
+def test_rewrite_epoch_invariants_across_histories(spark, tmp_path, history):
+    """Invariant sweep (r14): for ANY epoch history — flat/partitioned/
+    bucketed starts, repeated layout evolutions, MOR deletes, appends —
+    rewrite_epoch must (a) preserve the exact logical row set, (b)
+    leave every manifest entry conforming to the final declared spec,
+    and (c) be idempotent (second call rewrites nothing)."""
+    from strawboat_spark.sources.datasource import (
+        bucket_spec,
+        partition_layout,
+        read_manifest,
+    )
+    from strawboat_spark.sources.maintenance import _leaf_dir_cols
+
+    rows = [(i, ["en", "fr", "de"][i % 3], i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, lang string, v long")
+    t = Table(spark, str(tmp_path / "t"))
+    half = 0
+    deleted: set[int] = set()
+    for step in history:
+        if step == "ow_flat":
+            t.overwrite(df.filter("k % 2 = 0"))
+        elif step == "ow_lang":
+            t.overwrite(df.filter("k % 2 = 0"), partition_by="lang")
+        elif step == "ow_bucketed":
+            t.overwrite(df.filter("k % 2 = 0"), bucket_by="k", num_buckets=4)
+        elif step == "evolve_lang":
+            t.set_partition_layout("lang")
+        elif step == "evolve_k":
+            t.set_partition_layout("k")
+        elif step == "append":
+            t.append(df.filter(f"k % 2 = 1 AND k % 4 = {1 + 2 * half}"))
+            half += 1
+        elif step == "mor_delete":
+            t.delete("k = 6", mode="mor")
+            deleted.add(6)
+    expect = {
+        (k, la, v)
+        for k, la, v in rows
+        if k not in deleted
+        and (k % 2 == 0 or (half >= 1 and k % 4 == 1) or (half >= 2 and k % 4 == 3))
+    }
+
+    def logical_rows():
+        return {
+            (r.k, r.lang, r.v)
+            for r in t.read().select("k", "lang", "v").collect()
+        }
+
+    assert logical_rows() == expect  # pre-rewrite sanity
+    t.rewrite_epoch()
+    assert logical_rows() == expect  # (a) rows preserved
+    declared = partition_layout(t.path)
+    spec = bucket_spec(t.path)
+    conforming = list(declared) + ([spec["dir_col"]] if spec else [])
+    assert all(  # (b) every entry conforms
+        _leaf_dir_cols(os.path.dirname(e["path"])) == conforming
+        for e in read_manifest(t.path)["entries"]
+    )
+    res = t.rewrite_epoch()  # (c) idempotent
+    assert res["rewritten"] == 0 and res["files_added"] == 0
+    assert logical_rows() == expect
