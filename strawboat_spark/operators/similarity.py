@@ -244,6 +244,13 @@ def _kmeans_centroids(
     # kmeans++ init: d^2-weighted seeding keeps every real cluster
     # covered; uniform-random init merges clusters on unlucky draws
     k = min(n_centroids, len(x))
+    if k >= len(x):
+        # every sample point is its own centroid: seeding would pick
+        # all of them (in some order) and Lloyd converges immediately —
+        # skip both. The seeding loop is Python-per-centroid (~10 ms
+        # each), so at the k == sample_size cap this shortcut is the
+        # difference between 19.5 s and instant (measured r14, k=2048).
+        return x.round(6).tolist()
     first = rng.integers(len(x))
     chosen = [first]
     d2 = np.maximum(1.0 - x @ x[first], 0.0) ** 2

@@ -1264,3 +1264,23 @@ def test_semdedup_plan_has_no_cartesian_pair_join(spark):
         df, "id", "vec", n_clusters=2, threshold=0.9, centroids="seed"
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_k_at_sample_cap_is_identity(spark):
+    """r14: when k >= the training sample, every sample point is its
+    own centroid — the per-centroid Python seeding loop and Lloyd are
+    skipped (measured 19.5 s -> instant at the k=2048 sample cap) and
+    the result is exactly the normalized sample."""
+    import numpy as np
+
+    from strawboat_spark.operators.similarity import _kmeans_centroids
+
+    rows = [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _kmeans_centroids(df, "embedding", 4096, seed=1, sample_size=40)
+    assert len(cents) == 40
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    got = np.array(sorted(map(tuple, np.round(x, 6))))
+    want = np.array(sorted(map(tuple, cents)))
+    assert np.allclose(got, want)
