@@ -218,6 +218,45 @@ def _dv_guarded_adds(path: str, pinned: dict, moved: list, verb: str):
     return _adds
 
 
+def _pin_dv_sigs(path: str, pin_man: dict | None, cand_rel, verb: str) -> dict:
+    """Pin-time deletion-vector signatures for EVERY candidate file of a
+    scan-based rewriting verb (COW delete/update, merge_upsert,
+    merge_when).
+
+    These verbs select candidates from a DATA scan and only then pin DV
+    signatures from a manifest re-read. A candidate dropped by a
+    concurrent compact/optimize/rewrite in that scan→pin window would be
+    silently absent from the pinned manifest — a dict built with an
+    `if rel in pin_man` filter would skip it, `_dv_guarded_adds` would
+    never check it, and the flip would commit rows rewritten from the
+    superseded file while the concurrent rewriter's output already
+    holds the same rows (row duplication). Absence at pin time is
+    therefore a CONFLICT raised here immediately; the flip-time
+    `e is None` check in `_dv_guarded_adds` then covers the remaining
+    pin→flip window. The manifest-snapshot verbs (compact / optimize /
+    rewrite_epoch) pin from the same manifest they select from and
+    don't need this."""
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    cur = {e["path"]: e for e in ((pin_man or {}).get("entries") or [])}
+    sigs = {}
+    missing = []
+    for rel in cand_rel:
+        e = cur.get(rel)
+        if e is None:
+            missing.append(rel)
+        else:
+            sigs[rel] = _entry_dv_sig(e)
+    if missing:
+        raise ManifestConflictError(
+            f"{verb}({path}): candidate file(s) {sorted(missing)[:5]} "
+            f"vanished from the manifest between the candidate scan and "
+            f"the signature pin (concurrent compact/optimize/rewrite); "
+            f"committing would duplicate their rows — re-run {verb}"
+        )
+    return sigs
+
+
 def _part_layout(path: str) -> dict[str, str]:
     """{partition column: spark type} for the table's hive layout."""
     from strawboat_spark.sources.datasource import _infer_partition_fields, _list_files
@@ -843,12 +882,8 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
     candidates = sorted(r["_strawboat_file"] for r in hit)
     n_rows = sum(r["n"] for r in hit)
     cand_rel = sorted(_rel(f, path) for f in candidates)
-    pin_man = read_manifest(path) or {"entries": []}
-    dv_sigs = {
-        e["path"]: _entry_dv_sig(e)
-        for e in pin_man["entries"]
-        if e["path"] in set(cand_rel)
-    }
+    verb = "delete" if assignments is None else "update"
+    dv_sigs = _pin_dv_sigs(path, read_manifest(path), cand_rel, verb)
 
     matched = F.coalesce(F.col("__m"), F.lit(False))
 
@@ -888,7 +923,6 @@ def _mutate_where(spark, path: str, condition: str, assignments: dict[str, str] 
         )
         out.write.format("strawboat").mode("overwrite").save(tmp)
         moved += _adopt_tmp(path, tmp, dest_dir=leaf)
-    verb = "delete" if assignments is None else "update"
     _flip_generation(
         path, set(cand_rel), _dv_guarded_adds(path, dv_sigs, moved, verb), verb
     )
@@ -990,12 +1024,7 @@ def merge_upsert(spark, path: str, source, on: list[str], mode: str = "cow") -> 
     candidates = sorted(r["_strawboat_file"] for r in hit)
     rows_updated = sum(r["n"] for r in hit)
     cand_rel = sorted(_rel(f, path) for f in candidates)
-    pin_man = read_manifest(path) or {"entries": []}
-    dv_sigs = {
-        e["path"]: _entry_dv_sig(e)
-        for e in pin_man["entries"]
-        if e["path"] in set(cand_rel)
-    }
+    dv_sigs = _pin_dv_sigs(path, read_manifest(path), cand_rel, "merge_upsert")
     moved = []
     matched_src = 0
     if candidates:
@@ -1489,12 +1518,7 @@ def merge_when(
         .collect()
     )
     cand_rel = sorted(_rel(r["_strawboat_file"], path) for r in hit)
-    pin_man = read_manifest(path) or {"entries": []}
-    dv_sigs = {
-        e["path"]: _entry_dv_sig(e)
-        for e in pin_man["entries"]
-        if e["path"] in set(cand_rel)
-    }
+    dv_sigs = _pin_dv_sigs(path, read_manifest(path), cand_rel, "merge_when")
 
     jsrc = F.broadcast(src) if n_source <= _merge_broadcast_max_keys() else src
     rows_deleted = rows_updated = 0

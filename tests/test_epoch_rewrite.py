@@ -362,6 +362,97 @@ def test_cow_update_aborts_on_concurrent_mor_delete(spark, tmp_path):
     assert _rows(t) == {(1, "en", 11), (3, "en", 30)}
 
 
+def test_pin_dv_sigs_raises_on_missing_candidate(tmp_path):
+    """Unit contract (r15, ADVICE r14): a candidate absent from the
+    pinned manifest is a CONFLICT, not a silent skip — skipping would
+    exempt the file from _dv_guarded_adds entirely and a flip built on
+    its superseded rows would duplicate them."""
+    from strawboat_spark.sources.datasource import ManifestConflictError
+    from strawboat_spark.sources.maintenance import _entry_dv_sig, _pin_dv_sigs
+
+    man = {"entries": [{"path": "a.strb"}, {"path": "b.strb", "n_deletes": 2}]}
+    sigs = _pin_dv_sigs("/t", man, ["a.strb", "b.strb"], "update")
+    assert sigs == {
+        "a.strb": _entry_dv_sig({"path": "a.strb"}),
+        "b.strb": _entry_dv_sig({"path": "b.strb", "n_deletes": 2}),
+    }
+    with pytest.raises(ManifestConflictError, match="vanished"):
+        _pin_dv_sigs("/t", man, ["a.strb", "gone.strb"], "update")
+    with pytest.raises(ManifestConflictError, match="vanished"):
+        _pin_dv_sigs("/t", None, ["a.strb"], "merge_when")
+
+
+def test_cow_update_conflicts_when_candidate_vanishes_before_pin(spark, tmp_path):
+    """Scan→pin window (r15, ADVICE r14): COW update selects candidates
+    from a data scan, then pins DV signatures from a manifest re-read.
+    A concurrent compact that drops a candidate file in that window
+    must surface as a conflict — pre-r15 the pin silently omitted the
+    vanished file, _dv_guarded_adds never checked it, and the flip
+    committed rows rewritten from the superseded file while the
+    compactor's output already held them (row duplication)."""
+    import strawboat_spark.sources.maintenance as mnt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1, "k long, lang string, v long").repartition(3)
+    )
+    orig_pin = mnt._pin_dv_sigs
+
+    def compact_then_pin(path, pin_man, cand_rel, verb):
+        from strawboat_spark.sources.datasource import read_manifest
+
+        mnt._pin_dv_sigs = orig_pin  # compact's own flows stay clean
+        t.compact()  # drops every pre-compact file from the manifest
+        # the pin read happens AFTER the concurrent compact
+        return orig_pin(path, read_manifest(path), cand_rel, verb)
+
+    mnt._pin_dv_sigs = compact_then_pin
+    try:
+        with pytest.raises(ManifestConflictError, match="vanished"):
+            t.update("k = 1", {"v": "v + 100"})
+    finally:
+        mnt._pin_dv_sigs = orig_pin
+    # nothing duplicated, nothing lost; a clean re-run applies exactly
+    assert _rows(t) == set(R1)
+    t.update("k = 1", {"v": "v + 100"})
+    assert _rows(t) == {(1, "en", 110), (2, "fr", 20), (3, "en", 30)}
+
+
+def test_merge_conflicts_when_candidate_vanishes_before_pin(spark, tmp_path):
+    """Same scan→pin window for merge_upsert: a candidate compacted
+    away between the candidate scan and the signature pin aborts the
+    merge instead of committing survivor rows twice."""
+    import strawboat_spark.sources.maintenance as mnt
+    from strawboat_spark.sources.datasource import ManifestConflictError
+
+    root = str(tmp_path / "t")
+    t = Table(spark, root)
+    t.overwrite(
+        spark.createDataFrame(R1, "k long, lang string, v long").repartition(3)
+    )
+    src = spark.createDataFrame([(1, "en", 111)], "k long, lang string, v long")
+    orig_pin = mnt._pin_dv_sigs
+
+    def compact_then_pin(path, pin_man, cand_rel, verb):
+        from strawboat_spark.sources.datasource import read_manifest
+
+        mnt._pin_dv_sigs = orig_pin
+        t.compact()
+        return orig_pin(path, read_manifest(path), cand_rel, verb)
+
+    mnt._pin_dv_sigs = compact_then_pin
+    try:
+        with pytest.raises(ManifestConflictError, match="vanished"):
+            t.merge(src, on=["k"])
+    finally:
+        mnt._pin_dv_sigs = orig_pin
+    assert _rows(t) == set(R1)
+    t.merge(src, on=["k"])  # clean re-run upserts exactly once
+    assert _rows(t) == {(1, "en", 111), (2, "fr", 20), (3, "en", 30)}
+
+
 @pytest.mark.parametrize(
     "history",
     [
