@@ -1,7 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r15): the FINAL stdout line is one COMPACT JSON object
+{"metric": "headline_queries_total", "value": total_sec, "unit": "sec",
+"queries": {name: best_sec}, "sf": ..., "n_runs": ..., "canary": {...,
+"runs": [...]}, "canary_py": {..., "runs": [...]}} — ~1 KB, sized so a
+bounded stdout-TAIL capture always keeps it whole (pre-r15 one huge
+line carried runs+plans too and every driver BENCH_r*.json recorded an
+unparseable head-truncated tail).  Full per-run timings and plan
+fingerprints are printed as an EARLIER "headline_queries_detail" line
+and written to BENCH_DETAIL.json.
 
 Adjudication machinery (r9):
 - per-query best-of-N (N = $SPARK_GRAFT_BENCH_RUNS, default 3) with the
@@ -196,6 +204,46 @@ def main() -> None:
     loaded_py = bool(
         py_canary_sec is not None and py_canary_sec > PY_CANARY_FLOOR * 1.4
     )
+    canary = {
+        "query": CANARY,
+        "sec": canary_sec,
+        "floor": CANARY_FLOOR,
+        "loaded_host": loaded,
+        # raw per-pass canary runs ride the COMPACT line too — the
+        # canary-raws-first adjudication protocol (BASELINE.md r13)
+        # needs them even when only the final line survives capture
+        "runs": runs.get(CANARY, []),
+    }
+    canary_py = {
+        "query": "mapInArrow_roundtrip_8tasks",
+        "sec": py_canary_sec,
+        "floor": PY_CANARY_FLOOR,
+        "loaded_host_py": loaded_py,
+        "runs": py_canary_runs,
+    }
+    # Detail line FIRST (all raw runs + plan fingerprints): the driver
+    # records only a bounded stdout TAIL, which used to cut the head off
+    # one huge JSON line and defeat its parse every round.  The detail
+    # may still be truncated from the front — that's fine, it also lands
+    # in BENCH_DETAIL.json for local spread/plan analysis.
+    detail = {
+        "metric": "headline_queries_detail",
+        "runs": runs,
+        "plans": plans,
+        "sf": sf_val,
+        "n_runs": passes,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still exists
+    # Compact FINAL line (total + per-query best + both canaries with
+    # raws): small enough (~1 KB) to always survive a tail capture whole.
     print(
         json.dumps(
             {
@@ -204,22 +252,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "runs": runs,
-                "plans": plans,
                 "n_runs": passes,
-                "canary": {
-                    "query": CANARY,
-                    "sec": canary_sec,
-                    "floor": CANARY_FLOOR,
-                    "loaded_host": loaded,
-                },
-                "canary_py": {
-                    "query": "mapInArrow_roundtrip_8tasks",
-                    "sec": py_canary_sec,
-                    "floor": PY_CANARY_FLOOR,
-                    "loaded_host_py": loaded_py,
-                    "runs": py_canary_runs,
-                },
+                "canary": canary,
+                "canary_py": canary_py,
             }
         )
     )
