@@ -114,10 +114,92 @@ def generate(src: str, dst: str, factor: int) -> None:
     )
 
 
+def generate_wide_embeddings(
+    dst: str,
+    rows: int = 200_000,
+    dim: int = 768,
+    n_latent: int = 4096,
+    dup_rate: float = 0.05,
+    seed: int = 42,
+    name: str | None = None,
+) -> None:
+    """Paper-dims embeddings fixture (r15, VERDICT r14 #2): the driver
+    testdata embeddings are dim 64, which understates the centroid
+    broadcast SemDeDup/IVF ship at Abbas et al. 2023 scale (dim 768:
+    50k clusters = 293 MiB float64 / 146 MiB float32).  This writes
+    `embeddings{dim}.parquet` with the SAME schema as the testdata
+    table (vec_id int64, embedding list<float>, label int32) so
+    load_table/bench_semdedup run unchanged against it.
+
+    Structure matters for an honest SemDeDup measurement: vectors are
+    latent-center + noise (n_latent true clusters, so kmeans has
+    something to find) and dup_rate of rows are a near-copy of an
+    earlier row in the same latent cell (cosine >= ~0.99, so the
+    threshold actually drops rows).  Deterministic in (seed, rows, dim);
+    written in 20k-row chunks so peak memory stays ~60 MB at dim 768."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_latent, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    out = os.path.join(dst, name or f"embeddings{dim}.parquet")
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    chunk = 20_000
+    writer = pq.ParquetWriter(out, schema, compression="zstd")
+    try:
+        for lo in range(0, rows, chunk):
+            hi = min(lo + chunk, rows)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            cell = (ids * np.int64(2654435761)) % n_latent
+            vec = centers[cell] + rng.normal(size=(hi - lo, dim)).astype(np.float32) * 0.25
+            # near-duplicates: a dup row re-derives its BASE row's noise
+            # from the base id (deterministic without materializing the
+            # whole corpus), then perturbs it slightly
+            is_dup = (ids % max(2, round(1 / dup_rate))) == 1
+            base = ids - 1  # previous row, same chunk except lo (handled below)
+            for j in np.flatnonzero(is_dup & (base >= lo)):
+                vec[j] = vec[j - 1] + rng.normal(size=dim).astype(np.float32) * 0.01
+            tbl = pa.table(
+                {
+                    "vec_id": ids,
+                    "embedding": pa.array(list(vec), type=pa.list_(pa.float32())),
+                    "label": (cell % 100).astype(np.int32),
+                },
+                schema=schema,
+            )
+            writer.write_table(tbl)
+    finally:
+        writer.close()
+    n = pq.ParquetFile(out).metadata.num_rows
+    print(f"{os.path.basename(out)}: {n} rows, dim {dim}, {n_latent} latent cells")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/strawboat_sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--wide-dim",
+        type=int,
+        default=0,
+        help="also write an embeddings{dim}.parquet paper-dims fixture "
+        "(e.g. 768); 0 = skip",
+    )
+    ap.add_argument("--wide-rows", type=int, default=200_000)
+    ap.add_argument("--wide-only", action="store_true",
+                    help="write only the wide-embeddings fixture")
     a = ap.parse_args()
-    generate(a.src, a.dst, a.factor)
+    if not a.wide_only:
+        generate(a.src, a.dst, a.factor)
+    if a.wide_dim:
+        generate_wide_embeddings(a.dst, rows=a.wide_rows, dim=a.wide_dim)

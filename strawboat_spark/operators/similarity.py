@@ -250,6 +250,14 @@ def _kmeans_centroids(
         # skip both. The seeding loop is Python-per-centroid (~10 ms
         # each), so at the k == sample_size cap this shortcut is the
         # difference between 19.5 s and instant (measured r14, k=2048).
+        # SEMANTIC NOTE (r15, ADVICE r14): duplicate sample vectors
+        # yield duplicate centroids here (sample order preserved),
+        # where the kmeans++/Lloyd path could merge them. Benign for
+        # all callers — IVF reranks exactly and SemDeDup partitions
+        # are invariant under cell relabeling (stable argsort breaks
+        # the tie the same way for every row) — but duplicate-heavy
+        # corpora WILL see duplicate centroids at the cap; pinned by
+        # test_kmeans_centroids_k_at_sample_cap_is_identity.
         return x.round(6).tolist()
     first = rng.integers(len(x))
     chosen = [first]
@@ -271,21 +279,65 @@ def _kmeans_centroids(
     return cent.round(6).tolist()
 
 
+def _centroid_dtype():
+    """Matmul dtype for centroid assignment. float64 (default) keeps the
+    assignment bit-identical to the SQL oracles' double arithmetic —
+    every gate runs there. STRAWBOAT_CENTROID_DTYPE=float32 is the
+    documented paper-scale lever (Abbas et al. 2023 run 50k clusters at
+    dim 768: 293 MiB float64 vs 146 MiB float32) — it halves the
+    broadcast and roughly doubles matmul throughput, at the price of
+    possible argmax flips on near-tied cells (a cell-boundary
+    perturbation, not an error: SemDeDup/IVF semantics only need a
+    consistent partition, and assignment uses the SAME dtype for every
+    row)."""
+    import os
+
+    d = os.environ.get("STRAWBOAT_CENTROID_DTYPE", "float64")
+    if d not in ("float64", "float32"):
+        raise ValueError(f"STRAWBOAT_CENTROID_DTYPE must be float64|float32, got {d!r}")
+    return np.dtype(d)
+
+
+# Above this size the centroid matrix ships as an explicit SparkContext
+# broadcast (sent once per executor, referenced by every task) instead
+# of riding each serialized task closure. Small matrices stay in the
+# closure: the broadcast machinery costs a round of torrent blocks that
+# only pays off once the matrix is real data.
+_CENTROID_BCAST_MIN_BYTES = 4 << 20
+
+
 def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
     """Arrow-batched cell assignment: one numpy matmul per batch against
-    the closure-captured centroid matrix (broadcast with the task).
-    Plan size is constant in n_centroids — centroid-as-plan-literal
-    expressions blow up codegen (16 centroids x 128 dims = 2048 literal
-    nodes) and took 15s to compile at 16x128; this takes milliseconds.
-    Stable argsort keeps probe order deterministic across runs."""
+    the centroid matrix. Plan size is constant in n_centroids —
+    centroid-as-plan-literal expressions blow up codegen (16 centroids x
+    128 dims = 2048 literal nodes) and took 15s to compile at 16x128;
+    this takes milliseconds. Stable argsort keeps probe order
+    deterministic across runs.
+
+    Transport: matrices under _CENTROID_BCAST_MIN_BYTES ride the task
+    closure; larger ones (paper-scale cluster counts — 50k x 768 float32
+    is 146 MiB) ship ONCE per executor as an explicit SparkContext
+    broadcast. Identical numerics either way; the dtype (and therefore
+    the gates' float64 exactness) is governed by _centroid_dtype()."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    dt = _centroid_dtype()
+    cmat = np.asarray(centroids, dtype=dt).T  # (dim, k)
+    bc = None
+    if cmat.nbytes >= _CENTROID_BCAST_MIN_BYTES:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            bc = spark.sparkContext.broadcast(cmat)
+            cmat = None  # keep the big matrix out of the task closure
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
+        m = bc.value if bc is not None else cmat
         x = np.vstack(v.to_numpy())  # (batch, dim)
-        sims = x @ cmat
+        if m.dtype != x.dtype:
+            x = x.astype(m.dtype)
+        sims = x @ m
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
@@ -661,6 +713,7 @@ def semdedup(
     centroids: str = "kmeans",
     seed: int = 42,
     max_cluster_droppers: int | None = None,
+    kmeans_sample_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -707,7 +760,13 @@ def semdedup(
             .select("__id", "__v", "__n", "__cluster")
         )
     elif centroids == "kmeans":
-        cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
+        # paper-scale note (r15): training is sample-bounded, so
+        # n_clusters above kmeans_sample_size collapses to one centroid
+        # per sample point (the _kmeans_centroids cap shortcut). At
+        # 50k-cluster scale pass kmeans_sample_size >= a few x n_clusters.
+        cents = _kmeans_centroids(
+            df, vec_col, n_clusters, seed, sample_size=kmeans_sample_size
+        )
         assign1 = _probe_cells_udf(cents, 1)
         assigned = u.withColumn("__cluster", assign1("__v")[0])
     else:

@@ -1284,3 +1284,60 @@ def test_kmeans_centroids_k_at_sample_cap_is_identity(spark):
     got = np.array(sorted(map(tuple, np.round(x, 6))))
     want = np.array(sorted(map(tuple, cents)))
     assert np.allclose(got, want)
+
+
+def test_probe_cells_explicit_broadcast_matches_closure(spark, monkeypatch):
+    """r15: a centroid matrix over _CENTROID_BCAST_MIN_BYTES ships as an
+    explicit SparkContext broadcast (once per executor) instead of
+    riding every task closure — same dtype, so assignments must be
+    bit-identical to closure transport."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(32, 16)).round(6).tolist()
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def assign():
+        probe = sim._probe_cells_udf(cents, 2)
+        rows = df.select("vec_id", probe("embedding").alias("c")).collect()
+        return {r["vec_id"]: tuple(r["c"]) for r in rows}
+
+    closure = assign()  # 32x16 float64 = 4 KiB: closure transport
+    monkeypatch.setattr(sim, "_CENTROID_BCAST_MIN_BYTES", 1)
+    bcast = assign()  # same matrix, forced through the broadcast path
+    assert bcast == closure
+
+
+def test_centroid_dtype_env_knob(spark, monkeypatch):
+    """r15: STRAWBOAT_CENTROID_DTYPE=float32 is the paper-scale lever
+    (146 MiB vs 293 MiB at 50k x 768). It must produce a consistent
+    assignment (every row assigned, cells within range) and reject
+    unknown dtypes loudly; default stays float64 (the gates' exact
+    oracle arithmetic)."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    assert sim._centroid_dtype() == np.dtype("float64")
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(8, 16)).round(6).tolist()
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setenv("STRAWBOAT_CENTROID_DTYPE", "float32")
+    assert sim._centroid_dtype() == np.dtype("float32")
+    probe = sim._probe_cells_udf(cents, 1)
+    rows = df.select("vec_id", probe("embedding").alias("c")).collect()
+    assert len(rows) == 100
+    assert all(0 <= r["c"][0] < 8 for r in rows)
+    monkeypatch.setenv("STRAWBOAT_CENTROID_DTYPE", "float16")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float64|float32"):
+        sim._centroid_dtype()
