@@ -1263,7 +1263,19 @@ def fingerprint_index_init(
     """Persistent EXACT-dedup index: one (fingerprint, survivor id) row
     per distinct content, hash-bucketed by fingerprint — the first
     filter of the incremental pipeline (exact copies are the bulk of
-    crawl duplication; near-dup indexes run on what survives)."""
+    crawl duplication; near-dup indexes run on what survives).
+
+    WHEN THIS INDEX PAYS (measured crossover, BASELINE.md r14, sf10 =
+    500k docs): per-batch appends are flat ~3-5 s, but a full rescan of
+    that corpus is ALSO only ~3.0 s while the index's periodic
+    compaction costs 97.6 s — at local-disk scan speeds the plain
+    fingerprint groupBy over corpus+batch beats the index.  Use the
+    index when re-reading the corpus is the expensive thing (object
+    store at 100 TB: a rescan is petabyte-class IO while the index
+    prunes to the batch's fingerprint buckets) or when per-batch
+    latency must not grow with corpus size.  Below that, a groupBy is
+    cheaper — don't pay the index's compaction for a corpus you can
+    rescan in seconds."""
     from strawboat_spark.table import Table
 
     rows = (
