@@ -1312,6 +1312,11 @@ def test_probe_cells_explicit_broadcast_matches_closure(spark, monkeypatch):
     bcast = assign()  # same matrix, forced through the broadcast path
     assert bcast == closure
 
+    # nprobe=1 argmax fast path == first element of the argsort path
+    one = sim._probe_cells_udf(cents, 1)
+    rows = df.select("vec_id", one("embedding").alias("c")).collect()
+    assert all(r["c"][0] == closure[r["vec_id"]][0] for r in rows)
+
 
 def test_centroid_dtype_env_knob(spark, monkeypatch):
     """r15: STRAWBOAT_CENTROID_DTYPE=float32 is the paper-scale lever
