@@ -360,6 +360,7 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    kmeans_sample_size: int = 2048,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus partitioned into centroid cells;
     each query probes its nprobe nearest cells and reranks exactly.
@@ -367,9 +368,14 @@ def ivf_cosine_topk(
     Scale shape: assignment is a map-side JVM expression (centroids are
     plan literals), the candidate join is an equi-join on cell id —
     per-query work is |probed cells|, not |corpus|. Recall is tunable
-    via nprobe. Output schema matches cosine_topk.
+    via nprobe. Output schema matches cosine_topk. n_centroids above
+    kmeans_sample_size collapses to one centroid per sample point (the
+    training-cap shortcut); at paper-scale cell counts pass a sample a
+    few x the cell count.
     """
-    cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
+    cents = _kmeans_centroids(
+        corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
+    )
     assign1 = _probe_cells_udf(cents, 1)
     # centroid argmax over x@C is invariant under positive scaling of x,
     # so raw vectors pick the same cells as unit vectors
@@ -830,6 +836,7 @@ def ivf_index_init(
     vec_col: str,
     n_centroids: int = 16,
     seed: int = 42,
+    kmeans_sample_size: int = 2048,
 ):
     """Build the persistent IVF index: vectors land hive-partitioned by
     their nearest-centroid cell (so a search's nprobe cells prune to
@@ -838,12 +845,16 @@ def ivf_index_init(
 
     The 100 TB shape: ingest batches append into their cells (one CAS
     flip), a query batch reads only nprobe/n_centroids of the index,
-    and the quantizer is versioned WITH the data it partitioned."""
+    and the quantizer is versioned WITH the data it partitioned.
+    n_centroids above kmeans_sample_size collapses to the training-cap
+    shortcut — pass a sample a few x the cell count at paper scale."""
     import json
 
     from strawboat_spark.table import Table
 
-    cents = _kmeans_centroids(corpus, vec_col, n_centroids, seed)
+    cents = _kmeans_centroids(
+        corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
+    )
     assign1 = _probe_cells_udf(cents, 1)
     rows = corpus.select(
         F.col(id_col), _as_double(vec_col).alias("vec")
