@@ -122,6 +122,7 @@ def generate_wide_embeddings(
     dup_rate: float = 0.05,
     seed: int = 42,
     name: str | None = None,
+    noise: float = 0.25,
 ) -> None:
     """Paper-dims embeddings fixture (r15, VERDICT r14 #2): the driver
     testdata embeddings are dim 64, which understates the centroid
@@ -160,7 +161,12 @@ def generate_wide_embeddings(
             hi = min(lo + chunk, rows)
             ids = np.arange(lo, hi, dtype=np.int64)
             cell = (ids * np.int64(2654435761)) % n_latent
-            vec = centers[cell] + rng.normal(size=(hi - lo, dim)).astype(np.float32) * 0.25
+            # per-dim noise scale: at the 0.25 default the noise NORM is
+            # 0.25*sqrt(dim) (~6.9 at dim 768, ~87% of the vector) — a
+            # stress fixture where generic neighbors are noise-driven.
+            # noise ~0.02 keeps the latent structure dominant (norm
+            # ~0.55), the regime where generic ANN recall is meaningful.
+            vec = centers[cell] + rng.normal(size=(hi - lo, dim)).astype(np.float32) * noise
             # near-duplicates: a dup row re-derives its BASE row's noise
             # from the base id (deterministic without materializing the
             # whole corpus), then perturbs it slightly
@@ -196,10 +202,15 @@ if __name__ == "__main__":
         "(e.g. 768); 0 = skip",
     )
     ap.add_argument("--wide-rows", type=int, default=200_000)
+    ap.add_argument("--wide-noise", type=float, default=0.25)
+    ap.add_argument("--wide-name", default=None)
     ap.add_argument("--wide-only", action="store_true",
                     help="write only the wide-embeddings fixture")
     a = ap.parse_args()
     if not a.wide_only:
         generate(a.src, a.dst, a.factor)
     if a.wide_dim:
-        generate_wide_embeddings(a.dst, rows=a.wide_rows, dim=a.wide_dim)
+        generate_wide_embeddings(
+            a.dst, rows=a.wide_rows, dim=a.wide_dim,
+            noise=a.wide_noise, name=a.wide_name,
+        )
