@@ -19,9 +19,12 @@ Adjudication machinery (r9):
   AQE physical plan string with expression ids / codegen ids / temp
   paths normalized away.  Equal fingerprints across rounds = same plan,
   so a timing delta is environment, not a regression;
-- a canary guard: q6 (pure scan+agg, plan-stable since r1) is compared
-  against its rolling floor; a >40% excess marks the round's JSON with
-  "loaded_host": true so noisy rounds are labeled in-band.
+- a canary guard: q6 (pure scan+agg, plan-stable since r1).  r16: the
+  gate is RELATIVE — this run's canary best vs the previous driver
+  BENCH_r*.json record's (>1.2x => "loaded_host": true), because the
+  absolute floor went stale as q6 got faster (r15: flag said clean on
+  a 1.24x-slower canary).  The absolute floor remains as a secondary
+  catch when no parseable history exists.
 - a PYTHON-WORKER canary (r13): q6 is pure JVM, so it is blind to
   Python-worker-side contention — the axis the r12 drift concentrated
   on (the regressors skewed mapInArrow/pandas-UDF-heavy while q6 was
@@ -47,14 +50,50 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # q6 is the canary: single-table scan + agg, no joins, plan unchanged
 # since r1.  Rolling floor over BENCH_r01..r08 driver runs: 0.29 s.
+# r16: the floor went stale (q6's best drifted to 0.17-0.24 s, so the
+# absolute 0.29*1.4 gate slept through a 1.24x-slower r15 canary) — the
+# PRIMARY gate is now RELATIVE: this run's canary best vs the previous
+# BENCH_r{N}.json record's canary best (>1.2x => loaded).  The absolute
+# floor stays as a secondary catch for a slow FIRST round / missing
+# history.  Both the ratio and the prior record ride the compact line.
 CANARY = "q6_forecast_revenue"
 CANARY_FLOOR = 0.29
+CANARY_REL_GATE = 1.2
 
 # Python-worker canary: 8 tasks x one Arrow batch through mapInArrow.
 # Pure worker round-trip (serialize -> Python -> deserialize), compute
 # negligible.  Floor calibrated on an idle local[32] host (r13):
 # 0.354 s min over 8 post-warmup runs at load<0.6.
 PY_CANARY_FLOOR = 0.35
+
+
+def _prev_canaries() -> dict:
+    """Latest driver BENCH_r*.json record's canary bests, for the
+    relative loaded-host gate.  Returns {} when no parseable history
+    exists (first round / fresh checkout) — the absolute floors then
+    carry the gate alone."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if not isinstance(parsed, dict):
+            continue
+        sec = ((parsed.get("canary") or {}).get("sec"))
+        py_sec = ((parsed.get("canary_py") or {}).get("sec"))
+        if sec is None and py_sec is None:
+            continue
+        return {
+            "round": os.path.basename(path)[len("BENCH_") : -len(".json")],
+            "sec": sec,
+            "py_sec": py_sec,
+        }
+    return {}
 
 
 def _py_canary_once(spark) -> float:
@@ -198,16 +237,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    prev = _prev_canaries()
     canary_sec = timings.get(CANARY)
-    loaded = bool(canary_sec is not None and canary_sec > CANARY_FLOOR * 1.4)
+    rel = (
+        round(canary_sec / prev["sec"], 3)
+        if canary_sec is not None and prev.get("sec")
+        else None
+    )
+    # relative gate primary (vs previous driver record), absolute floor
+    # secondary (catches a slow round with no usable history)
+    loaded = bool(rel is not None and rel > CANARY_REL_GATE) or bool(
+        canary_sec is not None and canary_sec > CANARY_FLOOR * 1.4
+    )
     py_canary_sec = min(py_canary_runs) if py_canary_runs else None
-    loaded_py = bool(
+    rel_py = (
+        round(py_canary_sec / prev["py_sec"], 3)
+        if py_canary_sec is not None and prev.get("py_sec")
+        else None
+    )
+    loaded_py = bool(rel_py is not None and rel_py > CANARY_REL_GATE) or bool(
         py_canary_sec is not None and py_canary_sec > PY_CANARY_FLOOR * 1.4
     )
     canary = {
         "query": CANARY,
         "sec": canary_sec,
         "floor": CANARY_FLOOR,
+        "prev": {"round": prev.get("round"), "sec": prev.get("sec")},
+        "rel": rel,
+        "rel_gate": CANARY_REL_GATE,
         "loaded_host": loaded,
         # raw per-pass canary runs ride the COMPACT line too — the
         # canary-raws-first adjudication protocol (BASELINE.md r13)
@@ -218,6 +275,9 @@ def main() -> None:
         "query": "mapInArrow_roundtrip_8tasks",
         "sec": py_canary_sec,
         "floor": PY_CANARY_FLOOR,
+        "prev": {"round": prev.get("round"), "sec": prev.get("py_sec")},
+        "rel": rel_py,
+        "rel_gate": CANARY_REL_GATE,
         "loaded_host_py": loaded_py,
         "runs": py_canary_runs,
     }

@@ -48,8 +48,18 @@ def main() -> None:
     ap.add_argument("--skip-dedup", action="store_true",
                     help="measure train+assign only (the dedup pair join "
                     "is dtype-independent and was measured at r14)")
+    ap.add_argument("--trainer", default="driver",
+                    choices=["driver", "distributed"],
+                    help="kmeans trainer: 'driver' = sample-collect "
+                    "kmeans++ + driver Lloyd (the r14/r15 path); "
+                    "'distributed' = O(k) random init + Spark-pass Lloyd "
+                    "(kmeans_train_distributed, r16 — the paper-scale "
+                    "k=50k path)")
+    ap.add_argument("--iters", type=int, default=4,
+                    help="Lloyd iterations for --trainer distributed")
     args = ap.parse_args()
-    os.environ["STRAWBOAT_CENTROID_DTYPE"] = args.dtype
+    # dtype is threaded as an explicit parameter (r16, ADVICE r15) —
+    # no process-global env toggle
 
     import pyspark.sql.functions as F
 
@@ -69,14 +79,19 @@ def main() -> None:
 
     sample = args.sample or max(2048, 4 * args.clusters)
     t0 = time.perf_counter()
-    cents = sim._kmeans_centroids(
-        emb, "embedding", args.clusters, seed=42, sample_size=sample
-    )
+    if args.trainer == "distributed":
+        cents = sim.kmeans_train_distributed(
+            emb, "embedding", args.clusters, seed=42, iters=args.iters,
+            sample_size=sample, dtype=args.dtype,
+        )
+    else:
+        cents = sim._kmeans_centroids(
+            emb, "embedding", args.clusters, seed=42, sample_size=sample
+        )
     train_s = time.perf_counter() - t0
     dim = len(cents[0]) if cents else 0
     itemsize = 4 if args.dtype == "float32" else 8
     cmat_bytes = len(cents) * dim * itemsize
-    bcast_used = cmat_bytes >= sim._CENTROID_BCAST_MIN_BYTES
 
     # assignment leg, timed on its own: the kmeans path must assign with
     # a map-only Arrow UDF (no shuffle between scan and assign). The
@@ -87,11 +102,16 @@ def main() -> None:
     # the timed leg measures the matmul, not cold-start; then time ONE
     # fresh-lineage run (re-collecting the same DataFrame reuses the
     # completed shuffle map stage and measures ~0 — found r15)
-    warm = sim._probe_cells_udf(cents[:8], 1)
+    warm = sim._probe_cells_udf(cents[:8], 1, dtype=args.dtype)
     emb.select(sim._as_double("embedding").alias("__v")).withColumn(
         "__c", warm("__v")[0]
     ).agg(F.sum("__c")).collect()
-    assign1 = sim._probe_cells_udf(cents, 1)
+    assign1 = sim._probe_cells_udf(cents, 1, dtype=args.dtype)
+    # OBSERVED from the UDF, not inferred from size arithmetic (ADVICE
+    # r15): True only when _ship_centroids actually created the
+    # SparkContext broadcast (a missing active session would silently
+    # fall back to closure transport — now also warned)
+    bcast_used = assign1.explicit_broadcast
     assigned = (
         emb.select(F.col("vec_id"), sim._as_double("embedding").alias("__v"))
         .withColumn("__cluster", assign1("__v")[0])
@@ -126,6 +146,8 @@ def main() -> None:
             centroids="kmeans",
             seed=42,
             kmeans_sample_size=sample,
+            centroid_dtype=args.dtype,
+            kmeans_trainer=args.trainer,
         )
         kept = out.filter("kept").count()
         total_s = round(time.perf_counter() - t0, 2)
@@ -145,6 +167,8 @@ def main() -> None:
                 "train_sample": sample,
                 "threshold": args.threshold,
                 "dtype": args.dtype,
+                "trainer": args.trainer,
+                "lloyd_iters": args.iters if args.trainer == "distributed" else None,
                 "kmeans_train_s": round(train_s, 2),
                 "assign_s": round(assign_s, 2),
                 "n_assigned": n_assigned,

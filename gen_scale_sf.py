@@ -134,10 +134,16 @@ def generate_wide_embeddings(
 
     Structure matters for an honest SemDeDup measurement: vectors are
     latent-center + noise (n_latent true clusters, so kmeans has
-    something to find) and dup_rate of rows are a near-copy of an
-    earlier row in the same latent cell (cosine >= ~0.99, so the
-    threshold actually drops rows).  Deterministic in (seed, rows, dim);
-    written in 20k-row chunks so peak memory stays ~60 MB at dim 768."""
+    something to find) and dup_rate of rows COPY THE PREVIOUS ROW's
+    vector with a tiny perturbation (cosine >= ~0.99, so the threshold
+    actually drops rows) and INHERIT that row's latent cell/label, so
+    label-conditioned analyses stay consistent with the embedding
+    (r16, ADVICE r15 — previously the dup kept its own id-derived
+    label while carrying the neighbor's vector).  A dup whose base
+    falls before its chunk boundary is skipped, so the effective dup
+    rate is ~dup_rate*(1 - 1/chunk).  Deterministic in (seed, rows,
+    dim); written in 20k-row chunks so peak memory stays ~60 MB at
+    dim 768."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -167,13 +173,15 @@ def generate_wide_embeddings(
             # noise ~0.02 keeps the latent structure dominant (norm
             # ~0.55), the regime where generic ANN recall is meaningful.
             vec = centers[cell] + rng.normal(size=(hi - lo, dim)).astype(np.float32) * noise
-            # near-duplicates: a dup row re-derives its BASE row's noise
-            # from the base id (deterministic without materializing the
-            # whole corpus), then perturbs it slightly
+            # near-duplicates: a dup row copies the PREVIOUS row's
+            # vector (slightly perturbed) and inherits its latent cell,
+            # keeping label consistent with the embedding; chunk-initial
+            # dups (base before lo) are skipped
             is_dup = (ids % max(2, round(1 / dup_rate))) == 1
-            base = ids - 1  # previous row, same chunk except lo (handled below)
-            for j in np.flatnonzero(is_dup & (base >= lo)):
+            dup_j = np.flatnonzero(is_dup & (ids - 1 >= lo))
+            for j in dup_j:
                 vec[j] = vec[j - 1] + rng.normal(size=dim).astype(np.float32) * 0.01
+            cell[dup_j] = cell[dup_j - 1]
             tbl = pa.table(
                 {
                     "vec_id": ids,

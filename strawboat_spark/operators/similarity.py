@@ -212,6 +212,13 @@ def lsh_cosine_topk(
     )
 
 
+# Above this k, driver-side kmeans++ seeding (~10 ms x k, sequential)
+# is the dominant training cost — _kmeans_centroids warns and points at
+# kmeans_train_distributed.  r15 measured k=4096 as comfortably fine
+# (1.4 s train); 50k is ~8 min of seeding alone.
+_DRIVER_KMEANS_WARN_K = 8192
+
+
 def _kmeans_centroids(
     df: DataFrame, vec_col: str, n_centroids: int, seed: int, sample_size: int = 2048, iters: int = 5
 ) -> list[list[float]]:
@@ -227,7 +234,27 @@ def _kmeans_centroids(
     TakeOrderedAndProject: per-partition top-k, driver merge) is a
     simple random sample without replacement in ONE corpus pass — the
     previous count()+sample() recipe cost a full extra scan just to
-    size the fraction."""
+    size the fraction.
+
+    PAPER-SCALE SEAM (r16): the kmeans++ seeding loop below is
+    Python-per-centroid and inherently sequential (~10 ms x k: each
+    pick reweights d2 on the previous), and Lloyd holds the whole
+    sample driver-side — at the SemDeDup paper's k=50k that is ~8 min
+    of seeding alone.  Above _DRIVER_KMEANS_WARN_K this warns and
+    points at kmeans_train_distributed, whose init is O(k) and whose
+    Lloyd iterations are Spark passes."""
+    if n_centroids > _DRIVER_KMEANS_WARN_K:
+        import warnings
+
+        warnings.warn(
+            f"_kmeans_centroids: n_centroids={n_centroids} runs a sequential "
+            f"driver-side kmeans++ seeding loop (~10 ms per centroid); above "
+            f"{_DRIVER_KMEANS_WARN_K} use kmeans_train_distributed (O(k) init, "
+            "Spark-pass Lloyd) via kmeans_trainer='distributed' or pass "
+            "pre-trained centroids.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     rows = (
         df.select(vec_col)
         .withColumn("_priority", F.rand(seed))
@@ -279,22 +306,166 @@ def _kmeans_centroids(
     return cent.round(6).tolist()
 
 
-def _centroid_dtype():
+def kmeans_train_distributed(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    iters: int = 4,
+    sample_size: int | None = None,
+    dtype: str | None = None,
+) -> list[list[float]]:
+    """Paper-scale kmeans training (VERDICT r15 #4): spherical Lloyd
+    where every iteration is ONE Spark pass over the training set —
+    nothing driver-side ever scales past the centroid matrix itself.
+
+    Why _kmeans_centroids can't go there: its kmeans++ seeding loop is
+    Python-per-centroid (~10 ms x k, sequential by construction — each
+    pick reweights on the previous) and its Lloyd matmul holds the whole
+    sample driver-side.  At the SemDeDup paper's k=50k that's ~8 min of
+    seeding before Lloyd starts.  This trainer replaces both:
+
+    - init: k vectors drawn uniformly at random from the training set
+      (rand-priority TakeOrdered, one pass; vectors cross as packed
+      float64 blobs, never as driver Row objects).  Random init is the
+      standard coarse-quantizer recipe at large k (faiss trains IVF
+      quantizers the same way) — kmeans++'s seeding guarantee buys
+      little when k is 4x+ the final Lloyd iteration count can fix, and
+      it cannot be parallelized.
+    - each Lloyd iteration: centroids ship via _ship_centroids (explicit
+      once-per-executor broadcast above 4 MiB), a mapInPandas pass
+      computes per-PARTITION partial sums per cell (dense batch matmul +
+      np.add.at, emitted as (cell, n, float64-blob) — at most
+      partitions x touched-cells rows), a groupBy(cell) applyInPandas
+      reduce leaves exactly one row per non-empty cell, and the driver
+      collects k rows ~ one centroid matrix to form the next round.
+      Empty cells keep their previous centroid.
+
+    Training is still sample-bounded by design (sample_size; None trains
+    on the full df) — the point of the distributed form is that the
+    bound can now be millions of rows and k can be the paper's 50k
+    without a driver hot loop.  Assignment dtype follows
+    _centroid_dtype(dtype); partial sums stay float64 regardless.
+    Returns round(6) unit-norm centroids, same contract as
+    _kmeans_centroids."""
+    dt = _centroid_dtype(dtype)
+    train = df.select(_as_double(vec_col).alias("__v"))
+    if sample_size is not None:
+        train = (
+            train.withColumn("__p", F.rand(seed))
+            .orderBy("__p")
+            .limit(int(sample_size))
+            .select("__v")
+        )
+    train = train.persist()
+    try:
+        k = int(n_centroids)
+
+        def _pack(it):
+            for pdf in it:
+                vecs = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame({"b": [v.tobytes() for v in vecs]})
+
+        init_blobs = (
+            train.withColumn("__p", F.rand(seed + 1))
+            .orderBy("__p")
+            .limit(k)
+            .select("__v")
+            .mapInPandas(_pack, "b binary")
+            .collect()
+        )
+        if not init_blobs:
+            return []
+        cent = np.vstack([np.frombuffer(r[0], np.float64) for r in init_blobs])
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        k = len(cent)  # training set may be smaller than n_centroids
+        dim = cent.shape[1]
+
+        def _reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = np.zeros(dim, dtype=np.float64)
+            for blob in pdf["s"]:
+                s += np.frombuffer(blob, np.float64)
+            return pd.DataFrame(
+                {"cell": [pdf["cell"].iloc[0]], "n": [int(pdf["n"].sum())], "s": [s.tobytes()]}
+            )
+
+        for _ in range(max(1, int(iters))):
+            cmat, bc = _ship_centroids(np.ascontiguousarray(cent.astype(dt).T))
+
+            def _partials(it, _cmat=cmat, _bc=bc):
+                m = _bc.value if _bc is not None else _cmat
+                acc: dict[int, list] = {}
+                for pdf in it:
+                    x = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                    a = (x.astype(m.dtype) @ m).argmax(axis=1)
+                    uniq, inv = np.unique(a, return_inverse=True)
+                    sums = np.zeros((len(uniq), x.shape[1]), dtype=np.float64)
+                    np.add.at(sums, inv, x)
+                    counts = np.bincount(inv, minlength=len(uniq))
+                    for c, n, s in zip(uniq.tolist(), counts.tolist(), sums):
+                        got = acc.get(c)
+                        if got is None:
+                            acc[c] = [n, s]
+                        else:
+                            got[0] += n
+                            got[1] += s
+                if acc:
+                    cells = sorted(acc)
+                    yield pd.DataFrame(
+                        {
+                            "cell": np.array(cells, dtype=np.int32),
+                            "n": np.array([acc[c][0] for c in cells], dtype=np.int64),
+                            "s": [acc[c][1].tobytes() for c in cells],
+                        }
+                    )
+
+            rows = (
+                train.mapInPandas(_partials, "cell int, n long, s binary")
+                .groupBy("cell")
+                .applyInPandas(_reduce_cell, "cell int, n long, s binary")
+                .collect()
+            )
+            new_cent = cent.copy()
+            for r in rows:
+                m = np.frombuffer(r["s"], np.float64) / max(r["n"], 1)
+                new_cent[r["cell"]] = m / max(np.linalg.norm(m), 1e-12)
+            cent = new_cent
+            if bc is not None:
+                try:
+                    bc.unpersist(blocking=False)
+                except Exception:
+                    pass
+                try:
+                    _LIVE_CENTROID_BCASTS.remove(bc)
+                except ValueError:
+                    pass
+        return cent.round(6).tolist()
+    finally:
+        train.unpersist()
+
+
+def _centroid_dtype(dtype: str | None = None):
     """Matmul dtype for centroid assignment. float64 (default) keeps the
     assignment bit-identical to the SQL oracles' double arithmetic —
-    every gate runs there. STRAWBOAT_CENTROID_DTYPE=float32 is the
-    documented paper-scale lever (Abbas et al. 2023 run 50k clusters at
-    dim 768: 293 MiB float64 vs 146 MiB float32) — it halves the
-    broadcast and roughly doubles matmul throughput, at the price of
-    possible argmax flips on near-tied cells (a cell-boundary
-    perturbation, not an error: SemDeDup/IVF semantics only need a
-    consistent partition, and assignment uses the SAME dtype for every
-    row)."""
+    every gate runs there. float32 is the documented paper-scale lever
+    (Abbas et al. 2023 run 50k clusters at dim 768: 293 MiB float64 vs
+    146 MiB float32) — it halves the broadcast and roughly doubles
+    matmul throughput, at the price of possible argmax flips on
+    near-tied cells (a cell-boundary perturbation, not an error:
+    SemDeDup/IVF semantics only need a consistent partition, and
+    assignment uses the SAME dtype for every row).
+
+    r16 (ADVICE r15): dtype is an explicit PARAMETER threaded through
+    every entry point (semdedup/ivf_*), same as kmeans_sample_size —
+    the STRAWBOAT_CENTROID_DTYPE env var is only the default for
+    callers that don't pass one, so toggling it no longer silently
+    changes concurrently-built assignment UDFs."""
     import os
 
-    d = os.environ.get("STRAWBOAT_CENTROID_DTYPE", "float64")
+    d = dtype or os.environ.get("STRAWBOAT_CENTROID_DTYPE", "float64")
     if d not in ("float64", "float32"):
-        raise ValueError(f"STRAWBOAT_CENTROID_DTYPE must be float64|float32, got {d!r}")
+        raise ValueError(f"centroid dtype must be float64|float32, got {d!r}")
     return np.dtype(d)
 
 
@@ -305,8 +476,67 @@ def _centroid_dtype():
 # only pays off once the matrix is real data.
 _CENTROID_BCAST_MIN_BYTES = 4 << 20
 
+# Live centroid Broadcast handles created by _ship_centroids, in
+# creation order (r16 lifecycle, VERDICT r15 #5 / ADVICE r15): explicit
+# broadcasts pin one executor-resident copy each (146 MiB at paper
+# scale) for as long as they live — a long session issuing many
+# paper-scale probe UDFs accumulates them unless reclaimed.  Each probe
+# UDF carries its own `.release()`; `release_centroid_broadcasts()`
+# reclaims everything outstanding session-wide.  unpersist (not
+# destroy) is used, so a plan that still references a released
+# broadcast re-fetches it from the driver — release is always safe.
+_LIVE_CENTROID_BCASTS: list = []
 
-def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
+
+def _ship_centroids(cmat: np.ndarray):
+    """Pick the transport for a centroid matrix: task closure under
+    _CENTROID_BCAST_MIN_BYTES, explicit SparkContext broadcast (sent
+    once per executor) above it.  Returns (closure_mat, bc) — exactly
+    one is non-None.  Falling back to closure transport at broadcast
+    size (no active session) is numerically identical but ships the
+    matrix with EVERY task, so it warns loudly instead of silently."""
+    from pyspark.sql import SparkSession
+
+    if cmat.nbytes < _CENTROID_BCAST_MIN_BYTES:
+        return cmat, None
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        import warnings
+
+        warnings.warn(
+            f"centroid matrix is {cmat.nbytes >> 20} MiB but no active "
+            "SparkSession was found: falling back to task-closure "
+            "transport, which re-ships the matrix with every task. "
+            "Build the probe UDF while a session is active to get the "
+            "once-per-executor broadcast.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return cmat, None
+    bc = spark.sparkContext.broadcast(cmat)
+    _LIVE_CENTROID_BCASTS.append(bc)
+    return None, bc
+
+
+def release_centroid_broadcasts() -> int:
+    """Unpersist every outstanding explicit centroid broadcast created
+    in this session (idempotent; returns how many were released).  Call
+    after the jobs consuming semdedup/ivf_* results have completed to
+    reclaim executor memory in long-lived sessions — released
+    broadcasts are re-fetched from the driver if a lingering plan still
+    needs them, so this never breaks correctness."""
+    n = 0
+    while _LIVE_CENTROID_BCASTS:
+        bc = _LIVE_CENTROID_BCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def _probe_cells_udf(centroids: list[list[float]], nprobe: int, dtype: str | None = None):
     """Arrow-batched cell assignment: one numpy matmul per batch against
     the centroid matrix. Plan size is constant in n_centroids —
     centroid-as-plan-literal expressions blow up codegen (16 centroids x
@@ -318,21 +548,22 @@ def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
     closure; larger ones (paper-scale cluster counts — 50k x 768 float32
     is 146 MiB) ship ONCE per executor as an explicit SparkContext
     broadcast. Identical numerics either way; the dtype (and therefore
-    the gates' float64 exactness) is governed by _centroid_dtype()."""
-    from pyspark.sql import SparkSession
+    the gates' float64 exactness) is governed by _centroid_dtype(dtype).
+
+    Lifecycle (r16): the returned UDF exposes
+      .explicit_broadcast  — whether an explicit broadcast was created
+                             (observed, not inferred from size math)
+      .centroid_broadcast  — the Broadcast handle or None
+      .release()           — unpersist it (idempotent, non-blocking)
+    Explicit broadcasts are also tracked session-wide; see
+    release_centroid_broadcasts()."""
     from pyspark.sql.functions import pandas_udf
 
-    dt = _centroid_dtype()
-    cmat = np.asarray(centroids, dtype=dt).T  # (dim, k)
-    bc = None
-    if cmat.nbytes >= _CENTROID_BCAST_MIN_BYTES:
-        spark = SparkSession.getActiveSession()
-        if spark is not None:
-            bc = spark.sparkContext.broadcast(cmat)
-            cmat = None  # keep the big matrix out of the task closure
+    dt = _centroid_dtype(dtype)
+    cmat, bc = _ship_centroids(np.asarray(centroids, dtype=dt).T)  # (dim, k)
 
     @pandas_udf("array<int>")
-    def probe(v: pd.Series) -> pd.Series:
+    def _probe(v: pd.Series) -> pd.Series:
         m = bc.value if bc is not None else cmat
         x = np.vstack(v.to_numpy())  # (batch, dim)
         if m.dtype != x.dtype:
@@ -348,7 +579,21 @@ def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
-    return probe
+    def _release() -> None:
+        if bc is not None:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:
+                pass
+            try:
+                _LIVE_CENTROID_BCASTS.remove(bc)
+            except ValueError:
+                pass  # already reclaimed by release_centroid_broadcasts
+
+    _probe.explicit_broadcast = bc is not None
+    _probe.centroid_broadcast = bc
+    _probe.release = _release
+    return _probe
 
 
 def ivf_cosine_topk(
@@ -361,6 +606,7 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     seed: int = 42,
     kmeans_sample_size: int = 2048,
+    centroid_dtype: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus partitioned into centroid cells;
     each query probes its nprobe nearest cells and reranks exactly.
@@ -371,18 +617,19 @@ def ivf_cosine_topk(
     via nprobe. Output schema matches cosine_topk. n_centroids above
     kmeans_sample_size collapses to one centroid per sample point (the
     training-cap shortcut); at paper-scale cell counts pass a sample a
-    few x the cell count.
+    few x the cell count.  centroid_dtype: float64 (default, oracle
+    exact) | float32 (paper-scale assignment lever).
     """
     cents = _kmeans_centroids(
         corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
     )
-    assign1 = _probe_cells_udf(cents, 1)
+    assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     # centroid argmax over x@C is invariant under positive scaling of x,
     # so raw vectors pick the same cells as unit vectors
     c = _with_vec_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
     c = c.withColumn("cell", assign1("cv")[0])
 
-    probe_n = _probe_cells_udf(cents, nprobe)
+    probe_n = _probe_cells_udf(cents, nprobe, dtype=centroid_dtype)
     q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     qe = q.select("query_id", "qv", "qn", F.explode(probe_n("qv")).alias("cell"))
     scored = (
@@ -727,6 +974,8 @@ def semdedup(
     seed: int = 42,
     max_cluster_droppers: int | None = None,
     kmeans_sample_size: int = 2048,
+    centroid_dtype: str | None = None,
+    kmeans_trainer: str = "driver",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -776,11 +1025,28 @@ def semdedup(
         # paper-scale note (r15): training is sample-bounded, so
         # n_clusters above kmeans_sample_size collapses to one centroid
         # per sample point (the _kmeans_centroids cap shortcut). At
-        # 50k-cluster scale pass kmeans_sample_size >= a few x n_clusters.
-        cents = _kmeans_centroids(
-            df, vec_col, n_clusters, seed, sample_size=kmeans_sample_size
-        )
-        assign1 = _probe_cells_udf(cents, 1)
+        # 50k-cluster scale pass kmeans_sample_size >= a few x n_clusters
+        # — or kmeans_trainer="distributed", whose Lloyd iterations run
+        # as Spark passes (see kmeans_train_distributed) and whose init
+        # cost is O(k) instead of the driver kmeans++ loop's ~10 ms x k.
+        if kmeans_trainer == "distributed":
+            cents = kmeans_train_distributed(
+                df,
+                vec_col,
+                n_clusters,
+                seed=seed,
+                sample_size=kmeans_sample_size,
+                dtype=centroid_dtype,
+            )
+        elif kmeans_trainer == "driver":
+            cents = _kmeans_centroids(
+                df, vec_col, n_clusters, seed, sample_size=kmeans_sample_size
+            )
+        else:
+            raise ValueError(
+                f"semdedup: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
+            )
+        assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
         assigned = u.withColumn("__cluster", assign1("__v")[0])
     else:
         raise ValueError(f"semdedup: centroids must be kmeans|seed, got {centroids!r}")
@@ -837,6 +1103,8 @@ def ivf_index_init(
     n_centroids: int = 16,
     seed: int = 42,
     kmeans_sample_size: int = 2048,
+    centroid_dtype: str | None = None,
+    kmeans_trainer: str = "driver",
 ):
     """Build the persistent IVF index: vectors land hive-partitioned by
     their nearest-centroid cell (so a search's nprobe cells prune to
@@ -847,26 +1115,47 @@ def ivf_index_init(
     flip), a query batch reads only nprobe/n_centroids of the index,
     and the quantizer is versioned WITH the data it partitioned.
     n_centroids above kmeans_sample_size collapses to the training-cap
-    shortcut — pass a sample a few x the cell count at paper scale."""
+    shortcut — pass a sample a few x the cell count at paper scale, or
+    kmeans_trainer="distributed" for Spark-pass Lloyd iterations with
+    O(k) init (kmeans_train_distributed)."""
     import json
 
     from strawboat_spark.table import Table
 
-    cents = _kmeans_centroids(
-        corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
-    )
-    assign1 = _probe_cells_udf(cents, 1)
+    if kmeans_trainer == "distributed":
+        cents = kmeans_train_distributed(
+            corpus,
+            vec_col,
+            n_centroids,
+            seed=seed,
+            sample_size=kmeans_sample_size,
+            dtype=centroid_dtype,
+        )
+    elif kmeans_trainer == "driver":
+        cents = _kmeans_centroids(
+            corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
+        )
+    else:
+        raise ValueError(
+            f"ivf_index_init: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
+        )
+    assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     rows = corpus.select(
         F.col(id_col), _as_double(vec_col).alias("vec")
     ).withColumn("cell", assign1("vec")[0].cast("int"))
     t = Table(spark, index_path)
-    t.overwrite(
-        rows,
-        partition_by="cell",
-        manifest_properties=json.dumps(
-            {"ivf_centroids": [[float(x) for x in c] for c in cents]}
-        ),
-    )
+    try:
+        t.overwrite(
+            rows,
+            partition_by="cell",
+            manifest_properties=json.dumps(
+                {"ivf_centroids": [[float(x) for x in c] for c in cents]}
+            ),
+        )
+    finally:
+        # the write is eager — the assignment UDF's broadcast (if any)
+        # has served its jobs by the time overwrite returns
+        assign1.release()
     return t
 
 
@@ -883,18 +1172,28 @@ def _ivf_index_centroids(index_path: str) -> list[list[float]]:
     return cents
 
 
-def ivf_index_append(spark, index_path: str, new_vecs: DataFrame, id_col: str, vec_col: str):
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_dtype: str | None = None,
+):
     """Assign a new batch to the index's EXISTING cells (the quantizer
     from the manifest — no retrain, so old cells stay valid) and append
     in one CAS flip."""
     from strawboat_spark.table import Table
 
     cents = _ivf_index_centroids(index_path)
-    assign1 = _probe_cells_udf(cents, 1)
+    assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     rows = new_vecs.select(
         F.col(id_col), _as_double(vec_col).alias("vec")
     ).withColumn("cell", assign1("vec")[0].cast("int"))
-    Table(spark, index_path).append(rows, partition_by="cell")
+    try:
+        Table(spark, index_path).append(rows, partition_by="cell")
+    finally:
+        assign1.release()
 
 
 def ivf_index_search(
@@ -905,6 +1204,7 @@ def ivf_index_search(
     vec_col: str,
     k: int = 10,
     nprobe: int = 4,
+    centroid_dtype: str | None = None,
 ) -> DataFrame:
     """Top-k cosine search against the persistent index: queries probe
     their nprobe nearest cells, the index scan prunes to those cell
@@ -913,7 +1213,7 @@ def ivf_index_search(
     from strawboat_spark.table import Table
 
     cents = _ivf_index_centroids(index_path)
-    probe_n = _probe_cells_udf(cents, nprobe)
+    probe_n = _probe_cells_udf(cents, nprobe, dtype=centroid_dtype)
     q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     qe = q.select(
         "query_id", "qv", "qn", F.explode(probe_n("qv")).alias("cell")

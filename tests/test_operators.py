@@ -1346,3 +1346,179 @@ def test_centroid_dtype_env_knob(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="float64|float32"):
         sim._centroid_dtype()
+
+
+def test_centroid_dtype_param_overrides_env(monkeypatch):
+    """r16 (ADVICE r15): dtype is threaded as an explicit parameter —
+    the env var is only the default, so a caller toggling the env for
+    one operator can't change a UDF built with an explicit dtype."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    monkeypatch.setenv("STRAWBOAT_CENTROID_DTYPE", "float32")
+    assert sim._centroid_dtype() == np.dtype("float32")
+    assert sim._centroid_dtype("float64") == np.dtype("float64")
+    with pytest.raises(ValueError, match="float64|float32"):
+        sim._centroid_dtype("float16")
+
+
+def test_probe_cells_broadcast_lifecycle(spark, monkeypatch):
+    """r16 (VERDICT r15 #5): explicit centroid broadcasts are observable
+    and reclaimable — the UDF exposes .explicit_broadcast (observed, not
+    size-inferred) and .release(); repeated constructions don't
+    accumulate live handles once released; a released broadcast is only
+    unpersisted (not destroyed), so the UDF still computes."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(16, 8)).round(6).tolist()
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+
+    small = sim._probe_cells_udf(cents, 1)
+    assert small.explicit_broadcast is False and small.centroid_broadcast is None
+    small.release()  # no-op, must not raise
+
+    monkeypatch.setattr(sim, "_CENTROID_BCAST_MIN_BYTES", 1)
+    before = len(sim._LIVE_CENTROID_BCASTS)
+    probes = [sim._probe_cells_udf(cents, 1) for _ in range(3)]
+    assert all(p.explicit_broadcast for p in probes)
+    assert len(sim._LIVE_CENTROID_BCASTS) == before + 3
+
+    # per-UDF release removes exactly its own handle, idempotently
+    probes[0].release()
+    probes[0].release()
+    assert len(sim._LIVE_CENTROID_BCASTS) == before + 2
+
+    # a released broadcast is unpersisted, not destroyed: the plan that
+    # still references it re-fetches from the driver and stays correct
+    probes[1].release()
+    rows = df.select("vec_id", probes[1]("embedding").alias("c")).collect()
+    assert len(rows) == 50 and all(0 <= r["c"][0] < 16 for r in rows)
+
+    # session-wide reclaim drains whatever is still outstanding
+    n = sim.release_centroid_broadcasts()
+    assert n >= 1
+    assert not sim._LIVE_CENTROID_BCASTS
+    assert sim.release_centroid_broadcasts() == 0
+
+
+def test_probe_cells_warns_on_closure_fallback_at_broadcast_size(spark, monkeypatch):
+    """r16 (VERDICT r15 watch): a >=4 MiB matrix with no active session
+    silently rode every task closure — now it warns loudly (numerics
+    unchanged)."""
+    import warnings
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    import strawboat_spark.operators.similarity as sim
+
+    cents = np.random.default_rng(5).normal(size=(8, 4)).round(6).tolist()
+    monkeypatch.setattr(sim, "_CENTROID_BCAST_MIN_BYTES", 1)
+    monkeypatch.setattr(SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        probe = sim._probe_cells_udf(cents, 1)
+    assert probe.explicit_broadcast is False
+    assert any("task-closure transport" in str(x.message) for x in w)
+
+
+def test_kmeans_train_distributed_contract(spark):
+    """r16 (VERDICT r15 #4): the paper-scale trainer — O(k) random init,
+    each Lloyd iteration one Spark pass (mapInPandas partial sums +
+    groupBy(cell) reduce).  Contract parity with _kmeans_centroids:
+    unit-norm round(6) centroids, deterministic in seed, k capped by the
+    training set, and quality on par with the driver trainer on a
+    separable corpus (every latent cluster covered)."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    # 4 well-separated latent clusters in 8 dims
+    rng = np.random.default_rng(0)
+    centers = np.eye(4, 8) * 10.0
+    rows = [
+        (i, (centers[i % 4] + rng.normal(size=8) * 0.05).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = sim.kmeans_train_distributed(df, "embedding", 4, seed=7, iters=4)
+    assert len(cents) == 4
+    c = np.array(cents)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+    # every latent cluster recovered: each true (normalized) center has
+    # a trained centroid at cosine > 0.99
+    t = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assert (t @ c.T).max(axis=1).min() > 0.99
+
+    # deterministic in seed
+    again = sim.kmeans_train_distributed(df, "embedding", 4, seed=7, iters=4)
+    assert cents == again
+
+    # k capped by the training set size (parity with the driver trainer)
+    few = sim.kmeans_train_distributed(df, "embedding", 100, seed=7, iters=1, sample_size=10)
+    assert len(few) == 10
+
+    # threads through semdedup's trainer switch
+    out = sim.semdedup(
+        df, "vec_id", "embedding", n_clusters=4, kmeans_trainer="distributed"
+    )
+    assert out.count() == 400
+    with pytest.raises(ValueError, match="driver|distributed"):
+        sim.semdedup(df, "vec_id", "embedding", kmeans_trainer="bogus").count()
+
+
+def test_driver_kmeans_warns_at_paper_scale_k(spark, monkeypatch):
+    """r16: the driver trainer's sequential kmeans++ seeding is the
+    documented paper-scale seam — above _DRIVER_KMEANS_WARN_K it must
+    point at kmeans_train_distributed instead of silently burning
+    ~10 ms x k on the driver."""
+    import warnings
+
+    import strawboat_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "_DRIVER_KMEANS_WARN_K", 8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cents = sim._kmeans_centroids(df, "embedding", 9, seed=1, sample_size=30)
+    assert cents
+    assert any("kmeans_train_distributed" in str(x.message) for x in w)
+
+
+def test_wide_fixture_dups_inherit_base_cell_and_label(tmp_path):
+    """r16 (ADVICE r15): a planted near-dup copies the PREVIOUS row's
+    vector — its latent cell/label must come from that base row too, or
+    ~dup_rate of rows carry labels inconsistent with their embeddings
+    and label-conditioned analyses on the fixture are misread."""
+    import sys
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    from gen_scale_sf import generate_wide_embeddings
+
+    generate_wide_embeddings(
+        str(tmp_path), rows=400, dim=8, n_latent=16, dup_rate=0.05, seed=3, noise=0.05
+    )
+    t = pq.read_table(str(tmp_path / "embeddings8.parquet"))
+    vec = np.vstack(t["embedding"].to_numpy())
+    label = t["label"].to_numpy()
+    dup_ids = [i for i in range(1, 400) if i % 20 == 1]
+    assert dup_ids
+    for i in dup_ids:
+        a, b = vec[i], vec[i - 1]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.99, (i, cos)
+        assert label[i] == label[i - 1], (i, label[i], label[i - 1])
