@@ -344,41 +344,51 @@ def kmeans_train_distributed(
     Training is still sample-bounded by design (sample_size; None trains
     on the full df) — the point of the distributed form is that the
     bound can now be millions of rows and k can be the paper's 50k
-    without a driver hot loop.  Assignment dtype follows
-    _centroid_dtype(dtype); partial sums stay float64 regardless.
-    Returns round(6) unit-norm centroids, same contract as
+    without a driver hot loop.  sample_size is a TARGET, not an exact
+    count: sampling is a Bernoulli rand-filter (ONE map-only pass — a
+    rand-priority TakeOrdered like _kmeans_centroids' would per-
+    partition-heap and single-task-merge sample_size FAT vector rows,
+    which measured minutes-stuck at 200k x 768), so the realized sample
+    is binomial around the target (±~1% at 10k+).  Init draws k rows
+    the same way (filter sized k + 5*sqrt(k) + 16, then a seeded
+    driver-side permutation takes exactly k; shortfall probability
+    ~1e-6, covered by a whole-sample fallback).  Assignment dtype
+    follows _centroid_dtype(dtype); partial sums stay float64
+    regardless.  Returns round(6) unit-norm centroids, same contract as
     _kmeans_centroids."""
     dt = _centroid_dtype(dtype)
     train = df.select(_as_double(vec_col).alias("__v"))
     if sample_size is not None:
-        train = (
-            train.withColumn("__p", F.rand(seed))
-            .orderBy("__p")
-            .limit(int(sample_size))
-            .select("__v")
-        )
+        n_total = train.count()  # column-pruned: a metadata count on file sources
+        if n_total == 0:
+            return []
+        if sample_size < n_total:
+            train = train.filter(F.rand(seed) < float(sample_size) / n_total)
     train = train.persist()
     try:
-        k = int(n_centroids)
+        n_train = train.count()  # materializes the persist
+        if n_train == 0:
+            return []
+        k = min(int(n_centroids), n_train)
 
         def _pack(it):
             for pdf in it:
-                vecs = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
-                yield pd.DataFrame({"b": [v.tobytes() for v in vecs]})
+                if len(pdf):
+                    vecs = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                    yield pd.DataFrame({"b": [v.tobytes() for v in vecs]})
 
+        init_frac = min(1.0, (k + 5.0 * np.sqrt(k) + 16.0) / n_train)
         init_blobs = (
-            train.withColumn("__p", F.rand(seed + 1))
-            .orderBy("__p")
-            .limit(k)
-            .select("__v")
+            train.filter(F.rand(seed + 1) < init_frac)
             .mapInPandas(_pack, "b binary")
             .collect()
         )
-        if not init_blobs:
-            return []
+        if len(init_blobs) < k:  # binomial shortfall (~1e-6): take it all
+            init_blobs = train.mapInPandas(_pack, "b binary").collect()
         cent = np.vstack([np.frombuffer(r[0], np.float64) for r in init_blobs])
+        cent = cent[np.random.default_rng(seed).permutation(len(cent))[:k]]
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-        k = len(cent)  # training set may be smaller than n_centroids
+        k = len(cent)
         dim = cent.shape[1]
 
         def _reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:

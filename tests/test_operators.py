@@ -1463,8 +1463,16 @@ def test_kmeans_train_distributed_contract(spark):
     assert cents == again
 
     # k capped by the training set size (parity with the driver trainer)
-    few = sim.kmeans_train_distributed(df, "embedding", 100, seed=7, iters=1, sample_size=10)
-    assert len(few) == 10
+    few = sim.kmeans_train_distributed(df, "embedding", 1000, seed=7, iters=1)
+    assert len(few) == 400
+
+    # sample_size is a TARGET (Bernoulli filter, one map-only pass — no
+    # global sort of fat vector rows): realized sample is binomial
+    # around it, and k centroids still come back exactly
+    sampled = sim.kmeans_train_distributed(
+        df, "embedding", 5, seed=7, iters=2, sample_size=50
+    )
+    assert len(sampled) == 5
 
     # threads through semdedup's trainer switch
     out = sim.semdedup(
