@@ -8,8 +8,11 @@ this harness measures its scale corners:
   r15: PAPER dims (Abbas et al. 2023 run dim 768 at ~50k clusters) —
        the wide fixture from `gen_scale_sf.py --wide-dim 768`, with the
        centroid matrix shipped float32 as an explicit SparkContext
-       broadcast (STRAWBOAT_CENTROID_DTYPE=float32 + the size-triggered
-       broadcast in similarity._probe_cells_udf).
+       broadcast (--dtype float32, threaded as an explicit parameter
+       since r16, + the size-triggered broadcast in
+       similarity._probe_cells_udf),
+  r16: paper-k TRAINING (--trainer distributed --clusters 50000) via
+       kmeans_train_distributed — O(k) init + Spark-pass Lloyd.
 
 Checks confirmed per run:
   (a) wall time and its split (bounded-sample centroid training vs the

@@ -335,10 +335,15 @@ def kmeans_train_distributed(
     - each Lloyd iteration: centroids ship via _ship_centroids (explicit
       once-per-executor broadcast above 4 MiB), a mapInPandas pass
       computes per-PARTITION partial sums per cell (dense batch matmul +
-      np.add.at, emitted as (cell, n, float64-blob) — at most
-      partitions x touched-cells rows), a groupBy(cell) applyInPandas
-      reduce leaves exactly one row per non-empty cell, and the driver
-      collects k rows ~ one centroid matrix to form the next round.
+      np.add.at, emitted as (cell, pid, n, float64-blob) — at most
+      partitions x touched-cells rows), a hash-repartition-by-cell +
+      vectorized mapInPandas reduce (_reduce_cells; NOT groupBy
+      .applyInPandas, whose per-group pandas overhead is ~1 ms x k per
+      iteration) leaves exactly one row per non-empty cell, and the
+      driver collects k rows ~ one centroid matrix to form the next
+      round.  Partials are sorted by (cell, pid) before summing so the
+      float accumulation order — and therefore the trained centroids —
+      is deterministic despite nondeterministic shuffle arrival.
       Empty cells keep their previous centroid.
 
     Training is still sample-bounded by design (sample_size; None trains
@@ -391,19 +396,46 @@ def kmeans_train_distributed(
         k = len(cent)
         dim = cent.shape[1]
 
-        def _reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-            s = np.zeros(dim, dtype=np.float64)
-            for blob in pdf["s"]:
-                s += np.frombuffer(blob, np.float64)
-            return pd.DataFrame(
-                {"cell": [pdf["cell"].iloc[0]], "n": [int(pdf["n"].sum())], "s": [s.tobytes()]}
+        def _reduce_cells(it):
+            """Vectorized partial-sum reduce: one mapInPandas over
+            hash-partitioned-by-cell partials.  A groupBy(cell)
+            .applyInPandas here pays ~1 ms of pandas-group overhead PER
+            CELL — ~50 s per iteration at paper k (measured r16); this
+            form pays one lexsort + np.add.at per partition instead.
+            Rows are materialized and sorted by (cell, pid) before
+            summing so the float accumulation order is canonical —
+            shuffle ARRIVAL order is not deterministic, and unsorted
+            sums would make training runs differ in the last ulp."""
+            frames = [pdf for pdf in it if len(pdf)]
+            if not frames:
+                return
+            all_pdf = pd.concat(frames, ignore_index=True)
+            cells = all_pdf["cell"].to_numpy()
+            pids = all_pdf["pid"].to_numpy()
+            ns = all_pdf["n"].to_numpy()
+            mat = np.frombuffer(b"".join(all_pdf["s"]), np.float64).reshape(len(all_pdf), dim)
+            order = np.lexsort((pids, cells))
+            cells, ns, mat = cells[order], ns[order], mat[order]
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros((len(uniq), dim), dtype=np.float64)
+            np.add.at(sums, inv, mat)
+            counts = np.bincount(inv, weights=ns, minlength=len(uniq)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "cell": uniq.astype(np.int32),
+                    "n": counts,
+                    "s": [s.tobytes() for s in sums],
+                }
             )
 
         for _ in range(max(1, int(iters))):
             cmat, bc = _ship_centroids(np.ascontiguousarray(cent.astype(dt).T))
 
             def _partials(it, _cmat=cmat, _bc=bc):
+                from pyspark import TaskContext
+
                 m = _bc.value if _bc is not None else _cmat
+                pid = TaskContext.get().partitionId()
                 acc: dict[int, list] = {}
                 for pdf in it:
                     x = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
@@ -425,15 +457,16 @@ def kmeans_train_distributed(
                     yield pd.DataFrame(
                         {
                             "cell": np.array(cells, dtype=np.int32),
+                            "pid": np.full(len(cells), pid, dtype=np.int32),
                             "n": np.array([acc[c][0] for c in cells], dtype=np.int64),
                             "s": [acc[c][1].tobytes() for c in cells],
                         }
                     )
 
             rows = (
-                train.mapInPandas(_partials, "cell int, n long, s binary")
-                .groupBy("cell")
-                .applyInPandas(_reduce_cell, "cell int, n long, s binary")
+                train.mapInPandas(_partials, "cell int, pid int, n long, s binary")
+                .repartition("cell")  # hash co-locates every cell's partials
+                .mapInPandas(_reduce_cells, "cell int, n long, s binary")
                 .collect()
             )
             new_cent = cent.copy()
