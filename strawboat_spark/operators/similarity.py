@@ -650,6 +650,7 @@ def ivf_cosine_topk(
     seed: int = 42,
     kmeans_sample_size: int = 2048,
     centroid_dtype: str | None = None,
+    kmeans_trainer: str = "driver",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus partitioned into centroid cells;
     each query probes its nprobe nearest cells and reranks exactly.
@@ -660,12 +661,28 @@ def ivf_cosine_topk(
     via nprobe. Output schema matches cosine_topk. n_centroids above
     kmeans_sample_size collapses to one centroid per sample point (the
     training-cap shortcut); at paper-scale cell counts pass a sample a
-    few x the cell count.  centroid_dtype: float64 (default, oracle
-    exact) | float32 (paper-scale assignment lever).
+    few x the cell count, or kmeans_trainer="distributed"
+    (kmeans_train_distributed — O(k) init, Spark-pass Lloyd).
+    centroid_dtype: float64 (default, oracle exact) | float32
+    (paper-scale assignment lever).
     """
-    cents = _kmeans_centroids(
-        corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
-    )
+    if kmeans_trainer == "distributed":
+        cents = kmeans_train_distributed(
+            corpus,
+            vec_col,
+            n_centroids,
+            seed=seed,
+            sample_size=kmeans_sample_size,
+            dtype=centroid_dtype,
+        )
+    elif kmeans_trainer == "driver":
+        cents = _kmeans_centroids(
+            corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
+        )
+    else:
+        raise ValueError(
+            f"ivf_cosine_topk: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
+        )
     assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     # centroid argmax over x@C is invariant under positive scaling of x,
     # so raw vectors pick the same cells as unit vectors
