@@ -1036,6 +1036,7 @@ def semdedup(
     kmeans_sample_size: int = 2048,
     centroid_dtype: str | None = None,
     kmeans_trainer: str = "driver",
+    cache_assignments: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -1057,7 +1058,12 @@ def semdedup(
     `max_cluster_droppers` bounds the join's build side per cell (the
     cap-lowest ids keep dropping power; beyond-cap members can still BE
     dropped but not drop others — the lsh_candidate_pairs cap
-    discipline, documented recall caveat).  Centroid assignment:
+    discipline, documented recall caveat).  `cache_assignments`
+    (kmeans mode; default auto = on when the centroid matrix is
+    broadcast-sized) persists the assigned corpus so the drop-rule
+    self-join doesn't re-run the assignment matmul on each of its
+    three branches — at paper k that re-computation is ~2x the whole
+    assignment cost (measured r16).  Centroid assignment:
     "kmeans" trains on a bounded 2048-row sample (_kmeans_centroids)
     and assigns with one Arrow-batched matmul per batch; "seed" uses
     the n lowest-id vectors and a broadcast join + window argmax — all
@@ -1108,6 +1114,23 @@ def semdedup(
             )
         assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
         assigned = u.withColumn("__cluster", assign1("__v")[0])
+        # The drop-rule self-join consumes `assigned` on THREE branches
+        # (droppers, dominated, output) and the assignment UDF sits
+        # below every exchange, so without a cache the matmul runs ~3x
+        # per query (measured: k=4096 full leg 105 s ≈ 3 x 25 s assign
+        # + 30 s pairs; k=50k ≈ 3 x 150 s + pairs).  Cache exactly when
+        # assignment is the expensive leg — the same >= 4 MiB centroid
+        # matrix signal that triggers the explicit broadcast.  The
+        # persisted set spills to executor disk past memory (standard
+        # MEMORY_AND_DISK); pass cache_assignments=False to opt out,
+        # True to force below the threshold.
+        if cache_assignments is None:
+            ncells = len(cents)
+            dim0 = len(cents[0]) if ncells else 0
+            itemsize = _centroid_dtype(centroid_dtype).itemsize
+            cache_assignments = ncells * dim0 * itemsize >= _CENTROID_BCAST_MIN_BYTES
+        if cache_assignments:
+            assigned = assigned.persist()
     else:
         raise ValueError(f"semdedup: centroids must be kmeans|seed, got {centroids!r}")
 

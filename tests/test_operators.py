@@ -1530,3 +1530,30 @@ def test_wide_fixture_dups_inherit_base_cell_and_label(tmp_path):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos > 0.99, (i, cos)
         assert label[i] == label[i - 1], (i, label[i], label[i - 1])
+
+
+def test_semdedup_assignment_cache_auto(spark):
+    """r16: semdedup's drop-rule self-join consumes the assigned corpus
+    on three branches, re-running the assignment matmul each time; at
+    broadcast-sized centroid matrices the assignments must be persisted
+    (auto), and small-k runs must NOT leave cache entries behind."""
+    import strawboat_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cache_empty():
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    spark.catalog.clearCache()
+    assert cache_empty()
+    out = sim.semdedup(df, "vec_id", "embedding", n_clusters=4)  # tiny k: auto off
+    assert out.count() == 60
+    assert cache_empty()
+
+    out = sim.semdedup(df, "vec_id", "embedding", n_clusters=4, cache_assignments=True)
+    assert not cache_empty()
+    assert out.count() == 60  # values unchanged by the cache
+    spark.catalog.clearCache()
