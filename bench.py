@@ -67,15 +67,34 @@ CANARY_REL_GATE = 1.2
 PY_CANARY_FLOOR = 0.35
 
 
+_PREV_CANARY_WINDOW = 5
+
+
 def _prev_canaries() -> dict:
-    """Latest driver BENCH_r*.json record's canary bests, for the
-    relative loaded-host gate.  Returns {} when no parseable history
-    exists (first round / fresh checkout) — the absolute floors then
-    carry the gate alone."""
+    """Baseline canary bests for the relative loaded-host gate: the MIN
+    over the last _PREV_CANARY_WINDOW parseable driver BENCH_r*.json
+    records (numeric round order — lexicographic breaks at r100).
+
+    Min-over-window, not latest-record: a loaded round writes an
+    elevated canary into its own record, and baselining each round on
+    the one before would let consecutive loaded rounds RATCHET the
+    baseline up (r_n at 1.36x flags, r_{n+1} at 1.18x of the already-
+    elevated r_n reads clean while sitting 1.6x over healthy) — the
+    exact stale-baseline blindness this gate replaced.  Returns {} when
+    no parseable history exists; the absolute floors then carry the
+    gate alone."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+
+    def round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    recent = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no)
+    best: dict = {}
+    seen = 0
+    for path in reversed(recent):
         try:
             with open(path) as fh:
                 rec = json.load(fh)
@@ -84,16 +103,23 @@ def _prev_canaries() -> dict:
         parsed = rec.get("parsed") if isinstance(rec, dict) else None
         if not isinstance(parsed, dict):
             continue
-        sec = ((parsed.get("canary") or {}).get("sec"))
-        py_sec = ((parsed.get("canary_py") or {}).get("sec"))
+        sec = (parsed.get("canary") or {}).get("sec")
+        py_sec = (parsed.get("canary_py") or {}).get("sec")
         if sec is None and py_sec is None:
             continue
-        return {
-            "round": os.path.basename(path)[len("BENCH_") : -len(".json")],
-            "sec": sec,
-            "py_sec": py_sec,
-        }
-    return {}
+        tag = os.path.basename(path)[len("BENCH_") : -len(".json")]
+        if sec is not None and (best.get("sec") is None or sec < best["sec"]):
+            best["sec"] = sec
+            best["round"] = tag
+        if py_sec is not None and (
+            best.get("py_sec") is None or py_sec < best["py_sec"]
+        ):
+            best["py_sec"] = py_sec
+            best.setdefault("round", tag)
+        seen += 1
+        if seen >= _PREV_CANARY_WINDOW:
+            break
+    return best
 
 
 def _py_canary_once(spark) -> float:

@@ -139,11 +139,14 @@ def generate_wide_embeddings(
     actually drops rows) and INHERIT that row's latent cell/label, so
     label-conditioned analyses stay consistent with the embedding
     (r16, ADVICE r15 — previously the dup kept its own id-derived
-    label while carrying the neighbor's vector).  A dup whose base
-    falls before its chunk boundary is skipped, so the effective dup
-    rate is ~dup_rate*(1 - 1/chunk).  Deterministic in (seed, rows,
-    dim); written in 20k-row chunks so peak memory stays ~60 MB at
-    dim 768."""
+    label while carrying the neighbor's vector).  The chunk-boundary
+    guard (base >= lo) is DEFENSIVE: at the defaults the dup period
+    round(1/dup_rate)=20 divides the 20k chunk, chunks start at
+    id ≡ 0 (mod 20), so a dup row (id ≡ 1) is never chunk-initial and
+    the effective dup rate is exactly dup_rate; the guard only bites
+    for dup_rates whose period doesn't divide the chunk.  Deterministic
+    in (seed, rows, dim); written in 20k-row chunks so peak memory
+    stays ~60 MB at dim 768."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -243,7 +243,10 @@ def _kmeans_centroids(
     of seeding alone.  Above _DRIVER_KMEANS_WARN_K this warns and
     points at kmeans_train_distributed, whose init is O(k) and whose
     Lloyd iterations are Spark passes."""
-    if n_centroids > _DRIVER_KMEANS_WARN_K:
+    # warn on the EFFECTIVE seeding cost: k >= sample collapses to the
+    # identity shortcut below (no seeding loop at all), so only the
+    # k < sample_size case pays the ~10 ms x k sequential loop
+    if _DRIVER_KMEANS_WARN_K < n_centroids < sample_size:
         import warnings
 
         warnings.warn(
@@ -360,11 +363,25 @@ def kmeans_train_distributed(
     ~1e-6, covered by a whole-sample fallback).  Assignment dtype
     follows _centroid_dtype(dtype); partial sums stay float64
     regardless.  Returns round(6) unit-norm centroids, same contract as
-    _kmeans_centroids."""
+    _kmeans_centroids.
+
+    Determinism: given the same seed AND the same input partitioning —
+    F.rand is seeded per partition, so a repartitioned input draws a
+    different (equally uniform) sample.  Same property as
+    _kmeans_centroids' rand-priority sample; within one layout the
+    whole train is reproducible (the (cell, pid) sort in _reduce_cells
+    is what extends that through the shuffle)."""
     dt = _centroid_dtype(dtype)
     train = df.select(_as_double(vec_col).alias("__v"))
     if sample_size is not None:
-        n_total = train.count()  # column-pruned: a metadata count on file sources
+        # Sizing the Bernoulli fraction costs one count() of the INPUT
+        # lineage. On file sources that is a column-pruned metadata
+        # count (cheap); on derived lineage (joins/transforms) it is a
+        # real computation on top of the sampling pass — callers with
+        # expensive upstream plans should persist df themselves or pass
+        # sample_size=None (which trains on df in one pass per Lloyd
+        # round with no sizing count at all).
+        n_total = train.count()
         if n_total == 0:
             return []
         if sample_size < n_total:
@@ -486,6 +503,31 @@ def kmeans_train_distributed(
         return cent.round(6).tolist()
     finally:
         train.unpersist()
+
+
+def _train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    sample_size: int,
+    dtype: str | None,
+    trainer: str,
+    caller: str,
+) -> list[list[float]]:
+    """Shared kmeans_trainer dispatch for ivf_cosine_topk / semdedup /
+    ivf_index_init: 'driver' = sample-collect kmeans++ + in-RAM Lloyd
+    (wins below ~8k cells), 'distributed' = O(k) init + Spark-pass
+    Lloyd (the paper-scale path)."""
+    if trainer == "distributed":
+        return kmeans_train_distributed(
+            df, vec_col, n_centroids, seed=seed, sample_size=sample_size, dtype=dtype
+        )
+    if trainer == "driver":
+        return _kmeans_centroids(df, vec_col, n_centroids, seed, sample_size=sample_size)
+    raise ValueError(
+        f"{caller}: kmeans_trainer must be driver|distributed, got {trainer!r}"
+    )
 
 
 def _centroid_dtype(dtype: str | None = None):
@@ -666,23 +708,10 @@ def ivf_cosine_topk(
     centroid_dtype: float64 (default, oracle exact) | float32
     (paper-scale assignment lever).
     """
-    if kmeans_trainer == "distributed":
-        cents = kmeans_train_distributed(
-            corpus,
-            vec_col,
-            n_centroids,
-            seed=seed,
-            sample_size=kmeans_sample_size,
-            dtype=centroid_dtype,
-        )
-    elif kmeans_trainer == "driver":
-        cents = _kmeans_centroids(
-            corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
-        )
-    else:
-        raise ValueError(
-            f"ivf_cosine_topk: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
-        )
+    cents = _train_centroids(
+        corpus, vec_col, n_centroids, seed, kmeans_sample_size,
+        centroid_dtype, kmeans_trainer, "ivf_cosine_topk",
+    )
     assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     # centroid argmax over x@C is invariant under positive scaling of x,
     # so raw vectors pick the same cells as unit vectors
@@ -1059,11 +1088,12 @@ def semdedup(
     cap-lowest ids keep dropping power; beyond-cap members can still BE
     dropped but not drop others — the lsh_candidate_pairs cap
     discipline, documented recall caveat).  `cache_assignments`
-    (kmeans mode; default auto = on when the centroid matrix is
-    broadcast-sized) persists the assigned corpus so the drop-rule
-    self-join doesn't re-run the assignment matmul on each of its
-    three branches — at paper k that re-computation is ~2x the whole
-    assignment cost (measured r16).  Centroid assignment:
+    (both modes; default auto = on only for broadcast-sized kmeans
+    centroid matrices, so the gate path is unchanged) persists the
+    assigned corpus so the drop-rule self-join doesn't re-run the
+    assignment on each of its four branches (droppers, dominated,
+    output, dup_of lookup) — at paper k that re-computation is ~2x
+    the whole assignment cost (measured r16).  Centroid assignment:
     "kmeans" trains on a bounded 2048-row sample (_kmeans_centroids)
     and assigns with one Arrow-batched matmul per batch; "seed" uses
     the n lowest-id vectors and a broadcast join + window argmax — all
@@ -1095,44 +1125,39 @@ def semdedup(
         # — or kmeans_trainer="distributed", whose Lloyd iterations run
         # as Spark passes (see kmeans_train_distributed) and whose init
         # cost is O(k) instead of the driver kmeans++ loop's ~10 ms x k.
-        if kmeans_trainer == "distributed":
-            cents = kmeans_train_distributed(
-                df,
-                vec_col,
-                n_clusters,
-                seed=seed,
-                sample_size=kmeans_sample_size,
-                dtype=centroid_dtype,
-            )
-        elif kmeans_trainer == "driver":
-            cents = _kmeans_centroids(
-                df, vec_col, n_clusters, seed, sample_size=kmeans_sample_size
-            )
-        else:
-            raise ValueError(
-                f"semdedup: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
-            )
+        cents = _train_centroids(
+            df, vec_col, n_clusters, seed, kmeans_sample_size,
+            centroid_dtype, kmeans_trainer, "semdedup",
+        )
         assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
         assigned = u.withColumn("__cluster", assign1("__v")[0])
-        # The drop-rule self-join consumes `assigned` on THREE branches
-        # (droppers, dominated, output) and the assignment UDF sits
-        # below every exchange, so without a cache the matmul runs ~3x
-        # per query (measured: k=4096 full leg 105 s ≈ 3 x 25 s assign
-        # + 30 s pairs; k=50k ≈ 3 x 150 s + pairs).  Cache exactly when
-        # assignment is the expensive leg — the same >= 4 MiB centroid
-        # matrix signal that triggers the explicit broadcast.  The
-        # persisted set spills to executor disk past memory (standard
-        # MEMORY_AND_DISK); pass cache_assignments=False to opt out,
-        # True to force below the threshold.
         if cache_assignments is None:
+            # auto: cache exactly when assignment is the expensive leg —
+            # the same >= 4 MiB centroid matrix signal that triggers the
+            # explicit broadcast
             ncells = len(cents)
             dim0 = len(cents[0]) if ncells else 0
             itemsize = _centroid_dtype(centroid_dtype).itemsize
             cache_assignments = ncells * dim0 * itemsize >= _CENTROID_BCAST_MIN_BYTES
-        if cache_assignments:
-            assigned = assigned.persist()
     else:
         raise ValueError(f"semdedup: centroids must be kmeans|seed, got {centroids!r}")
+
+    # The drop-rule self-join consumes `assigned` on FOUR branches
+    # (droppers, dominated, output, and the dup_of vector lookup below)
+    # and the assignment computation sits below every exchange, so
+    # without a cache it re-runs per branch (measured: k=4096 full leg
+    # 105 s ≈ 3 x 25 s assign + 30 s pairs; k=50k ≈ 3 x 150 s + pairs).
+    # Applies to BOTH modes (seed-mode's crossJoin + window assignment
+    # recomputes too); auto only turns it on for broadcast-sized kmeans
+    # matrices, so the exact-oracle gate path is unchanged by default.
+    # The persisted set spills to executor disk past memory (standard
+    # MEMORY_AND_DISK); cache_assignments=False opts out, True forces.
+    # Lifetime is CALLER-OWNED (the returned DataFrame still references
+    # the cache, so there is no safe unpersist hook here): reclaimed by
+    # LRU eviction, spark.catalog.clearCache(), or session end — same
+    # contract as minhash_lsh_dedup's signature persist.
+    if cache_assignments:
+        assigned = assigned.persist()
 
     droppers = assigned
     if max_cluster_droppers is not None:
@@ -1159,7 +1184,13 @@ def semdedup(
     out = (
         assigned.join(dominated, "__id", "left")
         .join(
-            u.select(F.col("__id").alias("dup_of"), F.col("__v").alias("__dv"), F.col("__n").alias("__dn")),
+            # vector lookup for dup_of rows: read from `assigned`, not
+            # `u` — u is a fresh source scan that would sit OUTSIDE the
+            # assignment cache (a fourth full corpus scan per action at
+            # paper scale); assigned carries the same (__id, __v, __n)
+            assigned.select(
+                F.col("__id").alias("dup_of"), F.col("__v").alias("__dv"), F.col("__n").alias("__dn")
+            ),
             "dup_of",
             "left",
         )
@@ -1205,23 +1236,10 @@ def ivf_index_init(
 
     from strawboat_spark.table import Table
 
-    if kmeans_trainer == "distributed":
-        cents = kmeans_train_distributed(
-            corpus,
-            vec_col,
-            n_centroids,
-            seed=seed,
-            sample_size=kmeans_sample_size,
-            dtype=centroid_dtype,
-        )
-    elif kmeans_trainer == "driver":
-        cents = _kmeans_centroids(
-            corpus, vec_col, n_centroids, seed, sample_size=kmeans_sample_size
-        )
-    else:
-        raise ValueError(
-            f"ivf_index_init: kmeans_trainer must be driver|distributed, got {kmeans_trainer!r}"
-        )
+    cents = _train_centroids(
+        corpus, vec_col, n_centroids, seed, kmeans_sample_size,
+        centroid_dtype, kmeans_trainer, "ivf_index_init",
+    )
     assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
     rows = corpus.select(
         F.col(id_col), _as_double(vec_col).alias("vec")
