@@ -1090,10 +1090,13 @@ def semdedup(
     discipline, documented recall caveat).  `cache_assignments`
     (both modes; default auto = on only for broadcast-sized kmeans
     centroid matrices, so the gate path is unchanged) persists the
-    assigned corpus so the drop-rule self-join doesn't re-run the
-    assignment on each of its four branches (droppers, dominated,
-    output, dup_of lookup) — at paper k that re-computation is ~2x
-    the whole assignment cost (measured r16).  Centroid assignment:
+    assigned corpus AND materializes it eagerly (one map-only job at
+    call time — the only eager side effect in this builder) so the
+    drop-rule self-join doesn't re-run the assignment on each of its
+    four branches (droppers, dominated, output, dup_of lookup) — at
+    paper k that re-computation is ~2x the whole assignment cost, and
+    lazy persist alone loses the saving to concurrent-branch-stage
+    races (both measured r16).  Centroid assignment:
     "kmeans" trains on a bounded 2048-row sample (_kmeans_centroids)
     and assigns with one Arrow-batched matmul per batch; "seed" uses
     the n lowest-id vectors and a broadcast join + window argmax — all
@@ -1156,8 +1159,19 @@ def semdedup(
     # the cache, so there is no safe unpersist hook here): reclaimed by
     # LRU eviction, spark.catalog.clearCache(), or session end — same
     # contract as minhash_lsh_dedup's signature persist.
+    #
+    # The count() MATERIALIZES the cache eagerly (one map-only job at
+    # call time — a deliberate, documented side effect): a lazy persist
+    # alone does not dedupe the work, because the self-join's branch
+    # stages are independent and AQE submits them CONCURRENTLY — each
+    # races to compute the same uncached partitions before any cache
+    # lands, and the saving becomes schedule-dependent (measured r16 at
+    # k=50k: 811 s on a run where the cache won the race, 1023 s ≈ the
+    # uncached 1029 s on a run where it lost).  Population first, then
+    # every branch reads the cache.
     if cache_assignments:
         assigned = assigned.persist()
+        assigned.count()
 
     droppers = assigned
     if max_cluster_droppers is not None:
