@@ -115,6 +115,10 @@ def _prev_canaries() -> dict:
             best.get("py_sec") is None or py_sec < best["py_sec"]
         ):
             best["py_sec"] = py_sec
+            # separate tag: the JVM min and the Python-worker min can
+            # come from DIFFERENT rounds (ADVICE r16 — attributing the
+            # py min to the JVM-min round mislabels the record)
+            best["py_round"] = tag
             best.setdefault("round", tag)
         seen += 1
         if seen >= _PREV_CANARY_WINDOW:
@@ -301,7 +305,7 @@ def main() -> None:
         "query": "mapInArrow_roundtrip_8tasks",
         "sec": py_canary_sec,
         "floor": PY_CANARY_FLOOR,
-        "prev": {"round": prev.get("round"), "sec": prev.get("py_sec")},
+        "prev": {"round": prev.get("py_round"), "sec": prev.get("py_sec")},
         "rel": rel_py,
         "rel_gate": CANARY_REL_GATE,
         "loaded_host_py": loaded_py,

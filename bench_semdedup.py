@@ -60,6 +60,12 @@ def main() -> None:
                     "k=50k path)")
     ap.add_argument("--iters", type=int, default=4,
                     help="Lloyd iterations for --trainer distributed")
+    ap.add_argument("--partial-dtype", default="float64",
+                    choices=["float64", "float32"],
+                    help="dtype of the distributed trainer's partial-sum "
+                    "blobs crossing the per-iteration shuffle (r17, "
+                    "VERDICT r16 #4: float32 halves the shuffle bytes; "
+                    "accumulation stays float64)")
     args = ap.parse_args()
     # dtype is threaded as an explicit parameter (r16, ADVICE r15) —
     # no process-global env toggle
@@ -86,6 +92,7 @@ def main() -> None:
         cents = sim.kmeans_train_distributed(
             emb, "embedding", args.clusters, seed=42, iters=args.iters,
             sample_size=sample, dtype=args.dtype,
+            partial_dtype=args.partial_dtype,
         )
     else:
         cents = sim._kmeans_centroids(
@@ -137,7 +144,7 @@ def main() -> None:
     arrow_eval = plan.find("ArrowEvalPython")
     map_only = arrow_eval >= 0 and plan.find("Exchange", arrow_eval) == -1
 
-    kept = total_s = no_cartesian = None
+    kept = total_s = no_cartesian = call_s = action_s = None
     if not args.skip_dedup:
         t0 = time.perf_counter()
         out = sim.semdedup(
@@ -152,7 +159,16 @@ def main() -> None:
             centroid_dtype=args.dtype,
             kmeans_trainer=args.trainer,
         )
+        # r17 (VERDICT r16 #6): the call/action split. With
+        # cache_assignments auto-on (broadcast-sized matrices), the
+        # semdedup() CALL runs training + the eager assignment
+        # materialization; the ACTION below then pays only the in-cell
+        # pair join + output over the cached assignments — so
+        # call_s ~ train+assign and action_s ~ the pair term.
+        call_s = round(time.perf_counter() - t0, 2)
+        t1 = time.perf_counter()
         kept = out.filter("kept").count()
+        action_s = round(time.perf_counter() - t1, 2)
         total_s = round(time.perf_counter() - t0, 2)
         full_plan = out._jdf.queryExecution().optimizedPlan().toString()
         no_cartesian = bool(
@@ -176,6 +192,9 @@ def main() -> None:
                 "assign_s": round(assign_s, 2),
                 "n_assigned": n_assigned,
                 "semdedup_total_s": total_s,
+                "semdedup_call_s": call_s,
+                "semdedup_action_s": action_s,
+                "partial_dtype": args.partial_dtype if args.trainer == "distributed" else None,
                 "kept": kept,
                 "dropped": None if kept is None else n - kept,
                 "assign_map_only": bool(map_only),

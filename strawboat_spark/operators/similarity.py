@@ -20,6 +20,8 @@ Two paths:
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -309,6 +311,25 @@ def _kmeans_centroids(
     return cent.round(6).tolist()
 
 
+def _draw_init_blobs(train, pack, k: int, n_train: int, seed: int, frac0: float | None = None):
+    """Draw >= k init vectors as packed blobs via a Bernoulli filter
+    sized k + 5*sqrt(k) + 16 (shortfall probability ~1e-6).  On a
+    shortfall, DOUBLE the fraction and redraw rather than collecting
+    the whole training set (ADVICE r16 — with sample_size=None at paper
+    scale that full collect is exactly the driver blowup the trainer
+    exists to avoid).  Same seed + larger threshold = a strict SUPERSET
+    of the prior draw, so each retry makes progress and the result
+    stays deterministic; frac reaches 1.0 (== the full set, the old
+    fallback) only after ~log2(n/k) consecutive ~1e-6 misses.
+    frac0 exists for tests to force the shortfall path."""
+    frac = frac0 if frac0 is not None else min(1.0, (k + 5.0 * np.sqrt(k) + 16.0) / n_train)
+    blobs = train.filter(F.rand(seed + 1) < frac).mapInPandas(pack, "b binary").collect()
+    while len(blobs) < k and frac < 1.0:
+        frac = min(1.0, frac * 2.0)
+        blobs = train.filter(F.rand(seed + 1) < frac).mapInPandas(pack, "b binary").collect()
+    return blobs
+
+
 def kmeans_train_distributed(
     df: DataFrame,
     vec_col: str,
@@ -317,6 +338,8 @@ def kmeans_train_distributed(
     iters: int = 4,
     sample_size: int | None = None,
     dtype: str | None = None,
+    n_total: int | None = None,
+    partial_dtype: str = "float64",
 ) -> list[list[float]]:
     """Paper-scale kmeans training (VERDICT r15 #4): spherical Lloyd
     where every iteration is ONE Spark pass over the training set —
@@ -370,19 +393,41 @@ def kmeans_train_distributed(
     different (equally uniform) sample.  Same property as
     _kmeans_centroids' rand-priority sample; within one layout the
     whole train is reproducible (the (cell, pid) sort in _reduce_cells
-    is what extends that through the shuffle)."""
+    is what extends that through the shuffle).
+
+    n_total: optional row-count hint that skips the sizing count() on
+    expensive derived lineage (it only sizes the Bernoulli fraction, so
+    an approximate hint just shifts the realized sample size).
+
+    partial_dtype ("float64" default | "float32"): dtype of the
+    per-partition partial-sum BLOBS crossing the one bounded shuffle —
+    the dominant non-matmul cost per iteration (~the training-set bytes
+    at paper k, where nearly every (partition, cell) pair is unique).
+    float32 halves those shuffle bytes; in-partition accumulation and
+    the reduce stay float64, so only the blob cast loses precision —
+    training means tolerate it, but trained centroids then differ in
+    low-order digits from a float64-blob run (each choice is
+    individually deterministic under the same seed + layout)."""
     dt = _centroid_dtype(dtype)
+    if partial_dtype not in ("float64", "float32"):
+        raise ValueError(
+            f"partial_dtype must be float64|float32, got {partial_dtype!r}"
+        )
+    pdt = np.dtype(partial_dtype)
     train = df.select(_as_double(vec_col).alias("__v"))
     if sample_size is not None:
         # Sizing the Bernoulli fraction costs one count() of the INPUT
         # lineage. On file sources that is a column-pruned metadata
         # count (cheap); on derived lineage (joins/transforms) it is a
         # real computation on top of the sampling pass — callers with
-        # expensive upstream plans should persist df themselves or pass
-        # sample_size=None (which trains on df in one pass per Lloyd
-        # round with no sizing count at all).
-        n_total = train.count()
-        if n_total == 0:
+        # expensive upstream plans can pass n_total (a row-count hint,
+        # exact or approximate — it only sizes the Bernoulli fraction,
+        # so an off-by-2x hint just halves/doubles the realized sample),
+        # persist df themselves, or pass sample_size=None (which trains
+        # on df in one pass per Lloyd round with no sizing count).
+        if n_total is None:
+            n_total = train.count()
+        if n_total <= 0:
             return []
         if sample_size < n_total:
             train = train.filter(F.rand(seed) < float(sample_size) / n_total)
@@ -399,14 +444,7 @@ def kmeans_train_distributed(
                     vecs = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
                     yield pd.DataFrame({"b": [v.tobytes() for v in vecs]})
 
-        init_frac = min(1.0, (k + 5.0 * np.sqrt(k) + 16.0) / n_train)
-        init_blobs = (
-            train.filter(F.rand(seed + 1) < init_frac)
-            .mapInPandas(_pack, "b binary")
-            .collect()
-        )
-        if len(init_blobs) < k:  # binomial shortfall (~1e-6): take it all
-            init_blobs = train.mapInPandas(_pack, "b binary").collect()
+        init_blobs = _draw_init_blobs(train, _pack, k, n_train, seed)
         cent = np.vstack([np.frombuffer(r[0], np.float64) for r in init_blobs])
         cent = cent[np.random.default_rng(seed).permutation(len(cent))[:k]]
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
@@ -430,7 +468,10 @@ def kmeans_train_distributed(
             cells = all_pdf["cell"].to_numpy()
             pids = all_pdf["pid"].to_numpy()
             ns = all_pdf["n"].to_numpy()
-            mat = np.frombuffer(b"".join(all_pdf["s"]), np.float64).reshape(len(all_pdf), dim)
+            # partial blobs arrive in partial_dtype; the reduce itself
+            # accumulates in float64 (np.add.at upcasts), and the k-row
+            # output blobs are always float64
+            mat = np.frombuffer(b"".join(all_pdf["s"]), pdt).reshape(len(all_pdf), dim)
             order = np.lexsort((pids, cells))
             cells, ns, mat = cells[order], ns[order], mat[order]
             uniq, inv = np.unique(cells, return_inverse=True)
@@ -455,6 +496,8 @@ def kmeans_train_distributed(
                 pid = TaskContext.get().partitionId()
                 acc: dict[int, list] = {}
                 for pdf in it:
+                    if not len(pdf):  # empty Arrow batch (ADVICE r16):
+                        continue      # np.vstack([]) raises ValueError
                     x = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
                     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
                     a = (x.astype(m.dtype) @ m).argmax(axis=1)
@@ -476,7 +519,7 @@ def kmeans_train_distributed(
                             "cell": np.array(cells, dtype=np.int32),
                             "pid": np.full(len(cells), pid, dtype=np.int32),
                             "n": np.array([acc[c][0] for c in cells], dtype=np.int64),
-                            "s": [acc[c][1].tobytes() for c in cells],
+                            "s": [acc[c][1].astype(pdt, copy=False).tobytes() for c in cells],
                         }
                     )
 
@@ -496,10 +539,7 @@ def kmeans_train_distributed(
                     bc.unpersist(blocking=False)
                 except Exception:
                     pass
-                try:
-                    _LIVE_CENTROID_BCASTS.remove(bc)
-                except ValueError:
-                    pass
+                _untrack_bcast(bc)
         return cent.round(6).tolist()
     finally:
         train.unpersist()
@@ -572,6 +612,23 @@ _CENTROID_BCAST_MIN_BYTES = 4 << 20
 # broadcast re-fetches it from the driver — release is always safe.
 _LIVE_CENTROID_BCASTS: list = []
 
+# Guards every append/remove/pop on _LIVE_CENTROID_BCASTS (r17, VERDICT
+# r16 watch): concurrent driver threads building probe UDFs while
+# another calls release_centroid_broadcasts() could otherwise race the
+# bare list ops (a pop loop dropping a handle appended mid-iteration).
+# Single-driver sessions never contended; the lock just makes it boring.
+_BCAST_LOCK = threading.Lock()
+
+
+def _untrack_bcast(bc) -> None:
+    """Remove one handle from the live registry (no-op if a concurrent
+    release_centroid_broadcasts already reclaimed it)."""
+    with _BCAST_LOCK:
+        try:
+            _LIVE_CENTROID_BCASTS.remove(bc)
+        except ValueError:
+            pass
+
 
 def _ship_centroids(cmat: np.ndarray):
     """Pick the transport for a centroid matrix: task closure under
@@ -599,7 +656,8 @@ def _ship_centroids(cmat: np.ndarray):
         )
         return cmat, None
     bc = spark.sparkContext.broadcast(cmat)
-    _LIVE_CENTROID_BCASTS.append(bc)
+    with _BCAST_LOCK:
+        _LIVE_CENTROID_BCASTS.append(bc)
     return None, bc
 
 
@@ -610,18 +668,23 @@ def release_centroid_broadcasts() -> int:
     reclaim executor memory in long-lived sessions — released
     broadcasts are re-fetched from the driver if a lingering plan still
     needs them, so this never breaks correctness."""
-    n = 0
-    while _LIVE_CENTROID_BCASTS:
-        bc = _LIVE_CENTROID_BCASTS.pop()
+    with _BCAST_LOCK:
+        grabbed = _LIVE_CENTROID_BCASTS[:]
+        _LIVE_CENTROID_BCASTS.clear()
+    for bc in grabbed:
         try:
             bc.unpersist(blocking=False)
         except Exception:
             pass
-        n += 1
-    return n
+    return len(grabbed)
 
 
-def _probe_cells_udf(centroids: list[list[float]], nprobe: int, dtype: str | None = None):
+def _probe_cells_udf(
+    centroids: list[list[float]],
+    nprobe: int,
+    dtype: str | None = None,
+    shipped: tuple | None = None,
+):
     """Arrow-batched cell assignment: one numpy matmul per batch against
     the centroid matrix. Plan size is constant in n_centroids —
     centroid-as-plan-literal expressions blow up codegen (16 centroids x
@@ -641,11 +704,23 @@ def _probe_cells_udf(centroids: list[list[float]], nprobe: int, dtype: str | Non
       .centroid_broadcast  — the Broadcast handle or None
       .release()           — unpersist it (idempotent, non-blocking)
     Explicit broadcasts are also tracked session-wide; see
-    release_centroid_broadcasts()."""
+    release_centroid_broadcasts().
+
+    shipped: a (closure_mat, bc) pair from a prior _ship_centroids of
+    the SAME (dim, k) matrix — lets several UDFs over one centroid set
+    (e.g. ivf_cosine_topk's assign + probe) share a single
+    executor-resident broadcast instead of pinning one copy each
+    (ADVICE r16: 2 x 146 MiB at paper scale).  Shared-broadcast UDFs
+    also share the release: .release() on any of them unpersists the
+    one matrix (safe — released broadcasts re-fetch on demand)."""
     from pyspark.sql.functions import pandas_udf
 
     dt = _centroid_dtype(dtype)
-    cmat, bc = _ship_centroids(np.asarray(centroids, dtype=dt).T)  # (dim, k)
+    cmat, bc = (
+        shipped
+        if shipped is not None
+        else _ship_centroids(np.asarray(centroids, dtype=dt).T)  # (dim, k)
+    )
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
@@ -670,10 +745,7 @@ def _probe_cells_udf(centroids: list[list[float]], nprobe: int, dtype: str | Non
                 bc.unpersist(blocking=False)
             except Exception:
                 pass
-            try:
-                _LIVE_CENTROID_BCASTS.remove(bc)
-            except ValueError:
-                pass  # already reclaimed by release_centroid_broadcasts
+            _untrack_bcast(bc)
 
     _probe.explicit_broadcast = bc is not None
     _probe.centroid_broadcast = bc
@@ -712,13 +784,19 @@ def ivf_cosine_topk(
         corpus, vec_col, n_centroids, seed, kmeans_sample_size,
         centroid_dtype, kmeans_trainer, "ivf_cosine_topk",
     )
-    assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype)
+    # ONE shipment shared by both UDFs (ADVICE r16): assign1 and
+    # probe_n otherwise each pin their own executor-resident broadcast
+    # of the identical matrix (2 x 146 MiB at paper scale)
+    shipped = _ship_centroids(
+        np.asarray(cents, dtype=_centroid_dtype(centroid_dtype)).T
+    )
+    assign1 = _probe_cells_udf(cents, 1, dtype=centroid_dtype, shipped=shipped)
     # centroid argmax over x@C is invariant under positive scaling of x,
     # so raw vectors pick the same cells as unit vectors
     c = _with_vec_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
     c = c.withColumn("cell", assign1("cv")[0])
 
-    probe_n = _probe_cells_udf(cents, nprobe, dtype=centroid_dtype)
+    probe_n = _probe_cells_udf(cents, nprobe, dtype=centroid_dtype, shipped=shipped)
     q = _with_vec_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
     qe = q.select("query_id", "qv", "qn", F.explode(probe_n("qv")).alias("cell"))
     scored = (

@@ -33,15 +33,29 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None
     description: str = ""
+    # Round in which this gate's SEMANTICS last changed (new leg in a
+    # composite, oracle rewrite). A gate revised after its most recent
+    # driver observation re-fronts into the 50-entry window like a
+    # never-checked one — without this, a revised composite sits at its
+    # old rotation position and the revision ships with no hard
+    # correctness row until age alone rotates it back in (r17 lesson:
+    # the distributed-trainer leg folded into similarity_ann_recall,
+    # which was 27 slots outside the window).
+    revised: int | None = None
 
 
-def query(name: str, oracle: str | None = None, description: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    revised: int | None = None,
+):
     """Decorator registering a query implementation."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, description)
+        _REGISTRY[name] = QueryDef(name, fn, oracle, description, revised)
         return fn
 
     return deco
@@ -118,6 +132,12 @@ def all_queries() -> dict[str, QueryDef]:
         if row is None:
             return (0, 0, reg_order[name])  # never driver-checked
         rnd, ok, rows_only = row
+        if qdef.revised is not None and qdef.revised > rnd:
+            # Semantics changed after the last driver observation: the
+            # exact check of the REVISED gate is still owed. Front it
+            # like a never-checked entry (keyed by last-observed round
+            # so multiple revisions order oldest-observation first).
+            return (0, rnd, reg_order[name])
         if rows_only and qdef.oracle is not None:
             # The oracle landed after the last driver row: the exact
             # check is still owed, regardless of how recent the weaker

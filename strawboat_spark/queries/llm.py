@@ -1043,8 +1043,10 @@ def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
 
 @query(
     "similarity_ann_recall",
+    revised=17,  # distributed-trainer leg folded in (VERDICT r16 #1)
     oracle="""
-    SELECT 'ivf_incremental_recall_at_10' AS metric, true AS recall_ge_080
+    SELECT 'ivf_distributed_recall_at_10' AS metric, true AS recall_ge_080
+    UNION ALL SELECT 'ivf_incremental_recall_at_10', true
     UNION ALL SELECT 'ivf_recall_at_10', true
     UNION ALL SELECT 'lsh_recall_at_10', true
     UNION ALL SELECT 'pq_recall_at_10', true
@@ -1052,13 +1054,17 @@ def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
     """,
     description=(
         "composite ANN recall gate (r9 fold of the ivf/lsh/pq ann+recall "
-        "pairs): each index runs end-to-end against the exact top-10 and "
-        "must reach recall >= 0.8 — IVF (kmeans++ coarse quantizer, "
-        "nprobe cells, exact rerank), multi-probe LSH (4x8 planes, "
-        "Hamming ball r=3), PQ (8-byte codes, ADC shortlist, exact "
-        "rerank; measured 0.98), and the PERSISTENT incremental IVF "
-        "index (half the corpus indexed, half appended, search prunes "
-        "to nprobe cell directories)"
+        "pairs; r17 adds the distributed-trainer leg): each index runs "
+        "end-to-end against the exact top-10 and must reach recall >= "
+        "0.8 — IVF (kmeans++ coarse quantizer, nprobe cells, exact "
+        "rerank), IVF with kmeans_trainer='distributed' (O(k) init + "
+        "Spark-pass Lloyd, the paper-scale trainer — this leg puts "
+        "kmeans_train_distributed under the driver's correctness "
+        "signal), multi-probe LSH (4x8 planes, Hamming ball r=3), PQ "
+        "(8-byte codes, ADC shortlist, exact rerank; measured 0.98), "
+        "and the PERSISTENT incremental IVF index (half the corpus "
+        "indexed, half appended, search prunes to nprobe cell "
+        "directories)"
     ),
 )
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,6 +1099,19 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_recall_at_10",
             lambda e, q: ivf_cosine_topk(
                 e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=12
+            ),
+        ),
+        (
+            # VERDICT r16 #1: the paper-scale trainer
+            # (kmeans_train_distributed — O(k) Bernoulli init, one
+            # mapInPandas partial-sum pass + one bounded shuffle + one
+            # k-row collect per Lloyd iteration) exercised under the
+            # driver's hard correctness signal, same 0.8 floor and
+            # probe budget as the driver-trainer leg above
+            "ivf_distributed_recall_at_10",
+            lambda e, q: ivf_cosine_topk(
+                e, q, "vec_id", "embedding", k=10, n_centroids=16, nprobe=12,
+                kmeans_trainer="distributed",
             ),
         ),
         (

@@ -1483,6 +1483,149 @@ def test_kmeans_train_distributed_contract(spark):
         sim.semdedup(df, "vec_id", "embedding", kmeans_trainer="bogus").count()
 
 
+def test_kmeans_train_distributed_r17_params(spark):
+    """r17 (VERDICT r16 #4/#7): n_total hint skips the sizing count()
+    without changing the realized sample's semantics, and float32
+    partial-sum blobs (the shuffle-halving lever) train centroids that
+    agree with the float64 run to low-order digits — each choice
+    individually deterministic."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 8) * 10.0
+    rows = [
+        (i, (centers[i % 4] + rng.normal(size=8) * 0.05).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # exact hint reproduces the unhinted run bit-for-bit (same Bernoulli
+    # fraction => same filter => same train)
+    base = sim.kmeans_train_distributed(df, "embedding", 4, seed=7, iters=2, sample_size=200)
+    hinted = sim.kmeans_train_distributed(
+        df, "embedding", 4, seed=7, iters=2, sample_size=200, n_total=400
+    )
+    assert base == hinted
+    # an approximate hint only shifts the realized sample size — still
+    # trains k valid unit-norm centroids
+    rough = sim.kmeans_train_distributed(
+        df, "embedding", 4, seed=7, iters=2, sample_size=200, n_total=300
+    )
+    assert len(rough) == 4
+    assert np.allclose(np.linalg.norm(np.array(rough), axis=1), 1.0, atol=1e-5)
+
+    # float32 partial blobs: deterministic, and agrees with the float64
+    # run to ~float32 precision (same assignments on separable data;
+    # only the partial-sum blob cast differs)
+    f32 = sim.kmeans_train_distributed(df, "embedding", 4, seed=7, iters=2, partial_dtype="float32")
+    f64 = sim.kmeans_train_distributed(df, "embedding", 4, seed=7, iters=2)
+    assert f32 == sim.kmeans_train_distributed(
+        df, "embedding", 4, seed=7, iters=2, partial_dtype="float32"
+    )
+    assert np.allclose(np.array(f32), np.array(f64), atol=1e-4)
+
+    with pytest.raises(ValueError, match="partial_dtype"):
+        sim.kmeans_train_distributed(df, "embedding", 4, partial_dtype="float16")
+
+
+def test_kmeans_init_shortfall_retries_inflated_fraction(spark):
+    """r17 (ADVICE r16): an init-draw shortfall doubles the Bernoulli
+    fraction and redraws (same seed => superset draws, deterministic)
+    instead of collecting the ENTIRE training set."""
+    import numpy as np
+    import pandas as pd
+
+    import strawboat_spark.operators.similarity as sim
+
+    train = spark.createDataFrame(
+        [([float(i), 1.0],) for i in range(2000)], "__v array<double>"
+    )
+
+    def pack(it):
+        for pdf in it:
+            if len(pdf):
+                vecs = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame({"b": [v.tobytes() for v in vecs]})
+
+    # frac0 far below k/n forces the shortfall path through several
+    # doublings; the loop must still deliver >= k rows and stay
+    # deterministic
+    blobs = sim._draw_init_blobs(train, pack, 500, 2000, seed=9, frac0=0.002)
+    assert len(blobs) >= 500
+    again = sim._draw_init_blobs(train, pack, 500, 2000, seed=9, frac0=0.002)
+    assert [r[0] for r in blobs] == [r[0] for r in again]
+
+
+def test_centroid_bcast_registry_threadsafe(spark, monkeypatch):
+    """r17 (VERDICT r16 #5): concurrent probe-UDF construction/release
+    and session-wide reclaim must not race the live-broadcast registry
+    (bare list ops could drop or double-release handles)."""
+    import threading
+
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "_CENTROID_BCAST_MIN_BYTES", 1)
+    cents = np.random.default_rng(2).normal(size=(8, 4)).round(6).tolist()
+    sim.release_centroid_broadcasts()  # start clean
+    errs: list = []
+
+    def build_release():
+        try:
+            for _ in range(30):
+                sim._probe_cells_udf(cents, 1).release()
+        except Exception as exc:  # pragma: no cover - the failure mode
+            errs.append(exc)
+
+    def reclaim():
+        try:
+            for _ in range(60):
+                sim.release_centroid_broadcasts()
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=build_release),
+        threading.Thread(target=build_release),
+        threading.Thread(target=reclaim),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    sim.release_centroid_broadcasts()
+    assert not sim._LIVE_CENTROID_BCASTS
+
+
+def test_ivf_topk_shares_one_broadcast(spark, monkeypatch):
+    """r17 (ADVICE r16): ivf_cosine_topk's assign + probe UDFs share ONE
+    shipped centroid matrix — previously each pinned its own explicit
+    broadcast (2 x 146 MiB executor-resident at paper scale)."""
+    import numpy as np
+
+    import strawboat_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "_CENTROID_BCAST_MIN_BYTES", 1)
+    sim.release_centroid_broadcasts()
+    before = len(sim._LIVE_CENTROID_BCASTS)
+    out = sim.ivf_cosine_topk(
+        df, df.filter("vec_id < 3"), "vec_id", "embedding",
+        k=5, n_centroids=4, nprobe=4,
+    )
+    assert out.count() > 0
+    assert len(sim._LIVE_CENTROID_BCASTS) == before + 1
+    sim.release_centroid_broadcasts()
+
+
 def test_driver_kmeans_warns_at_paper_scale_k(spark, monkeypatch):
     """r16: the driver trainer's sequential kmeans++ seeding is the
     documented paper-scale seam — above _DRIVER_KMEANS_WARN_K it must

@@ -64,6 +64,38 @@ def test_window_50_contains_oldest_cohort():
     assert not missing, f"oldest cohort (r{oldest}) not fully in window: {missing}"
 
 
+def test_revised_entries_front_the_window():
+    """r17: a gate whose semantics were revised AFTER its most recent
+    driver observation (QueryDef.revised > last observed round) owes the
+    exact check of the revision — it must sort ahead of every
+    already-verified unrevised entry, like a never-checked one.  Without
+    this, a revised composite (e.g. the distributed-trainer leg folded
+    into similarity_ann_recall in r17) ships with no hard correctness
+    row until age alone rotates it back into the 50-entry window."""
+    history = _driver_history()
+    names = list(all_queries())
+    qs = all_queries()
+    revised_owed = [
+        n
+        for n in names
+        if n in history
+        and qs[n].revised is not None
+        and qs[n].revised > history[n][0]
+    ]
+    verified_unrevised = [
+        n
+        for n in names
+        if n in history
+        and history[n][1]
+        and (qs[n].revised is None or qs[n].revised <= history[n][0])
+    ]
+    if not revised_owed or not verified_unrevised:
+        return
+    assert max(names.index(n) for n in revised_owed) < min(
+        names.index(n) for n in verified_unrevised
+    ), f"revised-owed entries {revised_owed} must sort before verified ones"
+
+
 def test_rotation_horizon_is_bounded():
     """Freshness bound (r13): with a 50-entry driver window and LRU
     ordering, steady-state worst-case staleness is ceil(N/50) rounds.
