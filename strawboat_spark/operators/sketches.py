@@ -32,16 +32,26 @@ from pyspark.sql import Column, DataFrame
 
 
 def _mg_partition(col: str, k: int):
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
+    """Arrow-native MG pass (r17 opt, guide §4.2): per-batch counting
+    runs in pyarrow's C++ value_counts over the raw Arrow column — only
+    the ≤ (k + batch-distinct) SURVIVING values ever materialize as
+    Python objects, where the former pandas formulation converted every
+    input row to an object-dtype cell first. Decrement logic (and so
+    the superset guarantee) is unchanged; the final operator output is
+    an exact recount either way."""
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         counters: dict = {}
         n_p = 0
-        for pdf in batches:
-            vc = pdf[col].dropna().value_counts()
-            n_p += int(vc.sum())
-            for item, c in vc.items():
-                counters[item] = counters.get(item, 0) + int(c)
+        for rb in batches:
+            vc = pc.value_counts(rb.column(0).drop_null())
+            cnts = vc.field("counts")
+            n_p += int(pc.sum(cnts).as_py() or 0)
+            for item, c in zip(vc.field("values").to_pylist(), cnts.to_pylist()):
+                counters[item] = counters.get(item, 0) + c
             if len(counters) > k:
                 # MG decrement: subtract the (k+1)-largest count from
                 # everyone and drop the non-positive — one vectorized
@@ -49,9 +59,13 @@ def _mg_partition(col: str, k: int):
                 s = sorted(counters.values(), reverse=True)
                 cut = s[k]
                 counters = {i: c - cut for i, c in counters.items() if c > cut}
-        rows = [(i, int(c)) for i, c in counters.items()]
-        rows.append((None, n_p))  # sentinel: this partition's total
-        yield pd.DataFrame(rows, columns=[col, "c"])
+        yield pa.record_batch(
+            [
+                pa.array(list(counters.keys()) + [None], type=pa.string()),
+                pa.array([int(c) for c in counters.values()] + [n_p], type=pa.int64()),
+            ],
+            names=[col, "c"],
+        )
 
     return gen
 
@@ -68,7 +82,7 @@ def heavy_hitters(
     candidate set comfortably covers the threshold even with skewed
     partition splits."""
     k = 2 * ((min_frac_den + min_frac_num - 1) // min_frac_num)
-    sketch = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+    sketch = df.select(F.col(col).cast("string").alias(col)).mapInArrow(
         _mg_partition(col, k), schema=f"{col} string, c long"
     )
     sketch = sketch.localCheckpoint(eager=True)  # one sketch pass, reused twice

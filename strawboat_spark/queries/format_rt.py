@@ -23,6 +23,17 @@ def _roundtrip(
     register(spark)
     path = f"{tempfile.mkdtemp(prefix='strawboat_rt_')}/{table}"
     src = load_table(spark, sf_dir, table)
+    if columns:
+        # r17 opt (guide §4.1/§2.3): the Python-datasource write is
+        # OPAQUE to Catalyst — it cannot column-prune the scan feeding
+        # an exchange-free write, so every unprojected column pays the
+        # parquet decode + the JVM→Arrow→Python transfer + the page
+        # encode just to be ignored by the aggregate that follows.
+        # Projecting the write to the columns the query consumes is the
+        # query-side projection pushdown the API can't do for us; the
+        # round-trip still proves those leaves loss-free (the nested /
+        # decimal / filter / partitioned gates cover the other types).
+        src = src.select(*columns)
     # No pre-write repartition: writers take the upstream partitioning
     # as-is (at 100 TB a forced repartition is a full extra shuffle of
     # the dataset). Output files are therefore input-split-sized, and

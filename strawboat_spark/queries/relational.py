@@ -379,13 +379,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # r17 opt (guide §2.3 aggregate-before-shuffle): revenue groups by
+    # (l_orderkey, o_orderdate) and l_orderkey is the orders PK, so the
+    # per-orderkey aggregate can run BELOW the joins — lineitem crosses
+    # exactly one exchange as partial-aggregated (key, revenue) rows
+    # instead of full-width joined rows, and the orderkey join then
+    # reuses that exchange's partitioning.  Same groups, same addends;
+    # the date filter on orders and the segment filter via customer
+    # drop whole aggregated rows afterwards, exactly as the join did.
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
         .select(
             "l_orderkey",
             "revenue",
@@ -470,6 +477,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # r17 opt NOT taken: pre-aggregating lineitem to per-order revenue
+    # below the joins (the q3/q18 rewrite) REGROUPS the customer-level
+    # float sum (per-order subtotals instead of raw lineitem terms) and
+    # at sf0.01 one customer's revenue lands on the other side of a
+    # half-cent (378060.51 vs .52) — the oracle hash flips.  q3/q18 are
+    # safe because their group key IS the orderkey (same addend sets);
+    # here the regroup changes the computed result, so the joined-then-
+    # aggregated shape stays.
     # nation is the only bounded dim here; orders/customer go to AQE.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1177,12 +1192,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    # r17 opt: aggregate BELOW the joins (o_orderkey is the orders PK,
+    # so it functionally determines every other grouping column — the
+    # per-orderkey sum is the same set of addends as the joined
+    # groupBy).  The HAVING > 150 then cuts the order list to a sliver
+    # BEFORE any join, so the join inputs are (tiny qualifying orders)
+    # x orders x customer instead of shuffling the full
+    # lineitem-joined-wide rows into the aggregate: lineitem is
+    # touched by exactly one narrow (key, qty) partial-aggregated
+    # exchange at any SF, and AQE broadcasts the qualifying side.
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

@@ -681,6 +681,28 @@ def _dv_entries(man: dict | None, per_rel: dict, path: str = "", snap: dict | No
     return out
 
 
+def _condition_columns(spark, path: str, condition: str) -> list[str] | None:
+    """Table columns `condition` may reference, by conservative token
+    match (bare identifiers + backtick-quoted names — the only two ways
+    a SQL condition can name a column).  Superset-safe: a keeper that
+    isn't really referenced only costs its decode; a column can never
+    be MISSED because any reference is itself an identifier token or a
+    backticked segment.  Returns None ("don't prune") when every column
+    matches anyway or the schema probe fails."""
+    import re
+
+    try:
+        cols = spark.read.format("strawboat").load(path).columns
+    except Exception:  # noqa: BLE001 - pruning is best-effort
+        return None
+    toks = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", condition)}
+    toks.update(q.lower() for q in re.findall(r"`([^`]*)`", condition))
+    keep = [c for c in cols if c.lower() in toks]
+    if len(keep) == len(cols):
+        return None
+    return keep
+
+
 def _delete_mor(spark, path: str, condition: str) -> dict:
     import pyspark.sql.functions as F
 
@@ -696,12 +718,23 @@ def _delete_mor(spark, path: str, condition: str) -> dict:
     # The driver collects only {file, sidecar ref, count} — one
     # metadata row per marked FILE, never row positions: a 1% DELETE
     # at 100 TB is ~10^9 ordinals, which must not transit the driver.
-    df = (
+    rd = (
         spark.read.format("strawboat")
         .option("with_file_path", "true")
         .option("with_row_pos", "true")
-        .load(path)
     )
+    # r17 opt (guide §6: pruning must reach the scan): the marking scan
+    # needs only the columns `condition` references plus the two
+    # provenance columns — the Python DataSource API can't learn this
+    # from the plan, so project via the explicit columns option.  A 2-
+    # column predicate over a 16-column table then decodes 2 leaves,
+    # not 16 (at a 100 TB delete that is the whole scan cost).
+    cond_cols = _condition_columns(spark, path, condition)
+    if cond_cols is not None:
+        rd = rd.option(
+            "columns", ",".join([*cond_cols, "_strawboat_file", "_strawboat_pos"])
+        )
+    df = rd.load(path)
     hit = _write_dv_sidecars(
         df.filter(F.expr(condition)).select("_strawboat_file", "_strawboat_pos"), path
     )

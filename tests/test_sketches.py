@@ -48,7 +48,7 @@ def test_sketch_output_bounded_per_partition(spark):
 
     df = spark.range(0, 50000, 1, 4).selectExpr("cast(id as string) as item")
     k = 40
-    sketch = df.mapInPandas(_mg_partition("item", k), schema="item string, c long")
+    sketch = df.mapInArrow(_mg_partition("item", k), schema="item string, c long")
     per_part = (
         sketch.withColumn("p", F.spark_partition_id())
         .groupBy("p")

@@ -3029,3 +3029,37 @@ def test_stage_append_enforces_table_schema(spark, tmp_path):
     t.publish_staged(sid)
     assert dict(t.read().dtypes)["v"] == "bigint"
     assert t.read().count() == 8
+
+
+def test_condition_columns_pruning_helper(spark, tmp_path):
+    """The MOR-delete marking scan projects to the columns the
+    condition references (r17 opt): the helper must return a SUPERSET
+    of the true references, never miss one, and fall back to None
+    (no pruning) when everything is referenced."""
+    import pyspark.sql.functions as F
+
+    from strawboat_spark.sources.datasource import register
+    from strawboat_spark.sources.maintenance import _condition_columns
+    from strawboat_spark.table import Table
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = Table(spark, p)
+    t.overwrite(
+        spark.range(30).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("label"),
+        )
+    )
+    assert _condition_columns(spark, p, "id % 3 = 0") == ["id"]
+    # qualified / backticked references are still caught
+    assert _condition_columns(spark, p, "`v` > 10 AND id < 20") == ["id", "v"]
+    # everything referenced -> no pruning
+    assert _condition_columns(spark, p, "id > 0 or v > 0 or label = 'x'") is None
+    # zero-column condition keeps only provenance columns downstream
+    assert _condition_columns(spark, p, "1 = 1") == []
+    # end-to-end: a pruned delete must still mark exactly the right rows
+    t.delete("id % 3 = 0 AND v < 40", mode="mor")
+    left = sorted(r["id"] for r in t.read().collect())
+    assert left == [r for r in range(30) if not (r % 3 == 0 and 2 * r < 40)]
