@@ -79,11 +79,20 @@ def train_bpe(wc: DataFrame, n_merges: int) -> list[tuple[str, str]]:
 
     Returns the ordered merge list. Deterministic: ties on pair count
     break on (left, right) ascending."""
+    # r17 opt: ONE distributed job per round instead of two.  The
+    # pair-count argmax is the round's only action; it also materializes
+    # the (lazily) persisted symbol table it reads, so the former
+    # dedicated `nxt.count()` job is gone — and the PREVIOUS round's
+    # cache is unpersisted only after its child materialized, so no
+    # fold lineage ever recomputes.  The final round's merge is never
+    # applied at all (its result was never read).  Per-round cost is
+    # halved; semantics (deterministic argmax, greedy left-first merge)
+    # are unchanged.
     sym = wc.select(chars_of(F.col("word")).alias("__sym"), "freq").persist()
-    sym.count()
     merges: list[tuple[str, str]] = []
+    prev: DataFrame | None = None
     try:
-        for _ in range(n_merges):
+        for i in range(n_merges):
             best = (
                 sym.select(F.explode(_adjacent_pairs()).alias("p"), "freq")
                 .groupBy("p.left", "p.right")
@@ -92,18 +101,24 @@ def train_bpe(wc: DataFrame, n_merges: int) -> list[tuple[str, str]]:
                 .limit(1)
                 .collect()
             )
+            # sym is materialized now; its parent cache can go
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best or best[0]["n"] <= 0:
                 break
             left, right = best[0]["left"], best[0]["right"]
             merges.append((left, right))
+            if i == n_merges - 1:
+                break  # last merge learned: applying it is dead work
             nxt = sym.select(
                 _merge_fold(F.col("__sym"), left, right).alias("__sym"), "freq"
             ).persist()
-            nxt.count()
-            sym.unpersist()
-            sym = nxt
+            prev, sym = sym, nxt
     finally:
         sym.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -30,6 +30,8 @@ engine-side extension like flac.py/adpcm.py/avi.py.
 
 from __future__ import annotations
 
+import numpy as _np
+
 # MPEG-1 Layer III tables (ISO/IEC 11172-3)
 BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 SAMPLE_RATES_V1 = (44100, 48000, 32000)
@@ -71,9 +73,14 @@ def synthesize_mp3_bytes(doc_id: int, n_frames: int, with_id3: bool = False) -> 
         b4 = 0b11 << 6
         frame = bytearray([b1, b2, b3, b4])
         # side info (17 bytes mono) + main data: deterministic fill that
-        # can never contain a false sync (0xFF never emitted)
-        body = bytes((doc_id * 5 + i * 3 + j) % 251 for j in range(size - 4))
-        frame += body
+        # can never contain a false sync (0xFF never emitted).  r17 opt
+        # (guide §4.2): the fill is one vectorized numpy expression —
+        # the former per-byte Python generator was ~100M interpreter
+        # steps per sf0.1 pass; output bytes are identical (same
+        # non-negative integer modulo).
+        frame += ((doc_id * 5 + i * 3 + _np.arange(size - 4)) % 251).astype(
+            _np.uint8
+        ).tobytes()
         out += frame
     return bytes(out)
 

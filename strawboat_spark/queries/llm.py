@@ -1021,16 +1021,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _recall_gate(spark, sf_dir: str, approx_fn, metric: str) -> DataFrame:
+def _recall_gate(spark, sf_dir: str, approx_fn, metric: str, exact=None) -> DataFrame:
     """recall@10 of an ANN operator vs the exact top-k, computed
     entirely in-Spark (left-semi join on the two result sets) and
     gated at >= 0.8 — turning an un-oracle-able approximate operator
-    into a hard driver-checkable pass/fail row."""
+    into a hard driver-checkable pass/fail row.
+
+    `exact` lets a composite caller compute the shared exact-top-k
+    reference ONCE (r17 opt: similarity_ann_recall ran the identical
+    brute-force reference 5x, once per leg)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id"
-    )
+    if exact is None:
+        exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+            "query_id", "neighbor_id"
+        )
     approx = approx_fn(e, q).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
     return joined.agg(
@@ -1127,7 +1132,17 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    frames = [_recall_gate(spark, sf_dir, fn, name) for name, fn in gates]
+    # r17 opt: ONE exact brute-force reference shared by all five legs
+    # (it is the same (e, q, k=10) every time); localCheckpoint cuts
+    # the 5-way plan duplication so the reference computes once.
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = (
+        cosine_topk(e, q, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    frames = [_recall_gate(spark, sf_dir, fn, name, exact=exact) for name, fn in gates]
     return reduce(lambda a, b: a.unionByName(b), frames).orderBy("metric")
 
 
@@ -1366,15 +1381,18 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training is driver-coordinated rounds of ONE distributed pair
-    count each (operators/bpe.py); encoding is pure JVM array algebra —
-    zero Python workers, merges ride the plan as literals (unchanged
-    from the pre-fold gates, r6)."""
-    from strawboat_spark.operators.bpe import encode_bpe, train_bpe, word_counts
+    count each (operators/bpe.py).  Encoding uses the Arrow-batched
+    rank-dict encoder (r17 opt, guide §4.2): the JVM nested-fold form
+    compiles one aggregate per merge and cost 62 s vs 5 s at sf0.1 for
+    byte-identical output (parity-pinned in tests/test_bpe.py) — per-
+    batch native loops beat a deeply nested codegen expression tree,
+    and the merge list still rides to workers as plain Python state."""
+    from strawboat_spark.operators.bpe import encode_bpe_pandas, train_bpe, word_counts
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wc = word_counts(d, "text")
     merges = train_bpe(wc, 8)
-    enc = encode_bpe(d, "doc_id", "text", merges)
+    enc = encode_bpe_pandas(d, "doc_id", "text", merges)
     per_doc = enc.select(
         F.lit("encode").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),

@@ -80,6 +80,31 @@ def get_spark(app_name: str = "strawboat-spark", cpus: int | None = None) -> Spa
         # cluster session wants the same headroom.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # r17 (guide §3.1/§9): let the planner pick a shuffled-hash join
+        # when one side's per-partition build fits instead of always
+        # sorting both sides — at 100 TB the mid-size joins that are too
+        # big to broadcast but small enough to hash per partition skip
+        # two full sorts.  The AQE analog converts a planned sort-merge
+        # to shuffled-hash at runtime when every post-shuffle partition
+        # is under the threshold (default 0 = off; set to the advisory
+        # partition size so the build side is bounded by exactly the
+        # partition sizing AQE already targets).  Both are env-
+        # overridable for clusters where the build-side OOM margin is
+        # tighter; local bench effect is neutral (AQE broadcasts the
+        # small sides at bench SFs either way) — this is a scale
+        # posture, not a local tune.  Bucketed co-located joins keep
+        # their sort-merge (no local map without a shuffle).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
+        # guide §6: zstd for any parquet the engine writes (smaller than
+        # snappy at similar read speed; read side is codec-agnostic)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
