@@ -826,3 +826,44 @@ def test_maintain_dedup_index_streaming_exactly_once(spark, tmp_path):
     assert Table(spark, index_p).read().count() == Table(spark, index_p).read().dropDuplicates(["doc_id", "shingle"]).count()
     assert len(Table(spark, index_p).history()) == gens_idx
     assert len(Table(spark, pairs_p).history()) == gens_pairs
+
+
+def test_scoped_state_partitions_derivation_and_restore(spark, monkeypatch):
+    """r17 opt: fresh-checkpoint streaming drains size their state
+    partitions to data volume. The scope must (a) derive
+    ceil(n/rows_per_part) clamped to [4, session setting], (b) be a
+    no-op at/above the session setting and when disabled or unsized,
+    and (c) restore the session conf on exit, exceptions included."""
+    from strawboat_spark.queries.streaming_q import _scoped_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    base = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_ROWS_PER_PART", "12500")
+        with _scoped_state_partitions(spark, 100_000):
+            assert spark.conf.get(key) == "8"  # ceil(100k/12.5k)
+        assert spark.conf.get(key) == "32"
+        with _scoped_state_partitions(spark, 10):
+            assert spark.conf.get(key) == "4"  # floor
+        assert spark.conf.get(key) == "32"
+        # at scale the derived count exceeds the session setting -> no-op
+        with _scoped_state_partitions(spark, 10**9):
+            assert spark.conf.get(key) == "32"
+        # unsized input and env-disabled -> no-op
+        with _scoped_state_partitions(spark, None):
+            assert spark.conf.get(key) == "32"
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_ROWS_PER_PART", "0")
+        with _scoped_state_partitions(spark, 100_000):
+            assert spark.conf.get(key) == "32"
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_ROWS_PER_PART")
+        # restore must survive an exception inside the scope
+        try:
+            with _scoped_state_partitions(spark, 100_000):
+                assert spark.conf.get(key) == "8"
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == "32"
+    finally:
+        spark.conf.set(key, base)
