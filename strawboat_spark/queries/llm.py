@@ -41,6 +41,25 @@ from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
 
 
+def _spread_ids(df: DataFrame) -> DataFrame:
+    """Spread a tiny id list across the cluster before a heavy per-id
+    synthesis map (r17 opt, guide §2.2): the multimodal gates fan a
+    doc_id column into seconds-per-partition Python codec work, but a
+    small parquet source yields ONE input split — so the map runs
+    serially, and the trailing orderBy's range-sampling pass executes
+    it TWICE (measured: multimodal_video_sampling 13.5 s warm, with
+    the whole decode leg <0.5 s of distributed work). Repartitioning
+    the 8-byte ids to defaultParallelism costs a no-op shuffle and
+    restores the parallelism the work was written for; inputs that
+    already have that many splits (any at-scale source) are left
+    untouched, so this only ever scales UP a degenerate layout."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -767,7 +786,7 @@ def multimodal_raw_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bmp": (synthesize_bmp_bytes, lambda i: (8 + (i % 4) * 4, 6 + i % 7)),
         "ppm": (synthesize_ppm_bytes, lambda i: (8 + i % 8, 8 + i % 5)),
     }
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
     frames = []
     for codec in sorted(specs):
         fn, dims = specs[codec]
@@ -842,7 +861,7 @@ def multimodal_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_y4m_bytes,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1606,7 +1625,7 @@ def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qoi": (synthesize_qoi_bytes, lambda i: (6 + i % 11, 4 + i % 7)),
         "tiff": (synthesize_tiff_bytes, lambda i: (5 + i % 12, 4 + i % 9)),
     }
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
     frames = []
     for codec in sorted(specs):
         synth_fn, dims = specs[codec]
@@ -2138,7 +2157,7 @@ def multimodal_pcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strawboat_spark.operators.flac import decode_flac, encode_flac_constant
     from strawboat_spark.operators.multimodal import decode_wav, synthesize_wav_bytes
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2221,7 +2240,7 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from strawboat_spark.operators.mp3 import parse_mp3, synthesize_mp3_bytes
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2294,7 +2313,7 @@ def shards_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from strawboat_spark.operators.shards import explode_tar_members, synthesize_tar_bytes
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2363,7 +2382,7 @@ def shards_webdataset_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_tar_bytes,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2514,7 +2533,7 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_g711_wav_bytes,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2671,7 +2690,7 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_ima_wav_bytes,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
