@@ -44,6 +44,24 @@ class QueryDef:
     revised: int | None = None
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Spread a degenerate input layout across the cluster before
+    heavy per-row work (r17 opt, guide §2.2): a small file source
+    yields ONE input split, so a Python-codec synthesis map or an
+    opaque Python-datasource write runs serially on one core. When the
+    input has fewer partitions than defaultParallelism, repartition up
+    to it; any at-scale source already has at least that many splits,
+    so this only ever scales UP a degenerate layout and is a no-op in
+    production. NOT applied where a gate pins its layout explicitly
+    (coalesce/repartition in the gate body) or where an oracle counts
+    files/pages — those keep their declared layout."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def query(
     name: str,
     oracle: str | None = None,

@@ -40,6 +40,12 @@ def _roundtrip(
     # the READER fans large files back out via page-range stripes
     # (datasource.STRIPE_PAGES), so read parallelism never depends on
     # how many tasks happened to write.
+    # r17 opt attempt REVERTED after measurement: spreading the write
+    # to defaultParallelism (parallel page encode) was A/B-measured
+    # WORSE warm at sf0.1 (roundtrip_agg 2.88 -> 4.11 s) — the extra
+    # full-data shuffle plus the many-small-files overhead on every
+    # subsequent scan (per-file footer + per-task Python datasource
+    # init) exceed the ~1 s serial-encode saving at gate scale.
     src.write.format("strawboat").mode("overwrite").save(path)
     rd = spark.read.format("strawboat")
     if columns:

@@ -41,23 +41,14 @@ from strawboat_spark.queries import query
 from strawboat_spark.tables import load_table
 
 
-def _spread_ids(df: DataFrame) -> DataFrame:
-    """Spread a tiny id list across the cluster before a heavy per-id
-    synthesis map (r17 opt, guide §2.2): the multimodal gates fan a
-    doc_id column into seconds-per-partition Python codec work, but a
-    small parquet source yields ONE input split — so the map runs
-    serially, and the trailing orderBy's range-sampling pass executes
-    it TWICE (measured: multimodal_video_sampling 13.5 s warm, with
-    the whole decode leg <0.5 s of distributed work). Repartitioning
-    the 8-byte ids to defaultParallelism costs a no-op shuffle and
-    restores the parallelism the work was written for; inputs that
-    already have that many splits (any at-scale source) are left
-    untouched, so this only ever scales UP a degenerate layout."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+# r17 opt (guide §2.2): the multimodal gates fan a doc_id column into
+# seconds-per-partition Python codec work, but a small parquet source
+# yields ONE input split — so the map ran serially, and the trailing
+# orderBy's range-sampling pass executed it TWICE (measured:
+# multimodal_video_sampling 13.5 s warm, with the whole decode leg
+# <0.5 s of distributed work). spread_small_input restores the
+# parallelism the work was written for; no-op on at-scale layouts.
+from strawboat_spark.queries import spread_small_input as _spread_ids  # noqa: E402
 
 
 # --------------------------------------------------------------------------
