@@ -19,6 +19,7 @@ this serves; bulk pixel math (IDCT, upsample, color convert) is numpy.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -64,9 +65,8 @@ AC_VALS = [
 ]
 
 
-def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) per the canonical assignment of
-    ITU-T T.81 Annex C."""
+@functools.lru_cache(maxsize=64)
+def _canonical_codes_t(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
     out = {}
     code = 0
     k = 0
@@ -79,9 +79,24 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical assignment of
+    ITU-T T.81 Annex C. Content-keyed cache (r17 opt): the encoder
+    rebuilt the two Annex K tables for EVERY frame (profiled ~20% of
+    tiny-frame encode); callers treat the dict as read-only."""
+    return _canonical_codes_t(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_table_t(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes_t(bits, vals).items()}
+
+
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-at-a-time decoding."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+    """(length, code) -> symbol, for bit-at-a-time decoding (same
+    content-keyed cache as the encode side: MJPEG decodes re-parse the
+    identical DHT segment once per frame)."""
+    return _decode_table_t(tuple(bits), tuple(vals))
 
 
 # 8x8 DCT basis: block = C.T @ coeffs @ C ; coeffs = C @ block @ C.T
