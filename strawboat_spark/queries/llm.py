@@ -1639,6 +1639,12 @@ def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_intensity",
             )
         )
+    # r17 opt attempt REVERTED after measurement: localCheckpoint-ing
+    # the union before the orderBy (to stop the range-sampling pass
+    # re-running the ten Python map stages) measured 7.4-12.1 s warm vs
+    # 5.9-9.0 s without — post-spread, each duplicated pass is only
+    # ~0.5 s of distributed work and the eager checkpoint job costs
+    # more than it saves. Kept the simple shape.
     return reduce(lambda a, b: a.unionByName(b), frames).orderBy("codec", "doc_id")
 
 
