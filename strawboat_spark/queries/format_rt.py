@@ -966,6 +966,7 @@ def strawboat_mor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "strawboat_mor_delete",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,

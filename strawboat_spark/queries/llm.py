@@ -727,6 +727,7 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_raw_image_decode",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT * FROM (
       SELECT 'bmp' AS codec, doc_id,
@@ -799,6 +800,7 @@ def multimodal_raw_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_video_sampling",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT * FROM (
       SELECT 'mjpeg' AS gate, doc_id, CAST(k AS INT) AS frame_idx,
@@ -1345,6 +1347,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tokenizer_bpe",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     WITH wc AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1536,6 +1539,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_codecs",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT * FROM (
       SELECT 'gif' AS codec, doc_id,
@@ -2110,6 +2114,7 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_pcm_audio_decode",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT * FROM (
       SELECT 'flac' AS codec, doc_id,
@@ -2268,6 +2273,7 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shards_tar_members",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     WITH shards AS (
       SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_samples FROM documents
@@ -2352,6 +2358,7 @@ def shards_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shards_webdataset_group",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     WITH shards AS (
       SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_samples FROM documents

@@ -353,6 +353,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

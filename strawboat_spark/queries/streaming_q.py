@@ -248,6 +248,7 @@ def strawboat_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_topk_state",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT user_id, rank, ROUND(value, 4) AS value, event_id FROM (
       SELECT user_id, value, event_id,
@@ -369,6 +370,7 @@ def _drain(spark, stream_df, name: str, output_mode: str, n_rows: int | None = N
 
 @query(
     "stream_running_totals",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -417,6 +419,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup_watermark",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -462,6 +465,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stream_band_join",
+    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
     oracle="""
     SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM events e JOIN events c

@@ -74,6 +74,18 @@ STRIPE_PAGES = 16  # pages per read partition (16 * 8192 rows ≈ 131k rows — 
 # analog of spark.sql.files.maxPartitionBytes: fine enough that a handful of
 # large files still fans out across executors, coarse enough that per-task
 # overhead (Python worker round-trip, footer ranged read) stays amortized
+
+# r18 (guide §4.2): target rows / buffered bytes per batch YIELDED to the
+# JVM — pages are decoded page-at-a-time as before but cross the Arrow
+# stream as few large frames instead of one frame per 8k-row page.
+READ_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_READ_BATCH_ROWS", "131072"))
+READ_BATCH_BYTES = int(os.environ.get("SPARK_GRAFT_READ_BATCH_BYTES", str(64 << 20)))
+
+
+def _combine_batches(bufs: list) -> "pa.RecordBatch":
+    if len(bufs) == 1:
+        return bufs[0]
+    return pa.Table.from_batches(bufs).combine_chunks().to_batches()[0]
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _INT_LIT = re.compile(r"^-?\d+$")
 _DEC_LIT = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
@@ -1522,6 +1534,32 @@ class StrawboatReaderImpl(DataSourceReader):
         return parts
 
     def read(self, partition: _Stripe):
+        """Yield the stripe's pages COALESCED into ~READ_BATCH_ROWS-row
+        batches (r18 opt, guide §4.2): every yielded batch is one Arrow
+        IPC frame on the Python→JVM stream and one columnar batch the
+        JVM consumes, so 16 per-page 8k-row frames per stripe pay 16x
+        the per-frame overhead of one 131k-row frame.  Coalescing
+        copies each page's arrays once (combine_chunks) — cheap next
+        to the frame round-trips it removes.  A byte cap bounds the
+        buffered working set for blob-heavy rows; READ_BATCH_ROWS<=0
+        restores per-page yields (the pre-r18 behavior)."""
+        gen = self._read_stripe(partition)
+        if READ_BATCH_ROWS <= 0:
+            yield from gen
+            return
+        buf: list = []
+        rows = nbytes = 0
+        for b in gen:
+            buf.append(b)
+            rows += b.num_rows
+            nbytes += b.nbytes
+            if rows >= READ_BATCH_ROWS or nbytes >= READ_BATCH_BYTES:
+                yield _combine_batches(buf)
+                buf, rows, nbytes = [], 0, 0
+        if buf:
+            yield _combine_batches(buf)
+
+    def _read_stripe(self, partition: _Stripe):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from strawboat_spark.sources.pagefile import StrawboatReader

@@ -681,6 +681,37 @@ def _dv_entries(man: dict | None, per_rel: dict, path: str = "", snap: dict | No
     return out
 
 
+def _logical_columns(path: str) -> list[str]:
+    """The table's logical column NAMES straight from the manifest +
+    first footer — the same resolution order StrawboatDataSource.schema()
+    uses (stored columns under logical names, then declared columns,
+    then hive partition columns), without spawning the plan-time Python
+    runner a `spark.read...load(path)` probe costs per call."""
+    from strawboat_spark.sources.datasource import (
+        _cached_footer,
+        _infer_partition_fields,
+        _list_files,
+        _manifest_for,
+        _to_logical_schema,
+        column_mapping,
+        declared_columns,
+    )
+
+    man = _manifest_for(path, None)
+    files = _list_files(path, None, man=man)
+    if not files:
+        raise ValueError(f"strawboat: no files under {path}")
+    arrow_schema, _ = _cached_footer(files[0])
+    names = list(_to_logical_schema(arrow_schema, column_mapping(path, man=man)).names)
+    for dname in declared_columns(path, man=man):
+        if dname not in names:
+            names.append(dname)
+    for pname, _tp in _infer_partition_fields(path, files, man=man):
+        if pname not in names:
+            names.append(pname)
+    return names
+
+
 def _condition_columns(spark, path: str, condition: str) -> list[str] | None:
     """Table columns `condition` may reference, by conservative token
     match (bare identifiers + backtick-quoted names — the only two ways
@@ -692,7 +723,7 @@ def _condition_columns(spark, path: str, condition: str) -> list[str] | None:
     import re
 
     try:
-        cols = spark.read.format("strawboat").load(path).columns
+        cols = _logical_columns(path)
     except Exception:  # noqa: BLE001 - pruning is best-effort
         return None
     toks = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", condition)}
