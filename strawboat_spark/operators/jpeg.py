@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import struct
+import types
 
 import numpy as np
 
@@ -66,7 +67,7 @@ AC_VALS = [
 
 
 @functools.lru_cache(maxsize=64)
-def _canonical_codes_t(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
+def _canonical_codes_t(bits: tuple, vals: tuple) -> "types.MappingProxyType":
     out = {}
     code = 0
     k = 0
@@ -76,7 +77,9 @@ def _canonical_codes_t(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
-    return out
+    # read-only view: the cache hands the SAME object to every caller,
+    # so a mutation would silently corrupt all later encodes/decodes
+    return types.MappingProxyType(out)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -88,8 +91,10 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 
 @functools.lru_cache(maxsize=64)
-def _decode_table_t(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes_t(bits, vals).items()}
+def _decode_table_t(bits: tuple, vals: tuple) -> "types.MappingProxyType":
+    return types.MappingProxyType(
+        {(ln, code): sym for sym, (code, ln) in _canonical_codes_t(bits, vals).items()}
+    )
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:

@@ -1539,7 +1539,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_codecs",
-    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
+    revised=18,  # r18 single-stage fuse of the five codec legs
     oracle="""
     SELECT * FROM (
       SELECT 'gif' AS codec, doc_id,
@@ -1602,13 +1602,11 @@ def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC-only blocks so the lossy path is bit-exact, the other four are
     lossless."""
     from collections.abc import Iterator
-    from functools import reduce
 
     import pandas as pd
 
     from strawboat_spark.operators.gif import synthesize_gif_bytes
     from strawboat_spark.operators.jpeg import synthesize_jpeg_bytes
-    from strawboat_spark.operators.multimodal import extract_image_features
     from strawboat_spark.operators.png import synthesize_png_bytes
     from strawboat_spark.operators.qoi import synthesize_qoi_bytes
     from strawboat_spark.operators.tiff import synthesize_tiff_bytes
@@ -1620,36 +1618,52 @@ def multimodal_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qoi": (synthesize_qoi_bytes, lambda i: (6 + i % 11, 4 + i % 7)),
         "tiff": (synthesize_tiff_bytes, lambda i: (5 + i % 12, 4 + i % 9)),
     }
+    # r18 opt (guide §1.2/§4.1): ONE Python stage for all five codecs.
+    # The old shape ran 2 mapInPandas stages per codec (synth, then
+    # extract_image_features' decode) x 5 codecs = 10 Python stage
+    # instances + 5 document scans + a 5-way union; profiled
+    # single-thread CPU of ALL synth+decode work is only ~1.0 s
+    # (decode: gif 0.21, tiff 0.17, jpeg 0.09, qoi 0.08, png 0.02 s per
+    # 500 docs), so the gate's cost was stage fan-out, not codec CPU —
+    # VERDICT r17 #9's JPEG-Huffman hypothesis is measured-refuted.
+    # Synth + decode fuse into one generator (payload bytes never cross
+    # a stage boundary at all); rows and dtypes are unchanged.
+    # (r17's localCheckpoint-the-union attempt stays rejected: with one
+    # cheap stage the orderBy sampling re-run costs even less.)
+    from strawboat_spark.operators.multimodal import _decode_image_bytes
+
+    codecs = sorted(specs)
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"codec": [], "doc_id": [], "width": [], "height": [], "mean": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for codec in codecs:
+                    fn, dims = specs[codec]
+                    w, h, mean = _decode_image_bytes(fn(i, *dims(i)), False)
+                    out["codec"].append(codec)
+                    out["doc_id"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean"].append(mean)
+            yield pd.DataFrame(out)
+
     d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
-    frames = []
-    for codec in sorted(specs):
-        synth_fn, dims = specs[codec]
-
-        def synth(
-            batches: Iterator[pd.DataFrame], _fn=synth_fn, _dims=dims
-        ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids = pdf["doc_id"]
-                payloads = [_fn(int(i), *_dims(int(i))) for i in ids]
-                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-        wp = d.mapInPandas(synth, schema="doc_id long, payload binary")
-        frames.append(
-            extract_image_features(wp, "doc_id", "payload").select(
-                F.lit(codec).alias("codec"),
-                "doc_id",
-                "width",
-                "height",
-                "mean_intensity",
-            )
+    return (
+        d.mapInPandas(
+            synth_decode,
+            schema="codec string, doc_id long, width int, height int, mean double",
         )
-    # r17 opt attempt REVERTED after measurement: localCheckpoint-ing
-    # the union before the orderBy (to stop the range-sampling pass
-    # re-running the ten Python map stages) measured 7.4-12.1 s warm vs
-    # 5.9-9.0 s without — post-spread, each duplicated pass is only
-    # ~0.5 s of distributed work and the eager checkpoint job costs
-    # more than it saves. Kept the simple shape.
-    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("codec", "doc_id")
+        .select(
+            "codec",
+            "doc_id",
+            "width",
+            "height",
+            F.col("mean").alias("mean_intensity"),
+        )
+        .orderBy("codec", "doc_id")
+    )
 
 
 @query(
