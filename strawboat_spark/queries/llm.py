@@ -727,7 +727,7 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_raw_image_decode",
-    revised=17,  # r17 rewrite not in the r17 driver sample (VERDICT r17 #7)
+    revised=18,  # r18 single-stage fuse of the two raw-codec legs
     oracle="""
     SELECT * FROM (
       SELECT 'bmp' AS codec, doc_id,
@@ -764,12 +764,11 @@ def multimodal_raw_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:_decode_image_bytes); the COMPRESSED
     codecs are gated by multimodal_image_codecs."""
     from collections.abc import Iterator
-    from functools import reduce
 
     import pandas as pd
 
     from strawboat_spark.operators.multimodal import (
-        extract_image_features,
+        _decode_image_bytes,
         synthesize_bmp_bytes,
         synthesize_ppm_bytes,
     )
@@ -778,24 +777,34 @@ def multimodal_raw_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bmp": (synthesize_bmp_bytes, lambda i: (8 + (i % 4) * 4, 6 + i % 7)),
         "ppm": (synthesize_ppm_bytes, lambda i: (8 + i % 8, 8 + i % 5)),
     }
-    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
-    frames = []
-    for codec in sorted(specs):
-        fn, dims = specs[codec]
+    codecs = sorted(specs)
 
-        def synth(batches: Iterator[pd.DataFrame], _fn=fn, _dims=dims) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids = pdf["doc_id"]
-                payloads = [_fn(int(i), *_dims(int(i))) for i in ids]
-                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-        wp = d.mapInPandas(synth, schema="doc_id long, payload binary")
-        frames.append(
-            extract_image_features(wp, "doc_id", "payload").select(
-                F.lit(codec).alias("codec"), "*"
+    # r18 opt (guide §1.2/§4.1, same fuse as multimodal_image_codecs):
+    # ONE mapInPandas synthesizes AND decodes both raw codecs — the old
+    # shape was 2 Python stages per codec + 2 scans + a union, with the
+    # payload crossing a stage boundary it never needed to cross.
+    # Rows/dtypes unchanged (codec + the IMAGE_FEATURES columns).
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for codec in codecs:
+                    fn, dims = specs[codec]
+                    b = fn(i, *dims(i))
+                    w, h, mean = _decode_image_bytes(b, False)
+                    rows.append((codec, i, w, h, mean, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=["codec", "doc_id", "width", "height", "mean_intensity", "n_bytes"],
             )
-        )
-    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("codec", "doc_id")
+
+    d = _spread_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return d.mapInPandas(
+        synth_decode,
+        schema="codec string, doc_id long, width int, height int, "
+        "mean_intensity double, n_bytes long",
+    ).orderBy("codec", "doc_id")
 
 
 @query(
